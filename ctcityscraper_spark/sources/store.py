@@ -1,0 +1,163 @@
+"""ParquetStore — append-only Parquet tables with scope namespacing.
+
+Layout matches the reference exactly (src/engine/database.py:53, 156-158;
+README.md:98-116): ``<data_dir>/<scope>/<table>/*.parquet``, append-only,
+ZSTD-compressed, schema drift tolerated across files within a table
+(union-by-name semantics, database.py:275).
+
+Scale notes:
+- Scans are plain ``spark.read.parquet`` on the table directory — column
+  pruning and predicate pushdown reach the parquet reader via Catalyst.
+- ``existing_hashes`` / ``known_entry_ids`` return DataFrames (distributed),
+  not driver-side sets — the reference's in-memory hash set
+  (database.py:86-106) becomes a left-anti join at any scale.
+- Compaction rewrites only the files of one ingest session (the reference's
+  N-batch-files -> 1, database.py:246-288); at cluster scale the same pass is
+  a ``repartition`` rewrite sized by bytes, which ``compact`` approximates
+  with a target file size.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid as _uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ctcityscraper_spark.functions.hashing import stamp_metadata
+
+
+class ParquetStore:
+    def __init__(self, spark: SparkSession, data_dir: str | Path, scope_key: str):
+        self.spark = spark
+        self.data_dir = Path(data_dir)
+        self.scope_key = scope_key
+        self.scope_dir = self.data_dir / scope_key
+
+    # ------------------------------------------------------------------ paths
+    def table_path(self, table: str) -> Path:
+        return self.scope_dir / table
+
+    def table_exists(self, table: str) -> bool:
+        p = self.table_path(table)
+        return p.exists() and any(p.glob("*.parquet"))
+
+    def tables(self) -> list[str]:
+        if not self.scope_dir.exists():
+            return []
+        return sorted(
+            d.name
+            for d in self.scope_dir.iterdir()
+            if d.is_dir() and any(d.glob("*.parquet"))
+        )
+
+    # ------------------------------------------------------------------ scans
+    def scan(self, table: str, merge_schema: bool = True) -> DataFrame:
+        """Universal table scan (reference S1/S2).
+
+        ``mergeSchema`` on by default because schema drift across session
+        files is an expected state (reference database.py:275).
+        """
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(str(self.table_path(table)))
+
+    def existing_hashes(self, table: str) -> DataFrame:
+        """DISTINCT row_hash — the refresh-dedup state (reference P1/J2).
+
+        Column pruning means only the row_hash column is read from parquet.
+        """
+        if not self.table_exists(table):
+            return self.spark.createDataFrame([], "row_hash string")
+        return self.scan(table, merge_schema=False).select("row_hash").distinct()
+
+    def known_entry_ids(self, table: str, column: str) -> DataFrame:
+        """DISTINCT entry ids, sorted (reference P2, database.py:218-244)."""
+        if not self.table_exists(table):
+            raise FileNotFoundError(f"no data for table {table!r}")
+        return self.scan(table).select(column).distinct().orderBy(column)
+
+    # ------------------------------------------------------------------ sinks
+    def append(self, table: str, df: DataFrame) -> None:
+        """Append-only parquet sink (reference S3). Never updates in place."""
+        df.write.mode("append").option("compression", "zstd").parquet(
+            str(self.table_path(table))
+        )
+
+    def write_batch(
+        self,
+        table: str,
+        df: DataFrame,
+        dedup_against_existing: bool = False,
+        extra_exclude: set[str] | None = None,
+        scraped_at=None,
+    ) -> tuple[int, int]:
+        """Stamp metadata, optionally drop content-duplicate rows, append.
+
+        Refresh-mode dedup is the reference's hash anti-join
+        (database.py:139-149) expressed distributively: left-anti join against
+        the table's DISTINCT row_hash. Returns (written, skipped).
+        """
+        stamped = stamp_metadata(df, extra_exclude=extra_exclude, scraped_at=scraped_at)
+        if dedup_against_existing and self.table_exists(table):
+            existing = self.existing_hashes(table)
+            incoming = stamped.count()
+            # intra-batch content dupes collapse too (reference adds written
+            # hashes to the in-session set, database.py:144-148). AQE picks
+            # broadcast vs shuffled anti-join from the runtime size of
+            # `existing`; don't hint — the existing-hash side can be huge.
+            stamped = stamped.dropDuplicates(["row_hash"]).join(
+                existing, "row_hash", "left_anti"
+            )
+            written = stamped.count()
+            if written:
+                self.append(table, stamped)
+            return written, incoming - written
+        n = stamped.count()
+        if n:
+            self.append(table, stamped)
+        return n, 0
+
+    # ------------------------------------------------------------- compaction
+    def list_files(self, table: str) -> set[str]:
+        return {str(p) for p in self.table_path(table).glob("*.parquet")}
+
+    def compact(
+        self,
+        table: str,
+        only_files: set[str] | None = None,
+        target_file_bytes: int = 512 * 1024 * 1024,
+    ) -> int:
+        """Merge small files -> few files (reference T7, database.py:246-288).
+
+        The reference merges one session's batch files into one file with
+        union_by_name. Here: read the given files (or all) with mergeSchema,
+        rewrite sized by bytes, atomically swap. Returns resulting file count.
+
+        NOTE: DataFrames obtained from ``scan()`` *before* compaction pin the
+        old file list and will fail on their next action — re-``scan()`` after
+        compacting.
+        """
+        files = sorted(only_files if only_files is not None else self.list_files(table))
+        if len(files) <= 1:
+            return len(files)
+        total_bytes = sum(Path(f).stat().st_size for f in files)
+        n_out = max(1, round(total_bytes / target_file_bytes))
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        tmp = self.table_path(table).parent / f"_compact_{table}_{_uuid.uuid4().hex[:8]}"
+        (
+            df.repartition(n_out)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(str(tmp))
+        )
+        for f in files:
+            Path(f).unlink()
+        moved = 0
+        for part in sorted(tmp.glob("*.parquet")):
+            part.rename(self.table_path(table) / f"compacted-{_uuid.uuid4().hex}.parquet")
+            moved += 1
+        shutil.rmtree(tmp)
+        return moved

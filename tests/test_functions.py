@@ -1,0 +1,161 @@
+"""Scalar/coercion/hash unit tests.
+
+Mirrors the reference's unit layer (tests/test_scraper.py TestTypeCoercion
+:24-74, TestUUIDGeneration :77-111; tests/test_database.py TestHashFunction
+:565-585) — semantics, not code.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.functions import (
+    HASH_EXCLUDED_FIELDS,
+    clean_string_col,
+    comma_number_col,
+    compute_row_hash,
+    entity_uuid_col,
+    float_col,
+    hash64,
+    int_col,
+    money_col,
+    normalize_key,
+    row_hash_col,
+)
+from ctcityscraper_spark.functions.hashing import stamp_metadata
+
+
+def one(spark, expr, value):
+    return (
+        spark.createDataFrame([(value,)], "v string").select(expr.alias("r")).first().r
+    )
+
+
+class TestCoercion:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("$1,500.00", 1500.0),
+            ("$350,000", 350000.0),
+            (" $2,000.50 ", 2000.5),
+            ("", None),
+            ("N/A", None),
+            (None, None),
+            ("123.45", 123.45),
+        ],
+    )
+    def test_money(self, spark, raw, expected):
+        assert one(spark, money_col("v"), raw) == expected
+
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [("1.5", 1.5), ("garbage", None), ("", None), ("2,000", None)],
+    )
+    def test_float(self, spark, raw, expected):
+        assert one(spark, float_col("v"), raw) == expected
+
+    @pytest.mark.parametrize(
+        "raw,expected", [("7", 7), ("7.9", 7), ("x", None), ("", None)]
+    )
+    def test_int(self, spark, raw, expected):
+        assert one(spark, int_col("v"), raw) == expected
+
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [("  hi  ", "hi"), ("", None), ("   ", None), ("a b", "a b")],
+    )
+    def test_clean_string(self, spark, raw, expected):
+        assert one(spark, clean_string_col("v"), raw) == expected
+
+    def test_comma_number(self, spark):
+        assert one(spark, comma_number_col("v"), "2,000") == 2000.0
+
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("Living Area:", "living_area"),
+            ("Bed & Bath", "bed_and_bath"),
+            ("  Year Built : ", "year_built"),
+        ],
+    )
+    def test_normalize_key(self, spark, raw, expected):
+        assert one(spark, normalize_key("v"), raw) == expected
+
+
+class TestRowHash:
+    def test_metadata_fields_excluded(self, spark):
+        df1 = spark.createDataFrame([Row(a="x", b=1)])
+        df2 = spark.createDataFrame([Row(a="x", b=1, scraped_at="2020-01-01", row_hash="zz")])
+        h1 = df1.select(row_hash_col(df1.columns).alias("h")).first().h
+        h2 = df2.select(row_hash_col(df2.columns).alias("h")).first().h
+        assert h1 == h2
+        assert len(h1) == 32
+
+    def test_data_change_changes_hash(self, spark):
+        df = spark.createDataFrame([Row(a="x", b=1), Row(a="x", b=2)])
+        hashes = [r.h for r in df.select(row_hash_col(df.columns).alias("h")).collect()]
+        assert hashes[0] != hashes[1]
+
+    def test_null_drop_is_load_bearing(self, spark):
+        # value -> NULL must change the hash (key disappears from the JSON)
+        df = spark.createDataFrame([Row(a="x", b="y"), Row(a="x", b=None)])
+        hashes = [r.h for r in df.select(row_hash_col(df.columns).alias("h")).collect()]
+        assert hashes[0] != hashes[1]
+
+    def test_column_order_independent(self, spark):
+        df1 = spark.createDataFrame([Row(a="x", b="y")])
+        df2 = spark.createDataFrame([Row(b="y", a="x")])
+        h1 = df1.select(row_hash_col(df1.columns).alias("h")).first().h
+        h2 = df2.select(row_hash_col(df2.columns).alias("h")).first().h
+        assert h1 == h2
+
+    def test_python_twin_matches_spark(self, spark):
+        row = {"a": "x", "pid": 7, "scraped_at": "2020-01-01"}
+        df = spark.createDataFrame([Row(**row)])
+        spark_h = df.select(row_hash_col(df.columns).alias("h")).first().h
+        assert compute_row_hash(row) == spark_h
+
+    def test_exclusion_list_verbatim(self):
+        # the reference's 13-field list (src/engine/hash.py:7-24)
+        assert HASH_EXCLUDED_FIELDS == {
+            "id", "version", "row_hash", "effective_from", "effective_to",
+            "is_current", "loaded_at", "updated_at", "created_at",
+            "scraped_at", "city_id", "vgsi_url", "photo_paths",
+            "photo_local_path",
+        }
+
+    def test_stamp_metadata(self, spark):
+        df = spark.createDataFrame([Row(uuid="u1", val=1)])
+        out = stamp_metadata(df).collect()[0]
+        assert out.scraped_at is not None
+        assert len(out.row_hash) == 32
+
+
+class TestEntityUuid:
+    def test_deterministic_and_formatted(self, spark):
+        df = spark.createDataFrame([Row(pid=1, addr="10 Main St")])
+        u1 = df.select(entity_uuid_col("pid", ["addr"]).alias("u")).first().u
+        u2 = df.select(entity_uuid_col("pid", ["addr"]).alias("u")).first().u
+        assert u1 == u2
+        parts = u1.split("-")
+        assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+
+    def test_different_data_different_uuid(self, spark):
+        df = spark.createDataFrame([Row(pid=1, addr="10 Main St"), Row(pid=1, addr="11 Main St")])
+        us = [r.u for r in df.select(entity_uuid_col("pid", ["addr"]).alias("u")).collect()]
+        assert us[0] != us[1]
+
+
+class TestHash64:
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        vals = ["alpha", "beta", "gamma delta"]
+        df = spark.createDataFrame([Row(v=v) for v in vals])
+        got = {r.v: r.h for r in df.select("v", hash64("v", seed=3).alias("h")).collect()}
+        con = duckdb.connect()
+        for v in vals:
+            (exp,) = con.execute(
+                "select ('0x' || substring(md5('3' || ?), 1, 15))::BIGINT", [v]
+            ).fetchone()
+            assert got[v] == exp, v
