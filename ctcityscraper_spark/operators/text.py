@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly) over a text column:
+tokenization, token counting, quality scoring, language identification
+(stopword/n-gram heuristic), and document fingerprinting. Designed so each
+has an exact DuckDB-SQL twin for the oracle gate — integer counts and
+single-division doubles only.
+
+Scale: no UDFs, no shuffles beyond what the caller aggregates — these all
+run inside the scan stage at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately small, documented marker lists — language ID at pipeline scale
+# is a heuristic scorer, not a model. Ordered: index is the deterministic
+# tie-break (earlier wins).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "avec", "pour"],
+    "es": ["el", "los", "las", "es", "con", "para", "una"],
+    "zh": ["的", "是", "和", "在", "了", "不", "有"],
+}
+
+PUNCT_RE = r"[^\w\s]"
+DIGIT_RE = r"[0-9]"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def char_count_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio_col(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation (single exact division)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, DIGIT_RE, ""))
+    return n_digit / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio_col(text: Column | str, lang: str = "en") -> Column:
+    """Distinct-marker hits / distinct tokens (both integer counts)."""
+    toks = F.array_distinct(tokens_col(text))
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, ~1].
+
+    mean of: length signal (min(len,2000)/2000), non-punct signal
+    (1 - punct_ratio), stopword signal (min(ratio*5, 1)). Mirrors the usual
+    C4/Gopher-style cheap filters; every term is a single exact division so
+    the DuckDB oracle is bit-identical.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    len_sig = F.least(F.length(c), F.lit(2000)) / F.lit(2000.0)
+    punct_sig = F.lit(1.0) - punct_ratio_col(c)
+    stop_sig = F.least(stopword_ratio_col(c) * 5, F.lit(1.0))
+    return (len_sig + punct_sig + stop_sig) / F.lit(3.0)
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of distinct marker-token hits.
+
+    Deterministic tie-break: earlier language in LANG_MARKERS wins. Encoded
+    as score*8 + (7 - index) so ``greatest`` resolves both score and order —
+    the same arithmetic the SQL twin uses.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    langs = list(LANG_MARKERS)
+    encoded = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])))
+        * 8
+        + (7 - i)
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*encoded)
+    idx = 7 - (best % 8)  # back to the language index
+    return F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx + 1)
+
+
+def normalized_text_col(text: Column | str) -> Column:
+    """lower-case, collapse whitespace, trim — canonical content form."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (cross-engine exact)."""
+    return F.md5(normalized_text_col(text))
+
+
+# ------------------------------------------------------------------ SQL twins
+def lang_id_sql(text_expr: str) -> str:
+    """DuckDB expression mirroring lang_id_col exactly."""
+    langs = list(LANG_MARKERS)
+    toks = f"list_distinct(regexp_split_to_array(trim({text_expr}), '\\s+'))"
+    encs = []
+    for i, lang in enumerate(langs):
+        markers = ", ".join("'" + w.replace("'", "''") + "'" for w in LANG_MARKERS[lang])
+        encs.append(f"(len(list_intersect({toks}, [{markers}])) * 8 + {7 - i})")
+    best = "greatest(" + ", ".join(encs) + ")"
+    lang_list = ", ".join(f"'{lang}'" for lang in langs)
+    return f"list_extract([{lang_list}], (7 - ({best} % 8)) + 1)"
+
+
+def quality_score_sql(text_expr: str) -> str:
+    """DuckDB expression mirroring quality_score_col exactly."""
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    toks = f"list_distinct(regexp_split_to_array(trim({text_expr}), '\\s+'))"
+    length = f"length({text_expr})"
+    punct_ratio = (
+        f"({length} - length(regexp_replace({text_expr}, '[^\\w\\s]', '', 'g')))"
+        f" / greatest({length}, 1)"
+    )
+    stop_ratio = f"len(list_intersect({toks}, [{markers}])) / greatest(len({toks}), 1)"
+    return (
+        f"((least({length}, 2000) / 2000.0)"
+        f" + (1.0 - {punct_ratio})"
+        f" + least({stop_ratio} * 5, 1.0)) / 3.0"
+    )

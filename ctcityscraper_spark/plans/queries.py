@@ -695,3 +695,8 @@ def q_events_sessionization(spark, sf_dir):
         .agg(F.count("*").alias("events_in_session"))
         .orderBy("user_id", "session_id")
     )
+
+
+# Extension operators (dedup / similarity / text / multimodal / engine-SCD2)
+# register themselves into QUERIES on import.
+from ctcityscraper_spark.plans import queries_ext  # noqa: E402,F401

@@ -1,0 +1,467 @@
+"""Extension catalog: LLM-data-pipeline operators under the oracle gate.
+
+Dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+similarity search (brute-force + SRP-LSH), text analysis, multimodal byte
+plumbing, and the engine's own SCD2/CDC path exercised on synthetic
+multi-version data (FIXTURES.md §B).
+
+Oracle construction: shingles / minhash / simhash / projections are defined
+on the cross-engine hash64 primitive and left-to-right float64 folds, so the
+DuckDB SQL twins here are generated from the same parameters and match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.functions.hashing import row_hash_col
+from ctcityscraper_spark.operators import scd2
+from ctcityscraper_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ctcityscraper_spark.operators.similarity import cosine_topk, srp_lsh_topk
+from ctcityscraper_spark.operators.text import (
+    fingerprint_col,
+    lang_id_col,
+    lang_id_sql,
+    quality_score_col,
+    quality_score_sql,
+    token_count_col,
+)
+from ctcityscraper_spark.plans.queries import query
+from ctcityscraper_spark.plans.tables import load_table
+
+EMB_DIMS = 64
+
+# ------------------------------------------------------------- SQL fragments
+
+TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def shingle_sql(n: int) -> str:
+    """DuckDB twin of operators.dedup.shingles_col."""
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len({TOKS}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({TOKS}, i + 1, i + {n}), ' ')))"
+    )
+
+
+def hash64_sql(expr: str, seed) -> str:
+    return f"('0x' || substring(md5('{seed}' || {expr}), 1, 15))::BIGINT"
+
+
+def fold_dot_sql(a: str, b: str, dims: int) -> str:
+    """Left-to-right float64 dot product (matches F.aggregate order)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def fold_norm_sql(a: str, dims: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, {dims + 1}), "
+        f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))"
+    )
+
+
+# ================================================================== text
+
+
+@query(
+    "text_profile",
+    oracle=f"""
+    SELECT doc_id,
+           len({TOKS}) AS n_tokens,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           {quality_score_sql('text')} AS quality,
+           {lang_id_sql('text')} AS lang_pred
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q_text_profile(spark, sf_dir):
+    """Text analysis: token count, content fingerprint (rolling-hash class),
+    quality score, heuristic language ID — one scan-stage pass, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        fingerprint_col("text").alias("fingerprint"),
+        quality_score_col("text").alias("quality"),
+        lang_id_col("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    SELECT lang, {lang_id_sql('text')} AS lang_pred, COUNT(*) AS n
+    FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def q_text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", lang_id_col("text").alias("lang_pred"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ================================================================== dedup
+
+
+@query(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           COUNT(*) FILTER (WHERE n_docs > 1) AS n_dup_groups,
+           CAST(MIN(keep_id) AS BIGINT) AS first_keep
+    FROM (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY fp
+    )
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup (hash-groupBy on normalized-content fingerprint) —
+    the scale-first pass of a dedup cascade (reference D2 analogue)."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_duplicates(docs)
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_groups"),
+        F.min("keep_id").alias("first_keep"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingle_sql(5)}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 5-gram Jaccard >= 0.6 via inverted shingle index
+    (never a cross join; candidate pairs only from shared shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.6).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle(k: int, bands: int, n: int) -> str:
+    rows = k // bands
+    mins = ",\n               ".join(
+        f"MIN({hash64_sql('shingle', i)}) AS mh_{i}" for i in range(k)
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = " || ':' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig")
+    stacked = "\n        UNION ALL\n        ".join(band_rows)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingle_sql(n)}) AS shingle FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ), stacked AS (
+        {stacked}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM stacked a JOIN stacked b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(16, 8, 5), headline=True)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(8 bands x 2 rows) candidate pairs — the 100 TB
+    near-dedup path: explode -> 16 map-side mins -> band equi-join.
+    ~97% recall at jaccard 0.6 with tiny false-positive rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=16, bands=8, n=5).orderBy("doc_a", "doc_b")
+
+
+def _simhash_sig_sql(bits: int) -> str:
+    th = hash64_sql("token", "")
+    sums = ",\n               ".join(
+        f"SUM((({th} >> {b}) & 1) * 2 - 1) AS s_{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN s_{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits))
+    return f"""
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM (
+            SELECT doc_id,
+               {sums}
+            FROM (
+                SELECT doc_id, unnest(list_distinct({TOKS})) AS token FROM documents
+            ) GROUP BY doc_id
+        )
+    """
+
+
+@query(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    SELECT doc_id, simhash FROM ({_simhash_sig_sql(16)})
+    WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q_dedup_simhash_signatures(spark, sf_dir):
+    """16-bit SimHash signatures (majority bit over token hashes)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return simhash_signatures(docs, bits=16).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_simhash_sig_sql(16)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b
+      ON ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255))
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: block on either signature half (Charikar
+    block trick), verify hamming <= 3 with bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=16, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {fold_dot_sql('a.embedding', 'b.embedding', EMB_DIMS)}
+             / ({fold_norm_sql('a.embedding', EMB_DIMS)} * {fold_norm_sql('b.embedding', EMB_DIMS)})
+             AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.vec_id < 500
+    WHERE {fold_dot_sql('a.embedding', 'b.embedding', EMB_DIMS)}
+             / ({fold_norm_sql('a.embedding', EMB_DIMS)} * {fold_norm_sql('b.embedding', EMB_DIMS)})
+          >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_embedding_neardup(spark, sf_dir):
+    """Embedding cosine near-dup pairs (verify-scale brute force; the scale
+    path blocks on an SRP-LSH bucket — similarity.srp_lsh_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a_side = emb.filter(F.col("vec_id") < 500)
+    pairs = embedding_neardup_pairs(
+        a_side.unionByName(emb.filter(F.col("vec_id") >= 500)),
+        threshold=0.3,
+        block=None,
+    )
+    return pairs.filter(F.col("vec_a") < 500).orderBy("vec_a", "vec_b")
+
+
+# ================================================================== similarity
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   {fold_dot_sql('qv', 'cv', EMB_DIMS)}
+                     / ({fold_norm_sql('qv', EMB_DIMS)} * {fold_norm_sql('cv', EMB_DIMS)}) AS cosine
+            FROM q, c WHERE query_id != neighbor_id
+         )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    headline=True,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 10 query vectors — the ANN
+    correctness baseline (extension north-star operator)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _srp_bucket_sql(vec_expr: str, dims: int, bits: int) -> str:
+    from ctcityscraper_spark.operators.similarity import plane_weight
+
+    parts = []
+    for b in range(bits):
+        weights = ", ".join(repr(plane_weight(b, d)) for d in range(dims))
+        proj = (
+            f"list_reduce(list_transform(range(1, {dims + 1}), "
+            f"i -> {vec_expr}[i]::DOUBLE * ([{weights}]::DOUBLE[])[i]), (x, y) -> x + y)"
+        )
+        parts.append(f"CASE WHEN {proj} > 0 THEN {2**b} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+@query(
+    "ann_srp_lsh_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                      {_srp_bucket_sql('embedding', EMB_DIMS, 8)} AS bucket
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_srp_bucket_sql('embedding', EMB_DIMS, 8)} AS bucket
+               FROM embeddings WHERE vec_id < 10),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   {fold_dot_sql('qv', 'cv', EMB_DIMS)}
+                     / ({fold_norm_sql('qv', EMB_DIMS)} * {fold_norm_sql('cv', EMB_DIMS)}) AS cosine
+            FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+         )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_ann_srp_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (8-bit sign-random-projection buckets from a
+    deterministic literal plane matrix) + exact re-rank — the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5, bits=8
+    ).orderBy("query_id", "rank")
+
+
+# ================================================================== multimodal
+
+
+@query(
+    "multimodal_bytes_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_multimodal_bytes_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: encode text as a binary payload column
+    (stand-in for image/audio bytes), compute typed metadata JVM-side.
+    Decode/feature-extraction UDFs live in operators/multimodal.py (stubbed
+    per environment; Spark-side plumbing tested in tests/)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    return payload.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+# ====================================================== engine SCD2 on synthetic
+
+
+def _two_version_orders(spark, sf_dir):
+    """Synthesize a 2-version history from orders (FIXTURES.md §B): every odd
+    orderkey's status flips to 'X' in the second scrape."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    v1 = orders.withColumn("scraped_at", F.lit("2025-01-01 00:00:00").cast("timestamp_ntz"))
+    v2 = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 1, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    ).withColumn("scraped_at", F.lit("2025-01-02 00:00:00").cast("timestamp_ntz"))
+    both = v1.unionByName(v2)
+    return both.withColumn("row_hash", row_hash_col(["o_orderstatus"]))
+
+
+_TWO_VERSION_SQL = """
+        SELECT o_orderkey, o_orderstatus,
+               TIMESTAMP '2025-01-01 00:00:00' AS scraped_at,
+               md5('{"o_orderstatus":"' || o_orderstatus || '"}') AS row_hash
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               TIMESTAMP '2025-01-02 00:00:00' AS scraped_at,
+               md5('{"o_orderstatus":"' ||
+                   CASE WHEN o_orderkey % 2 = 1 THEN 'X' ELSE o_orderstatus END || '"}') AS row_hash
+        FROM orders
+"""
+
+
+@query(
+    "engine_scd2_current",
+    oracle=f"""
+    WITH hist AS ({_TWO_VERSION_SQL})
+    SELECT o_orderkey, o_orderstatus FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY scraped_at DESC) AS rn
+        FROM hist
+    ) WHERE rn = 1 ORDER BY o_orderkey
+    """,
+)
+def q_engine_scd2_current(spark, sf_dir):
+    """The engine's own current() view (operators/scd2.py W1) over a
+    synthesized 2-version history — reference README.md:126-128 parity."""
+    hist = _two_version_orders(spark, sf_dir)
+    return (
+        scd2.current(hist, key="o_orderkey", order="scraped_at")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "engine_scd2_changed_since",
+    oracle=f"""
+    WITH hist AS ({_TWO_VERSION_SQL})
+    SELECT o_orderkey, o_orderstatus FROM (
+        SELECT *, LAG(row_hash) OVER (PARTITION BY o_orderkey ORDER BY scraped_at) AS prev_hash
+        FROM hist
+    )
+    WHERE scraped_at >= TIMESTAMP '2025-01-01 12:00:00'
+      AND prev_hash IS NOT NULL AND row_hash != prev_hash
+    ORDER BY o_orderkey
+    """,
+)
+def q_engine_scd2_changed_since(spark, sf_dir):
+    """The engine's changed_since() CDC view (operators/scd2.py W5) over the
+    same synthesized history — detects exactly the odd-key status flips
+    (reference get_changed_properties, scrapers/vgsi/source.py:840-864)."""
+    hist = _two_version_orders(spark, sf_dir)
+    return (
+        scd2.changed_since(
+            hist, "2025-01-01 12:00:00", key="o_orderkey", order="scraped_at"
+        )
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
