@@ -1,0 +1,214 @@
+"""Load / refresh orchestration — the reference engine on Spark.
+
+Reference lifecycle (src/engine/engine.py run_load :105-353, run_refresh
+:356-522) re-expressed:
+
+- entry ids -> micro-batches (T1) -> **distributed fetch** via mapInPandas
+  with per-partition rate limiting (T4) and captured errors
+- flatten (X2) -> per-table DataFrames -> metadata stamp -> append;
+  refresh mode adds the hash anti-join dedup (D2/J2)
+- checkpoint every N completions + final (T2, load mode only — the
+  reference never checkpoints refresh)
+- circuit breaker: abort after ``max_consecutive_errors`` consecutive
+  failures, reset on success, 0 disables (T6; reference :99-102, 229-243).
+  Divergence note: the reference counts in completion order (thread
+  nondeterminism); we count in entry order — deterministic, same contract.
+- session compaction: this run's files merged per table (T7, :246-288)
+
+Semantics preserved on purpose (SURVEY §7 hard-part #5): load mode never
+dedups (re-running a load duplicates rows — by design, README.md:118-121);
+resume is best-effort via the JSON checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from ctcityscraper_spark.sources.checkpoint import CheckpointStore
+from ctcityscraper_spark.sources.contracts import (
+    EngineStats,
+    ResolvedParams,
+    SourceDefinition,
+)
+from ctcityscraper_spark.sources.http import fetch_entries_distributed
+from ctcityscraper_spark.sources.store import ParquetStore
+
+
+class CircuitBreakerTripped(RuntimeError):
+    def __init__(self, consecutive: int, last_error: str | None):
+        super().__init__(
+            f"aborting after {consecutive} consecutive errors (last: {last_error})"
+        )
+        self.consecutive = consecutive
+        self.last_error = last_error
+
+
+def _chunks(seq: list, size: int):
+    for i in range(0, len(seq), size):
+        yield seq[i : i + size]
+
+
+def _rows_to_df(spark: SparkSession, rows: list[dict]):
+    """Ragged dicts -> DataFrame. Columns that are NULL in every row of the
+    batch are dropped (schema drift across files is expected and tolerated —
+    reference union_by_name, src/engine/database.py:275); type inference
+    can't type an all-null column."""
+    keys: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    live = [k for k in keys if any(r.get(k) is not None for r in rows)]
+    if not live:
+        return None
+    return spark.createDataFrame([tuple(r.get(k) for k in live) for r in rows], live)
+
+
+def _resolve_entry_ids(
+    store: ParquetStore, source: SourceDefinition, params: ResolvedParams
+) -> list:
+    if params.entry_ids is not None:
+        return list(params.entry_ids)
+    src = source.entry_id_source
+    if isinstance(src, list):
+        return list(src)
+    if isinstance(src, str) and "/" in src:
+        table, column = src.split("/", 1)
+        return [r[column] for r in store.known_entry_ids(table, column).collect()]
+    raise ValueError(f"cannot resolve entry ids from {src!r}")
+
+
+def _run(
+    spark: SparkSession,
+    store: ParquetStore,
+    source: SourceDefinition,
+    params: ResolvedParams,
+    *,
+    dedup: bool,
+    batch_size: int = 100,
+    rate_per_sec: float = 0.0,
+    workers: int | None = None,
+    checkpoint_every: int | None = 100,
+    max_consecutive_errors: int = 50,
+    compact_after: bool = True,
+    retries: int = 3,
+    retry_delay: float = 1.0,
+) -> EngineStats:
+    t0 = time.time()
+    stats = EngineStats()
+    checkpoints = CheckpointStore(store.data_dir) if checkpoint_every else None
+
+    entry_ids = _resolve_entry_ids(store, source, params)
+
+    # checkpoint resume (load mode): skip past last_entry_id; a stale id
+    # (not in the list) restarts from the beginning — reference :156-191
+    if checkpoints and not dedup:
+        cp = checkpoints.load(params.scope_key)
+        if cp and cp.get("last_entry_id") is not None:
+            str_ids = [str(i) for i in entry_ids]
+            if str(cp["last_entry_id"]) in str_ids:
+                entry_ids = entry_ids[str_ids.index(str(cp["last_entry_id"])) + 1 :]
+
+    files_before = {t: store.list_files(t) for t in store.tables()}
+    consecutive_errors = 0
+    completed = 0
+    since_checkpoint = 0
+    touched_tables: set[str] = set()
+
+    for chunk in _chunks(entry_ids, batch_size):
+        results = (
+            fetch_entries_distributed(
+                spark,
+                source,
+                params.base_url,
+                chunk,
+                rate_per_sec=rate_per_sec,
+                num_partitions=workers,
+                retries=retries,
+                retry_delay=retry_delay,
+            )
+            .orderBy("seq")
+            .collect()
+        )
+
+        payloads: list[dict] = []
+        batch_error: CircuitBreakerTripped | None = None
+        for r in results:
+            if r.error is not None:
+                stats.errors += 1
+                consecutive_errors += 1
+                if max_consecutive_errors and consecutive_errors >= max_consecutive_errors:
+                    batch_error = CircuitBreakerTripped(consecutive_errors, r.error)
+                    break
+                continue
+            consecutive_errors = 0  # success or invalid resets (reference :221-225)
+            if r.invalid:
+                stats.invalid += 1
+                continue
+            stats.scraped += 1
+            if r.payload is not None:
+                payloads.append(json.loads(r.payload))
+
+        if payloads:
+            batch_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+            tables = source.flatten_fn(payloads)
+            for table, rows in tables.items():
+                if not rows:
+                    continue
+                df = _rows_to_df(spark, rows)
+                if df is None:
+                    continue
+                written, skipped = store.write_batch(
+                    table,
+                    df,
+                    dedup_against_existing=dedup,
+                    extra_exclude=source.hash_exclude.get(table),
+                    scraped_at=batch_ts,
+                )
+                stats.rows_written += written
+                stats.rows_skipped += skipped
+                touched_tables.add(table)
+            if source.get_photo_items_fn and source.download_fn:
+                for payload in payloads:
+                    for item in source.get_photo_items_fn(payload) or []:
+                        source.download_fn(item)
+
+        completed += len(chunk)
+        since_checkpoint += len(chunk)
+        if checkpoints and not dedup and since_checkpoint >= (checkpoint_every or 0):
+            checkpoints.save(params.scope_key, chunk[-1], completed)
+            since_checkpoint = 0
+
+        if batch_error is not None:
+            stats.elapsed_sec = time.time() - t0
+            raise batch_error
+
+    if checkpoints and not dedup and entry_ids:
+        checkpoints.save(params.scope_key, entry_ids[-1], completed)
+
+    if compact_after:
+        for table in touched_tables:
+            session_files = store.list_files(table) - files_before.get(table, set())
+            if len(session_files) > 1:
+                store.compact(table, only_files=session_files)
+
+    stats.elapsed_sec = time.time() - t0
+    return stats
+
+
+def run_load(spark, store, source, params, **kw) -> EngineStats:
+    """Bulk ingest: append everything, checkpoint, compact (reference
+    run_load, src/engine/engine.py:105-353). Never dedups."""
+    return _run(spark, store, source, params, dedup=False, **kw)
+
+
+def run_refresh(spark, store, source, params, **kw) -> EngineStats:
+    """Incremental re-scrape: entry ids discovered from stored data, hash
+    anti-join drops unchanged rows (reference run_refresh, :356-522).
+    No checkpointing — matches the reference."""
+    kw.setdefault("checkpoint_every", None)
+    return _run(spark, store, source, params, dedup=True, **kw)

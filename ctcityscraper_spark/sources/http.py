@@ -1,0 +1,105 @@
+"""HTTP fetch helpers: retry/backoff and the distributed fetch stage.
+
+The network boundary is injected (``fetcher`` callables) so everything is
+testable offline; the real engine wires ``urllib``-based fetchers here.
+Retry semantics mirror the reference (scrapers/vgsi/source.py:202-253,
+scrapers/llc_ct_data/source.py:57-102): N retries, initial delay, x2
+exponential backoff; the source's invalid-entry exception is never retried.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ctcityscraper_spark.sources.contracts import SourceDefinition
+from ctcityscraper_spark.sources.ratelimit import partition_bucket
+
+# schema of the distributed fetch stage output; ``seq`` is the position in
+# the submitted id list so the engine can adjudicate errors in entry order
+FETCH_RESULT_SCHEMA = (
+    "seq long, entry_id string, payload string, invalid boolean, error string"
+)
+
+
+def with_retries(
+    fn: Callable[[], Any],
+    retries: int = 3,
+    delay: float = 1.0,
+    backoff: float = 2.0,
+    no_retry: tuple[type[Exception], ...] = (),
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """Run fn with exponential backoff; ``no_retry`` exceptions pass through
+    immediately (the reference treats invalid-entry as terminal)."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except no_retry:
+            raise
+        except Exception:
+            attempt += 1
+            if attempt > retries:
+                raise
+            sleep(delay * backoff ** (attempt - 1))
+
+
+def fetch_entries_distributed(
+    spark: SparkSession,
+    source: SourceDefinition,
+    base_url: str,
+    entry_ids: list,
+    rate_per_sec: float = 0.0,
+    num_partitions: int | None = None,
+    retries: int = 3,
+    retry_delay: float = 1.0,
+) -> DataFrame:
+    """Distributed fetch: ids -> mapInPandas(scrape) -> result rows.
+
+    Each partition runs a rate-limited loop calling ``source.scrape_fn``;
+    results come back as (entry_id, payload JSON, invalid, error) — errors
+    are captured per-row, never fail the stage (the engine applies the
+    circuit-breaker policy afterwards). This is the Spark restatement of the
+    reference's ThreadPoolExecutor loop (src/engine/engine.py:271-308).
+    """
+    n_parts = num_partitions or min(len(entry_ids), spark.sparkContext.defaultParallelism) or 1
+    scrape_fn = source.scrape_fn
+    invalid_exc = source.invalid_entry_exception
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = partition_bucket(rate_per_sec, n_parts)
+        for pdf in batches:
+            out = {"seq": [], "entry_id": [], "payload": [], "invalid": [], "error": []}
+            for seq, entry_id in zip(pdf["seq"], pdf["entry_id"]):
+                bucket.acquire()
+                payload = invalid = err = None
+                try:
+                    result = with_retries(
+                        lambda: scrape_fn(base_url, entry_id),
+                        retries=retries,
+                        delay=retry_delay,
+                        no_retry=(invalid_exc,),
+                    )
+                    payload = None if result is None else json.dumps(result)
+                    invalid = False
+                except invalid_exc:
+                    invalid = True
+                except Exception as e:  # captured, adjudicated by the engine
+                    invalid = False
+                    err = f"{type(e).__name__}: {e}"
+                out["seq"].append(int(seq))
+                out["entry_id"].append(str(entry_id))
+                out["payload"].append(payload)
+                out["invalid"].append(invalid)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    ids_df = spark.createDataFrame(
+        [(i, str(eid)) for i, eid in enumerate(entry_ids)], "seq long, entry_id string"
+    ).repartition(n_parts)
+    return ids_df.mapInPandas(fetch_partition, FETCH_RESULT_SCHEMA)

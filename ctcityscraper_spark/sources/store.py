@@ -99,6 +99,13 @@ class ParquetStore:
         Refresh-mode dedup is the reference's hash anti-join
         (database.py:139-149) expressed distributively: left-anti join against
         the table's DISTINCT row_hash. Returns (written, skipped).
+
+        Preserved reference quirk: the dedup set is ALL historical hashes
+        (reference preload_hashes, database.py:86-106), so an entity
+        *reverting* to any previous state is dropped as a duplicate and the
+        revert never appears in SCD2 history. Parity is intentional; a
+        current-state-only dedup would be ``current(scan(table))`` instead of
+        ``existing_hashes``.
         """
         stamped = stamp_metadata(df, extra_exclude=extra_exclude, scraped_at=scraped_at)
         if dedup_against_existing and self.table_exists(table):

@@ -1,0 +1,15 @@
+"""Structured Streaming wrappers over the engine's semantics."""
+
+from ctcityscraper_spark.streaming.events import (
+    sliding_window_counts,
+    stream_from_directory,
+    tumbling_window_agg,
+    write_scd2_stream,
+)
+
+__all__ = [
+    "sliding_window_counts",
+    "stream_from_directory",
+    "tumbling_window_agg",
+    "write_scd2_stream",
+]

@@ -1,0 +1,95 @@
+"""Structured Streaming: the reference's micro-batch semantics, first-class.
+
+The reference hand-rolls a micro-batch stream (buffer -> flush every
+batch_size -> checkpoint, SURVEY §2.10 T1-T3). Structured Streaming gives the
+same contract natively: file-source micro-batches, checkpointLocation for
+exactly-once offsets, and ``foreachBatch`` for the stamp+append sink.
+
+These wrappers expose:
+- ``stream_from_directory``: parquet-directory stream (the append-only table
+  layout IS a stream of files)
+- ``tumbling_window_agg`` / ``sliding_window_counts``: event-time windows
+  with watermark-bounded state
+- ``write_scd2_stream``: foreachBatch sink stamping scraped_at/row_hash and
+  appending via ParquetStore — the streaming twin of engine.run_load
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.sources.store import ParquetStore
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Parquet directory as a micro-batch stream (source throttling via
+    maxFilesPerTrigger — the reference's batch_size analogue, T1/T4)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window_duration: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling window counts+sums with late-data watermark.
+
+    Batch twin under the oracle gate: plans/queries.events_tumbling_6h.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Overlapping event-time windows (no reference analogue — extension)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration, slide), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def write_scd2_stream(
+    stream: DataFrame,
+    store: ParquetStore,
+    table: str,
+    checkpoint_dir: str,
+    dedup_against_existing: bool = False,
+):
+    """foreachBatch sink: stamp metadata + append (+ optional refresh dedup).
+
+    Exactly-once-per-batch via the streaming checkpoint — the principled
+    version of the reference's JSON checkpoint (T2). Returns the
+    StreamingQuery handle; caller stops it.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write_batch(table, batch_df, dedup_against_existing=dedup_against_existing)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,6 +1,20 @@
+import os
+import sys
+from pathlib import Path
+
 import pytest
 
 from ctcityscraper_spark.session import get_spark
+
+# Python workers (mapInPandas etc.) import test modules by name when
+# cloudpickle serializes test-defined functions by reference — make the
+# tests dir and repo root importable in workers before the JVM starts.
+_TESTS_DIR = str(Path(__file__).resolve().parent)
+_REPO_DIR = str(Path(__file__).resolve().parent.parent)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_TESTS_DIR, _REPO_DIR, os.environ.get("PYTHONPATH", "")]
+)
+sys.path.insert(0, _TESTS_DIR)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,243 @@
+"""Engine orchestration tests — the reference's engine contract on Spark.
+
+Mirrors tests/test_engine.py in the reference (TestRateLimiter :26-84,
+TestRunLoad :98-341, TestIntegration :344-426 golden AVG=155000,
+TestRunRefresh/TestRefreshDedup :429-676, TestErrorThreshold :679-761).
+The fetch boundary is a deterministic fake (no network).
+"""
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.engine import CircuitBreakerTripped, run_load, run_refresh
+from ctcityscraper_spark.operators.scd2 import history
+from ctcityscraper_spark.sources.checkpoint import CheckpointStore
+from ctcityscraper_spark.sources.contracts import (
+    InvalidEntryError,
+    ResolvedParams,
+    SourceDefinition,
+)
+from ctcityscraper_spark.sources.http import with_retries
+from ctcityscraper_spark.sources.ratelimit import TokenBucket
+
+
+# --- deterministic fake source (top-level: must pickle into mapInPandas) ---
+
+def fake_scrape(base_url, entry_id):
+    pid = int(entry_id)
+    if pid >= 9000:
+        raise InvalidEntryError(f"no entry {pid}")
+    if pid >= 8000:
+        raise ConnectionError(f"boom {pid}")
+    return {
+        "pid": pid,
+        "address": f"{pid} Main St",
+        "assessment_value": 100000.0 + pid * 10000.0,
+        "buildings": [
+            {"bid": 1, "year_built": 1900 + pid},
+            {"bid": 2, "year_built": 1950 + pid},
+        ],
+    }
+
+
+def fake_flatten(payloads):
+    props, bldgs = [], []
+    for p in payloads:
+        uuid = f"u{p['pid']}"
+        props.append(
+            {
+                "uuid": uuid,
+                "pid": p["pid"],
+                "address": p["address"],
+                "assessment_value": p["assessment_value"],
+            }
+        )
+        for b in p.get("buildings", []):
+            bldgs.append({"property_uuid": uuid, "pid": p["pid"], **b})
+    return {"properties": props, "buildings": bldgs}
+
+
+def make_source(**kw):
+    return SourceDefinition(
+        name="fake",
+        scrape_fn=kw.pop("scrape_fn", fake_scrape),
+        flatten_fn=fake_flatten,
+        entry_id_source="properties/pid",
+        **kw,
+    )
+
+
+class TestRateLimiter:
+    def test_min_interval(self):
+        b = TokenBucket(50)  # 20ms interval
+        t0 = time.monotonic()
+        for _ in range(5):
+            b.acquire()
+        elapsed = time.monotonic() - t0
+        assert elapsed >= 0.07  # 4 intervals ~ 80ms, allow slack
+
+    def test_zero_rate_never_blocks(self):
+        b = TokenBucket(0)
+        t0 = time.monotonic()
+        for _ in range(100):
+            b.acquire()
+        assert time.monotonic() - t0 < 0.1
+        assert b.acquisitions == 100
+
+    def test_thread_safety_and_stats(self):
+        b = TokenBucket(200)
+        threads = [threading.Thread(target=lambda: [b.acquire() for _ in range(10)]) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert b.acquisitions == 40
+        assert b.total_wait >= 0
+        assert b.avg_wait == b.total_wait / 40
+
+
+class TestRetries:
+    def test_retries_then_raises(self):
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            raise ValueError("x")
+
+        with pytest.raises(ValueError):
+            with_retries(flaky, retries=3, delay=0, sleep=lambda s: None)
+        assert len(calls) == 4  # 1 + 3 retries
+
+    def test_no_retry_exceptions_pass_through(self):
+        calls = []
+
+        def invalid():
+            calls.append(1)
+            raise InvalidEntryError()
+
+        with pytest.raises(InvalidEntryError):
+            with_retries(invalid, retries=3, delay=0, no_retry=(InvalidEntryError,), sleep=lambda s: None)
+        assert len(calls) == 1
+
+
+class TestRunLoad:
+    def test_load_counts_and_rows(self, spark, tmp_store):
+        stats = run_load(
+            spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=list(range(1, 11))),
+            batch_size=4, retry_delay=0,
+        )
+        assert stats.scraped == 10
+        assert stats.errors == 0 and stats.invalid == 0
+        assert tmp_store.scan("properties").count() == 10
+        assert tmp_store.scan("buildings").count() == 20
+        assert stats.rows_written == 30
+
+    def test_invalid_entries_skipped(self, spark, tmp_store):
+        ids = [1, 2, 9001, 3]
+        stats = run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=ids),
+                         retry_delay=0)
+        assert stats.scraped == 3 and stats.invalid == 1
+        assert tmp_store.scan("properties").count() == 3
+
+    def test_errors_skipped_but_counted(self, spark, tmp_store):
+        ids = [1, 8001, 2]
+        stats = run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=ids),
+                         retries=0, retry_delay=0)
+        assert stats.scraped == 2 and stats.errors == 1
+        assert tmp_store.scan("properties").count() == 2
+
+    def test_checkpoint_written_and_resume(self, spark, tmp_store):
+        src = make_source()
+        run_load(spark, tmp_store, src, ResolvedParams("newhaven", entry_ids=[1, 2, 3, 4, 5]),
+                 batch_size=5, checkpoint_every=5, retry_delay=0)
+        cp = CheckpointStore(tmp_store.data_dir).load("newhaven")
+        assert cp["last_entry_id"] == "5" or cp["last_entry_id"] == 5
+        # resume over the full range: only 6..10 get scraped (10 rows total,
+        # not 15 — load mode never dedups, resume slices past the checkpoint)
+        stats = run_load(spark, tmp_store, src, ResolvedParams("newhaven", entry_ids=list(range(1, 11))),
+                         batch_size=5, checkpoint_every=5, retry_delay=0)
+        assert stats.scraped == 5
+        assert tmp_store.scan("properties").count() == 10
+
+    def test_load_never_dedups(self, spark, tmp_store):
+        src = make_source()
+        p = ResolvedParams("newhaven", entry_ids=[1, 2])
+        run_load(spark, tmp_store, src, p, checkpoint_every=None, retry_delay=0)
+        run_load(spark, tmp_store, src, p, checkpoint_every=None, retry_delay=0)
+        # duplicates by design (reference README.md:118-121)
+        assert tmp_store.scan("properties").count() == 4
+
+    def test_session_compaction(self, spark, tmp_store):
+        run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=list(range(1, 9))),
+                 batch_size=2, retry_delay=0)  # 4 batches -> 4 files -> compacted
+        assert len(tmp_store.list_files("properties")) == 1
+        assert tmp_store.scan("properties").count() == 8
+
+
+class TestIntegration:
+    def test_join_and_golden_avg(self, spark, tmp_store):
+        """Reference golden: pids 1-10 at 100000+pid*10000 -> AVG 155000
+        over the properties x buildings join (tests/test_engine.py:344-426)."""
+        run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=list(range(1, 11))),
+                 retry_delay=0)
+        props = tmp_store.scan("properties")
+        bldgs = tmp_store.scan("buildings")
+        joined = props.join(bldgs, props.uuid == bldgs.property_uuid, "inner")
+        assert joined.count() == 20
+        avg = props.agg(F.avg("assessment_value")).first()[0]
+        assert avg == 155000.0
+
+
+class TestRunRefresh:
+    def _seed(self, spark, store, ids=(1, 2, 3)):
+        run_load(spark, store, make_source(), ResolvedParams("newhaven", entry_ids=list(ids)),
+                 checkpoint_every=None, retry_delay=0)
+
+    def test_refresh_rescrapes_known_ids_writes_zero_when_stable(self, spark, tmp_store):
+        self._seed(spark, tmp_store)
+        stats = run_refresh(spark, tmp_store, make_source(), ResolvedParams("newhaven", refresh=True),
+                            retry_delay=0)
+        assert stats.scraped == 3
+        assert stats.rows_written == 0
+        assert stats.rows_skipped == 9  # 3 props + 6 buildings unchanged
+        assert tmp_store.scan("properties").count() == 3
+
+    def test_refresh_one_changed(self, spark, tmp_store):
+        self._seed(spark, tmp_store)
+
+        def changed_scrape(base_url, entry_id):
+            p = fake_scrape(base_url, entry_id)
+            if int(entry_id) == 2:
+                p["assessment_value"] = 999999.0
+            return p
+
+        stats = run_refresh(spark, tmp_store, make_source(scrape_fn=changed_scrape),
+                            ResolvedParams("newhaven", refresh=True), retry_delay=0)
+        # 1 property changed -> 1 written; 2 props + 6 buildings skipped
+        assert stats.rows_written == 1
+        assert stats.rows_skipped == 8
+        h = history(tmp_store.scan("properties"), "u2")
+        assert [r.assessment_value for r in h.collect()] == [120000.0, 999999.0]
+
+
+class TestErrorThreshold:
+    def test_abort_after_consecutive(self, spark, tmp_store):
+        ids = [1, 8001, 8002, 8003, 2]
+        with pytest.raises(CircuitBreakerTripped):
+            run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=ids),
+                     max_consecutive_errors=3, retries=0, retry_delay=0)
+
+    def test_success_resets(self, spark, tmp_store):
+        ids = [8001, 8002, 1, 8003, 8004, 2]
+        stats = run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=ids),
+                         max_consecutive_errors=3, retries=0, retry_delay=0)
+        assert stats.errors == 4 and stats.scraped == 2
+
+    def test_zero_disables(self, spark, tmp_store):
+        ids = [8001, 8002, 8003, 8004, 8005, 1]
+        stats = run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=ids),
+                         max_consecutive_errors=0, retries=0, retry_delay=0)
+        assert stats.errors == 5 and stats.scraped == 1
