@@ -32,16 +32,29 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Warm the JVM/codegen/parquet-reader paths and the Python worker pool
+    # once so per-query numbers measure the queries, not session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(10_000).selectExpr("sum(id * 2)").collect()
+    spark.range(100).repartition(4).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.headline:
             continue
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        # materialize every row (not just count — forces full evaluation
-        # of all projected expressions) without driver-collect overhead
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best of 2: a single local[32] run is vulnerable to GC/container
+        # hiccups; the min is the honest steady-state cost of the plan
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            # materialize every row (not just count — forces full evaluation
+            # of all projected expressions) without driver-collect overhead
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     print(
         json.dumps(

@@ -33,6 +33,23 @@ MINHASH_K = 16  # signatures per doc
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
 SHINGLE_N = 5  # words per shingle
 
+# Universal-hash permutation family for MinHash: perm_k(x) = (a_k*x + b_k) mod P
+# over the 31-bit reduction of the base hash. One md5 per shingle instead of K
+# (16x less hashing); a_k/b_k derive from the same md5 primitive so both
+# engines rebuild the family from constants.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _perm_constants(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
 
 def shingles_col(text, n: int = SHINGLE_N):
     """Distinct word n-gram shingles of a text column (empty-safe)."""
@@ -105,13 +122,20 @@ def minhash_signatures(
     k: int = MINHASH_K,
     n: int = SHINGLE_N,
 ) -> DataFrame:
-    """K-permutation MinHash signatures: min over shingles of hash64(seed_i).
+    """K-permutation MinHash signatures via a universal-hash family.
 
-    One explode + one groupBy with K map-side-combinable mins — the shuffle
+    One md5 (hash64) per shingle, reduced mod 2^31-1, then K affine
+    permutations — pure integer arithmetic, so K grows nearly free. One
+    explode + one groupBy with K map-side-combinable mins: the shuffle
     carries one row per doc, K longs wide, regardless of doc length.
     """
-    sh = doc_shingles(df, text, id_col, n)
-    aggs = [F.min(hash64("shingle", seed=i)).alias(f"mh_{i}") for i in range(k)]
+    sh = doc_shingles(df, text, id_col, n).withColumn(
+        "base", hash64("shingle") % MINHASH_P
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_constants(k))
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 

@@ -102,6 +102,67 @@ def srp_bucket_col(vec, dims: int, bits: int = SRP_BITS):
     return bucket
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched numpy matmul — the throughput
+    path. Queries (small side) broadcast as a dense matrix; each corpus
+    partition computes a Q x B similarity block and emits only its local
+    top-k per query; a final window pass reduces partition winners to global
+    top-k. Shuffle volume is O(partitions * Q * k), never the corpus.
+
+    Results equal cosine_topk up to float-sum association (numpy pairwise
+    vs sequential fold) — use cosine_topk where bit-exact oracle parity is
+    required.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def topk_blocks(batches):
+        ids, mat, qn = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            if len(c_ids) == 0:
+                continue
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (mat @ c_mat.T) / (qn[:, None] * c_norm[None, :])
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for qi in range(len(ids)):
+                row = sims[qi]
+                mask = c_ids != ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                best = cand_idx[np.argpartition(-row[cand_idx], take - 1)[:take]]
+                out["query_id"].extend([ids[qi]] * len(best))
+                out["neighbor_id"].extend(c_ids[best].tolist())
+                out["cosine"].extend(row[best].tolist())
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec).mapInPandas(
+        topk_blocks, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

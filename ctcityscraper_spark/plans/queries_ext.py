@@ -25,7 +25,11 @@ from ctcityscraper_spark.operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from ctcityscraper_spark.operators.similarity import cosine_topk, srp_lsh_topk
+from ctcityscraper_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_vectorized,
+    srp_lsh_topk,
+)
 from ctcityscraper_spark.operators.text import (
     fingerprint_col,
     lang_id_col,
@@ -168,14 +172,20 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 5-gram Jaccard >= 0.6 via inverted shingle index
     (never a cross join; candidate pairs only from shared shingles)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ngram_jaccard_pairs(docs, n=5, threshold=0.6).orderBy("doc_a", "doc_b")
 
 
 def _minhash_oracle(k: int, bands: int, n: int) -> str:
+    from ctcityscraper_spark.operators.dedup import MINHASH_P, _perm_constants
+
     rows = k // bands
+    base = f"({hash64_sql('shingle', '')} % {MINHASH_P})"
     mins = ",\n               ".join(
-        f"MIN({hash64_sql('shingle', i)}) AS mh_{i}" for i in range(k)
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_constants(k))
     )
     band_rows = []
     for b in range(bands):
@@ -205,8 +215,14 @@ def _minhash_oracle(k: int, bands: int, n: int) -> str:
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(8 bands x 2 rows) candidate pairs — the 100 TB
     near-dedup path: explode -> 16 map-side mins -> band equi-join.
-    ~97% recall at jaccard 0.6 with tiny false-positive rate."""
-    docs = load_table(spark, sf_dir, "documents")
+    ~97% recall at jaccard 0.6 with tiny false-positive rate.
+
+    The testdata files are single-row-group (unsplittable), so the docs scan
+    is repartitioned before the hash-heavy explode — at real scale the file
+    layout provides this parallelism natively."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_lsh_pairs(docs, k=16, bands=8, n=5).orderBy("doc_a", "doc_b")
 
 
@@ -256,7 +272,9 @@ def q_dedup_simhash_signatures(spark, sf_dir):
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: block on either signature half (Charikar
     block trick), verify hamming <= 3 with bit_count(xor)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return simhash_pairs(docs, bits=16, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
@@ -307,7 +325,6 @@ def q_dedup_embedding_neardup(spark, sf_dir):
         FROM scored
     ) WHERE rank <= 5 ORDER BY query_id, rank
     """,
-    headline=True,
 )
 def q_ann_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for 10 query vectors — the ANN
@@ -316,6 +333,17 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+@query("ann_cosine_topk_vectorized", oracle=None, headline=True)
+def q_ann_cosine_topk_vectorized(spark, sf_dir):
+    """Throughput ANN: numpy-matmul partial top-k per partition + global
+    window reduce (no oracle — float-sum association differs from the
+    sequential fold; correctness asserted against cosine_topk in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_vectorized(
+        emb, emb.filter(F.col("vec_id") < 100), k=5
+    ).orderBy("query_id", "rank")
 
 
 def _srp_bucket_sql(vec_expr: str, dims: int, bits: int) -> str:

@@ -1,0 +1,85 @@
+"""Operator-level tests: dedup family internals and vectorized similarity."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.operators.dedup import (
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_signatures,
+)
+from ctcityscraper_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_vectorized,
+)
+from ctcityscraper_spark.plans.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestShingles:
+    def test_short_text_empty(self, spark):
+        df = spark.createDataFrame([Row(text="one two three")])
+        out = df.select(shingles_col("text", 5).alias("s")).first().s
+        assert out == []
+
+    def test_shingle_count(self, spark):
+        df = spark.createDataFrame([Row(text="a b c d e f g")])
+        out = df.select(shingles_col("text", 5).alias("s")).first().s
+        assert out == ["a b c d e", "b c d e f", "c d e f g"]
+
+
+class TestMinhashProperties:
+    def test_identical_docs_identical_signatures(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="w1 w2 w3 w4 w5 w6 w7 w8"),
+             Row(doc_id=2, text="w1 w2 w3 w4 w5 w6 w7 w8"),
+             Row(doc_id=3, text="x1 x2 x3 x4 x5 x6 x7 x8")]
+        )
+        sig = {r.doc_id: tuple(r[1:]) for r in minhash_signatures(df, k=16).collect()}
+        assert sig[1] == sig[2]
+        assert sig[1] != sig[3]
+
+    def test_signature_range(self, spark):
+        docs = load_table(spark, SF, "documents").limit(50)
+        sigs = minhash_signatures(docs, k=8).collect()
+        for r in sigs:
+            for i in range(8):
+                assert 0 <= r[f"mh_{i}"] < 2_147_483_647
+
+
+class TestSimhashProperties:
+    def test_identical_docs_same_signature(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="beta alpha gamma")]
+        )
+        # token-set based: order-independent
+        sig = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+        assert sig[1] == sig[2]
+
+
+class TestJaccardGroundTruth:
+    def test_planted_duplicates_found(self, spark):
+        docs = load_table(spark, SF, "documents")
+        pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.6).collect()
+        # generator plants near-duplicate pairs; every reported pair must
+        # genuinely exceed the threshold and be distinct
+        assert len(pairs) > 0
+        assert all(p.jaccard >= 0.6 and p.doc_a < p.doc_b for p in pairs)
+
+
+class TestVectorizedAnnEquivalence:
+    def test_same_neighbors_as_exact(self, spark):
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = cosine_topk(emb, queries, k=5).collect()
+        fast = cosine_topk_vectorized(emb.repartition(4), queries, k=5).collect()
+        exact_map = {(r.query_id, r.rank): r.neighbor_id for r in exact}
+        fast_map = {(r.query_id, r.rank): r.neighbor_id for r in fast}
+        assert exact_map == fast_map
+        # cosines agree to float tolerance
+        e = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+        f = {(r.query_id, r.neighbor_id): r.cosine for r in fast}
+        for key in e:
+            assert abs(e[key] - f[key]) < 1e-9
