@@ -34,7 +34,10 @@ from ctcityscraper_spark.sources.contracts import (
     ResolvedParams,
     SourceDefinition,
 )
-from ctcityscraper_spark.sources.http import fetch_entries_distributed
+from ctcityscraper_spark.sources.http import (
+    fetch_and_flatten_distributed,
+    fetch_entries_distributed,
+)
 from ctcityscraper_spark.sources.store import ParquetStore
 
 
@@ -119,21 +122,31 @@ def _run(
     since_checkpoint = 0
     touched_tables: set[str] = set()
 
+    fetch_kw = dict(
+        rate_per_sec=rate_per_sec,
+        num_partitions=workers,
+        retries=retries,
+        retry_delay=retry_delay,
+    )
+    distributed_flatten = source.table_schemas is not None
+
     for chunk in _chunks(entry_ids, batch_size):
-        results = (
-            fetch_entries_distributed(
-                spark,
-                source,
-                params.base_url,
-                chunk,
-                rate_per_sec=rate_per_sec,
-                num_partitions=workers,
-                retries=retries,
-                retry_delay=retry_delay,
+        if distributed_flatten:
+            flat = fetch_and_flatten_distributed(
+                spark, source, params.base_url, chunk, **fetch_kw
+            ).persist()
+            results = (
+                flat.select("seq", "invalid", "error").distinct().orderBy("seq").collect()
             )
-            .orderBy("seq")
-            .collect()
-        )
+        else:
+            flat = None
+            results = (
+                fetch_entries_distributed(
+                    spark, source, params.base_url, chunk, **fetch_kw
+                )
+                .orderBy("seq")
+                .collect()
+            )
 
         payloads: list[dict] = []
         batch_error: CircuitBreakerTripped | None = None
@@ -150,11 +163,33 @@ def _run(
                 stats.invalid += 1
                 continue
             stats.scraped += 1
-            if r.payload is not None:
+            if not distributed_flatten and r.payload is not None:
                 payloads.append(json.loads(r.payload))
 
-        if payloads:
-            batch_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+        batch_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+        if distributed_flatten and batch_error is None:
+            # rows never touch the driver: parse row_json with the declared
+            # schema and append per table (the bulk-backfill path)
+            from pyspark.sql import functions as F
+
+            for table, ddl in source.table_schemas.items():
+                tdf = (
+                    flat.filter(F.col("table") == table)
+                    .select(F.from_json("row_json", ddl).alias("r"))
+                    .select("r.*")
+                )
+                written, skipped = store.write_batch(
+                    table,
+                    tdf,
+                    dedup_against_existing=dedup,
+                    extra_exclude=source.hash_exclude.get(table),
+                    scraped_at=batch_ts,
+                )
+                stats.rows_written += written
+                stats.rows_skipped += skipped
+                if written:
+                    touched_tables.add(table)
+        elif payloads:
             tables = source.flatten_fn(payloads)
             for table, rows in tables.items():
                 if not rows:
@@ -176,6 +211,8 @@ def _run(
                 for payload in payloads:
                     for item in source.get_photo_items_fn(payload) or []:
                         source.download_fn(item)
+        if flat is not None:
+            flat.unpersist()
 
         completed += len(chunk)
         since_checkpoint += len(chunk)

@@ -20,7 +20,6 @@ digests for flat dicts (used at ingest boundaries and in tests).
 from __future__ import annotations
 
 import hashlib
-import json
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -77,9 +76,10 @@ def row_hash_col(
 def compute_row_hash(data: Mapping, extra_exclude: set[str] | None = None) -> str:
     """Python twin of :func:`row_hash_col` for flat dicts.
 
-    Matches the Spark expression byte-for-byte for string/int values and for
-    values already stringified by the caller. Semantics mirror reference
-    src/engine/hash.py:27-40 (sorted keys, drop nulls, exclusion list).
+    Matches the Spark expression byte-for-byte (verified property-based):
+    compact separators, raw UTF-8 (no \\uXXXX for non-ASCII), Jackson-style
+    control-char escapes. Semantics mirror reference src/engine/hash.py:27-40
+    (sorted keys, drop nulls, exclusion list).
     """
     exclude = HASH_EXCLUDED_FIELDS | (extra_exclude or set())
     hash_data = {
@@ -87,8 +87,41 @@ def compute_row_hash(data: Mapping, extra_exclude: set[str] | None = None) -> st
         for k, v in sorted(data.items())
         if k not in exclude and v is not None
     }
-    canonical = json.dumps(hash_data, sort_keys=True, separators=(",", ":"))
+    canonical = (
+        "{"
+        + ",".join(
+            f'"{_jackson_escape(k)}":"{_jackson_escape(v)}"'
+            for k, v in sorted(hash_data.items())
+        )
+        + "}"
+    )
     return hashlib.md5(canonical.encode("utf-8")).hexdigest()
+
+
+_JSON_SHORTCUTS = {
+    '"': '\\"',
+    "\\": "\\\\",
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\b": "\\b",
+    "\f": "\\f",
+}
+
+
+def _jackson_escape(s: str) -> str:
+    """Escape a JSON string the way Jackson (Spark's to_json) does:
+    standard shortcuts, uppercase \\u00XX for other control chars, everything
+    else (incl. non-ASCII and 0x7F) raw."""
+    out = []
+    for ch in s:
+        if ch in _JSON_SHORTCUTS:
+            out.append(_JSON_SHORTCUTS[ch])
+        elif ord(ch) < 0x20:
+            out.append("\\u%04X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _spark_str(v) -> str:

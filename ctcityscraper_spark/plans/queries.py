@@ -697,6 +697,181 @@ def q_events_sessionization(spark, sf_dir):
     )
 
 
+# =========================================================================
+# Wider analytics: TPC-H classic shapes, quantiles, sliding windows,
+# deterministic entity identity (capabilities a full engine owes its users)
+# =========================================================================
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    headline=True,
+)
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filters on both fact sides, group-agg,
+    deterministic top-k. Customer dim broadcasts; orders<->lineitem is the
+    one real shuffle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("double").alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "regional_customer_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_custkey) AS active_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+)
+def q_regional_customer_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: fact -> dim chain (customer/nation/region all
+    broadcast) with COUNT(DISTINCT) — one shuffle for the distinct expand."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dec_sum("o_totalprice").alias("revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "quantiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_quantiles_by_status(spark, sf_dir):
+    """Exact interpolated percentiles per group — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` agree bit-for-bit (verified; both sort-exact)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle="""
+    SELECT slot, event_type, COUNT(*) AS n FROM (
+        SELECT unnest([
+                 (epoch_ns(ts) // 1800000000000),
+                 (epoch_ns(ts) // 1800000000000) - 1
+               ]) AS slot,
+               event_type
+        FROM events
+    ) GROUP BY slot, event_type ORDER BY slot, event_type
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h length, 30m slide) via explode over
+    the 2 covering slots — integer-exact; the streaming twin is
+    streaming.sliding_window_counts (F.window)."""
+    ev = _t(spark, sf_dir, "events")
+    slot0 = F.expr("ts_ns div 1800000000000")
+    return (
+        ev.select(
+            F.explode(F.array(slot0, slot0 - 1)).alias("slot"), "event_type"
+        )
+        .groupBy("slot", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("slot", "event_type")
+    )
+
+
+@query(
+    "entity_uuid_identity",
+    oracle="""
+    SELECT o_orderkey,
+           substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-' ||
+           substring(h, 13, 4) || '-' || substring(h, 17, 4) || '-' ||
+           substring(h, 21, 12) AS entity_uuid
+    FROM (
+        SELECT o_orderkey,
+               md5(CAST(o_orderkey AS VARCHAR) ||
+                   '{"o_orderpriority":"' || o_orderpriority ||
+                   '","o_orderstatus":"' || o_orderstatus || '"}') AS h
+        FROM orders
+    ) WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey
+    """,
+)
+def q_entity_uuid_identity(spark, sf_dir):
+    """F5 deterministic entity UUID (reference generate_uuid,
+    scrapers/vgsi/source.py:182-194): md5(entry_id || canonical JSON),
+    dict-order independent, formatted 8-4-4-4-12."""
+    from ctcityscraper_spark.functions.hashing import entity_uuid_col
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return orders.select(
+        "o_orderkey",
+        entity_uuid_col("o_orderkey", ["o_orderstatus", "o_orderpriority"]).alias(
+            "entity_uuid"
+        ),
+    ).orderBy("o_orderkey")
+
+
 # Extension operators (dedup / similarity / text / multimodal / engine-SCD2)
 # register themselves into QUERIES on import.
 from ctcityscraper_spark.plans import queries_ext  # noqa: E402,F401

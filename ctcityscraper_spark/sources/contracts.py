@@ -35,6 +35,11 @@ class SourceDefinition:
     # a static list of ids (reference base.py:38-42, database.py:218-244)
     entry_id_source: str | list | None = None
     invalid_entry_exception: type[Exception] = InvalidEntryError
+    # Optional per-table DDL schemas ("col type, ..."). When present, the
+    # engine runs flatten INSIDE the fetch UDF and rows never touch the
+    # driver (the bulk-backfill path); when absent, flatten runs driver-side
+    # per micro-batch with inferred schemas (reference fidelity).
+    table_schemas: dict[str, str] | None = None
     # optional per-table extra hash-exclusion fields (hash.py extra_exclude)
     hash_exclude: dict[str, set] = field(default_factory=dict)
     # optional side-effect extractors (reference base.py:48-53; out of the

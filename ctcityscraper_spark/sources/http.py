@@ -103,3 +103,70 @@ def fetch_entries_distributed(
         [(i, str(eid)) for i, eid in enumerate(entry_ids)], "seq long, entry_id string"
     ).repartition(n_parts)
     return ids_df.mapInPandas(fetch_partition, FETCH_RESULT_SCHEMA)
+
+
+# distributed-flatten output: one row per (entry, table, flattened row);
+# entries with no rows (invalid/error/empty) emit a single table=NULL marker
+FETCH_FLAT_SCHEMA = (
+    "seq long, entry_id string, table string, row_json string, "
+    "invalid boolean, error string"
+)
+
+
+def fetch_and_flatten_distributed(
+    spark: SparkSession,
+    source: SourceDefinition,
+    base_url: str,
+    entry_ids: list,
+    rate_per_sec: float = 0.0,
+    num_partitions: int | None = None,
+    retries: int = 3,
+    retry_delay: float = 1.0,
+) -> DataFrame:
+    """Fetch + flatten inside the partition: rows never touch the driver.
+
+    The bulk-backfill twin of :func:`fetch_entries_distributed` — requires
+    ``source.table_schemas`` so the engine can parse ``row_json`` with
+    ``from_json`` instead of driver-side inference.
+    """
+    n_parts = num_partitions or min(len(entry_ids), spark.sparkContext.defaultParallelism) or 1
+    scrape_fn, flatten_fn = source.scrape_fn, source.flatten_fn
+    invalid_exc = source.invalid_entry_exception
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = partition_bucket(rate_per_sec, n_parts)
+        for pdf in batches:
+            recs: list[tuple] = []
+            for seq, entry_id in zip(pdf["seq"], pdf["entry_id"]):
+                bucket.acquire()
+                try:
+                    payload = with_retries(
+                        lambda: scrape_fn(base_url, entry_id),
+                        retries=retries,
+                        delay=retry_delay,
+                        no_retry=(invalid_exc,),
+                    )
+                    emitted = False
+                    if payload is not None:
+                        for table, rows in flatten_fn([payload]).items():
+                            for row in rows:
+                                recs.append(
+                                    (int(seq), str(entry_id), table, json.dumps(row), False, None)
+                                )
+                                emitted = True
+                    if not emitted:
+                        recs.append((int(seq), str(entry_id), None, None, False, None))
+                except invalid_exc:
+                    recs.append((int(seq), str(entry_id), None, None, True, None))
+                except Exception as e:
+                    recs.append(
+                        (int(seq), str(entry_id), None, None, False, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                recs, columns=["seq", "entry_id", "table", "row_json", "invalid", "error"]
+            )
+
+    ids_df = spark.createDataFrame(
+        [(i, str(eid)) for i, eid in enumerate(entry_ids)], "seq long, entry_id string"
+    ).repartition(n_parts)
+    return ids_df.mapInPandas(run_partition, FETCH_FLAT_SCHEMA)

@@ -223,6 +223,35 @@ class TestRunRefresh:
         assert [r.assessment_value for r in h.collect()] == [120000.0, 999999.0]
 
 
+class TestDistributedFlatten:
+    SCHEMAS = {
+        "properties": "uuid string, pid long, address string, assessment_value double",
+        "buildings": "property_uuid string, pid long, bid long, year_built long",
+    }
+
+    def test_load_matches_driver_flatten(self, spark, tmp_store):
+        src = make_source(table_schemas=self.SCHEMAS)
+        stats = run_load(spark, tmp_store, src, ResolvedParams("newhaven", entry_ids=list(range(1, 11))),
+                         batch_size=5, retry_delay=0)
+        assert stats.scraped == 10
+        assert stats.rows_written == 30
+        props = tmp_store.scan("properties")
+        assert props.count() == 10
+        assert props.filter(F.col("assessment_value") == 150000.0).count() == 1
+        assert tmp_store.scan("buildings").count() == 20
+        # same golden as the driver-flatten path
+        assert props.agg(F.avg("assessment_value")).first()[0] == 155000.0
+
+    def test_refresh_dedup_in_distributed_mode(self, spark, tmp_store):
+        src = make_source(table_schemas=self.SCHEMAS)
+        p = ResolvedParams("newhaven", entry_ids=[1, 2, 3])
+        run_load(spark, tmp_store, src, p, checkpoint_every=None, retry_delay=0)
+        stats = run_refresh(spark, tmp_store, src, ResolvedParams("newhaven", refresh=True),
+                            retry_delay=0)
+        assert stats.rows_written == 0
+        assert stats.rows_skipped == 9
+
+
 class TestErrorThreshold:
     def test_abort_after_consecutive(self, spark, tmp_store):
         ids = [1, 8001, 8002, 8003, 2]
