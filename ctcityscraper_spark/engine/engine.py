@@ -98,10 +98,12 @@ def _run(
     checkpoint_every: int | None = 100,
     max_consecutive_errors: int = 50,
     compact_after: bool = True,
+    materialize_current: dict[str, str] | None = None,
     retries: int = 3,
     retry_delay: float = 1.0,
 ) -> EngineStats:
     t0 = time.time()
+    start_time = datetime.now(timezone.utc).replace(tzinfo=None)
     stats = EngineStats()
     checkpoints = CheckpointStore(store.data_dir) if checkpoint_every else None
 
@@ -232,6 +234,16 @@ def _run(
             session_files = store.list_files(table) - files_before.get(table, set())
             if len(session_files) > 1:
                 store.compact(table, only_files=session_files)
+
+    # refresh the amortized latest-state snapshots (SCALE.md) once per run,
+    # piggybacking on the same pass as compaction
+    for table, key in (materialize_current or {}).items():
+        if store.table_exists(table):
+            store.materialize_current(table, key=key)
+
+    if dedup and source.post_refresh_fn is not None:
+        # CDC-report hook (reference post_refresh, vgsi/source.py:955-966)
+        source.post_refresh_fn(spark, store, start_time)
 
     stats.elapsed_sec = time.time() - t0
     return stats

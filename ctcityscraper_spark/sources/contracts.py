@@ -46,6 +46,10 @@ class SourceDefinition:
     # analytic path — executed driver-side after each batch when present)
     get_photo_items_fn: Callable[[dict], list] | None = None
     download_fn: Callable[[Any], None] | None = None
+    # post_refresh hook (reference X5, vgsi/source.py:955-966): called after
+    # a refresh with (spark, store, refresh_start_time) — the CDC-report
+    # surface (typically operators.scd2.changed_since over the main table)
+    post_refresh_fn: Callable | None = None
 
 
 @dataclass

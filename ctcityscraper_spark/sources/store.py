@@ -49,7 +49,7 @@ class ParquetStore:
         return sorted(
             d.name
             for d in self.scope_dir.iterdir()
-            if d.is_dir() and any(d.glob("*.parquet"))
+            if d.is_dir() and not d.name.startswith("_") and any(d.glob("*.parquet"))
         )
 
     # ------------------------------------------------------------------ scans
@@ -126,6 +126,45 @@ class ParquetStore:
         if n:
             self.append(table, stamped)
         return n, 0
+
+    # ------------------------------------------------------ current snapshots
+    def snapshot_path(self, table: str) -> Path:
+        return self.scope_dir / "_snapshots" / f"{table}_current"
+
+    def materialize_current(
+        self, table: str, key: str = "uuid", order: str = "scraped_at"
+    ) -> int:
+        """Materialize the latest-state view as a parquet snapshot.
+
+        The W1 window over full history is the one per-query cost that grows
+        with history length (SCALE.md); refreshing this snapshot at
+        compaction time amortizes it — ``current_snapshot`` then reads the
+        snapshot directly with zero shuffle. Semantics identical to
+        operators.scd2.current by construction. Atomic swap; returns rows.
+        """
+        from ctcityscraper_spark.operators.scd2 import current
+
+        snap = current(self.scan(table), key=key, order=order)
+        tmp = self.snapshot_path(table).parent / f"_tmp_{table}_{_uuid.uuid4().hex[:8]}"
+        snap.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp))
+        n = self.spark.read.parquet(str(tmp)).count()
+        dest = self.snapshot_path(table)
+        if dest.exists():
+            shutil.rmtree(dest)
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        tmp.rename(dest)
+        return n
+
+    def current_snapshot(self, table: str) -> DataFrame:
+        """Read the materialized latest-state snapshot (no window, no
+        shuffle). Raises if never materialized — callers fall back to
+        operators.scd2.current over ``scan``."""
+        dest = self.snapshot_path(table)
+        if not dest.exists():
+            raise FileNotFoundError(
+                f"no current-snapshot for {table!r}; call materialize_current"
+            )
+        return self.spark.read.parquet(str(dest))
 
     # ------------------------------------------------------------- compaction
     def list_files(self, table: str) -> set[str]:

@@ -252,6 +252,42 @@ class TestDistributedFlatten:
         assert stats.rows_skipped == 9
 
 
+class TestSnapshotsAndHooks:
+    def test_materialized_current_matches_window_view(self, spark, tmp_store):
+        from ctcityscraper_spark.operators.scd2 import current
+
+        run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=[1, 2, 3]),
+                 checkpoint_every=None, retry_delay=0,
+                 materialize_current={"properties": "uuid"})
+        snap = tmp_store.current_snapshot("properties")
+        view = current(tmp_store.scan("properties"))
+        assert sorted(r.uuid for r in snap.collect()) == sorted(r.uuid for r in view.collect())
+
+    def test_post_refresh_hook_sees_changes(self, spark, tmp_store):
+        seen = {}
+
+        def post_refresh(spark_, store_, start_time):
+            from ctcityscraper_spark.operators.scd2 import changed_since
+
+            rows = changed_since(store_.scan("properties"), start_time).collect()
+            seen["changed"] = sorted(r.uuid for r in rows)
+
+        src = make_source()
+        run_load(spark, tmp_store, src, ResolvedParams("newhaven", entry_ids=[1, 2, 3]),
+                 checkpoint_every=None, retry_delay=0)
+
+        def changed_scrape(base_url, entry_id):
+            p = fake_scrape(base_url, entry_id)
+            if int(entry_id) == 3:
+                p["assessment_value"] = 1.0
+            return p
+
+        run_refresh(spark, tmp_store,
+                    make_source(scrape_fn=changed_scrape, post_refresh_fn=post_refresh),
+                    ResolvedParams("newhaven", refresh=True), retry_delay=0)
+        assert seen["changed"] == ["u3"]
+
+
 class TestErrorThreshold:
     def test_abort_after_consecutive(self, spark, tmp_store):
         ids = [1, 8001, 8002, 8003, 2]
