@@ -92,8 +92,13 @@ def q_pricing_summary(spark, sf_dir):
 
     The filter and the 5-column projection reach the parquet scan (pushdown +
     pruning); aggregation is partial map-side then final — one shuffle.
+    Repartition after read parallelizes the decimal-heavy partial agg over
+    the single-row-group test file (decimal sums are order-independent, so
+    results are unchanged); real multi-file layouts split natively.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -285,6 +290,29 @@ def q_groupby_rollup(spark, sf_dir):
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "groupby_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_groupby_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations) — §2.4's 'free from Catalyst'
+    family alongside rollup."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dec_sum("o_totalprice").alias("revenue"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
     )
 
 

@@ -390,6 +390,19 @@ def q_ann_srp_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@query("ann_ivf_topk", oracle=None)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer (pyspark.ml), probe 4 of 8 lists,
+    exact re-rank. No oracle (KMeans isn't SQL-expressible) — driver records
+    the rows-only check; recall vs brute force asserted in tests."""
+    from ctcityscraper_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
 # ================================================================== multimodal
 
 

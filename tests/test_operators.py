@@ -69,6 +69,33 @@ class TestJaccardGroundTruth:
         assert all(p.jaccard >= 0.6 and p.doc_a < p.doc_b for p in pairs)
 
 
+class TestIvfAnn:
+    def test_full_probe_equals_exact(self, spark):
+        from ctcityscraper_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = {(r.query_id, r.rank): r.neighbor_id
+                 for r in cosine_topk(emb, queries, k=3).collect()}
+        # probing every list makes IVF exact
+        full = {(r.query_id, r.rank): r.neighbor_id
+                for r in ivf_topk(emb, queries, k=3, n_lists=8, n_probe=8).collect()}
+        assert exact == full
+
+    def test_partial_probe_recall(self, spark):
+        from ctcityscraper_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.rank): r.neighbor_id
+                 for r in cosine_topk(emb, queries, k=3).collect()}
+        part = {(r.query_id, r.rank): r.neighbor_id
+                for r in ivf_topk(emb, queries, k=3, n_lists=8, n_probe=4).collect()}
+        hits = sum(1 for key, nid in exact.items() if part.get(key) == nid)
+        # random embeddings are the hardest case for IVF; demand >=1/3 recall
+        assert hits / len(exact) >= 0.33
+
+
 class TestVectorizedAnnEquivalence:
     def test_same_neighbors_as_exact(self, spark):
         emb = load_table(spark, SF, "embeddings")

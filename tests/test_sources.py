@@ -91,6 +91,24 @@ class TestLookupDimension:
         assert dim.lookup("missing", "url") is None
 
 
+class TestBinarySink:
+    def test_idempotent_download(self, tmp_path):
+        from ctcityscraper_spark.sources.binary_sink import idempotent_download
+
+        calls = []
+
+        def fetch(url):
+            calls.append(url)
+            return f"bytes-of-{url}".encode()
+
+        dl = idempotent_download(tmp_path, fetch)
+        p = dl(("http://x/1.jpg", "city/1.jpg"))
+        assert p.read_bytes() == b"bytes-of-http://x/1.jpg"
+        # second call: skipped, no fetch
+        assert dl(("http://x/1.jpg", "city/1.jpg")) is None
+        assert calls == ["http://x/1.jpg"]
+
+
 class TestMultimodal:
     def test_metadata_struct_jvm_side(self, spark):
         df = spark.createDataFrame([Row(doc_id=1, text="hello")]).withColumn(
