@@ -306,6 +306,101 @@ def q_dedup_embedding_neardup(spark, sf_dir):
     return pairs.filter(F.col("vec_a") < 500).orderBy("vec_a", "vec_b")
 
 
+def _cascade_oracle(k: int = 16, bands: int = 8, n: int = 5, threshold: float = 0.6) -> str:
+    from ctcityscraper_spark.operators.dedup import MINHASH_P, _perm_constants
+
+    rows = k // bands
+    base = f"({hash64_sql('shingle', '')} % {MINHASH_P})"
+    mins = ", ".join(
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_constants(k))
+    )
+    stacked = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig".format(
+            b=b,
+            parts=" || ':' || ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingle_sql(n)}) AS shingle FROM documents
+    ), sig AS (
+        SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    ), stacked AS (
+        {stacked}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a JOIN stacked b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b,
+           i / (sa.sz + sb.sz - i) AS jaccard
+    FROM cand
+    JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+    JOIN sizes sa ON cand.doc_a = sa.doc_id
+    JOIN sizes sb ON cand.doc_b = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+    ORDER BY cand.doc_a, cand.doc_b
+    """
+
+
+@query("dedup_cascade_confirmed", oracle=_cascade_oracle())
+def q_dedup_cascade(spark, sf_dir):
+    """The production dedup cascade: cheap LSH candidate generation, exact
+    Jaccard verification on candidates ONLY — verification cost scales with
+    candidate count, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
+    verified = ngram_jaccard_pairs(docs, n=5, threshold=0.6)
+    return cand.join(verified, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    SELECT source, COUNT(*) AS kept,
+           CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE) AS total_quality
+    FROM (
+        SELECT source, {quality_score_sql('text')} AS q,
+               len({TOKS}) AS n_tokens
+        FROM documents
+    )
+    WHERE q >= 0.5 AND n_tokens BETWEEN 20 AND 200
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_filter_pipeline(spark, sf_dir):
+    """C4/Gopher-style quality gate: score + token-count bounds, survivors
+    aggregated per source — the canonical pretraining-data filter pass,
+    all in the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        quality_score_col("text").alias("q"),
+        token_count_col("text").alias("n_tokens"),
+    )
+    return (
+        scored.filter((F.col("q") >= 0.5) & F.col("n_tokens").between(20, 200))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept"),
+            F.sum(F.col("q").cast("decimal(18,9)")).cast("double").alias("total_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 # ================================================================== similarity
 
 

@@ -1,0 +1,87 @@
+"""End-to-end test of the example property source: parse -> flatten ->
+engine load/refresh -> SCD2 queries, mirroring the reference's integration
+suite (tests/test_scraper.py parse tests + tests/test_engine.py e2e)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.engine import run_load, run_refresh
+from ctcityscraper_spark.operators.scd2 import current, history
+from ctcityscraper_spark.sources.contracts import ResolvedParams
+from ctcityscraper_spark.sources.examples import (
+    demo_page,
+    entity_uuid,
+    make_property_source,
+    parse_property_page,
+)
+
+SOURCE = make_property_source(demo_page)
+
+
+class TestParsing:
+    def test_typed_coercions(self):
+        p = parse_property_page(demo_page("", 7), 7)
+        assert p["address"] == "7 ELM ST"
+        assert p["sale_price"] == 107500.0  # "$107,500.00" money-coerced
+        assert p["assessment_value"] == 207000.0
+        assert p["appraisal_value"] is None  # empty -> NULL
+        assert p["building_count"] == 2
+
+    def test_unknown_spans_into_extra_fields(self):
+        p = parse_property_page(demo_page("", 7), 7)
+        extra = json.loads(p["extra_fields"])
+        assert extra["MainContent_lblZoning"] == "R-3"
+
+    def test_buildings_normalized(self):
+        p = parse_property_page(demo_page("", 7), 7)
+        b1, b2 = p["buildings"]
+        assert b1 == {
+            "bid": 1, "year_built": 1907, "living_area": 1207,
+            "replacement_cost": 300000.0, "style": "Colonial",
+        }
+        assert b2["style"] == "Garage"
+
+    def test_uuid_dict_order_independent(self):
+        d1 = {"a": 1, "b": "x"}
+        d2 = {"b": "x", "a": 1}
+        assert entity_uuid(5, d1) == entity_uuid(5, d2)
+
+
+class TestEndToEnd:
+    def test_load_refresh_scd2(self, spark, tmp_store):
+        params = ResolvedParams("demo", entry_ids=list(range(1, 6)) + [950])
+        stats = run_load(spark, tmp_store, SOURCE, params,
+                         checkpoint_every=None, retry_delay=0)
+        assert stats.scraped == 5 and stats.invalid == 1
+        props = tmp_store.scan("properties")
+        assert props.count() == 5
+        assert tmp_store.scan("buildings").count() == 10
+        # typed columns survived spark inference
+        assert dict(props.dtypes)["sale_price"] == "double"
+        # extra_fields round-trips as JSON
+        z = (props.filter(F.col("pid") == 3)
+             .select(F.get_json_object("extra_fields", "$.MainContent_lblZoning").alias("z"))
+             .first().z)
+        assert z == "R-3"
+
+        # refresh over stable pages writes nothing
+        stats2 = run_refresh(spark, tmp_store, SOURCE,
+                             ResolvedParams("demo", refresh=True), retry_delay=0)
+        assert stats2.rows_written == 0
+
+        # a changed page becomes a new version; note content change changes
+        # the uuid (identity = content hash in this source), so the changed
+        # row is a NEW entity — current() grows by one
+        def changed_page(base_url, pid):
+            html = demo_page(base_url, pid)
+            return html.replace("OWNER 2", "NEW OWNER") if pid == 2 else html
+
+        changed_src = make_property_source(changed_page)
+        stats3 = run_refresh(spark, tmp_store, changed_src,
+                             ResolvedParams("demo", refresh=True), retry_delay=0)
+        # 1 property row + its 2 buildings re-keyed to the new uuid
+        assert stats3.rows_written == 3
+        assert current(tmp_store.scan("properties")).count() == 6
+        h = history(tmp_store.scan("properties"))
+        assert h.count() == 6  # each uuid has exactly one version

