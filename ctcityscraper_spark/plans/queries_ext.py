@@ -39,7 +39,7 @@ from ctcityscraper_spark.operators.text import (
     token_count_col,
 )
 from ctcityscraper_spark.plans.queries import query
-from ctcityscraper_spark.plans.tables import load_table
+from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
 
 EMB_DIMS = 64
 
@@ -172,9 +172,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 5-gram Jaccard >= 0.6 via inverted shingle index
     (never a cross join; candidate pairs only from shared shingles)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return ngram_jaccard_pairs(docs, n=5, threshold=0.6).orderBy("doc_a", "doc_b")
 
 
@@ -220,9 +218,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     The testdata files are single-row-group (unsplittable), so the docs scan
     is repartitioned before the hash-heavy explode — at real scale the file
     layout provides this parallelism natively."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return minhash_lsh_pairs(docs, k=16, bands=8, n=5).orderBy("doc_a", "doc_b")
 
 
@@ -272,9 +268,7 @@ def q_dedup_simhash_signatures(spark, sf_dir):
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: block on either signature half (Charikar
     block trick), verify hamming <= 3 with bit_count(xor)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return simhash_pairs(docs, bits=16, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
@@ -358,9 +352,7 @@ def q_dedup_cascade(spark, sf_dir):
     """The production dedup cascade: cheap LSH candidate generation, exact
     Jaccard verification on candidates ONLY — verification cost scales with
     candidate count, not corpus size."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
     verified = ngram_jaccard_pairs(docs, n=5, threshold=0.6)
     return cand.join(verified, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")

@@ -41,3 +41,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str, names=None) -> None:
     for name in names or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the source can't parallelize itself.
+
+    The driver's testdata files are single-row-group (unsplittable): their
+    scans run as one task, so CPU-heavy downstream expressions need an
+    explicit repartition. Real multi-file layouts already split — there the
+    same repartition would be a pure-cost shuffle, so skip it.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= max(2, cores // 4):
+        return df
+    return df.repartition(cores)
