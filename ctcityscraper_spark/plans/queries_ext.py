@@ -393,6 +393,74 @@ def q_quality_filter_pipeline(spark, sf_dir):
     )
 
 
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+')) AS bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+)
+def q_text_bpe_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace and a BPE-ish pre-tokenizer regex
+    (GPT-2-style word/number/punct split, lookaheads removed for RE2
+    compatibility). Both run inside the scan stage."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pat = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("bpe_tokens"),
+        token_count_col("text").alias("ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_blocked",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, label FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {fold_dot_sql('a.embedding', 'b.embedding', EMB_DIMS)}
+             / ({fold_norm_sql('a.embedding', EMB_DIMS)} * {fold_norm_sql('b.embedding', EMB_DIMS)})
+             AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {fold_dot_sql('a.embedding', 'b.embedding', EMB_DIMS)}
+             / ({fold_norm_sql('a.embedding', EMB_DIMS)} * {fold_norm_sql('b.embedding', EMB_DIMS)})
+          >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_embedding_blocked(spark, sf_dir):
+    """Blocked embedding near-dup: pairs only within a blocking key (label
+    here; an SRP bucket or cluster id in production) — the O(Σ block²)
+    scale path vs the brute-force verify variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3, block="label").orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+@query(
+    "dedup_drop_list",
+    oracle=f"""
+    WITH pairs AS ({_cascade_oracle()})
+    SELECT DISTINCT doc_b AS drop_id FROM pairs ORDER BY drop_id
+    """,
+)
+def q_dedup_drop_list(spark, sf_dir):
+    """The actionable dedup artifact: the doc ids to REMOVE. Canonical-keep
+    rule: in every confirmed near-dup pair the lower id is kept, so the
+    drop set is {doc_b of confirmed pairs} (transitively this keeps each
+    group's minimum)."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
+    verified = ngram_jaccard_pairs(docs, n=5, threshold=0.6)
+    confirmed = cand.join(verified, ["doc_a", "doc_b"])
+    return (
+        confirmed.select(F.col("doc_b").alias("drop_id")).distinct().orderBy("drop_id")
+    )
+
+
 # ================================================================== similarity
 
 
