@@ -1,0 +1,77 @@
+"""Connected components over near-duplicate pair edges.
+
+The dedup cascade emits PAIRS; turning pairs into GROUPS (so each group
+keeps one canonical doc) is a connected-components problem — pair-wise
+"drop doc_b" rules under-merge chains (a~b, b~c but a!~c).
+
+Implementation: iterative min-label propagation — each node's label is the
+minimum node id reachable so far; every round joins labels across edges and
+re-minimizes, doubling the propagation radius per round via the
+label-as-node trick. Converges in O(log(diameter)) rounds; each round is
+one join + one aggregate (all shuffles on node id). This is the standard
+large-graph CC pattern on Spark; no GraphFrames dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) where component = min node id in the component.
+
+    ``edges`` is an undirected pair list. Deterministic. Each iteration
+    checks convergence with a count of changed labels (an action — cheap,
+    the label frame is one row per node).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        # neighbor labels: for each node, the labels of its neighbors
+        neighbor = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
+        )
+        # pointer jumping: label(v) <- label(label(v)) doubles propagation
+        # radius per round, so chains collapse in O(log diameter) rounds
+        jumped = (
+            labels.alias("l1")
+            .join(
+                labels.select(
+                    F.col("node").alias("component"), F.col("component").alias("cc")
+                ),
+                "component",
+            )
+            .select(F.col("node"), F.col("cc").alias("component"))
+        )
+        candidates = labels.unionByName(neighbor).unionByName(jumped)
+        # localCheckpoint truncates lineage — without it each round's plan
+        # embeds every previous round and planning time explodes
+        new_labels = (
+            candidates.groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")

@@ -441,6 +441,39 @@ def q_dedup_embedding_blocked(spark, sf_dir):
 
 
 @query(
+    "dedup_groups_connected",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_cascade_oracle()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, component) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.component FROM edges e JOIN walk w ON e.b = w.node
+        WHERE w.component < e.a
+    )
+    SELECT node, MIN(component) AS component
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q_dedup_groups_connected(spark, sf_dir):
+    """True dedup GROUPS from cascade pairs: connected components by
+    iterative min-label propagation (operators/graph.py) — chains a~b~c
+    merge into one group, which the pairwise drop rule can't do. Oracle is
+    a recursive CTE computing the same min-reachable-id labels."""
+    from ctcityscraper_spark.operators.graph import connected_components
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
+    verified = ngram_jaccard_pairs(docs, n=5, threshold=0.6)
+    confirmed = cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b")
+    return connected_components(confirmed).orderBy("node")
+
+
+@query(
     "dedup_drop_list",
     oracle=f"""
     WITH pairs AS ({_cascade_oracle()})

@@ -96,6 +96,29 @@ class TestIvfAnn:
         assert hits / len(exact) >= 0.33
 
 
+class TestConnectedComponents:
+    def test_chain_merges_into_one_group(self, spark):
+        from ctcityscraper_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {r.node: r.component for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        from ctcityscraper_spark.operators.graph import connected_components
+
+        n = 40
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+        )
+        got = {r.node: r.component for r in connected_components(edges).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
+
+
 class TestSkewHelpers:
     def test_salted_agg_matches_plain(self, spark):
         from ctcityscraper_spark.operators.skew import salted_agg
