@@ -56,6 +56,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # ingestion throughput: the reference's own headline metric is
+    # entries/sec through load (engine.py:347-348) — 2000 entries through
+    # the full distributed-flatten pipeline incl. stamping + compaction
+    import tempfile
+
+    from ctcityscraper_spark.engine import run_load
+    from ctcityscraper_spark.sources.contracts import ResolvedParams
+    from ctcityscraper_spark.sources.demo import SOURCE
+    from ctcityscraper_spark.sources.store import ParquetStore
+
+    store = ParquetStore(spark, tempfile.mkdtemp(prefix="bench_ingest_"), "bench")
+    t0 = time.perf_counter()
+    run_load(
+        spark,
+        store,
+        SOURCE,
+        ResolvedParams("bench", entry_ids=list(range(1, 2001))),
+        batch_size=2000,
+        checkpoint_every=None,
+        retry_delay=0,
+        workers=8,
+    )
+    timings["ingest_load_2000"] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {

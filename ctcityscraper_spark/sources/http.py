@@ -67,7 +67,13 @@ def fetch_entries_distributed(
     circuit-breaker policy afterwards). This is the Spark restatement of the
     reference's ThreadPoolExecutor loop (src/engine/engine.py:271-308).
     """
-    n_parts = num_partitions or min(len(entry_ids), spark.sparkContext.defaultParallelism) or 1
+    # default partitioning: >=256 entries per partition — Python-worker
+    # spin-up (~1-2s each) dwarfs the work for small fetch batches, so tiny
+    # chunks must not fan out to every core. Network-bound sources pass
+    # num_partitions (=workers) explicitly.
+    n_parts = num_partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, len(entry_ids) // 256 + 1)
+    )
     scrape_fn = source.scrape_fn
     invalid_exc = source.invalid_entry_exception
 
@@ -129,7 +135,13 @@ def fetch_and_flatten_distributed(
     ``source.table_schemas`` so the engine can parse ``row_json`` with
     ``from_json`` instead of driver-side inference.
     """
-    n_parts = num_partitions or min(len(entry_ids), spark.sparkContext.defaultParallelism) or 1
+    # default partitioning: >=256 entries per partition — Python-worker
+    # spin-up (~1-2s each) dwarfs the work for small fetch batches, so tiny
+    # chunks must not fan out to every core. Network-bound sources pass
+    # num_partitions (=workers) explicitly.
+    n_parts = num_partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, len(entry_ids) // 256 + 1)
+    )
     scrape_fn, flatten_fn = source.scrape_fn, source.flatten_fn
     invalid_exc = source.invalid_entry_exception
 

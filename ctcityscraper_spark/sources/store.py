@@ -107,25 +107,44 @@ class ParquetStore:
         current-state-only dedup would be ``current(scan(table))`` instead of
         ``existing_hashes``.
         """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         stamped = stamp_metadata(df, extra_exclude=extra_exclude, scraped_at=scraped_at)
         if dedup_against_existing and self.table_exists(table):
             existing = self.existing_hashes(table)
-            incoming = stamped.count()
             # intra-batch content dupes collapse too (reference adds written
             # hashes to the in-session set, database.py:144-148). AQE picks
             # broadcast vs shuffled anti-join from the runtime size of
             # `existing`; don't hint — the existing-hash side can be huge.
-            stamped = stamped.dropDuplicates(["row_hash"]).join(
-                existing, "row_hash", "left_anti"
+            obs_in, obs_out = Observation(), Observation()
+            surviving = (
+                stamped.observe(obs_in, F.count(F.lit(1)).alias("n"))
+                .dropDuplicates(["row_hash"])
+                .join(existing, "row_hash", "left_anti")
+                .observe(obs_out, F.count(F.lit(1)).alias("n"))
             )
-            written = stamped.count()
-            if written:
-                self.append(table, stamped)
+            # one action: counts ride along with the write via Observations
+            self.append(table, surviving)
+            incoming, written = obs_in.get["n"], obs_out.get["n"]
+            if written == 0:
+                self._remove_empty_new_files(table)
             return written, incoming - written
-        n = stamped.count()
-        if n:
-            self.append(table, stamped)
-        return n, 0
+        obs = Observation()
+        self.append(table, stamped.observe(obs, F.count(F.lit(1)).alias("n")))
+        return obs.get["n"], 0
+
+    def _remove_empty_new_files(self, table: str) -> None:
+        """Drop zero-row parquet files left by an all-duplicate append (the
+        single-action write can't know the count beforehand)."""
+        import pyarrow.parquet as pq
+
+        for f in self.table_path(table).glob("*.parquet"):
+            try:
+                if pq.ParquetFile(f).metadata.num_rows == 0:
+                    f.unlink()
+            except Exception:
+                continue
 
     # ------------------------------------------------------ current snapshots
     def snapshot_path(self, table: str) -> Path:
