@@ -94,6 +94,19 @@ def changed_since(
     ).orderBy(F.col(order).desc())
 
 
+def as_of(
+    df: DataFrame, ts, key: str = "uuid", order: str = "scraped_at"
+) -> DataFrame:
+    """Point-in-time view: the state of every entity AS OF ``ts``.
+
+    ``current`` restricted to rows at/before the timestamp — the natural
+    completion of the SCD2 triple (the reference implies it via its
+    append-only model but never ships it). Entities first seen after ``ts``
+    are absent, exactly as a query at that time would have seen.
+    """
+    return current(df.filter(F.col(order) <= F.lit(ts)), key=key, order=order)
+
+
 def register_scd2_views(
     spark: SparkSession,
     df: DataFrame,

@@ -617,6 +617,50 @@ def q_multimodal_bytes_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS prio,
+               value AS pv, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS prio, NULL, NULL
+        FROM events WHERE event_type = 'click'
+    ), c AS (
+        SELECT *,
+            last_value(pv IGNORE NULLS) OVER w AS last_purchase_value,
+            last_value(pts IGNORE NULLS) OVER w AS last_purchase_ts_us
+        FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio
+                            ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id, last_purchase_value, last_purchase_ts_us
+    FROM c WHERE prio = 1 ORDER BY user_id, event_id
+    """,
+)
+def q_asof_join_last_purchase(spark, sf_dir):
+    """AS-OF join (operators/asof.py): every click enriched with the most
+    recent prior purchase per user — the union+carry-forward trick, one
+    window pass, no range explosion. Spark has no native as-of join; this
+    is the engine's custom operator with an exact SQL twin."""
+    from ctcityscraper_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")  # DuckDB truncates parquet ns to us
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts_us", right_cols=["value"])
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("value_asof").alias("last_purchase_value"),
+        F.col("ts_us_asof").alias("last_purchase_ts_us"),
+    ).orderBy("user_id", "event_id")
+
+
 # ====================================================== engine SCD2 on synthetic
 
 
@@ -691,6 +735,28 @@ def q_engine_scd2_changed_since(spark, sf_dir):
         scd2.changed_since(
             hist, "2025-01-01 12:00:00", key="o_orderkey", order="scraped_at"
         )
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scd2_as_of",
+    oracle=f"""
+    WITH hist AS ({_TWO_VERSION_SQL})
+    SELECT o_orderkey, o_orderstatus FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY scraped_at DESC) AS rn
+        FROM hist WHERE scraped_at <= TIMESTAMP '2025-01-01 12:00:00'
+    ) WHERE rn = 1 ORDER BY o_orderkey
+    """,
+)
+def q_scd2_as_of(spark, sf_dir):
+    """Point-in-time (time-travel) view: entity state AS OF a timestamp
+    between the two synthesized versions — returns exactly the v1 states
+    (operators/scd2.as_of)."""
+    hist = _two_version_orders(spark, sf_dir)
+    return (
+        scd2.as_of(hist, "2025-01-01 12:00:00", key="o_orderkey", order="scraped_at")
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")
     )

@@ -96,6 +96,48 @@ class TestIvfAnn:
         assert hits / len(exact) >= 0.33
 
 
+class TestAsofJoin:
+    def test_matches_most_recent_prior(self, spark):
+        from ctcityscraper_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 200, "b"), (1, 50, "c"), (2, 100, "d")],
+            "k long, t long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 90, 9.0), (1, 150, 15.0), (3, 10, 1.0)], "k long, t long, v double"
+        )
+        got = {r.tag: (r.v_asof, r.t_asof) for r in
+               asof_join(left, right, on="k", ts="t").collect()}
+        assert got == {
+            "a": (9.0, 90),     # latest right at t<=100 is t=90
+            "b": (15.0, 150),   # t=150
+            "c": (None, None),  # nothing before t=50
+            "d": (None, None),  # no right rows for k=2
+        }
+
+    def test_same_timestamp_right_visible(self, spark):
+        from ctcityscraper_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100)], "k long, t long")
+        right = spark.createDataFrame([(1, 100, 7.0)], "k long, t long, v double")
+        row = asof_join(left, right, on="k", ts="t").first()
+        assert row.v_asof == 7.0  # right row at the same ts matches
+
+    def test_as_of_point_in_time(self, spark, tmp_store):
+        import datetime as dt
+
+        from ctcityscraper_spark.operators.scd2 import as_of
+
+        df1 = spark.createDataFrame([("u1", 1.0), ("u2", 5.0)], "uuid string, v double")
+        df2 = spark.createDataFrame([("u1", 2.0), ("u3", 9.0)], "uuid string, v double")
+        tmp_store.write_batch("t", df1, scraped_at=dt.datetime(2024, 1, 1))
+        tmp_store.write_batch("t", df2, scraped_at=dt.datetime(2024, 1, 3))
+        snap = as_of(tmp_store.scan("t"), dt.datetime(2024, 1, 2))
+        got = {r.uuid: r.v for r in snap.collect()}
+        assert got == {"u1": 1.0, "u2": 5.0}  # u3 didn't exist yet; u1 still v1
+
+
 class TestConnectedComponents:
     def test_chain_merges_into_one_group(self, spark):
         from ctcityscraper_spark.operators.graph import connected_components
