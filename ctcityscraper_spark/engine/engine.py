@@ -216,15 +216,17 @@ def _run(
         if flat is not None:
             flat.unpersist()
 
+        if batch_error is not None:
+            # do NOT checkpoint this chunk: recording chunk[-1] would make a
+            # resume skip the very entries that failed
+            stats.elapsed_sec = time.time() - t0
+            raise batch_error
+
         completed += len(chunk)
         since_checkpoint += len(chunk)
         if checkpoints and not dedup and since_checkpoint >= (checkpoint_every or 0):
             checkpoints.save(params.scope_key, chunk[-1], completed)
             since_checkpoint = 0
-
-        if batch_error is not None:
-            stats.elapsed_sec = time.time() - t0
-            raise batch_error
 
     if checkpoints and not dedup and entry_ids:
         checkpoints.save(params.scope_key, entry_ids[-1], completed)

@@ -301,6 +301,18 @@ class TestErrorThreshold:
                          max_consecutive_errors=3, retries=0, retry_delay=0)
         assert stats.errors == 4 and stats.scraped == 2
 
+    def test_no_checkpoint_past_failed_chunk(self, spark, tmp_store):
+        """A tripped breaker must not checkpoint its own chunk — resume
+        would silently skip the failed entries."""
+        ids = [1, 2, 8001, 8002, 8003, 3]
+        with pytest.raises(CircuitBreakerTripped):
+            run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=ids),
+                     batch_size=3, checkpoint_every=3,
+                     max_consecutive_errors=2, retries=0, retry_delay=0)
+        cp = CheckpointStore(tmp_store.data_dir).load("newhaven")
+        # first chunk [1,2,8001] checkpointed; failing chunk [8002,8003,3] not
+        assert cp is not None and str(cp["last_entry_id"]) == "8001"
+
     def test_zero_disables(self, spark, tmp_store):
         ids = [8001, 8002, 8003, 8004, 8005, 1]
         stats = run_load(spark, tmp_store, make_source(), ResolvedParams("newhaven", entry_ids=ids),
