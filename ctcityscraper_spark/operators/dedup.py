@@ -207,40 +207,70 @@ def simhash_signatures(
     return summed.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(shift_offset, width) of each signature block, bits split as evenly
+    as possible. Shared with the DuckDB oracle generator so both engines
+    block identically."""
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    return list(zip(offsets, widths))
+
+
 def simhash_pairs(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+    """ALL pairs within SimHash hamming distance <= max_hamming.
 
-    Pairing strategy: join on identical top-half of the signature (any pair
-    within hamming<=bits/2-ish almost always agrees on one half — classic
-    Charikar block trick with 2 blocks), then verify exact hamming with
-    bit_count(xor). Avoids the full cross join.
+    Charikar multi-block scheme: the signature splits into
+    ``n_blocks = max_hamming + 1`` blocks; a pair differing in at most
+    ``max_hamming`` bits must agree EXACTLY on at least one block
+    (pigeonhole), so the candidate set from a single equi-join on
+    (block, block_val) over the posexploded block table provably contains
+    every true pair. The exact ``bit_count(xor)`` filter then makes the
+    result exactly the hamming ball — full recall, no cross join.
+
+    The join is a plain hash/sort-merge equi-join (never CartesianProduct —
+    asserted in tests/test_extension_plans.py). Per-block candidate work is
+    O(sum over buckets of bucket²); at 100 TB use wider signatures
+    (bits=48/64) so each block carries >= 12 bits -> >= 4096 bucket values.
     """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
     sig = simhash_signatures(df, text, id_col, bits)
-    half = bits // 2
-    blocked = sig.select(
-        "doc_id",
-        "simhash",
-        F.shiftright("simhash", half).alias("hi"),
-        F.col("simhash").bitwiseAND(F.lit(2**half - 1)).alias("lo"),
+    block_vals = F.array(
+        *[
+            F.shiftright("simhash", off).bitwiseAND(F.lit(2**w - 1))
+            for off, w in simhash_blocks(bits, n_blocks)
+        ]
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    cand = a.join(
-        b,
-        ((F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo")))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    stacked = sig.select(
+        "doc_id", "simhash", F.posexplode(block_vals).alias("block", "block_val")
     )
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return cand.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        ham.alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
 
 
 def embedding_neardup_pairs(

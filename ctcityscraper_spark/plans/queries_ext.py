@@ -255,21 +255,22 @@ def q_dedup_simhash_signatures(spark, sf_dir):
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
-    WITH sig AS ({_simhash_sig_sql(16)})
+    WITH sig AS ({_simhash_sig_sql(32)})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b
-      ON ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255))
-     AND a.doc_id < b.doc_id
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY doc_a, doc_b
     """,
 )
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: block on either signature half (Charikar
-    block trick), verify hamming <= 3 with bit_count(xor)."""
+    """SimHash near-dup pairs, 32-bit signatures: Charikar 4-block candidate
+    generation (blocks > max_hamming -> provably full recall) + exact
+    bit_count(xor) verify. The oracle is the brute-force hamming-ball
+    definition itself, so a green row proves the blocked plan returns
+    EXACTLY all pairs at hamming <= 3 — not just cross-engine agreement."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return simhash_pairs(docs, bits=16, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_pairs(docs, bits=32, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
 @query(

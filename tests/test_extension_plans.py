@@ -1,0 +1,64 @@
+"""Physical-plan assertions for the extension operators (dedup / ANN).
+
+The relational catalog already has plan tests (test_physical_plans.py);
+this locks the scale claims of the LLM-pipeline family: candidate
+generation is always a real equi-join (hash or sort-merge), NEVER a
+CartesianProduct / BroadcastNestedLoopJoin fallback, and the
+single-row-group repartition workaround stays off on real multi-file
+layouts. Regression guard for the round-1 simhash_pairs cartesian
+(VERDICT r1 "What's wrong" #1).
+"""
+
+import pytest
+
+import ctcityscraper_spark.plans.queries_ext  # noqa: F401  registers catalog
+from ctcityscraper_spark.plans.queries import QUERIES
+from ctcityscraper_spark.plans.tables import parallelize_scan
+
+SF = "/root/testdata/sf0.001"
+
+# Documented O(n^2) verify-only baselines (ann_cosine_topk,
+# dedup_embedding_neardup) are excluded by design; everything else in the
+# dedup/ANN catalog must plan bucketed.
+BUCKETED_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_cascade_confirmed",
+    "dedup_drop_list",
+    "dedup_embedding_blocked",
+    "ann_srp_lsh_topk",
+]
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+class TestExtensionPlans:
+    @pytest.mark.parametrize("name", BUCKETED_QUERIES)
+    def test_no_cartesian_anywhere(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a BNLJ"
+
+    @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs"])
+    def test_band_join_is_real_join(self, spark, name):
+        plan = plan_of(spark, name)
+        assert any(
+            j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), f"{name} candidate join should be a hash/sort-merge equi-join"
+
+    def test_parallelize_scan_skips_repartition_on_multifile(self, spark, tmp_path):
+        path = str(tmp_path / "multi")
+        spark.range(0, 10_000).repartition(8).write.parquet(path)
+        df = spark.read.parquet(path)
+        assert parallelize_scan(df, spark) is df  # no-op: layout already splits
+
+    def test_parallelize_scan_repartitions_single_file(self, spark, tmp_path):
+        path = str(tmp_path / "single")
+        spark.range(0, 1_000).coalesce(1).write.parquet(path)
+        df = spark.read.parquet(path)
+        out = parallelize_scan(df, spark)
+        assert out is not df
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
