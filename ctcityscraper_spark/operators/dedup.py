@@ -82,20 +82,39 @@ def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+JACCARD_DF_CAP = 1000  # max document frequency for a shingle to stay indexed
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     n: int = SHINGLE_N,
     threshold: float = 0.6,
+    df_cap: int | None = JACCARD_DF_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     Inverted-index join: |A ∩ B| from pairs sharing a shingle, sizes from a
     per-doc count, jaccard = inter / (|A| + |B| - inter) — integer-exact
     until the single final division.
+
+    ``df_cap`` bounds the self-join's worst case: the join cost is
+    Σ bucket², so one boilerplate shingle shared by 10⁶ docs would alone
+    yield 10¹² candidate rows. Shingles with document frequency above the
+    cap carry no dedup signal and are dropped from the index BEFORE sizes
+    and intersections (Jaccard is over the informative-shingle universe);
+    the drop list is tiny by construction, so it broadcasts. None disables.
     """
     sh = doc_shingles(df, text, id_col, n)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -152,8 +152,11 @@ def q_dedup_exact(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT doc_id, unnest({shingle_sql(5)}) AS shingle FROM documents
+    ), sh AS (
+        SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
@@ -171,7 +174,10 @@ def q_dedup_exact(spark, sf_dir):
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 5-gram Jaccard >= 0.6 via inverted shingle index
-    (never a cross join; candidate pairs only from shared shingles)."""
+    (never a cross join; candidate pairs only from shared shingles).
+    Shingles with document frequency > 1000 are dropped before the join —
+    the hot-bucket guard that keeps Σ bucket² bounded on adversarial
+    corpora (boilerplate headers/footers)."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return ngram_jaccard_pairs(docs, n=5, threshold=0.6).orderBy("doc_a", "doc_b")
 
@@ -320,16 +326,19 @@ def _cascade_oracle(k: int = 16, bands: int = 8, n: int = 5, threshold: float = 
         for b in range(bands)
     )
     return f"""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT doc_id, unnest({shingle_sql(n)}) AS shingle FROM documents
     ), sig AS (
-        SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+        SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id
     ), stacked AS (
         {stacked}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM stacked a JOIN stacked b
           ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), sh AS (
+        SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (

@@ -69,6 +69,38 @@ class TestJaccardGroundTruth:
         assert all(p.jaccard >= 0.6 and p.doc_a < p.doc_b for p in pairs)
 
 
+class TestJaccardDfCap:
+    def test_boilerplate_shingle_capped(self, spark):
+        """10k docs all sharing one boilerplate 5-gram: uncapped, that single
+        bucket alone is ~5*10^7 candidate pairs; with the cap the hot shingle
+        drops from the index and only the two genuinely-similar docs pair."""
+        n = 10_000
+        base = [
+            Row(doc_id=i, text=f"shared header five words u{i}a u{i}b u{i}c u{i}d u{i}e")
+            for i in range(n)
+        ]
+        # one planted near-dup pair with below-cap shingles
+        twins = [
+            Row(doc_id=n, text="alpha beta gamma delta epsilon zeta eta"),
+            Row(doc_id=n + 1, text="alpha beta gamma delta epsilon zeta theta"),
+        ]
+        df = spark.createDataFrame(base + twins).repartition(4)
+        pairs = ngram_jaccard_pairs(df, n=5, threshold=0.3, df_cap=100).collect()
+        assert [(p.doc_a, p.doc_b) for p in pairs] == [(n, n + 1)]
+
+    def test_cap_changes_jaccard_universe(self, spark):
+        """With the hot shingle removed, Jaccard is computed over the
+        remaining (informative) shingles only."""
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="c1 c2 c3 c4 c5 t1 t2 t3 t4 t5") for i in range(5)]
+        )
+        # every shingle has df=5; cap at 4 drops them all -> no pairs at all
+        assert ngram_jaccard_pairs(df, n=5, threshold=0.1, df_cap=4).count() == 0
+        # uncapped, identical docs pair with jaccard 1.0
+        uncapped = ngram_jaccard_pairs(df, n=5, threshold=0.99, df_cap=None)
+        assert uncapped.count() == 10  # C(5,2)
+
+
 class TestIvfAnn:
     def test_full_probe_equals_exact(self, spark):
         from ctcityscraper_spark.operators.similarity import ivf_topk
