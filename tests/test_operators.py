@@ -234,6 +234,25 @@ class TestSkewHelpers:
         assert plain == salted
 
 
+class TestRankMarginGuard:
+    def test_topk_margins_dominate_float_noise(self, spark):
+        """The rank-only oracle for ann_cosine_topk_vectorized is valid only
+        while adjacent cosine margins inside the top-k dwarf float-sum
+        association error (~1e-15 rel). Pin that property of the fixture."""
+        import numpy as np
+
+        rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+        M = np.array([r.embedding for r in rows], dtype=np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, -2.0)
+        worst = min(
+            float(np.min(np.sort(S[qi])[::-1][:6][:-1] - np.sort(S[qi])[::-1][:6][1:]))
+            for qi in range(min(100, len(rows)))
+        )
+        assert worst > 1e-8, f"top-6 cosine margin {worst:.2e} too small for rank oracle"
+
+
 class TestVectorizedAnnEquivalence:
     def test_same_neighbors_as_exact(self, spark):
         emb = load_table(spark, SF, "embeddings")
