@@ -235,6 +235,72 @@ def ivf_topk(
     )
 
 
+def probe_masks(bits: int, probe_bits: int) -> list[int]:
+    """XOR masks for multi-probe: every mask with popcount <= probe_bits
+    (0 = the query's own bucket). Deterministic order; shared with the
+    DuckDB oracle generator."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for combo in itertools.combinations(range(bits), r):
+            masks.append(sum(1 << b for b in combo))
+    return masks
+
+
+def srp_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    bits: int = SRP_BITS,
+    probe_bits: int = 1,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe SRP-LSH: each query probes its own bucket PLUS every
+    bucket within ``probe_bits`` bit-flips of it — the recall knob at fixed
+    index cost. A vector whose projection sits near a hyperplane lands on
+    the other side of that plane's bit for near-neighbors; flipping low-
+    confidence bits recovers exactly those misses (Lv et al., multi-probe
+    LSH). Candidate volume grows by the probe count (1+B for probe_bits=1,
+    +B(B-1)/2 for 2) while staying a plain equi-join on bucket — per-query
+    work is still bucket-local, never a scan of the corpus.
+
+    Each corpus vector lives in exactly one bucket and probe masks are
+    distinct, so no candidate pair duplicates — no distinct needed.
+    Returns (query_id, neighbor_id, rank, cosine) like srp_lsh_topk.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
+    ).withColumn("bucket", srp_bucket_col(F.col("cv"), dims, bits))
+    masks = F.array(*[F.lit(m) for m in probe_masks(bits, probe_bits)])
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv"))
+        .withColumn("bucket0", srp_bucket_col(F.col("qv"), dims, bits))
+        .select("query_id", "qv", "bucket0", F.explode(masks).alias("mask"))
+        .withColumn("bucket", F.col("bucket0").bitwiseXOR(F.col("mask")))
+        .drop("bucket0", "mask")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -28,7 +28,9 @@ from ctcityscraper_spark.operators.dedup import (
 from ctcityscraper_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_vectorized,
+    probe_masks,
     srp_lsh_topk,
+    srp_multiprobe_topk,
 )
 from ctcityscraper_spark.operators.text import (
     fingerprint_col,
@@ -609,6 +611,46 @@ def q_ann_srp_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5, bits=8
+    ).orderBy("query_id", "rank")
+
+
+def _srp_multiprobe_oracle(bits: int, probe_bits: int) -> str:
+    masks = ", ".join(str(m) for m in probe_masks(bits, probe_bits))
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                      {_srp_bucket_sql('embedding', EMB_DIMS, bits)} AS bucket
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_srp_bucket_sql('embedding', EMB_DIMS, bits)} AS bucket0
+               FROM embeddings WHERE vec_id < 10),
+         probes AS (
+            SELECT query_id, qv, xor(bucket0, m.mask) AS bucket
+            FROM q CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+         ),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   {fold_dot_sql('qv', 'cv', EMB_DIMS)}
+                     / ({fold_norm_sql('qv', EMB_DIMS)} * {fold_norm_sql('cv', EMB_DIMS)}) AS cosine
+            FROM probes JOIN c USING (bucket) WHERE query_id != neighbor_id
+         )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+@query("ann_srp_multiprobe_topk", oracle=_srp_multiprobe_oracle(8, 2))
+def q_ann_srp_multiprobe_topk(spark, sf_dir):
+    """Multi-probe SRP-LSH: the recall knob at fixed index cost. Each query
+    probes its own bucket plus every bucket within 2 bit-flips (37 probes
+    at 8 bits) — recovering neighbors that fell on the far side of a
+    near-threshold hyperplane — while candidates still come from a plain
+    equi-join on bucket. Recall@5 strictly above single-bucket SRP on the
+    fixture is asserted in tests (TestSrpMultiprobe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5, bits=8, probe_bits=2
     ).orderBy("query_id", "rank")
 
 

@@ -28,6 +28,7 @@ BUCKETED_QUERIES = [
     "dedup_drop_list",
     "dedup_embedding_blocked",
     "ann_srp_lsh_topk",
+    "ann_srp_multiprobe_topk",
 ]
 
 

@@ -234,6 +234,42 @@ class TestSkewHelpers:
         assert plain == salted
 
 
+class TestSrpMultiprobe:
+    def test_recall_strictly_above_single_bucket(self, spark):
+        from ctcityscraper_spark.operators.similarity import (
+            srp_lsh_topk,
+            srp_multiprobe_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+
+        def recall(df):
+            got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+            return len(got & exact) / len(exact)
+
+        r_single = recall(srp_lsh_topk(emb, queries, dims=64, k=5, bits=8))
+        r_probe1 = recall(srp_multiprobe_topk(emb, queries, dims=64, k=5, bits=8, probe_bits=1))
+        r_probe2 = recall(srp_multiprobe_topk(emb, queries, dims=64, k=5, bits=8, probe_bits=2))
+        assert r_single <= r_probe1 <= r_probe2  # monotone in probe radius
+        assert r_probe2 > r_single  # and strictly better on the fixture
+
+    def test_probe_zero_equals_single_bucket(self, spark):
+        from ctcityscraper_spark.operators.similarity import (
+            srp_lsh_topk,
+            srp_multiprobe_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        single = sorted(map(tuple, srp_lsh_topk(emb, queries, dims=64, k=5, bits=8).collect()))
+        probe0 = sorted(
+            map(tuple, srp_multiprobe_topk(emb, queries, dims=64, k=5, bits=8, probe_bits=0).collect())
+        )
+        assert single == probe0
+
+
 class TestRankMarginGuard:
     def test_topk_margins_dominate_float_noise(self, spark):
         """The rank-only oracle for ann_cosine_topk_vectorized is valid only
