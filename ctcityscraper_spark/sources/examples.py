@@ -38,6 +38,11 @@ _BUILDING_RE = re.compile(
     r'<div class="building" data-bid="(\d+)">(.*?)</div>', re.DOTALL
 )
 _ROW_RE = re.compile(r"<tr><td>([^<]*)</td><td>([^<]*)</td></tr>")
+# 4-cell sub-area rows (code, description, gross, living) — the grdSub table
+# dialect (reference _parse_sub_areas, vgsi/source.py:430-459)
+_SUB_RE = re.compile(
+    r'<tr class="sub"><td>([^<]*)</td><td>([^<]*)</td><td>([^<]*)</td><td>([^<]*)</td></tr>'
+)
 
 
 def _money(v: str) -> float | None:
@@ -104,16 +109,28 @@ def parse_property_page(html: str, pid: int) -> dict:
                 b[k] = _int(val.replace(",", ""))
             else:
                 b[k] = _clean(val)
+        # grandchild rows: empty code rows are skipped (reference :446-447)
+        b["sub_areas"] = [
+            {
+                "code": code.strip(),
+                "description": _clean(desc),
+                "gross_area": _money(gross),
+                "living_area": _money(living),
+            }
+            for code, desc, gross, living in _SUB_RE.findall(body)
+            if code.strip()
+        ]
         buildings.append(b)
     prop["buildings"] = buildings
     return prop
 
 
 def flatten_property(payloads: list[dict]) -> dict[str, list[dict]]:
-    """Payloads -> {properties, buildings} with FK stamping + uuid identity
-    (reference flatten_vgsi, vgsi/source.py:587-639). First-seen uuid wins
-    within a batch (D1 intra-batch dedup)."""
-    props, bldgs = [], []
+    """Payloads -> {properties, buildings, sub_areas} with FK stamping
+    through both levels + uuid identity (reference flatten_vgsi,
+    vgsi/source.py:587-639: sub_areas keyed by property_uuid+pid+bid,
+    :626-634). First-seen uuid wins within a batch (D1 intra-batch dedup)."""
+    props, bldgs, subs = [], [], []
     seen: set[str] = set()
     for p in payloads:
         data = {k: v for k, v in p.items() if k != "buildings"}
@@ -123,8 +140,13 @@ def flatten_property(payloads: list[dict]) -> dict[str, list[dict]]:
         seen.add(uuid)
         props.append({"uuid": uuid, **data})
         for b in p.get("buildings", []):
-            bldgs.append({"property_uuid": uuid, "pid": p["pid"], **b})
-    return {"properties": props, "buildings": bldgs}
+            flat = {k: v for k, v in b.items() if k != "sub_areas"}
+            bldgs.append({"property_uuid": uuid, "pid": p["pid"], **flat})
+            for sa in b.get("sub_areas", []):
+                subs.append(
+                    {"property_uuid": uuid, "pid": p["pid"], "bid": b["bid"], **sa}
+                )
+    return {"properties": props, "buildings": bldgs, "sub_areas": subs}
 
 
 def make_property_source(
@@ -167,9 +189,17 @@ def demo_page(base_url: str, pid: int) -> str:
       <tr><td>Living Area:</td><td>1,2{pid % 90:02d}</td></tr>
       <tr><td>Replacement Cost:</td><td>$300,000</td></tr>
       <tr><td>Style</td><td>Colonial</td></tr></table>
+      <table class="subareas">
+      <tr class="sub"><td>FFL</td><td>First Floor</td><td>1,0{pid % 90:02d}</td><td>1,0{pid % 90:02d}</td></tr>
+      <tr class="sub"><td>BMT</td><td>Basement</td><td>900</td><td>0</td></tr>
+      <tr class="sub"><td></td><td>ignored empty code</td><td>1</td><td>1</td></tr>
+      </table>
     </div>
     <div class="building" data-bid="2">
       <table><tr><td>Year Built:</td><td>1999</td></tr>
       <tr><td>Style</td><td>Garage</td></tr></table>
+      <table class="subareas">
+      <tr class="sub"><td>GAR</td><td>Garage Bay</td><td>400</td><td></td></tr>
+      </table>
     </div>
     """

@@ -36,11 +36,42 @@ class TestParsing:
     def test_buildings_normalized(self):
         p = parse_property_page(demo_page("", 7), 7)
         b1, b2 = p["buildings"]
-        assert b1 == {
+        assert {k: v for k, v in b1.items() if k != "sub_areas"} == {
             "bid": 1, "year_built": 1907, "living_area": 1207,
             "replacement_cost": 300000.0, "style": "Colonial",
         }
         assert b2["style"] == "Garage"
+
+    def test_sub_areas_parsed_empty_code_skipped(self):
+        p = parse_property_page(demo_page("", 7), 7)
+        b1, b2 = p["buildings"]
+        assert b1["sub_areas"] == [
+            {"code": "FFL", "description": "First Floor",
+             "gross_area": 1007.0, "living_area": 1007.0},
+            {"code": "BMT", "description": "Basement",
+             "gross_area": 900.0, "living_area": 0.0},
+        ]  # third row has an empty code -> skipped (reference :446-447)
+        assert b1["sub_areas"][0]["gross_area"] == 1007.0  # "1,007" comma-coerced
+        assert b2["sub_areas"] == [
+            {"code": "GAR", "description": "Garage Bay",
+             "gross_area": 400.0, "living_area": None},
+        ]
+
+    def test_flatten_three_tables_fk_two_levels(self):
+        from ctcityscraper_spark.sources.examples import flatten_property
+
+        p = parse_property_page(demo_page("", 7), 7)
+        tables = flatten_property([p])
+        assert set(tables) == {"properties", "buildings", "sub_areas"}
+        uuid = tables["properties"][0]["uuid"]
+        assert all(b["property_uuid"] == uuid for b in tables["buildings"])
+        assert all(s["property_uuid"] == uuid and s["pid"] == 7 for s in tables["sub_areas"])
+        # grandchild keyed to its building
+        assert [(s["bid"], s["code"]) for s in tables["sub_areas"]] == [
+            (1, "FFL"), (1, "BMT"), (2, "GAR"),
+        ]
+        # nested list never leaks into the buildings table
+        assert all("sub_areas" not in b for b in tables["buildings"])
 
     def test_uuid_dict_order_independent(self):
         d1 = {"a": 1, "b": "x"}
@@ -57,6 +88,18 @@ class TestEndToEnd:
         props = tmp_store.scan("properties")
         assert props.count() == 5
         assert tmp_store.scan("buildings").count() == 10
+        subs = tmp_store.scan("sub_areas")
+        assert subs.count() == 15  # 2 + 1 per property
+        # three-way join resolves through both FK levels
+        joined = (
+            props.select(F.col("uuid").alias("property_uuid"), "address")
+            .join(tmp_store.scan("buildings").select("property_uuid", "bid", "style"),
+                  "property_uuid")
+            .join(subs.select("property_uuid", "bid", "code"), ["property_uuid", "bid"])
+        )
+        assert joined.count() == 15
+        garage = joined.filter(F.col("style") == "Garage").select("code").distinct()
+        assert [r.code for r in garage.collect()] == ["GAR"]
         # typed columns survived spark inference
         assert dict(props.dtypes)["sale_price"] == "double"
         # extra_fields round-trips as JSON
@@ -80,8 +123,8 @@ class TestEndToEnd:
         changed_src = make_property_source(changed_page)
         stats3 = run_refresh(spark, tmp_store, changed_src,
                              ResolvedParams("demo", refresh=True), retry_delay=0)
-        # 1 property row + its 2 buildings re-keyed to the new uuid
-        assert stats3.rows_written == 3
+        # 1 property row + its 2 buildings + 3 sub_areas re-keyed to the new uuid
+        assert stats3.rows_written == 6
         assert current(tmp_store.scan("properties")).count() == 6
         h = history(tmp_store.scan("properties"))
         assert h.count() == 6  # each uuid has exactly one version
