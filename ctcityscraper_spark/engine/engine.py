@@ -110,18 +110,23 @@ def _run(
     entry_ids = _resolve_entry_ids(store, source, params)
 
     # checkpoint resume (load mode): skip past last_entry_id; a stale id
-    # (not in the list) restarts from the beginning — reference :156-191
+    # (not in the list) restarts from the beginning — reference :156-191.
+    # total_scraped carries forward across resumes (reference :158-175:
+    # saved counts are completed + total_previously_scraped).
+    previously_scraped = 0
     if checkpoints and not dedup:
         cp = checkpoints.load(params.scope_key)
         if cp and cp.get("last_entry_id") is not None:
             str_ids = [str(i) for i in entry_ids]
             if str(cp["last_entry_id"]) in str_ids:
                 entry_ids = entry_ids[str_ids.index(str(cp["last_entry_id"])) + 1 :]
+                previously_scraped = int(cp.get("total_scraped") or 0)
 
     files_before = {t: store.list_files(t) for t in store.tables()}
     consecutive_errors = 0
-    completed = 0
+    completed = 0  # successfully scraped entries only (reference :253-258)
     since_checkpoint = 0
+    last_ok_id = None  # last entry processed without error — resume cursor
     touched_tables: set[str] = set()
 
     fetch_kw = dict(
@@ -161,10 +166,12 @@ def _run(
                     break
                 continue
             consecutive_errors = 0  # success or invalid resets (reference :221-225)
+            last_ok_id = chunk[r.seq]  # processed without error -> resumable past
             if r.invalid:
                 stats.invalid += 1
                 continue
             stats.scraped += 1
+            completed += 1
             if not distributed_flatten and r.payload is not None:
                 payloads.append(json.loads(r.payload))
 
@@ -222,14 +229,21 @@ def _run(
             stats.elapsed_sec = time.time() - t0
             raise batch_error
 
-        completed += len(chunk)
+        # resume cursor is the last entry processed WITHOUT error (not
+        # chunk[-1]: trailing in-chunk failures must be re-run on resume),
+        # and the saved total carries the resumed checkpoint's count forward
         since_checkpoint += len(chunk)
-        if checkpoints and not dedup and since_checkpoint >= (checkpoint_every or 0):
-            checkpoints.save(params.scope_key, chunk[-1], completed)
+        if (
+            checkpoints
+            and not dedup
+            and last_ok_id is not None
+            and since_checkpoint >= (checkpoint_every or 0)
+        ):
+            checkpoints.save(params.scope_key, last_ok_id, completed + previously_scraped)
             since_checkpoint = 0
 
-    if checkpoints and not dedup and entry_ids:
-        checkpoints.save(params.scope_key, entry_ids[-1], completed)
+    if checkpoints and not dedup and last_ok_id is not None:
+        checkpoints.save(params.scope_key, last_ok_id, completed + previously_scraped)
 
     if compact_after:
         for table in touched_tables:

@@ -15,6 +15,13 @@ hard-part #1 for the rationale.
 
 ``compute_row_hash`` is the driver-side Python twin producing identical
 digests for flat dicts (used at ingest boundaries and in tests).
+
+MIGRATION CAVEAT: hashes are NOT byte-compatible with the reference's
+CPython ``json.dumps`` digests (', '/': ' separators, ``str(True)`` ->
+'True' vs Spark's compact JSON and 'true'). Refreshing over parquet data
+produced by the reference engine would treat every existing row as changed
+and append one spurious version each — run
+``ParquetStore.rehash_table(table)`` once per adopted table first.
 """
 
 from __future__ import annotations

@@ -38,14 +38,30 @@ def asof_join(
 
     Returns all left columns plus ``<right_col><suffix>`` columns and
     ``<ts><suffix>`` (the matched right row's timestamp).
+
+    Ties among right rows at the same (key, ts) resolve deterministically
+    to the LAST row in the right frame's row order (monotonic id
+    tie-break). Raises ValueError if the left frame already contains a
+    carry-named column (e.g. chaining asof_joins with the same suffix) —
+    pass a different ``suffix`` instead of silently duplicating names.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
     carry = [f"{c}{suffix}" for c in right_cols] + [f"{ts}{suffix}"]
+    if len(set(carry)) != len(carry):
+        raise ValueError(f"asof_join: duplicate carry names {carry}; adjust suffix")
+    reserved = set(carry) | {"_prio", "_rid"} | {f"_f_{c}" for c in carry}
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with carry/internal names; "
+            f"rename them or pass a different suffix"
+        )
 
     r = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_prio"),
+        F.monotonically_increasing_id().alias("_rid"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
         F.col(ts).alias(f"{ts}{suffix}"),
     )
@@ -53,12 +69,13 @@ def asof_join(
     l = left.select(
         "*",
         F.lit(1).alias("_prio"),
+        F.lit(None).cast("long").alias("_rid"),
         *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in carry],
     )
     unioned = r.unionByName(l, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, "_prio")
+        .orderBy(F.col(ts), F.col("_prio"), F.col("_rid").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -185,6 +185,43 @@ class ParquetStore:
             )
         return self.spark.read.parquet(str(dest))
 
+    # ------------------------------------------------------------- migration
+    def rehash_table(self, table: str, extra_exclude: set[str] | None = None) -> int:
+        """One-off migration: rewrite ``row_hash`` with the engine-canonical
+        scheme, preserving every other column (including ``scraped_at``).
+
+        Needed when adopting tables produced by the reference engine: its
+        CPython hash (json.dumps with ', '/': ' separators, str(True) ->
+        'True') is deliberately NOT byte-compatible with this engine's
+        Spark ``to_json`` canonical hash (functions/hashing.py) — without
+        migration the first refresh would see every existing hash as
+        unmatched and append one spurious 'changed' version per row. Run
+        once per table before the first refresh. Crash-safe in the
+        ``compact`` sense: new files land in the table directory before the
+        old ones are unlinked. Returns the number of rows rewritten.
+        """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        from ctcityscraper_spark.functions.hashing import row_hash_col
+
+        files = sorted(self.list_files(table))
+        df = self.scan(table)
+        data_cols = [c for c in df.columns if c != "row_hash"]
+        obs = Observation()
+        rehashed = (
+            df.select(*data_cols)
+            .withColumn("row_hash", row_hash_col(data_cols, extra_exclude))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        tmp = self.table_path(table).parent / f"_rehash_{table}_{_uuid.uuid4().hex[:8]}"
+        rehashed.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp))
+        for part in sorted(tmp.glob("*.parquet")):
+            part.rename(self.table_path(table) / f"rehashed-{_uuid.uuid4().hex}.parquet")
+        for f in files:
+            Path(f).unlink()
+        shutil.rmtree(tmp)
+        return obs.get["n"]
+
     # ------------------------------------------------------------- compaction
     def list_files(self, table: str) -> set[str]:
         return {str(p) for p in self.table_path(table).glob("*.parquet")}
@@ -204,6 +241,13 @@ class ParquetStore:
         NOTE: DataFrames obtained from ``scan()`` *before* compaction pin the
         old file list and will fail on their next action — re-``scan()`` after
         compacting.
+
+        Crash-safety ordering matches the reference (database.py:246-288:
+        write the merged data into place BEFORE deleting batch files): the
+        compacted parts are renamed into the table directory first, the
+        source files unlinked after. A crash in between leaves transient
+        duplicate rows — never an empty table with data stranded in the
+        hidden tmp dir.
         """
         files = sorted(only_files if only_files is not None else self.list_files(table))
         if len(files) <= 1:
@@ -218,11 +262,11 @@ class ParquetStore:
             .option("compression", "zstd")
             .parquet(str(tmp))
         )
-        for f in files:
-            Path(f).unlink()
         moved = 0
         for part in sorted(tmp.glob("*.parquet")):
             part.rename(self.table_path(table) / f"compacted-{_uuid.uuid4().hex}.parquet")
             moved += 1
+        for f in files:
+            Path(f).unlink()
         shutil.rmtree(tmp)
         return moved

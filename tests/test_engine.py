@@ -162,6 +162,40 @@ class TestRunLoad:
         assert stats.scraped == 5
         assert tmp_store.scan("properties").count() == 10
 
+    def test_checkpoint_skips_trailing_inchunk_error(self, spark, tmp_store):
+        """An entry that errors (without tripping the breaker) must NOT be
+        covered by the checkpoint cursor: record the last entry processed
+        without error, so a resume re-runs the failure."""
+        run_load(spark, tmp_store, make_source(),
+                 ResolvedParams("newhaven", entry_ids=[1, 2, 8001]),
+                 batch_size=3, checkpoint_every=3, retries=0, retry_delay=0)
+        cp = CheckpointStore(tmp_store.data_dir).load("newhaven")
+        assert str(cp["last_entry_id"]) == "2"  # not 8001
+        # resume re-runs exactly the failed entry (now pretend it recovered)
+        def recovered(base_url, entry_id):
+            pid = int(entry_id)
+            return fake_scrape(base_url, pid - 8000) if pid >= 8000 else fake_scrape(base_url, pid)
+        stats = run_load(spark, tmp_store, make_source(scrape_fn=recovered),
+                         ResolvedParams("newhaven", entry_ids=[1, 2, 8001]),
+                         batch_size=3, checkpoint_every=3, retries=0, retry_delay=0)
+        assert stats.scraped == 1  # only 8001 re-ran
+        assert tmp_store.scan("properties").count() == 3
+
+    def test_checkpoint_total_scraped_carries_forward(self, spark, tmp_store):
+        """Saved total_scraped = this run's successes + the resumed
+        checkpoint's total (reference engine.py:258-264), and successes
+        only — invalid/errored entries don't count."""
+        run_load(spark, tmp_store, make_source(),
+                 ResolvedParams("newhaven", entry_ids=[1, 2, 3, 4, 9001]),
+                 batch_size=5, checkpoint_every=5, retries=0, retry_delay=0)
+        cp = CheckpointStore(tmp_store.data_dir).load("newhaven")
+        assert cp["total_scraped"] == 4  # 9001 is invalid, not scraped
+        run_load(spark, tmp_store, make_source(),
+                 ResolvedParams("newhaven", entry_ids=[1, 2, 3, 4, 9001, 5, 6]),
+                 batch_size=5, checkpoint_every=5, retries=0, retry_delay=0)
+        cp2 = CheckpointStore(tmp_store.data_dir).load("newhaven")
+        assert cp2["total_scraped"] == 6  # 4 carried + 2 new
+
     def test_load_never_dedups(self, spark, tmp_store):
         src = make_source()
         p = ResolvedParams("newhaven", entry_ids=[1, 2])
@@ -310,8 +344,9 @@ class TestErrorThreshold:
                      batch_size=3, checkpoint_every=3,
                      max_consecutive_errors=2, retries=0, retry_delay=0)
         cp = CheckpointStore(tmp_store.data_dir).load("newhaven")
-        # first chunk [1,2,8001] checkpointed; failing chunk [8002,8003,3] not
-        assert cp is not None and str(cp["last_entry_id"]) == "8001"
+        # first chunk checkpointed at its last error-free entry (2 — 8001
+        # errored); the breaker-tripping chunk [8002,8003,3] not at all
+        assert cp is not None and str(cp["last_entry_id"]) == "2"
 
     def test_zero_disables(self, spark, tmp_store):
         ids = [8001, 8002, 8003, 8004, 8005, 1]

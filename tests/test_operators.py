@@ -148,6 +148,31 @@ class TestAsofJoin:
             "d": (None, None),  # no right rows for k=2
         }
 
+    def test_suffix_collision_raises(self, spark):
+        import pytest
+
+        from ctcityscraper_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100, 0.0)], "k long, t long, v_asof double")
+        right = spark.createDataFrame([(1, 90, 9.0)], "k long, t long, v double")
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right, on="k", ts="t")
+        # a different suffix resolves it
+        row = asof_join(left, right, on="k", ts="t", suffix="_prev").first()
+        assert row.v_prev == 9.0 and row.v_asof == 0.0
+
+    def test_right_ties_resolve_to_last_row(self, spark):
+        from ctcityscraper_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100)], "k long, t long")
+        # two right rows at the SAME (key, ts): the later one in frame order wins
+        right = spark.createDataFrame(
+            [(1, 90, 1.0), (1, 90, 2.0)], "k long, t long, v double"
+        ).coalesce(1)
+        for _ in range(3):  # deterministic across repeated runs
+            row = asof_join(left, right, on="k", ts="t").first()
+            assert row.v_asof == 2.0
+
     def test_same_timestamp_right_visible(self, spark):
         from ctcityscraper_spark.operators.asof import asof_join
 

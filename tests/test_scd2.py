@@ -201,6 +201,44 @@ class TestRefreshDedup:
         assert ids == [1, 2, 3]
 
 
+class TestRehashMigration:
+    def test_reference_style_hashes_migrated(self, tmp_store):
+        """Simulate a reference-produced table (incompatible row_hash bytes):
+        without migration a refresh re-appends every row; after rehash_table
+        the same refresh writes zero."""
+        from ctcityscraper_spark.functions.hashing import compute_row_hash
+
+        spark = tmp_store.spark
+        rows = [{"uuid": f"u{i}", "pid": i, "v": float(i)} for i in (1, 2, 3)]
+        # reference engine hash: CPython json.dumps with ', '/': ' separators
+        import hashlib as _hl
+        import json as _json
+
+        ref_rows = [
+            Row(**r, scraped_at=T0,
+                row_hash=_hl.md5(_json.dumps(
+                    {k: str(v) for k, v in sorted(r.items())}).encode()).hexdigest())
+            for r in rows
+        ]
+        tmp_store.append("properties", spark.createDataFrame(ref_rows))
+
+        migrated = tmp_store.rehash_table("properties")
+        assert migrated == 3
+        got = {r.uuid: r.row_hash for r in tmp_store.scan("properties").collect()}
+        for r in rows:
+            assert got[r["uuid"]] == compute_row_hash(r)  # engine-canonical now
+        # scraped_at preserved through migration
+        assert {r.scraped_at for r in tmp_store.scan("properties").collect()} == {T0}
+
+        # refresh over identical content is now a no-op
+        df = spark.createDataFrame([Row(**r) for r in rows])
+        written, skipped = tmp_store.write_batch(
+            "properties", df, dedup_against_existing=True,
+            scraped_at=T0 + dt.timedelta(days=1),
+        )
+        assert (written, skipped) == (0, 3)
+
+
 class TestCompaction:
     def test_schema_drift_union_by_name(self, tmp_store):
         spark = tmp_store.spark
