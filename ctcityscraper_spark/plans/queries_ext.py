@@ -454,6 +454,8 @@ def q_dedup_embedding_blocked(spark, sf_dir):
 
 @query(
     "dedup_groups_connected",
+    headline=True,  # the full realistic dedup pipeline: LSH candidates ->
+    # Jaccard verify -> connected components; benched round-over-round
     oracle=f"""
     WITH RECURSIVE pairs AS ({_cascade_oracle()}),
     edges AS (
