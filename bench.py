@@ -66,19 +66,24 @@ def main() -> None:
     from ctcityscraper_spark.sources.demo import SOURCE
     from ctcityscraper_spark.sources.store import ParquetStore
 
-    store = ParquetStore(spark, tempfile.mkdtemp(prefix="bench_ingest_"), "bench")
-    t0 = time.perf_counter()
-    run_load(
-        spark,
-        store,
-        SOURCE,
-        ResolvedParams("bench", entry_ids=list(range(1, 2001))),
-        batch_size=2000,
-        checkpoint_every=None,
-        retry_delay=0,
-        workers=8,
-    )
-    timings["ingest_load_2000"] = round(time.perf_counter() - t0, 4)
+    # best of 2 (fresh store each run): the first load pays mapInPandas
+    # worker-pool and codegen warmup that isn't the pipeline's cost
+    best = float("inf")
+    for _ in range(2):
+        store = ParquetStore(spark, tempfile.mkdtemp(prefix="bench_ingest_"), "bench")
+        t0 = time.perf_counter()
+        run_load(
+            spark,
+            store,
+            SOURCE,
+            ResolvedParams("bench", entry_ids=list(range(1, 2001))),
+            batch_size=2000,
+            checkpoint_every=None,
+            retry_delay=0,
+            workers=8,
+        )
+        best = min(best, time.perf_counter() - t0)
+    timings["ingest_load_2000"] = round(best, 4)
 
     print(
         json.dumps(
