@@ -1,0 +1,265 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+The four families a pretraining data pipeline runs between raw scrape and
+tokenizer, beyond whole-document dedup (operators/dedup.py):
+
+- **segment (line) dedup**: CCNet-style boilerplate removal — split each
+  document into segments, drop segments that repeat across many documents
+  (navigation chrome, license headers), reassemble the rest in order.
+- **repetition signals**: Gopher-style within-document repetition quality
+  metrics (top-word fraction, duplicate 2-gram fraction) used as filters.
+- **PII scrub**: regex redaction of emails / IPv4s / phone numbers with
+  per-document match counts, all RE2-safe patterns so the DuckDB oracle
+  evaluates the identical expressions.
+- **deterministic sampling & splits**: hash-based stratified sampling with
+  per-stratum mixing weights, hash-based train/test splits, and train→test
+  n-gram contamination detection.
+
+Every float is a single exact division of integer counts, every random
+choice is the cross-engine ``hash64`` primitive (functions/hashing.py), so
+each operator has a bit-identical DuckDB twin under the oracle gate.
+
+Scale notes are per-operator; nothing here collects to the driver, and the
+only joins are equi-joins on segment/shingle hashes or doc ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ctcityscraper_spark.functions.hashing import hash64
+from ctcityscraper_spark.operators.dedup import doc_shingles
+from ctcityscraper_spark.operators.text import tokens_col
+
+SEGMENT_WIDTH = 4  # words per segment (a "line" in this whitespace corpus)
+BOILER_MIN_DOCS = 3  # a segment seen in >= this many docs is boilerplate
+
+# RE2-safe PII patterns (no backrefs / lookaround): evaluate identically
+# under Java regex (Spark) and RE2 (DuckDB). Redaction order matters —
+# emails first (they contain dots and digits), then IPs, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+]
+
+SAMPLE_MOD = 1_000_000  # hash-uniform resolution for sampling rates
+
+
+def segments(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = SEGMENT_WIDTH,
+) -> DataFrame:
+    """(doc_id, pos, segment): non-overlapping ``width``-word chunks.
+
+    In a corpus with real line structure the splitter would be
+    ``split(text, '\\n')``; this synthetic corpus is single-line, so fixed
+    word windows stand in for lines — the dedup semantics downstream are
+    identical. Pure expressions inside the scan stage; the explode output is
+    ~1 row per ``width`` words, so the blow-up factor is bounded by design.
+    """
+    toks = tokens_col(text)
+    n_seg = F.floor((F.size(toks) + (width - 1)) / F.lit(width)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.when(n_seg >= 1, segs).otherwise(F.array())).alias(
+            "pos", "segment"
+        ),
+    )
+
+
+def boilerplate_segments(
+    seg: DataFrame, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """(segment, n_docs) for segments appearing in >= ``min_docs`` documents.
+
+    One shuffle on the segment string (at 100 TB: on md5(segment) — same
+    plan shape). The output is small by construction — only segments hot
+    enough to be boilerplate — so callers can broadcast it.
+    """
+    return (
+        seg.select("segment", "doc_id")
+        .distinct()
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = SEGMENT_WIDTH,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """CCNet-style segment dedup: drop cross-document repeated segments.
+
+    Returns (doc_id, n_segments, n_dropped, clean_text) for every input
+    document — a fully-boilerplate document survives with clean_text ''.
+
+    Plan: segment explode -> broadcast anti-flag against the (small) hot
+    set -> one groupBy(doc_id) reassembling surviving segments in position
+    order. Two shuffles total (hot-set agg + reassembly); the reassembly
+    collect_list is per-document, bounded by document length.
+    """
+    seg = segments(df, text, id_col, width)
+    hot = boilerplate_segments(seg, min_docs).select(
+        "segment", F.lit(True).alias("is_boiler")
+    )
+    flagged = seg.join(F.broadcast(hot), "segment", "left").select(
+        "doc_id", "pos", "segment", F.coalesce("is_boiler", F.lit(False)).alias("is_boiler")
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "segment", "is_boiler"))),
+        lambda x: ~x["is_boiler"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("is_boiler").cast("int")).alias("n_dropped"),
+        F.array_join(F.transform(kept, lambda x: x["segment"]), " ").alias(
+            "clean_text"
+        ),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics.
+
+    (doc_id, n_words, distinct_word_frac, top_word_frac, dup_2gram_frac):
+    high top-word or duplicate-2-gram fractions mark degenerate repetitive
+    documents that inflate perplexity-filter costs downstream.
+
+    Scale: word stats via explode -> two-level aggregation (partial
+    map-side combine on (doc_id, word), then doc_id) — never a per-doc
+    O(n²) expression; the 2-gram fraction is a linear pure-column pass.
+    """
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    gram_stats = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.size(toks) >= 2,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.size(grams),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+    words = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
+    word_stats = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            (F.count("*") / F.sum("cnt")).alias("distinct_word_frac"),
+            (F.max("cnt") / F.sum("cnt")).alias("top_word_frac"),
+        )
+    )
+    return word_stats.join(gram_stats, "doc_id")
+
+
+def pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phones; count matches per document.
+
+    Adds ``redacted`` plus one ``n_<kind>`` count column per pattern.
+    Counts are over the original text (independent per pattern); redaction
+    applies patterns in PII_PATTERNS order. Pure regexp expressions in the
+    scan stage — zero shuffles, zero UDFs at any scale.
+    """
+    c = F.col(text)
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+    red = c
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
+def stratified_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling with mixing weights.
+
+    Keeps a row iff ``hash64(seed, id) % 1e6 < rate(stratum) * 1e6`` — the
+    standard reproducible data-mixing primitive: exact re-runs, no RNG
+    state, rates adjustable per stratum without reshuffling. Pure filter in
+    the scan stage; at 100 TB this is the cheapest possible sampler (no
+    shuffle, no sort, prunes before any downstream work).
+    """
+    thresholds = {k: int(round(v * SAMPLE_MOD)) for k, v in weights.items()}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in kv]
+    )
+    thresh = F.coalesce(
+        mapping[F.col(strata_col)], F.lit(int(round(default_rate * SAMPLE_MOD)))
+    )
+    u = hash64(F.col(id_col), seed) % SAMPLE_MOD
+    return df.filter(u < thresh)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "split", test_mod: int = 10
+) -> DataFrame:
+    """Adds ``is_test``: deterministic 1/test_mod holdout by id hash."""
+    return df.withColumn("is_test", hash64(F.col(id_col), seed) % test_mod == 0)
+
+
+def contamination_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    seed: str = "split",
+    test_mod: int = 10,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """Train→test leakage: (test_doc, train_doc, n_shared) word-n-gram overlaps.
+
+    The standard pretraining contamination check: a held-out document
+    sharing long n-grams with a training document is compromised. Inverted
+    n-gram index joined test-side × train-side — candidates only where a
+    shingle collides, never all pairs. ``df_cap`` drops shingles whose
+    corpus-wide document frequency exceeds the cap before the join (the
+    same Σ bucket² guard as ngram_jaccard_pairs), so no boilerplate
+    shingle can go quadratic at 100 TB.
+    """
+    sh = doc_shingles(df, text, id_col, n)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.withColumn("is_test", hash64(F.col("doc_id"), seed) % test_mod == 0)
+    test = sh.filter(F.col("is_test")).select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    train = sh.filter(~F.col("is_test")).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        test.join(train, "shingle")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -908,3 +908,4 @@ def q_entity_uuid_identity(spark, sf_dir):
 # Extension operators (dedup / similarity / text / multimodal / engine-SCD2)
 # register themselves into QUERIES on import.
 from ctcityscraper_spark.plans import queries_ext  # noqa: E402,F401
+from ctcityscraper_spark.plans import queries_corpus  # noqa: E402,F401

@@ -1,0 +1,230 @@
+"""Corpus-preparation catalog: segment dedup, repetition filters, PII scrub,
+deterministic sampling/splits, contamination detection (operators/corpus.py)
+under the DuckDB oracle gate.
+
+Oracle construction follows queries_ext.py: integer counts with single
+exact divisions, the cross-engine hash64 primitive for every sampling /
+split decision, and RE2-safe regexes evaluated by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.operators.corpus import (
+    BOILER_MIN_DOCS,
+    PII_PATTERNS,
+    SAMPLE_MOD,
+    SEGMENT_WIDTH,
+    boilerplate_segments,
+    contamination_pairs,
+    pii_scrub,
+    remove_boilerplate,
+    repetition_signals,
+    segments,
+    stratified_sample,
+)
+from ctcityscraper_spark.plans.queries import query
+from ctcityscraper_spark.plans.queries_ext import TOKS, hash64_sql
+from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
+
+W = SEGMENT_WIDTH
+
+_SEGS = f"""
+    toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    segs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, (len(t) + {W - 1}) // {W}),
+                      i -> array_to_string(list_slice(t, i*{W}+1, i*{W}+{W}), ' '))) AS segment,
+               unnest(range(0, (len(t) + {W - 1}) // {W})) AS pos
+        FROM toks)
+"""
+
+
+@query(
+    "corpus_boilerplate_segments",
+    oracle=f"""
+    WITH {_SEGS}
+    SELECT segment, count(DISTINCT doc_id) AS n_docs
+    FROM segs GROUP BY segment
+    HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ORDER BY segment
+    """,
+)
+def q_corpus_boilerplate(spark, sf_dir):
+    """Cross-document repeated segments (the CCNet boilerplate set): one
+    shuffle on the segment key; output small by construction."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return boilerplate_segments(segments(docs)).orderBy("segment")
+
+
+@query(
+    "corpus_segment_dedup",
+    oracle=f"""
+    WITH {_SEGS},
+    hot AS (
+        SELECT segment FROM segs GROUP BY segment
+        HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS})
+    SELECT s.doc_id AS doc_id, count(*) AS n_segments,
+           count(*) FILTER (WHERE h.segment IS NOT NULL) AS n_dropped,
+           coalesce(string_agg(s.segment, ' ' ORDER BY pos)
+                    FILTER (WHERE h.segment IS NULL), '') AS clean_text
+    FROM segs s LEFT JOIN hot h USING (segment)
+    GROUP BY s.doc_id ORDER BY doc_id
+    """,
+)
+def q_corpus_segment_dedup(spark, sf_dir):
+    """CCNet-style segment (line) dedup: drop segments repeated across >=3
+    docs, reassemble the survivors in position order. Broadcast anti-flag
+    against the small hot set + one reassembly shuffle."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return remove_boilerplate(docs).orderBy("doc_id")
+
+
+@query(
+    "corpus_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    wc AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS word FROM toks) GROUP BY doc_id, word),
+    ws AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_words,
+               count(*) / sum(c)::BIGINT AS distinct_word_frac,
+               max(c) / sum(c)::BIGINT AS top_word_frac
+        FROM wc GROUP BY doc_id),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2
+                    THEN 1.0 - len(list_distinct(g)) / len(g)
+                    ELSE 0.0 END AS dup_2gram_frac
+        FROM (SELECT doc_id, t,
+                     list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+              FROM toks))
+    SELECT doc_id, n_words, distinct_word_frac, top_word_frac, dup_2gram_frac
+    FROM ws JOIN grams USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_corpus_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document — explode +
+    two-level aggregation, single exact divisions."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+# Inject deterministic PII into every 25th document so the scrub is
+# exercised end-to-end on this (PII-free) synthetic corpus; both engines
+# apply the identical injection expression.
+_PII_INJECT_SQL = """
+    CASE WHEN doc_id % 25 = 0 THEN
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com from 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+             || ' call +1 555 0100'
+    ELSE text END
+"""
+
+
+def _pii_oracle() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH injected AS (SELECT doc_id, ({_PII_INJECT_SQL}) AS text FROM documents)
+    SELECT doc_id, {counts}, {red} AS redacted
+    FROM injected ORDER BY doc_id
+    """
+
+
+@query("corpus_pii_scrub", oracle=_pii_oracle())
+def q_corpus_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4s / phones) with per-doc match counts —
+    pure regexp expressions in the scan stage, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(" call +1 555 0100"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id", *[f"n_{kind}" for kind, _, _ in PII_PATTERNS], "redacted"
+    ).orderBy("doc_id")
+
+
+# Mixing weights for the sampling demo: up-weight two sources, drop one,
+# default the rest to 5%.
+SAMPLE_WEIGHTS = {"src0": 0.5, "src1": 1.0, "src2": 0.0}
+SAMPLE_DEFAULT = 0.05
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {int(round(v * SAMPLE_MOD))}"
+        for k, v in SAMPLE_WEIGHTS.items()
+    )
+    thresh = f"CASE {cases} ELSE {int(round(SAMPLE_DEFAULT * SAMPLE_MOD))} END"
+    return f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {hash64_sql('doc_id', 'sample')} % {SAMPLE_MOD} < {thresh}
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_stratified_sample", oracle=_sample_oracle())
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling with per-source mixing
+    weights — a pure filter in the scan stage (the 100 TB data-mixing
+    primitive: reproducible, no RNG state, prunes before downstream work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, SAMPLE_WEIGHTS, default_rate=SAMPLE_DEFAULT)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(len(t) - 7, 0)),
+                   i -> array_to_string(list_slice(t, i+1, i+8), ' ')))) AS shingle
+        FROM toks),
+    sh AS (
+        SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000)),
+    flagged AS (
+        SELECT doc_id, shingle,
+               {hash64_sql('doc_id', 'split')} % 10 = 0 AS is_test
+        FROM sh)
+    SELECT a.doc_id AS test_doc, b.doc_id AS train_doc, count(*) AS n_shared
+    FROM flagged a JOIN flagged b ON a.shingle = b.shingle
+    WHERE a.is_test AND NOT b.is_test
+    GROUP BY 1, 2 ORDER BY test_doc, train_doc
+    """,
+)
+def q_corpus_contamination(spark, sf_dir):
+    """Train→test n-gram contamination: inverted 8-gram index join between
+    the hash-held-out test split and the train split, document-frequency
+    cap bounding hot shingles — candidates only where shingles collide."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return contamination_pairs(docs).orderBy("test_doc", "train_doc")

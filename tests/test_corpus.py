@@ -1,0 +1,138 @@
+"""Corpus-preparation operator tests: edge cases the oracle gate can't show
+(the catalog queries in plans/queries_corpus.py cover the happy path against
+DuckDB; these pin down degenerate inputs and the scale guards)."""
+
+from pyspark.sql import Row
+
+from ctcityscraper_spark.operators.corpus import (
+    boilerplate_segments,
+    contamination_pairs,
+    pii_scrub,
+    remove_boilerplate,
+    repetition_signals,
+    segments,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+class TestSegments:
+    def test_exact_width_single_segment(self, spark):
+        out = segments(_docs(spark, ["a b c d"]), width=4).collect()
+        assert [(r.pos, r.segment) for r in out] == [(0, "a b c d")]
+
+    def test_remainder_segment(self, spark):
+        out = segments(_docs(spark, ["a b c d e"]), width=4).orderBy("pos").collect()
+        assert [(r.pos, r.segment) for r in out] == [(0, "a b c d"), (1, "e")]
+
+
+class TestRemoveBoilerplate:
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        # "x y z w" appears in 3 docs -> boilerplate; doc 2 is ONLY that
+        docs = _docs(
+            spark,
+            ["x y z w a b c d", "x y z w e f g h", "x y z w"],
+        )
+        out = {r.doc_id: r for r in remove_boilerplate(docs, min_docs=3).collect()}
+        assert len(out) == 3  # every input doc keeps a row
+        assert out[2].clean_text == ""
+        assert out[2].n_dropped == 1 and out[2].n_segments == 1
+        assert out[0].clean_text == "a b c d"
+
+    def test_position_order_preserved(self, spark):
+        docs = _docs(
+            spark,
+            ["p q r s AAA BBB CCC DDD t u v w", "AAA BBB CCC DDD", "AAA BBB CCC DDD"],
+        )
+        out = {r.doc_id: r for r in remove_boilerplate(docs, min_docs=3).collect()}
+        assert out[0].clean_text == "p q r s t u v w"
+
+    def test_hot_set_small(self, spark):
+        docs = _docs(spark, ["a b c d unique1", "a b c d unique2", "a b c d unique3"])
+        hot = boilerplate_segments(segments(docs), min_docs=3).collect()
+        assert [r.segment for r in hot] == ["a b c d"]
+
+
+class TestRepetitionSignals:
+    def test_single_word_doc(self, spark):
+        r = repetition_signals(_docs(spark, ["hello"])).first()
+        assert r.n_words == 1
+        assert r.dup_2gram_frac == 0.0
+        assert r.top_word_frac == 1.0
+
+    def test_degenerate_repetition(self, spark):
+        r = repetition_signals(_docs(spark, ["spam spam spam spam"])).first()
+        assert r.top_word_frac == 1.0
+        assert r.distinct_word_frac == 0.25
+        assert r.dup_2gram_frac == 1.0 - 1.0 / 3.0
+
+    def test_all_distinct(self, spark):
+        r = repetition_signals(_docs(spark, ["a b c d"])).first()
+        assert r.distinct_word_frac == 1.0 and r.dup_2gram_frac == 0.0
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        df = _docs(
+            spark,
+            ["mail a@b.co and c.d@e-f.org ip 10.0.0.1 tel +44 20 7946 0958 done"],
+        )
+        r = pii_scrub(df).first()
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (2, 1, 1)
+        assert (
+            r.redacted == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> done"
+        )
+
+    def test_clean_text_untouched(self, spark):
+        r = pii_scrub(_docs(spark, ["no pii here at all"])).first()
+        assert r.redacted == "no pii here at all"
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (0, 0, 0)
+
+
+class TestStratifiedSample:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [Row(doc_id=i, source=f"s{i % 2}") for i in range(200)]
+        )
+
+    def test_weight_bounds(self, spark):
+        df = self._frame(spark)
+        assert stratified_sample(df, {"s0": 0.0, "s1": 0.0}).count() == 0
+        assert stratified_sample(df, {"s0": 1.0, "s1": 1.0}).count() == 200
+
+    def test_deterministic_and_stratified(self, spark):
+        df = self._frame(spark)
+        a = sorted(r.doc_id for r in stratified_sample(df, {"s0": 1.0, "s1": 0.2}).collect())
+        b = sorted(r.doc_id for r in stratified_sample(df, {"s0": 1.0, "s1": 0.2}).collect())
+        assert a == b
+        assert all(i % 2 == 0 or i in b for i in a)  # every kept odd id is from s1
+        kept_s1 = [i for i in a if i % 2 == 1]
+        assert 0 < len(kept_s1) < 100  # ~20% of the s1 stratum, not 0/all
+
+    def test_default_rate_applies_to_unlisted(self, spark):
+        df = self._frame(spark)
+        out = stratified_sample(df, {"s0": 1.0}, default_rate=0.0).collect()
+        assert all(r.source == "s0" for r in out)
+
+
+class TestContamination:
+    def test_split_is_deterministic(self, spark):
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
+        frac = train_test_split(df).filter("is_test").count()
+        assert 60 < frac < 140  # ~1/10 by hash
+
+    def test_shared_ngram_detected_and_df_cap_guards(self, spark):
+        base = "q w e r t y u i o p"  # 10 words -> 3 distinct 8-grams
+        texts = [f"{base} tail{i}" for i in range(6)] + ["z " * 9]
+        df = _docs(spark, texts)
+        pairs = contamination_pairs(df, n=8, test_mod=2, seed="t", df_cap=None)
+        assert pairs.count() > 0
+        # cap below the shared shingle's frequency removes every candidate
+        capped = contamination_pairs(df, n=8, test_mod=2, seed="t", df_cap=2)
+        assert capped.count() == 0
