@@ -216,6 +216,46 @@ def stratified_sample(
     return df.filter(u < thresh)
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle into fixed training shards.
+
+    Adds ``shard_id`` (hash64 % n_shards) and ``shard_pos`` (a second
+    independent hash) — sorting by (shard_id, shard_pos) is a reproducible
+    global permutation, the standard pretraining shard layout: examples
+    from the same source end up scattered, re-runs produce byte-identical
+    shards, and shard count is fixed up front so downstream loaders can
+    address them. Writing is ``.repartition(n_shards, 'shard_id')`` +
+    ``sortWithinPartitions('shard_pos')`` — exactly one shuffle at any
+    scale, no global sort.
+    """
+    return df.withColumn(
+        "shard_id", (hash64(F.col(id_col), seed) % n_shards).cast("int")
+    ).withColumn("shard_pos", hash64(F.col(id_col), f"{seed}_pos"))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> None:
+    """Materialize ``shuffle_shards`` as one sorted parquet file per shard."""
+    (
+        shuffle_shards(df, n_shards, id_col, seed)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
 def train_test_split(
     df: DataFrame, id_col: str = "doc_id", seed: str = "split", test_mod: int = 10
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from ctcityscraper_spark.operators.corpus import (
     remove_boilerplate,
     repetition_signals,
     segments,
+    shuffle_shards,
     stratified_sample,
 )
 from ctcityscraper_spark.plans.queries import query
@@ -196,6 +197,39 @@ def q_corpus_stratified_sample(spark, sf_dir):
         stratified_sample(docs, SAMPLE_WEIGHTS, default_rate=SAMPLE_DEFAULT)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    )
+
+
+N_SHARDS = 16
+
+
+@query(
+    "corpus_shard_stats",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               ({hash64_sql('doc_id', 'shard')} % {N_SHARDS})::INT AS shard_id
+        FROM documents)
+    SELECT shard_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM assigned GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def q_corpus_shard_stats(spark, sf_dir):
+    """Deterministic training-shard assignment audited per shard: the
+    hash-balanced global shuffle (shuffle_shards) summarized as per-shard
+    doc counts / char volume — one aggregation shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shuffle_shards(docs, N_SHARDS)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
     )
 
 

@@ -29,6 +29,9 @@ BUCKETED_QUERIES = [
     "dedup_embedding_blocked",
     "ann_srp_lsh_topk",
     "ann_srp_multiprobe_topk",
+    "corpus_segment_dedup",
+    "corpus_contamination",
+    "dedup_groups_connected",
 ]
 
 
@@ -49,6 +52,35 @@ class TestExtensionPlans:
         assert any(
             j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         ), f"{name} candidate join should be a hash/sort-merge equi-join"
+
+    def test_cobucketed_join_is_shuffle_free(self, spark, tmp_path):
+        """Two tables bucketed on the same key/count sort-merge-join with
+        zero Exchange — the write-time-amortized shuffle for 100 TB facts
+        (sources/bucketed.py)."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.sources.bucketed import bucketed_join, write_bucketed
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            left = spark.range(0, 10_000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+            )
+            right = spark.range(0, 10_000, 2).select(
+                F.col("id").alias("k"), (F.col("id") + 1).alias("vb")
+            )
+            write_bucketed(left, "t_ba", ["k"], 8, sort=["k"], path=str(tmp_path / "a"))
+            write_bucketed(right, "t_bb", ["k"], 8, sort=["k"], path=str(tmp_path / "b"))
+            joined = bucketed_join(spark, "t_ba", "t_bb", ["k"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+            assert joined.count() == 5_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_ba")
+            spark.sql("DROP TABLE IF EXISTS t_bb")
 
     def test_parallelize_scan_skips_repartition_on_multifile(self, spark, tmp_path):
         path = str(tmp_path / "multi")
