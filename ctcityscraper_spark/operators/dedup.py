@@ -134,6 +134,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold: float = 0.6,
+    df_cap: int | None = JACCARD_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair list only.
+
+    The cascade's verification stage done right at scale: intersections
+    come from joining the shingle index against the candidate pairs
+    (cost ∝ |candidates| × per-doc shingle count), never from the full
+    inverted-index self-join — so verification scales with candidate
+    count, not with how many documents happen to share a shingle.
+
+    The shingle universe (including the ``df_cap`` drop) matches
+    ngram_jaccard_pairs exactly: for any pair this returns the same
+    jaccard value the all-pairs operator would.
+    """
+    sh = doc_shingles(df, text, id_col, n)
+    return _jaccard_verify_from_shingles(sh, candidates, threshold, df_cap)
+
+
+def _jaccard_verify_from_shingles(
+    sh0: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    df_cap: int | None,
+) -> DataFrame:
+    sh = sh0
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    pairs = candidates.select("doc_a", "doc_b")
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str = "text",
@@ -148,9 +210,12 @@ def minhash_signatures(
     explode + one groupBy with K map-side-combinable mins: the shuffle
     carries one row per doc, K longs wide, regardless of doc length.
     """
-    sh = doc_shingles(df, text, id_col, n).withColumn(
-        "base", hash64("shingle") % MINHASH_P
-    )
+    sh = doc_shingles(df, text, id_col, n)
+    return _minhash_sigs_from_shingles(sh, k)
+
+
+def _minhash_sigs_from_shingles(sh0: DataFrame, k: int) -> DataFrame:
+    sh = sh0.withColumn("base", hash64("shingle") % MINHASH_P)
     aggs = [
         F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_constants(k))
@@ -174,6 +239,11 @@ def minhash_lsh_pairs(
     """
     rows = k // bands
     sig = minhash_signatures(df, text, id_col, k, n)
+    return _lsh_band_pairs(sig, k, bands)
+
+
+def _lsh_band_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    rows = k // bands
     band_cols = [
         F.md5(F.concat_ws(":", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)])).alias(
             f"band_{b}"
@@ -199,6 +269,35 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def cascade_confirmed_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = SHINGLE_N,
+    threshold: float = 0.6,
+    df_cap: int | None = JACCARD_DF_CAP,
+    materialize: bool = True,
+) -> DataFrame:
+    """The production dedup cascade over ONE shared shingle index.
+
+    LSH candidate generation and exact-Jaccard verification both consume
+    the same (doc_id, shingle) inverted index; ``materialize`` checkpoints
+    that index once so the explode + per-shingle md5 run a single time
+    instead of once per consumer (signature build, intersection side A,
+    intersection side B). At cluster scale the same role is played by
+    ``persist(DISK_ONLY)`` or writing the index as a bucketed table
+    (sources/bucketed.py) — the point is identical: the index is the
+    expensive artifact; build it once, reuse it across cascade stages.
+    """
+    sh0 = doc_shingles(df, text, id_col, n)
+    if materialize:
+        sh0 = sh0.localCheckpoint(eager=True)
+    cand = _lsh_band_pairs(_minhash_sigs_from_shingles(sh0, k), k, bands)
+    return _jaccard_verify_from_shingles(sh0, cand, threshold, df_cap)
 
 
 def simhash_signatures(

@@ -20,6 +20,7 @@ from ctcityscraper_spark.operators import scd2
 from ctcityscraper_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_duplicates,
+    cascade_confirmed_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -365,9 +366,9 @@ def q_dedup_cascade(spark, sf_dir):
     Jaccard verification on candidates ONLY — verification cost scales with
     candidate count, not corpus size."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
-    verified = ngram_jaccard_pairs(docs, n=5, threshold=0.6)
-    return cand.join(verified, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
+    return cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @query(
@@ -481,9 +482,9 @@ def q_dedup_groups_connected(spark, sf_dir):
     from ctcityscraper_spark.operators.graph import connected_components
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
-    verified = ngram_jaccard_pairs(docs, n=5, threshold=0.6)
-    confirmed = cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b")
+    confirmed = cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6).select(
+        "doc_a", "doc_b"
+    )
     return connected_components(confirmed).orderBy("node")
 
 
@@ -500,9 +501,7 @@ def q_dedup_drop_list(spark, sf_dir):
     drop set is {doc_b of confirmed pairs} (transitively this keeps each
     group's minimum)."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
-    verified = ngram_jaccard_pairs(docs, n=5, threshold=0.6)
-    confirmed = cand.join(verified, ["doc_a", "doc_b"])
+    confirmed = cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6)
     return (
         confirmed.select(F.col("doc_b").alias("drop_id")).distinct().orderBy("drop_id")
     )
