@@ -97,10 +97,14 @@ def q_pricing_summary(spark, sf_dir):
     than decimal aggregation and still bit-identical across engines because
     the pre-round values sit at integer +/- fp-epsilon (2dp/4dp source data),
     never at a .5 boundary, and long sums are order-independent.
-    """
-    from ctcityscraper_spark.plans.tables import parallelize_scan
 
-    li = parallelize_scan(_t(spark, sf_dir, "lineitem"), spark)
+    No parallelize_scan here: the per-row work is a handful of codegen'd
+    arithmetic ops, far below parquet-decode cost, so repartitioning the
+    unsplittable testdata file only adds a full-table shuffle (measured 3x
+    slower). The repartition guard is for hash-heavy operators (md5 per
+    shingle), where downstream CPU dominates the scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
     qty_cents = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
     price_cents = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
     disc_micros = F.sum(
