@@ -68,6 +68,49 @@ def sliding_window_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state (T3's streaming twin).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and EVICTS key
+    state older than the watermark — the property that makes streaming
+    dedup viable at 100 TB/day: state is bounded by the watermark horizon,
+    not by total history. (The batch refresh dedup in store.write_batch
+    keeps all-history hashes instead; that is the reference's semantics
+    for slowly-changing scraped tables, while this is the right contract
+    for high-volume append streams.)
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "interval 6 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-range bound.
+
+    Both sides buffer only ``watermark + within`` of state (Spark derives
+    the eviction condition from the range predicate) — the standard
+    enrichment-join contract: unbounded streams, bounded state.
+    """
+    l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return left.alias("l").withWatermark(left_ts, watermark).join(
+        right.alias("r").withWatermark(right_ts, watermark),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (r_ts >= l_ts)
+        & (r_ts <= l_ts + F.expr(within)),
+    )
+
+
 def write_scd2_stream(
     stream: DataFrame,
     store: ParquetStore,

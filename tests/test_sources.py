@@ -166,6 +166,79 @@ class TestStreaming:
         got = spark.sql("select sum(n) as total from win_counts").first().total
         assert got == ev.count()
 
+    def test_streaming_dedup_drops_in_horizon_dups(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark: duplicate event_ids inside the
+        watermark horizon collapse to one row; state stays bounded."""
+        import datetime as dt
+
+        from ctcityscraper_spark.streaming.events import (
+            stream_from_directory,
+            streaming_dedup,
+        )
+
+        t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+        rows = [
+            Row(event_id=1, ts=t0, v=1.0),
+            Row(event_id=1, ts=t0 + dt.timedelta(minutes=5), v=2.0),  # dup
+            Row(event_id=2, ts=t0 + dt.timedelta(minutes=10), v=3.0),
+            Row(event_id=2, ts=t0 + dt.timedelta(minutes=11), v=4.0),  # dup
+            Row(event_id=3, ts=t0 + dt.timedelta(minutes=20), v=5.0),
+        ]
+        src = tmp_path / "dedup_stream"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(src))
+        stream = stream_from_directory(
+            spark, str(src), spark.createDataFrame(rows).schema
+        )
+        q = (
+            streaming_dedup(stream, ["event_id"], watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select event_id from dedup_out").collect()
+        assert sorted(r.event_id for r in got) == [1, 2, 3]
+
+    def test_stream_stream_join_time_bounded(self, spark, tmp_path):
+        """Watermarked stream-stream join: only right rows within the time
+        bound of a matching left row join; out-of-range rows drop."""
+        import datetime as dt
+
+        from ctcityscraper_spark.streaming.events import (
+            stream_from_directory,
+            stream_stream_join,
+        )
+
+        t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+        orders = [Row(user_id=1, ts=t0, order_v=10.0)]
+        clicks = [
+            Row(user_id=1, ts=t0 + dt.timedelta(hours=1), click_v=1.0),  # in range
+            Row(user_id=1, ts=t0 + dt.timedelta(hours=12), click_v=2.0),  # out
+            Row(user_id=2, ts=t0 + dt.timedelta(hours=1), click_v=3.0),  # no key
+        ]
+        lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+        ldf, rdf = spark.createDataFrame(orders), spark.createDataFrame(clicks)
+        ldf.coalesce(1).write.parquet(str(lsrc))
+        rdf.coalesce(1).write.parquet(str(rsrc))
+        joined = stream_stream_join(
+            stream_from_directory(spark, str(lsrc), ldf.schema),
+            stream_from_directory(spark, str(rsrc), rdf.schema),
+            "user_id",
+            within="interval 6 hours",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select click_v from ssj_out").collect()
+        assert [r.click_v for r in got] == [1.0]
+
     def test_scd2_stream_sink(self, spark, tmp_path, tmp_store):
         from ctcityscraper_spark.streaming.events import (
             stream_from_directory,
