@@ -909,6 +909,84 @@ def q_entity_uuid_identity(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS cohort_day
+        FROM events GROUP BY user_id)
+    SELECT f.cohort_day AS cohort_day,
+           strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS activity_day,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY cohort_day, activity_day
+    """,
+)
+def q_events_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    distinct per activity day. Two shuffles (first-seen agg on user_id,
+    final agg); the cohort frame is one row per user, so at scale the join
+    back is a plain shuffled equi-join on user_id — no window over the full
+    event log."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("activity_day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "activity_day")
+    )
+
+
+@query(
+    "events_funnel_ordered",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after,
+           (SELECT count(*) FROM p) / (SELECT count(*) FROM s) AS conversion
+    """,
+)
+def q_events_funnel_ordered(spark, sf_dir):
+    """Ordered funnel signup → click → purchase: stepwise earliest-ts
+    joins (each stage's min ts must follow the previous stage's), counts
+    per stage plus one exact-division conversion rate. Each stage is one
+    filtered agg + an equi-join on user_id — linear in events, no window
+    over per-user full histories."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(event_type, prev=None, prev_t=None):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{event_type}"))
+
+    s = stage("signup")
+    c = stage("click", s, "t_signup")
+    p = stage("purchase", c, "t_click")
+    counts = (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+    return counts.withColumn(
+        "conversion", F.col("n_purchase_after") / F.col("n_signup")
+    )
+
+
 # Extension operators (dedup / similarity / text / multimodal / engine-SCD2)
 # register themselves into QUERIES on import.
 from ctcityscraper_spark.plans import queries_ext  # noqa: E402,F401
