@@ -242,7 +242,8 @@ def minhash_lsh_pairs(
     return _lsh_band_pairs(sig, k, bands)
 
 
-def _lsh_band_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
+def _band_stack(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) rows — the persistable LSH bucket index."""
     rows = k // bands
     band_cols = [
         F.md5(F.concat_ws(":", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)])).alias(
@@ -251,12 +252,31 @@ def _lsh_band_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band", "band_hash"
         ),
     )
+
+
+def lsh_band_index(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """The corpus-side LSH artifact for incremental dedup: (doc_id, band,
+    band_hash). In production this is computed once per corpus snapshot and
+    stored (ideally bucketed on (band, band_hash), sources/bucketed.py);
+    each new batch then joins its own small index against it."""
+    return _band_stack(minhash_signatures(df, text, id_col, k, n), k, bands)
+
+
+def _lsh_band_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    stacked = _band_stack(sig, k, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -298,6 +318,50 @@ def cascade_confirmed_pairs(
         sh0 = sh0.localCheckpoint(eager=True)
     cand = _lsh_band_pairs(_minhash_sigs_from_shingles(sh0, k), k, bands)
     return _jaccard_verify_from_shingles(sh0, cand, threshold, df_cap)
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = SHINGLE_N,
+    threshold: float = 0.6,
+    df_cap: int | None = JACCARD_DF_CAP,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus only.
+
+    The production shape for continuously-growing corpora: the corpus LSH
+    index (``lsh_band_index``) is a stored artifact, the new batch builds
+    its own (small) index, and candidates come from the cross join of the
+    two band-bucket sets — cost ∝ |batch|, never re-pairing the corpus
+    against itself. Verification is exact Jaccard over the combined
+    shingle universe, restricted to the candidate pairs.
+
+    Returns (new_doc, corpus_doc, jaccard >= threshold).
+    """
+    idx = corpus_index
+    if idx is None:
+        idx = lsh_band_index(corpus_docs, text, id_col, k, bands, n)
+    new_idx = lsh_band_index(new_docs, text, id_col, k, bands, n)
+    cand = (
+        new_idx.withColumnRenamed("doc_id", "doc_a")
+        .join(idx.withColumnRenamed("doc_id", "doc_b"), ["band", "band_hash"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_all = doc_shingles(new_docs, text, id_col, n).unionByName(
+        doc_shingles(corpus_docs, text, id_col, n)
+    )
+    verified = _jaccard_verify_from_shingles(sh_all, cand, threshold, df_cap)
+    return verified.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("corpus_doc"),
+        "jaccard",
+    )
 
 
 def simhash_signatures(

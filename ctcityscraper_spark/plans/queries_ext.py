@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ctcityscraper_spark.functions.hashing import row_hash_col
+from ctcityscraper_spark.functions.hashing import hash64, row_hash_col
 from ctcityscraper_spark.operators import scd2
 from ctcityscraper_spark.operators.dedup import (
     embedding_neardup_pairs,
@@ -358,6 +358,82 @@ def _cascade_oracle(k: int = 16, bands: int = 8, n: int = 5, threshold: float = 
     WHERE i / (sa.sz + sb.sz - i) >= {threshold}
     ORDER BY cand.doc_a, cand.doc_b
     """
+
+
+def _incremental_oracle(
+    k: int = 16, bands: int = 8, n: int = 5, threshold: float = 0.6, mod: int = 5
+) -> str:
+    from ctcityscraper_spark.operators.dedup import MINHASH_P, _perm_constants
+
+    rows = k // bands
+    base = f"({hash64_sql('shingle', '')} % {MINHASH_P})"
+    mins = ", ".join(
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_constants(k))
+    )
+    stacked = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig".format(
+            b=b,
+            parts=" || ':' || ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    is_new = f"{hash64_sql('doc_id', 'inc')} % {mod} = 0"
+    return f"""
+    WITH sh0 AS (
+        SELECT doc_id, unnest({shingle_sql(n)}) AS shingle FROM documents
+    ), flags AS (
+        SELECT doc_id, {is_new} AS is_new FROM documents
+    ), sig AS (
+        SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id
+    ), stacked AS (
+        {stacked}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a JOIN stacked b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+        JOIN flags fa ON fa.doc_id = a.doc_id
+        JOIN flags fb ON fb.doc_id = b.doc_id
+        WHERE fa.is_new AND NOT fb.is_new
+    ), sh AS (
+        SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a AS new_doc, c.doc_b AS corpus_doc,
+           i / (sa.sz + sb.sz - i) AS jaccard
+    FROM cand c
+    JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+    ORDER BY new_doc, corpus_doc
+    """
+
+
+@query("dedup_incremental_lsh", oracle=_incremental_oracle())
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Incremental dedup: a hash-held-out 20% 'new batch' checked against
+    the other 80% 'existing corpus' via the stored LSH band index —
+    candidates are new×corpus band-bucket collisions only (cost ∝ batch
+    size, the corpus never re-pairs against itself), verified by exact
+    Jaccard over the combined shingle universe."""
+    from ctcityscraper_spark.operators.dedup import incremental_dedup_pairs
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "inc") % 5 == 0
+    return incremental_dedup_pairs(
+        docs.filter(is_new), docs.filter(~is_new), k=16, bands=8, n=5, threshold=0.6
+    ).orderBy("new_doc", "corpus_doc")
 
 
 @query("dedup_cascade_confirmed", oracle=_cascade_oracle())

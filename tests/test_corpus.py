@@ -156,6 +156,32 @@ class TestShards:
         assert max(sizes) < 2 * min(sizes)  # hash-balanced
 
 
+class TestIncrementalDedup:
+    def test_stored_index_matches_recompute_and_cross_only(self, spark):
+        from ctcityscraper_spark.operators.dedup import (
+            incremental_dedup_pairs,
+            lsh_band_index,
+        )
+
+        corpus = _docs(spark, [f"c{i} " + "w1 w2 w3 w4 w5 w6 w7 w8" for i in range(4)])
+        new = spark.createDataFrame(
+            [
+                Row(doc_id=100, text="new0 w1 w2 w3 w4 w5 w6 w7 w8"),  # near-dup
+                Row(doc_id=101, text="z1 z2 z3 z4 z5 z6 z7 z8 z9"),  # unrelated
+            ]
+        )
+        direct = incremental_dedup_pairs(new, corpus, n=3, threshold=0.5)
+        stored = incremental_dedup_pairs(
+            new, corpus, corpus_index=lsh_band_index(corpus, n=3), n=3, threshold=0.5
+        )
+        d = sorted((r.new_doc, r.corpus_doc) for r in direct.collect())
+        s = sorted((r.new_doc, r.corpus_doc) for r in stored.collect())
+        assert d == s
+        assert d, "the planted near-dup must be found"
+        assert all(a == 100 for a, _ in d)  # only new-batch docs on the left
+        assert all(b < 100 for _, b in d)  # only corpus docs on the right
+
+
 class TestContamination:
     def test_split_is_deterministic(self, spark):
         df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
