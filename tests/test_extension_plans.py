@@ -54,6 +54,29 @@ class TestExtensionPlans:
             j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         ), f"{name} candidate join should be a hash/sort-merge equi-join"
 
+    @pytest.mark.parametrize(
+        "name,needed,pruned",
+        [
+            ("corpus_repetition_signals", ["doc_id", "text"], ["lang", "source", "n_chars"]),
+            ("corpus_stratified_sample", ["doc_id", "source"], ["text", "lang", "n_chars"]),
+            ("corpus_shard_stats", ["doc_id", "n_chars"], ["text", "lang", "source"]),
+        ],
+    )
+    def test_corpus_scan_prunes_columns(self, spark, name, needed, pruned):
+        """The documents scan must read only the columns the query uses —
+        at 100 TB the text column dominates; metadata-only queries must
+        never decode it (and vice versa)."""
+        plan = plan_of(spark, name)
+        import re
+
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, f"no ReadSchema in plan for {name}"
+        read = ",".join(schemas)
+        for col in needed:
+            assert col in read, f"{name} scan missing {col}"
+        for col in pruned:
+            assert col not in read, f"{name} scan failed to prune {col}"
+
     def test_cobucketed_join_is_shuffle_free(self, spark, tmp_path):
         """Two tables bucketed on the same key/count sort-merge-join with
         zero Exchange — the write-time-amortized shuffle for 100 TB facts
