@@ -61,6 +61,7 @@ def q_corpus_boilerplate(spark, sf_dir):
 
 @query(
     "corpus_segment_dedup",
+    headline=True,  # representative corpus-prep cost, benched round-over-round
     oracle=f"""
     WITH {_SEGS},
     hot AS (
