@@ -206,12 +206,16 @@ def stratified_sample(
     shuffle, no sort, prunes before any downstream work).
     """
     thresholds = {k: int(round(v * SAMPLE_MOD)) for k, v in weights.items()}
-    mapping = F.create_map(
-        *[F.lit(x) for kv in thresholds.items() for x in kv]
-    )
-    thresh = F.coalesce(
-        mapping[F.col(strata_col)], F.lit(int(round(default_rate * SAMPLE_MOD)))
-    )
+    default_thresh = F.lit(int(round(default_rate * SAMPLE_MOD)))
+    if thresholds:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in thresholds.items() for x in kv]
+        )
+        thresh = F.coalesce(mapping[F.col(strata_col)], default_thresh)
+    else:
+        # empty map() is VOID-typed and map()[k] fails analysis; with no
+        # per-stratum overrides the threshold is just the default
+        thresh = default_thresh
     u = hash64(F.col(id_col), seed) % SAMPLE_MOD
     return df.filter(u < thresh)
 

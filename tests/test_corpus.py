@@ -182,6 +182,67 @@ class TestIncrementalDedup:
         assert all(b < 100 for _, b in d)  # only corpus docs on the right
 
 
+class TestCorpusProperties:
+    """Hypothesis invariants for the corpus operators."""
+
+    SETTINGS = None  # set below to avoid import cost when hypothesis absent
+
+    def test_segment_word_conservation(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        words = st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=25
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(ws=words)
+        def inner(ws):
+            text = " ".join(ws)
+            seg = segments(_docs(spark, [text]), width=4).orderBy("pos").collect()
+            # exact segment count and loss-free reassembly in pos order
+            assert len(seg) == (len(ws) + 3) // 4
+            assert " ".join(r.segment for r in seg) == text
+
+        inner()
+
+    def test_repetition_signal_bounds_and_sample_determinism(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        docs = st.lists(
+            st.lists(
+                st.text(alphabet="xyz", min_size=1, max_size=3), min_size=1, max_size=15
+            ),
+            min_size=1,
+            max_size=5,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(ds=docs)
+        def inner(ds):
+            df = _docs(spark, [" ".join(ws) for ws in ds])
+            for r in repetition_signals(df).collect():
+                assert 0.0 < r.distinct_word_frac <= 1.0
+                assert 0.0 < r.top_word_frac <= 1.0
+                assert 0.0 <= r.dup_2gram_frac < 1.0
+                assert r.n_words == len(ds[r.doc_id])
+            sdf = df.withColumn("source", F.lit("s"))
+            a = {r.doc_id for r in stratified_sample(sdf, {}, default_rate=0.5).collect()}
+            b = {r.doc_id for r in stratified_sample(sdf, {}, default_rate=0.5).collect()}
+            assert a == b  # hash sampling is a pure function of ids
+
+        inner()
+
+
 class TestContamination:
     def test_split_is_deterministic(self, spark):
         df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
