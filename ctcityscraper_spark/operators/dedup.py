@@ -134,6 +134,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    window: int | None = None,
+    min_shared: int = 3,
+    df_cap: int | None = JACCARD_DF_CAP,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints.
+
+    Position-robust partial-overlap detection: every pair sharing at least
+    ``min_shared`` distinct winnowed k-gram window minima (operators/text.py
+    ``winnow_fps_col``) is reported with its overlap count. Complements
+    whole-set Jaccard — a long verbatim passage inside otherwise-different
+    documents still collides here.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs``: equi-join on the
+    fingerprint (never a cross join), with the ``df_cap`` hot-bucket guard
+    so one boilerplate fingerprint shared by 10^6 docs can't go quadratic.
+    """
+    from ctcityscraper_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_WINDOW,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(
+        df, text, id_col, k or WINNOW_K, window or WINNOW_WINDOW
+    )
+    if df_cap is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") > df_cap)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     candidates: DataFrame,

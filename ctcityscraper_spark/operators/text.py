@@ -12,8 +12,10 @@ run inside the scan stage at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ctcityscraper_spark.functions.hashing import hash64
 
 # Deliberately small, documented marker lists — language ID at pipeline scale
 # is a heuristic scorer, not a model. Ordered: index is the deterministic
@@ -109,6 +111,66 @@ def normalized_text_col(text: Column | str) -> Column:
 def fingerprint_col(text: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text (cross-engine exact)."""
     return F.md5(normalized_text_col(text))
+
+
+WINNOW_K = 12  # characters per rolling gram (MOSS-style: big enough to be discriminative)
+WINNOW_WINDOW = 8  # gram hashes per selection window
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+    seed: str = "winnow",
+) -> DataFrame:
+    """Winnowing fingerprint index (Schleimer et al., SIGMOD'03): (id, fp).
+
+    Rolling character k-gram hashes over the normalized text, one selected
+    fingerprint per sliding window of ``window`` consecutive gram hashes
+    (the window minimum), distinct per document. Guarantee: two documents
+    sharing any normalized substring of at least ``window + k - 1``
+    characters share at least one fingerprint; no shared fingerprint arises
+    from a common substring shorter than ``k``. Expected density is
+    ~2/(window+1) fingerprints per character. Documents shorter than the
+    guarantee threshold get a single whole-content hash instead.
+
+    Pure Column expressions in the scan stage — no UDF, no shuffle before
+    the explode, so at 100 TB the cost is the scan itself. The gram-hash
+    array MUST be materialized in its own projection below the sliding-min:
+    higher-order-function lambdas are interpreted and re-evaluate outer
+    expressions per element, so inlining the array turns O(n) hashing into
+    O(n*windows) — measured 15x slower. The lower projection survives
+    CollapseProject because ``_grams`` is referenced more than once by
+    non-cheap expressions above it.
+
+    Extends the reference's whole-document hash-equality dedup
+    (src/engine/database.py:139-149) to position-robust partial overlap;
+    hashes use the cross-engine ``hash64`` primitive so a DuckDB oracle
+    rebuilds the identical set.
+    """
+    c = normalized_text_col(text)
+    n_grams = F.length(c) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: hash64(F.substring(c, i, k), seed),
+    )
+    lower = df.select(
+        F.col(id_col),
+        c.alias("_c"),
+        # guard: sequence(1, n) runs DESCENDING for n <= 0
+        F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<long>")).alias("_grams"),
+    )
+    n_wins = F.size("_grams") - (window - 1)
+    minima = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda j: F.array_min(F.slice(F.col("_grams"), j, window)),
+    )
+    fps = F.when(n_wins >= 1, F.array_distinct(minima)).otherwise(
+        F.array(hash64(F.col("_c"), seed))
+    )
+    return lower.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 # ------------------------------------------------------------------ SQL twins

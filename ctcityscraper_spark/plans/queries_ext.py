@@ -25,6 +25,7 @@ from ctcityscraper_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signatures,
+    winnow_pairs,
 )
 from ctcityscraper_spark.operators.similarity import (
     cosine_topk,
@@ -183,6 +184,64 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     corpora (boilerplate headers/footers)."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return ngram_jaccard_pairs(docs, n=5, threshold=0.6).orderBy("doc_a", "doc_b")
+
+
+def winnow_fps_sql(k: int, window: int, where: str = "") -> str:
+    """DuckDB twin of operators.text.winnow_fps_col, exploded to (doc_id, fp)."""
+    gh = f"('0x' || substring(md5('winnow' || substring(c, i, {k})), 1, 15))::BIGINT"
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+        FROM documents {where}
+    ), fplists AS (
+        SELECT doc_id,
+            CASE WHEN length(c) - {k + window - 2} >= 1
+              THEN list_distinct(list_transform(range(1, length(c) - {k + window - 2} + 1),
+                   j -> list_min(list_transform(range(j, j + {window}), i -> {gh}))))
+              ELSE [('0x' || substring(md5('winnow' || c), 1, 15))::BIGINT]
+            END AS fp_list
+        FROM norm
+    ), fp0 AS (SELECT doc_id, unnest(fp_list) AS fp FROM fplists)
+    """
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=winnow_fps_sql(12, 8, "WHERE doc_id < 200")
+    + "SELECT doc_id, fp FROM fp0 ORDER BY doc_id, fp",
+)
+def q_text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling k-gram hash, window minima —
+    Schleimer et al. SIGMOD'03): the position-robust fingerprint index.
+    Built entirely in the scan stage (sequence/transform/array_min, no UDF,
+    no shuffle before the explode)."""
+    from ctcityscraper_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnow_fingerprints(parallelize_scan(docs, spark)).orderBy("doc_id", "fp")
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle=winnow_fps_sql(12, 8)
+    + """
+    , fp AS (
+        SELECT * FROM fp0 WHERE fp IN (
+            SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) <= 1000)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Near-dup pairs sharing >= 3 winnowing fingerprints — catches a long
+    verbatim passage embedded in otherwise-different documents, which
+    whole-set Jaccard dilutes away. Inverted fingerprint index with the
+    same hot-bucket df-cap guard as the Jaccard path (never a cross join)."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return winnow_pairs(docs, min_shared=3).orderBy("doc_a", "doc_b")
 
 
 def _minhash_oracle(k: int, bands: int, n: int) -> str:

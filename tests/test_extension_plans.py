@@ -31,6 +31,7 @@ BUCKETED_QUERIES = [
     "ann_srp_multiprobe_topk",
     "corpus_segment_dedup",
     "corpus_contamination",
+    "dedup_winnow_pairs",
     "dedup_groups_connected",
     "dedup_incremental_lsh",
 ]

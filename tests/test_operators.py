@@ -328,3 +328,69 @@ class TestVectorizedAnnEquivalence:
         f = {(r.query_id, r.neighbor_id): r.cosine for r in fast}
         for key in e:
             assert abs(e[key] - f[key]) < 1e-9
+
+
+class TestWinnowing:
+    def _fps(self, spark, texts, **kw):
+        from ctcityscraper_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        out = {}
+        for r in winnow_fingerprints(df, **kw).collect():
+            out.setdefault(r.doc_id, set()).add(r.fp)
+        return out
+
+    def test_shared_passage_guarantee(self, spark):
+        # guarantee: any shared normalized substring of >= window+k-1 chars
+        # produces a shared fingerprint
+        passage = "this exact sentence is embedded verbatim in both documents"
+        fps = self._fps(
+            spark,
+            [
+                f"totally different preamble material. {passage}",
+                f"{passage} and then an unrelated continuation follows here",
+                "no overlap with anything else at all in this one, different words only",
+            ],
+        )
+        assert fps[0] & fps[1], "docs sharing a long passage must share a fingerprint"
+        assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+    def test_short_doc_fallback_and_determinism(self, spark):
+        # below the k+window-1 guarantee threshold -> single whole-content hash
+        fps = self._fps(spark, ["tiny doc", "tiny doc", ""])
+        assert len(fps[0]) == 1 and fps[0] == fps[1]
+        assert len(fps[2]) == 1
+        again = self._fps(spark, ["tiny doc", "tiny doc", ""])
+        assert again == fps
+
+    def test_normalization_invariance(self, spark):
+        a = "Some   Long Enough document TEXT that winnows identically both times"
+        b = "some long enough document text that winnows identically both times"
+        fps = self._fps(spark, [a, b])
+        assert fps[0] == fps[1]
+
+    def test_fingerprints_stay_in_scan_stage(self, spark):
+        from ctcityscraper_spark.operators.text import winnow_fingerprints
+
+        docs = load_table(spark, SF, "documents")
+        plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "fingerprint build must not shuffle"
+
+    def test_pairs_counts_match_set_intersection(self, spark):
+        from ctcityscraper_spark.operators.dedup import winnow_pairs
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+            "alpha beta gamma delta epsilon zeta eta theta different tail portion here",
+            "completely unrelated content without any matching substrings anywhere",
+        ]
+        df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        fps = self._fps(spark, texts)
+        got = {(r.doc_a, r.doc_b): r.shared for r in winnow_pairs(df, min_shared=1).collect()}
+        exp = {
+            (a, b): len(fps[a] & fps[b])
+            for a in fps
+            for b in fps
+            if a < b and fps[a] & fps[b]
+        }
+        assert got == exp
