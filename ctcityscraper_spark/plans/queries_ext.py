@@ -994,3 +994,57 @@ def q_scd2_as_of(spark, sf_dir):
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+NS_6H = 21_600 * 10**9
+NS_90M = 5_400 * 10**9
+
+
+@query(
+    "range_join_surge_windows",
+    oracle=f"""
+    WITH wins AS (
+        SELECT epoch_ns(ts) // {NS_6H} AS win, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY n DESC, win LIMIT 10
+    ), iv AS (
+        SELECT win * {NS_6H} - {NS_90M} AS start_ns,
+               (win + 1) * {NS_6H} + {NS_90M} AS end_ns
+        FROM wins
+    )
+    SELECT start_ns, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM events e JOIN iv
+      ON epoch_ns(e.ts) >= iv.start_ns AND epoch_ns(e.ts) < iv.end_ns
+    GROUP BY start_ns ORDER BY start_ns
+    """,
+)
+def q_range_join_surge_windows(spark, sf_dir):
+    """Surge analysis via keyless interval join: the 10 busiest 6h windows,
+    expanded by a 90-minute shoulder on each side (so intervals are
+    unaligned and overlap-capable), joined back against ALL events with
+    the bucketized range join (operators/rangejoin.py) — a hash equi-join
+    on the time bucket, never the BroadcastNestedLoopJoin Spark plans for
+    a naked range predicate. The tiny interval side broadcasts, so the
+    probe costs one scan and zero extra shuffles at any scale."""
+    from ctcityscraper_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    wins = (
+        ev.groupBy(F.expr(f"ts_ns div {NS_6H}").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("win"))
+        .limit(10)
+    )
+    intervals = wins.select(
+        (F.col("win") * NS_6H - NS_90M).alias("start_ns"),
+        ((F.col("win") + 1) * NS_6H + NS_90M).alias("end_ns"),
+    )
+    pts = ev.select("event_id", "user_id", "ts_ns")
+    j = range_join(pts, intervals, "ts_ns", "start_ns", "end_ns", NS_6H)
+    return (
+        j.groupBy("start_ns")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("start_ns")
+    )

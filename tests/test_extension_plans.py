@@ -32,6 +32,7 @@ BUCKETED_QUERIES = [
     "corpus_segment_dedup",
     "corpus_contamination",
     "dedup_winnow_pairs",
+    "range_join_surge_windows",
     "dedup_groups_connected",
     "dedup_incremental_lsh",
 ]

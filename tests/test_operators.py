@@ -394,3 +394,62 @@ class TestWinnowing:
             if a < b and fps[a] & fps[b]
         }
         assert got == exp
+
+
+class TestRangeJoin:
+    def _run(self, spark, points, intervals, width):
+        from ctcityscraper_spark.operators.rangejoin import range_join
+
+        p = spark.createDataFrame([Row(pid=i, ts=t) for i, t in enumerate(points)])
+        iv = spark.createDataFrame(
+            [Row(iid=i, start=s, end=e) for i, (s, e) in enumerate(intervals)]
+        )
+        out = range_join(p, iv, "ts", "start", "end", width)
+        return {(r.pid, r.iid) for r in out.collect()}
+
+    def test_matches_brute_force(self, spark):
+        points = [0, 5, 10, 99, 100, 150, 199, 200, 250, 10**15]
+        intervals = [(0, 100), (100, 200), (50, 250), (300, 300), (400, 350)]
+        got = self._run(spark, points, intervals, width=64)
+        exp = {
+            (pi, ii)
+            for pi, t in enumerate(points)
+            for ii, (s, e) in enumerate(intervals)
+            if s <= t < e
+        }
+        assert got == exp  # half-open boundaries, overlaps, empty intervals
+
+    def test_exactly_once_across_buckets(self, spark):
+        # interval spans many buckets; each contained point matches once
+        got = self._run(spark, [3, 7, 64, 191], [(0, 192)], width=16)
+        assert got == {(0, 0), (1, 0), (2, 0), (3, 0)}
+
+    def test_epoch_ns_precision(self, spark):
+        # 2^53-breaking longs: double-division bucketing would mis-bucket
+        base = 1_700_000_000_000_000_000  # epoch ns scale
+        w = 21_600 * 10**9
+        points = [base, base + w - 1, base + w]
+        got = self._run(spark, points, [(base, base + w)], width=w)
+        assert got == {(0, 0), (1, 0)}
+
+    def test_column_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.rangejoin import range_join
+
+        p = spark.createDataFrame([Row(ts=1, start=0)])
+        iv = spark.createDataFrame([Row(start=0, end=2)])
+        with _pytest.raises(ValueError, match="collision"):
+            range_join(p, iv, "ts", "start", "end", 10)
+
+    def test_plan_is_equi_join(self, spark):
+        from ctcityscraper_spark.operators.rangejoin import range_join
+
+        p = spark.range(1000).select(F.col("id").alias("ts"))
+        iv = spark.createDataFrame([Row(start=i * 100, end=i * 100 + 50) for i in range(10)])
+        plan = (
+            range_join(p, iv, "ts", "start", "end", 50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
