@@ -14,7 +14,28 @@ large-graph CC pattern on Spark; no GraphFrames dependency.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of RDDs currently persisted in this SparkContext.
+
+    ``DataFrame.unpersist`` cannot free a ``localCheckpoint`` (checkpoints
+    are persisted RDDs, not CacheManager entries), so iterative operators
+    snapshot this set before creating checkpoints and free the difference
+    when done. Single-driver-thread assumption (true for this engine's
+    call sites); concurrent sessions should skip the cleanup.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    """Unpersist the given RDD ids (non-blocking); missing ids are ignored."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in jmap.keySet().toArray():
+        if int(i) in ids:
+            jmap.get(i).unpersist(False)
 
 
 def connected_components(
@@ -25,15 +46,19 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) where component = min node id in the component.
 
-    ``edges`` is an undirected pair list. Deterministic. Each iteration
-    checks convergence with a count of changed labels (an action — cheap,
-    the label frame is one row per node).
+    ``edges`` is an undirected pair list. Deterministic. Convergence is
+    detected WITHOUT a per-round join: min-label propagation is monotone
+    (labels only ever decrease), so the label sum strictly decreases until
+    the fixpoint — one tiny aggregate over the already-materialized label
+    frame per round replaces a join + count.
     """
     # Materialize the edge list ONCE before anything else: edges is often
     # the output of an expensive upstream pipeline (e.g. the LSH+Jaccard
     # dedup cascade), and both `sym` and the initial `nodes` labels embed
     # it in their plans — without this checkpoint the upstream pipeline is
     # re-executed for each appearance in round 1 (measured 5x slower).
+    spark = edges.sparkSession
+    ids_before = persistent_rdd_ids(spark)
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
     ).localCheckpoint(eager=True)
@@ -42,6 +67,7 @@ def connected_components(
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
+    prev_sum = None
     for _ in range(max_iter):
         # neighbor labels: for each node, the labels of its neighbors
         neighbor = (
@@ -62,19 +88,27 @@ def connected_components(
         )
         candidates = labels.unionByName(neighbor).unionByName(jumped)
         # localCheckpoint truncates lineage — without it each round's plan
-        # embeds every previous round and planning time explodes
+        # embeds every previous round and planning time explodes. The
+        # convergence metric rides the SAME job as an Observation (decimal
+        # sum: overflow-safe at any id range), so each round is exactly
+        # one action.
+        obs = Observation()
         new_labels = (
             candidates.groupBy("node")
             .agg(F.min("component").alias("component"))
+            .observe(obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = obs.get["s"]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
+    # Free every checkpoint this call created except the one backing the
+    # returned labels (RDD ids are monotonic, so that's the max). Without
+    # this each invocation leaks one persisted RDD per round — a
+    # long-lived session accumulates blocks and GC pressure.
+    created = persistent_rdd_ids(spark) - ids_before
+    if created:
+        unpersist_rdd_ids(spark, created - {max(created)})
     return labels.select("node", "component")

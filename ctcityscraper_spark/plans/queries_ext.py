@@ -614,13 +614,33 @@ def q_dedup_groups_connected(spark, sf_dir):
     iterative min-label propagation (operators/graph.py) — chains a~b~c
     merge into one group, which the pairwise drop rule can't do. Oracle is
     a recursive CTE computing the same min-reachable-id labels."""
-    from ctcityscraper_spark.operators.graph import connected_components
+    from ctcityscraper_spark.operators.dedup import (
+        _jaccard_verify_from_shingles,
+        _lsh_band_pairs,
+        _minhash_sigs_from_shingles,
+        doc_shingles,
+    )
+    from ctcityscraper_spark.operators.graph import (
+        connected_components,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    confirmed = cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6).select(
+    # Inline cascade with an explicit handle on the materialized shingle
+    # index: connected_components checkpoints the confirmed-pair edges
+    # eagerly, after which the index is dead weight — free its persisted
+    # RDD so repeated invocations don't accumulate cached blocks.
+    ids0 = persistent_rdd_ids(spark)
+    sh0 = doc_shingles(docs, n=5).localCheckpoint(eager=True)
+    sh0_ids = persistent_rdd_ids(spark) - ids0
+    cand = _lsh_band_pairs(_minhash_sigs_from_shingles(sh0, 16), 16, 8)
+    confirmed = _jaccard_verify_from_shingles(sh0, cand, 0.6, 1000).select(
         "doc_a", "doc_b"
     )
-    return connected_components(confirmed).orderBy("node")
+    out = connected_components(confirmed).orderBy("node")
+    unpersist_rdd_ids(spark, sh0_ids)
+    return out
 
 
 @query(
