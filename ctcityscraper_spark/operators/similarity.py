@@ -71,6 +71,65 @@ def cosine_topk(
     )
 
 
+def int8_quantize_col(vec):
+    """Per-vector symmetric int8 quantization: q_i = round(v_i * 127 / max|v|).
+
+    The standard embedding-compression scheme: 4x smaller than float32,
+    integer dot products (exact, SIMD-friendly). All-zero vectors map to
+    all-zero codes. Quantization is a scan-stage projection computed once
+    per row (it sits below any join in the plan).
+    """
+    v = _as_double(vec)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.round(x * 127.0 / maxabs).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbors by int8-quantized dot product.
+
+    Returns (query_id, neighbor_id, rank, score) with INTEGER scores —
+    exact arithmetic, deterministic ties (neighbor id ascending). This is
+    the full-scan quantized baseline; at scale, feed the quantized corpus
+    through the SRP/IVF bucketed candidate generation instead of the cross
+    join, keeping the int8 scoring.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), int8_quantize_col(F.col(vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), int8_quantize_col(F.col(vec)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def plane_weight(bit: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-500, 499].
 

@@ -991,3 +991,4 @@ def q_events_funnel_ordered(spark, sf_dir):
 # register themselves into QUERIES on import.
 from ctcityscraper_spark.plans import queries_ext  # noqa: E402,F401
 from ctcityscraper_spark.plans import queries_corpus  # noqa: E402,F401
+from ctcityscraper_spark.plans import queries_analytic  # noqa: E402,F401

@@ -1,0 +1,406 @@
+"""Analytic-breadth catalog: correlated subqueries, window frames,
+time-series gap-fill, n-gram frequency analytics, quantized ANN.
+
+These are the query shapes a full analytical engine owes its users beyond
+SURVEY §2's literal inventory (which queries.py covers): EXISTS / scalar /
+NOT-EXISTS correlated subqueries (what Catalyst decorrelates into the
+semi/anti/aggregate-join plans this module writes directly), explicit
+ROWS-frame window functions, grid gap-fill with last-observation-carried-
+forward, and int8 scalar-quantized similarity search (the memory-bandwidth
+lever for 100 TB embedding scans).
+
+Oracle construction follows queries.py: decimal-cast sums with single
+double divisions, integer bucketing for event time, deterministic
+tie-breaks in every rank/limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.plans.queries import _dec_sum, query
+from ctcityscraper_spark.plans.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Correlated subquery shapes (TPC-H Q4 / Q13 / Q17 / Q22 analogues).
+# Written as the decorrelated join plans directly — the same physical
+# shapes Catalyst produces from the SQL subqueries the oracles use, which
+# is the point: EXISTS == left-semi, NOT EXISTS == left-anti, correlated
+# scalar agg == groupBy + equi-join.
+# =========================================================================
+
+
+@query(
+    "subq_exists_late_shipment",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_subq_exists_late_shipment(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi component
+    (shipment later than order date + 90 days). Plan: left-semi join with
+    equi key l_orderkey plus the range residual — one shuffle, orders-side
+    date filter pushed to the scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "subq_outer_join_order_counts",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_subq_outer_join_order_counts(spark, sf_dir):
+    """TPC-H Q13 shape: outer join with a predicate INSIDE the join
+    condition (not a post-filter — customers keep their row when no
+    qualifying order exists), two-level aggregation of the distribution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "subq_scalar_avg_quantity",
+    oracle="""
+    SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l1.l_quantity < 0.2 * (
+          SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q_subq_scalar_avg_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar aggregate subquery (per-part
+    average quantity), decorrelated into a groupBy + broadcast join. The
+    per-part average is the exact decimal-sum / count double, so the
+    comparison boundary is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li_b = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    avgs = li_b.groupBy("l_partkey").agg(
+        (_dec_sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    small = li_b.join(F.broadcast(avgs), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg((_dec_sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+
+
+@query(
+    "subq_rich_inactive_customers",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                   AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-06-01')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q_subq_rich_inactive_customers(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (positive-balance
+    average) + correlated NOT EXISTS with its own filter. Plan: 1-row
+    cross-join broadcast of the scalar + left-anti join against the
+    filtered orders — both sides one pass."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dec_sum("c_acctbal") / F.count("*")).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            _dec_sum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# =========================================================================
+# Window frames: explicit ROWS frames, rank family, partition first/last
+# =========================================================================
+
+
+@query(
+    "window_frame_stats",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           PERCENT_RANK() OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pr,
+           NTILE(4) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS quartile,
+           FIRST_VALUE(o_orderkey) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS first_key,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_max
+    FROM orders WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_frame_stats(spark, sf_dir):
+    """Window-frame breadth: 3-row moving average (explicit ROWS frame),
+    percent_rank, ntile quartiles, partition first value, running max —
+    one shuffle on o_custkey serves every function; ordering
+    (o_orderdate, o_orderkey) is a total order so rank/ntile are
+    deterministic."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    wfull = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = wfull.rowsBetween(-2, Window.currentRow)
+    wcum = wfull.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum(dec).over(w3).cast("double") / F.count("*").over(w3)).alias(
+                "moving_avg3"
+            ),
+            F.percent_rank().over(wfull).alias("pr"),
+            F.ntile(4).over(wfull).alias("quartile"),
+            F.first("o_orderkey").over(wfull).alias("first_key"),
+            F.max(dec).over(wcum).cast("double").alias("run_max"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# =========================================================================
+# Time-series grid fill (the hypertable/rollup gap-fill primitive)
+# =========================================================================
+
+_HOUR_NS = 3_600_000_000_000
+
+
+@query(
+    "timeseries_gapfill_locf",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT epoch_ns(ts) // {_HOUR_NS} AS hour, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY hour, event_type),
+    bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly),
+    grid AS (
+        SELECT unnest(range(h0, h1 + 1)) AS hour FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM hourly)
+    SELECT g.hour AS hour, t.event_type AS event_type,
+           COALESCE(h.n, 0) AS n,
+           last_value(h.total_value IGNORE NULLS) OVER
+               (PARTITION BY t.event_type ORDER BY g.hour
+                ROWS UNBOUNDED PRECEDING) AS total_locf,
+           (h.n IS NULL) AS is_gap
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = t.event_type
+    ORDER BY event_type, hour
+    """,
+)
+def q_timeseries_gapfill_locf(spark, sf_dir):
+    """Gap-fill + LOCF: aggregate to an hourly grid, generate the complete
+    (hour × event_type) frame via sequence/explode, left-join the
+    observations back, carry the last non-null value forward with an
+    ignore-nulls window. The continuous-aggregate primitive of hypertable
+    stores, in pure DataFrame ops: agg shuffle + broadcast grid join +
+    one window shuffle on event_type."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.expr(f"ts_ns div {_HOUR_NS}").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _dec_sum("value").alias("total_value"))
+    )
+    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour")
+    )
+    types = hourly.select("event_type").distinct()
+    frame = grid.crossJoin(types)
+    filled = frame.join(hourly, ["hour", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "hour",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("total_value", ignorenulls=True).over(w).alias("total_locf"),
+        F.col("n").isNull().alias("is_gap"),
+    ).orderBy("event_type", "hour")
+
+
+# =========================================================================
+# Corpus n-gram frequency analytics
+# =========================================================================
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    bi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks)
+    SELECT bigram, COUNT(*) AS n
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 25
+    """,
+)
+def q_text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-25 bigram frequencies: explode + one aggregation
+    shuffle + TakeOrderedAndProject top-k (never a global sort). The
+    vocabulary-analysis primitive behind tokenizer training and corpus
+    drift monitoring; deterministic tie-break on the bigram string."""
+    from ctcityscraper_spark.operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    grams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(25)
+    )
+
+
+# =========================================================================
+# Quantized ANN (int8 scalar quantization)
+# =========================================================================
+
+
+def _int8_sql(vec: str, dims: int) -> str:
+    maxabs = f"list_max(list_transform({vec}, y -> abs(y::DOUBLE)))"
+    return (
+        f"list_transform({vec}, x -> CAST(round(x::DOUBLE * 127.0 / {maxabs}) "
+        f"AS INTEGER))"
+    )
+
+
+def _int8_dot_sql(a: str, b: str, dims: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+@query(
+    "ann_int8_topk",
+    oracle=f"""
+    WITH q8 AS (SELECT vec_id AS query_id, {_int8_sql('embedding', 64)} AS qv
+                FROM embeddings WHERE vec_id < 10),
+         c8 AS (SELECT vec_id AS neighbor_id, {_int8_sql('embedding', 64)} AS cv
+                FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   {_int8_dot_sql('qv', 'cv', 64)} AS score
+            FROM q8, c8 WHERE query_id != neighbor_id)
+    SELECT query_id, neighbor_id, rank, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_ann_int8_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN top-5: per-vector symmetric quantization
+    (q = round(v * 127 / max|v|)) then pure INTEGER dot products — exact
+    arithmetic, so the oracle matches bit-for-bit with no float-association
+    caveat. At 100 TB this is the memory-bandwidth lever: 4x smaller scans
+    and SIMD-friendly integer math; compose with the SRP/IVF bucketed
+    candidate generation (similarity.py) for the full scale path."""
+    from ctcityscraper_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )

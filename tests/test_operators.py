@@ -453,3 +453,55 @@ class TestRangeJoin:
         )
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
         assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+class TestInt8Ann:
+    """int8 scalar quantization: exact integer scoring, python twin, guards."""
+
+    def _py_quantize(self, v):
+        import math
+
+        m = max(abs(x) for x in v)
+        if m == 0:
+            return [0] * len(v)
+        # round-half-away-from-zero matches Spark/DuckDB round()
+        return [int(math.floor(abs(x) * 127.0 / m + 0.5)) * (1 if x >= 0 else -1) for x in v]
+
+    def test_matches_python_twin(self, spark):
+        from ctcityscraper_spark.operators.similarity import int8_quantize_col
+
+        vecs = [
+            (0, [0.5, -0.25, 0.125, 0.0]),
+            (1, [1.0, 1.0, -1.0, 0.5]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero guard
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {
+            r.vec_id: list(r.q)
+            for r in df.select(
+                "vec_id", int8_quantize_col(F.col("embedding")).alias("q")
+            ).collect()
+        }
+        for vid, v in vecs:
+            assert got[vid] == self._py_quantize(v), (vid, got[vid])
+
+    def test_topk_scores_are_exact_ints(self, spark):
+        from ctcityscraper_spark.operators.similarity import int8_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = int8_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
+        assert len(out) == 9
+        for r in out:
+            assert isinstance(r.score, int)
+            assert r.neighbor_id != r.query_id
+        # python twin of the full scoring for one query
+        rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+        q = self._py_quantize(rows[0])
+        scores = {
+            vid: sum(a * b for a, b in zip(q, self._py_quantize(v)))
+            for vid, v in rows.items()
+            if vid != 0
+        }
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = [(r.neighbor_id, r.score) for r in out if r.query_id == 0]
+        assert got == expect
