@@ -48,6 +48,10 @@ def main() -> None:
         # hiccups; the min is the honest steady-state cost of the plan
         best = float("inf")
         for _ in range(2):
+            # drain garbage from the PREVIOUS query outside the timed
+            # window, so each number is the plan's cost, not the GC debt
+            # of whatever ran before it (measured 2-5x swings without)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # materialize every row (not just count — forces full evaluation
@@ -71,6 +75,7 @@ def main() -> None:
     best = float("inf")
     for _ in range(2):
         store = ParquetStore(spark, tempfile.mkdtemp(prefix="bench_ingest_"), "bench")
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         run_load(
             spark,

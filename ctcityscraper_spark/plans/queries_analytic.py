@@ -354,6 +354,57 @@ def q_text_top_bigrams(spark, sf_dir):
 
 
 # =========================================================================
+# Approximate aggregates (HLL++ distinct, quantile sketch) under an honest
+# gate: the catalog can't hash-match sketch internals across engines, so
+# the query emits exact-vs-approx agreement BOOLEANS with tolerances far
+# wider than the sketches' error bounds. A sketch regression (or a future
+# Spark accuracy change) flips a boolean and the driver gate catches it.
+# =========================================================================
+
+
+@query(
+    "approx_aggregates_check",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS hll_within_2pct,
+           TRUE AS p50_within_1pct
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_approx_aggregates_check(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=0.5%) and percentile_approx
+    (accuracy=10000) vs their exact twins, per order status. At 100 TB the
+    approx forms are the default: HLL is one pass + constant memory vs the
+    exact distinct's shuffle; the quantile sketch replaces a full sort.
+    The emitted booleans assert |approx - exact| within 2% / 1%."""
+    orders = _t(spark, sf_dir, "orders")
+    exact_p50 = F.expr("percentile(o_totalprice, 0.5)")
+    approx_p50 = F.percentile_approx("o_totalprice", 0.5, 10000)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.005).alias("_hll"),
+            exact_p50.alias("_p50"),
+            approx_p50.alias("_ap50"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("_hll") - F.col("exact_customers"))
+                <= 0.02 * F.col("exact_customers")
+            ).alias("hll_within_2pct"),
+            (F.abs(F.col("_ap50") - F.col("_p50")) <= 0.01 * F.col("_p50")).alias(
+                "p50_within_1pct"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# =========================================================================
 # Quantized ANN (int8 scalar quantization)
 # =========================================================================
 

@@ -121,3 +121,61 @@ class TestExtensionPlans:
         out = parallelize_scan(df, spark)
         assert out is not df
         assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+class TestPartitionedLayout:
+    """Date-partitioned parquet layout: the 100 TB time-range story.
+
+    Writing event data partitioned by day means a time-range query lists
+    only the matching directories (PartitionFilters) — the scan never
+    touches other days' files. This is the layout SCALE.md prescribes for
+    the events table at scale.
+    """
+
+    def test_partition_pruning_reaches_scan(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "events_by_day")
+        ev = spark.range(0, 10_000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 30).cast("int").alias("day"),
+            (F.col("id") % 7).alias("value"),
+        )
+        ev.write.partitionBy("day").parquet(path)
+
+        q = spark.read.parquet(path).filter(F.col("day").between(3, 5))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # the day predicate must be a PARTITION filter (directory-level
+        # listing prune), with no data-level filter left over, and the
+        # partition column must not be materialized in the read schema
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "day" in pf.group(1), plan
+        df_ = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+        assert df_ and df_.group(1).strip() == "", plan
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert rs and "day" not in rs.group(1), plan
+        # 10000 ids % 30: days 0-9 hold 334 rows, days 10-29 hold 333
+        assert q.count() == 3 * 334
+
+    def test_unpartitioned_scan_cannot_prune(self, spark, tmp_path):
+        """Control: same data unpartitioned plans the predicate as a data
+        filter over every file — the layout, not the engine, buys the
+        prune."""
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "events_flat")
+        ev = spark.range(0, 10_000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 30).cast("int").alias("day"),
+        )
+        ev.repartition(10).write.parquet(path)
+        q = spark.read.parquet(path).filter(F.col("day").between(3, 5))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        df_ = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+        assert df_ and "day" in df_.group(1), plan
+        assert len(q.inputFiles()) == 10  # no directory-level pruning
+        assert q.count() == 3 * 334

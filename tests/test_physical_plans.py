@@ -7,6 +7,7 @@ whole-stage codegen on the hot relational paths.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from ctcityscraper_spark.plans.queries import QUERIES
 
@@ -84,3 +85,60 @@ class TestAggAndTopK:
         assert "isFinalPlan=true" in plan
         # codegen spans render as "*(n)" stage markers in the final plan
         assert re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+class TestSqlSurface:
+    """SURVEY §3.3: `spark.sql()` gives the SQL-text path for free — the
+    same semantics are reachable as SQL text over registered views, and
+    the plans are the ones the DataFrame API produces."""
+
+    def test_sql_text_matches_dataframe_result(self, spark):
+        from ctcityscraper_spark.plans.tables import register_views
+        from ctcityscraper_spark.plans.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        register_views(spark, sf)
+        sql_rows = spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+            """
+        ).collect()
+        df_rows = (
+            QUERIES["pricing_summary"]
+            .fn(spark, sf)
+            .select("l_returnflag", "l_linestatus", "count_order")
+            .collect()
+        )
+        assert [(r[0], r[1], r[2]) for r in sql_rows] == [
+            (r[0], r[1], r[2]) for r in df_rows
+        ]
+
+    def test_sql_window_scd2_current(self, spark, tmp_path):
+        """The reference's documented latest-state SQL (README.md:126-128)
+        runs verbatim-shaped through spark.sql over an appended table."""
+        from ctcityscraper_spark.operators.scd2 import current
+
+        rows = [
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-02 00:00:00"),
+            (2, "c", "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "uuid int, val string, scraped_at string").withColumn(
+            "scraped_at", F.col("scraped_at").cast("timestamp")
+        )
+        df.createOrReplaceTempView("props")
+        got = spark.sql(
+            """
+            SELECT uuid, val FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY uuid
+                                           ORDER BY scraped_at DESC) AS rn
+              FROM props) WHERE rn = 1 ORDER BY uuid
+            """
+        ).collect()
+        assert [(r.uuid, r.val) for r in got] == [(1, "b"), (2, "c")]
+        api = current(df, key="uuid").select("uuid", "val").orderBy("uuid").collect()
+        assert [(r.uuid, r.val) for r in api] == [(1, "b"), (2, "c")]
