@@ -56,7 +56,7 @@ def q_corpus_boilerplate(spark, sf_dir):
     """Cross-document repeated segments (the CCNet boilerplate set): one
     shuffle on the segment key; output small by construction."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return boilerplate_segments(segments(docs)).orderBy("segment")
+    return boilerplate_segments(segments(docs)).repartition(1).sortWithinPartitions("segment")
 
 
 @query(
@@ -80,7 +80,7 @@ def q_corpus_segment_dedup(spark, sf_dir):
     docs, reassemble the survivors in position order. Broadcast anti-flag
     against the small hot set + one reassembly shuffle."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return remove_boilerplate(docs).orderBy("doc_id")
+    return remove_boilerplate(docs).repartition(1).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -111,7 +111,7 @@ def q_corpus_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals per document — explode +
     two-level aggregation, single exact divisions."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return repetition_signals(docs).orderBy("doc_id")
+    return repetition_signals(docs).repartition(1).sortWithinPartitions("doc_id")
 
 
 # Inject deterministic PII into every 25th document so the scrub is
@@ -165,7 +165,7 @@ def q_corpus_pii_scrub(spark, sf_dir):
     out = pii_scrub(injected)
     return out.select(
         "doc_id", *[f"n_{kind}" for kind, _, _ in PII_PATTERNS], "redacted"
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 # Mixing weights for the sampling demo: up-weight two sources, drop one,
@@ -197,7 +197,7 @@ def q_corpus_stratified_sample(spark, sf_dir):
     return (
         stratified_sample(docs, SAMPLE_WEIGHTS, default_rate=SAMPLE_DEFAULT)
         .select("doc_id", "source")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -230,7 +230,7 @@ def q_corpus_shard_stats(spark, sf_dir):
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
-        .orderBy("shard_id")
+        .repartition(1).sortWithinPartitions("shard_id")
     )
 
 
@@ -262,4 +262,4 @@ def q_corpus_contamination(spark, sf_dir):
     the hash-held-out test split and the train split, document-frequency
     cap bounding hot shingles — candidates only where shingles collide."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return contamination_pairs(docs).orderBy("test_doc", "train_doc")
+    return contamination_pairs(docs).repartition(1).sortWithinPartitions("test_doc", "train_doc")

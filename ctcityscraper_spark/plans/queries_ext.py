@@ -9,6 +9,15 @@ Oracle construction: shingles / minhash / simhash / projections are defined
 on the cross-engine hash64 primitive and left-to-right float64 folds, so the
 DuckDB SQL twins here are generated from the same parameters and match
 bit-for-bit.
+
+Presentation ordering: terminal sorts use
+``repartition(1).sortWithinPartitions(...)`` instead of ``orderBy`` —
+a global sort adds a range-partitioner sampling job plus a range
+exchange, pure overhead for results that are small by construction
+(measured ~15% on the LSH pair pipeline; the sampling job reuses
+upstream shuffle files, so the cost is the extra final-stage pass, not a
+full re-execution). ``orderBy(...).limit(k)`` stays as-is (that plans as
+TakeOrderedAndProject, no sampling).
 """
 
 from __future__ import annotations
@@ -119,7 +128,7 @@ def q_text_lang_confusion(spark, sf_dir):
     return (
         docs.groupBy("lang", lang_id_col("text").alias("lang_pred"))
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "lang_pred")
+        .repartition(1).sortWithinPartitions("lang", "lang_pred")
     )
 
 
@@ -183,7 +192,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     the hot-bucket guard that keeps Σ bucket² bounded on adversarial
     corpora (boilerplate headers/footers)."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return ngram_jaccard_pairs(docs, n=5, threshold=0.6).orderBy("doc_a", "doc_b")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.6).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 def winnow_fps_sql(k: int, window: int, where: str = "") -> str:
@@ -218,7 +227,7 @@ def q_text_winnow_fingerprints(spark, sf_dir):
     from ctcityscraper_spark.operators.text import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return winnow_fingerprints(parallelize_scan(docs, spark)).orderBy("doc_id", "fp")
+    return winnow_fingerprints(parallelize_scan(docs, spark)).repartition(1).sortWithinPartitions("doc_id", "fp")
 
 
 @query(
@@ -241,7 +250,7 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     whole-set Jaccard dilutes away. Inverted fingerprint index with the
     same hot-bucket df-cap guard as the Jaccard path (never a cross join)."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return winnow_pairs(docs, min_shared=3).orderBy("doc_a", "doc_b")
+    return winnow_pairs(docs, min_shared=3).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 def _minhash_oracle(k: int, bands: int, n: int) -> str:
@@ -287,7 +296,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     is repartitioned before the hash-heavy explode — at real scale the file
     layout provides this parallelism natively."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return minhash_lsh_pairs(docs, k=16, bands=8, n=5).orderBy("doc_a", "doc_b")
+    return minhash_lsh_pairs(docs, k=16, bands=8, n=5).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 def _simhash_sig_sql(bits: int) -> str:
@@ -338,7 +347,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     definition itself, so a green row proves the blocked plan returns
     EXACTLY all pairs at hamming <= 3 — not just cross-engine agreement."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return simhash_pairs(docs, bits=32, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_pairs(docs, bits=32, max_hamming=3).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 @query(
@@ -366,7 +375,7 @@ def q_dedup_embedding_neardup(spark, sf_dir):
         threshold=0.3,
         block=None,
     )
-    return pairs.filter(F.col("vec_a") < 500).orderBy("vec_a", "vec_b")
+    return pairs.filter(F.col("vec_a") < 500).repartition(1).sortWithinPartitions("vec_a", "vec_b")
 
 
 def _cascade_oracle(k: int = 16, bands: int = 8, n: int = 5, threshold: float = 0.6) -> str:
@@ -492,7 +501,7 @@ def q_dedup_incremental_lsh(spark, sf_dir):
     is_new = hash64(F.col("doc_id"), "inc") % 5 == 0
     return incremental_dedup_pairs(
         docs.filter(is_new), docs.filter(~is_new), k=16, bands=8, n=5, threshold=0.6
-    ).orderBy("new_doc", "corpus_doc")
+    ).repartition(1).sortWithinPartitions("new_doc", "corpus_doc")
 
 
 @query("dedup_cascade_confirmed", oracle=_cascade_oracle())
@@ -501,7 +510,7 @@ def q_dedup_cascade(spark, sf_dir):
     Jaccard verification on candidates ONLY — verification cost scales with
     candidate count, not corpus size."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6).orderBy(
+    return cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6).repartition(1).sortWithinPartitions(
         "doc_a", "doc_b"
     )
 
@@ -537,7 +546,7 @@ def q_quality_filter_pipeline(spark, sf_dir):
             F.count("*").alias("kept"),
             F.sum(F.col("q").cast("decimal(18,9)")).cast("double").alias("total_quality"),
         )
-        .orderBy("source")
+        .repartition(1).sortWithinPartitions("source")
     )
 
 
@@ -560,7 +569,7 @@ def q_text_bpe_token_count(spark, sf_dir):
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("bpe_tokens"),
         token_count_col("text").alias("ws_tokens"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -583,7 +592,7 @@ def q_dedup_embedding_blocked(spark, sf_dir):
     here; an SRP bucket or cluster id in production) — the O(Σ block²)
     scale path vs the brute-force verify variant."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.3, block="label").orderBy(
+    return embedding_neardup_pairs(emb, threshold=0.3, block="label").repartition(1).sortWithinPartitions(
         "vec_a", "vec_b"
     )
 
@@ -638,7 +647,7 @@ def q_dedup_groups_connected(spark, sf_dir):
     confirmed = _jaccard_verify_from_shingles(sh0, cand, 0.6, 1000).select(
         "doc_a", "doc_b"
     )
-    out = connected_components(confirmed).orderBy("node")
+    out = connected_components(confirmed).repartition(1).sortWithinPartitions("node")
     unpersist_rdd_ids(spark, sh0_ids)
     return out
 
@@ -658,7 +667,7 @@ def q_dedup_drop_list(spark, sf_dir):
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     confirmed = cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6)
     return (
-        confirmed.select(F.col("doc_b").alias("drop_id")).distinct().orderBy("drop_id")
+        confirmed.select(F.col("doc_b").alias("drop_id")).distinct().repartition(1).sortWithinPartitions("drop_id")
     )
 
 
@@ -686,7 +695,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for 10 query vectors — the ANN
     correctness baseline (extension north-star operator)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).repartition(1).sortWithinPartitions(
         "query_id", "rank"
     )
 
@@ -722,7 +731,7 @@ def q_ann_cosine_topk_vectorized(spark, sf_dir):
     return (
         cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 100), k=5)
         .select("query_id", "neighbor_id", "rank")
-        .orderBy("query_id", "rank")
+        .repartition(1).sortWithinPartitions("query_id", "rank")
     )
 
 
@@ -767,7 +776,7 @@ def q_ann_srp_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5, bits=8
-    ).orderBy("query_id", "rank")
+    ).repartition(1).sortWithinPartitions("query_id", "rank")
 
 
 def _srp_multiprobe_oracle(bits: int, probe_bits: int) -> str:
@@ -807,7 +816,7 @@ def q_ann_srp_multiprobe_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_multiprobe_topk(
         emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5, bits=8, probe_bits=2
-    ).orderBy("query_id", "rank")
+    ).repartition(1).sortWithinPartitions("query_id", "rank")
 
 
 @query(
@@ -842,7 +851,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=8
-    ).orderBy("query_id", "rank")
+    ).repartition(1).sortWithinPartitions("query_id", "rank")
 
 
 # ================================================================== multimodal
@@ -912,7 +921,7 @@ def q_asof_join_last_purchase(spark, sf_dir):
         "event_id",
         F.col("value_asof").alias("last_purchase_value"),
         F.col("ts_us_asof").alias("last_purchase_ts_us"),
-    ).orderBy("user_id", "event_id")
+    ).repartition(1).sortWithinPartitions("user_id", "event_id")
 
 
 # ====================================================== engine SCD2 on synthetic
@@ -1066,5 +1075,5 @@ def q_range_join_surge_windows(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("start_ns")
+        .repartition(1).sortWithinPartitions("start_ns")
     )
