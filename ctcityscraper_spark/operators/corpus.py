@@ -260,6 +260,34 @@ def write_shards(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "groupk",
+) -> DataFrame:
+    """Deterministic uniform sample of exactly k rows per group.
+
+    Rank rows within each group by an id hash (a reproducible random
+    order) and keep rank <= k — the standard eval-set / per-source quota
+    primitive. One window shuffle on the group key; with G groups the
+    output is exactly min(k, |group|) rows per group, stable across
+    re-runs and engines (ties impossible: the hash ranks over unique ids,
+    with the id itself as final tie-break).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash64(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def train_test_split(
     df: DataFrame, id_col: str = "doc_id", seed: str = "split", test_mod: int = 10
 ) -> DataFrame:

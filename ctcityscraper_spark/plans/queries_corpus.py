@@ -201,6 +201,36 @@ def q_corpus_stratified_sample(spark, sf_dir):
     )
 
 
+GROUP_K = 20
+
+
+@query(
+    "corpus_sample_k_per_group",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {hash64_sql('doc_id', 'groupk')},
+                                           doc_id) AS rk
+        FROM documents)
+    WHERE rk <= {GROUP_K} ORDER BY doc_id
+    """,
+)
+def q_corpus_sample_k_per_group(spark, sf_dir):
+    """Exactly-k-per-source uniform sample (hash-ranked window) — the
+    deterministic eval-set quota primitive: same k docs per source on
+    every run, no RNG state, one window shuffle on the group key."""
+    from ctcityscraper_spark.operators.corpus import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_k_per_group(docs, GROUP_K)
+        .select("doc_id", "source")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 N_SHARDS = 16
 
 

@@ -142,3 +142,32 @@ class TestSqlSurface:
         assert [(r.uuid, r.val) for r in got] == [(1, "b"), (2, "c")]
         api = current(df, key="uuid").select("uuid", "val").orderBy("uuid").collect()
         assert [(r.uuid, r.val) for r in api] == [(1, "b"), (2, "c")]
+
+
+class TestJoinStrategyControl:
+    """Join-strategy hints: the engine exposes Catalyst's full strategy
+    surface, and each hint actually lands in the physical plan — the knob
+    a 100 TB operator reaches for when AQE's default guess is wrong."""
+
+    def _plan(self, spark, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def _sides(self, spark):
+        left = spark.range(0, 50_000).selectExpr("id AS k", "id * 2 AS va")
+        right = spark.range(0, 5_000).selectExpr("id AS k", "id + 1 AS vb")
+        return left, right
+
+    def test_broadcast_hint(self, spark):
+        left, right = self._sides(spark)
+        plan = self._plan(spark, left.join(right.hint("broadcast"), "k"))
+        assert "BroadcastHashJoin" in plan
+
+    def test_merge_hint(self, spark):
+        left, right = self._sides(spark)
+        plan = self._plan(spark, left.join(right.hint("merge"), "k"))
+        assert "SortMergeJoin" in plan
+
+    def test_shuffle_hash_hint(self, spark):
+        left, right = self._sides(spark)
+        plan = self._plan(spark, left.join(right.hint("shuffle_hash"), "k"))
+        assert "ShuffledHashJoin" in plan
