@@ -179,3 +179,77 @@ class TestPartitionedLayout:
         assert df_ and "day" in df_.group(1), plan
         assert len(q.inputFiles()) == 10  # no directory-level pruning
         assert q.count() == 3 * 334
+
+
+class TestZorderLayout:
+    """Z-order clustering: per-file min-max spans stay tight in EVERY
+    interleaved dimension, so multi-dim predicates skip files that a
+    one-dimensional sort must scan."""
+
+    def _file_stats(self, spark, df):
+        """Per-partition (min,max) of x and y — a file's parquet footer
+        stats, without the IO."""
+        from pyspark.sql import functions as F
+
+        return (
+            df.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+
+    def _touched(self, stats, lo, hi, dim):
+        a, b = (f"{dim}0", f"{dim}1")
+        return sum(1 for r in stats if r[a] <= hi and r[b] >= lo)
+
+    def test_skips_in_both_dims(self, spark):
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.layout import cluster_by_zorder
+
+        # deterministic pseudo-uniform 2D points (no RNG state)
+        pts = spark.range(100_000).select(
+            (F.col("id") * 2654435761 % 1000).alias("x"),
+            (F.col("id") * 40503 % 1000).alias("y"),
+        )
+        n_files = 16
+        z = cluster_by_zorder(
+            pts, [(F.col("x"), 0, 1000), (F.col("y"), 0, 1000)], n_files
+        )
+        lin = pts.repartitionByRange(n_files, "x").sortWithinPartitions("x")
+
+        z_stats, lin_stats = self._file_stats(spark, z), self._file_stats(spark, lin)
+        assert len(z_stats) == n_files and len(lin_stats) == n_files
+
+        # y-range query: the x-sorted layout must scan every file; z-order
+        # skips most
+        z_y = self._touched(z_stats, 100, 150, "y")
+        lin_y = self._touched(lin_stats, 100, 150, "y")
+        assert lin_y == n_files
+        assert z_y <= n_files // 2, (z_y, lin_y)
+
+        # x-range query: z-order is worse than the perfect x-sort but must
+        # still skip — tight spans in BOTH dims is the contract
+        z_x = self._touched(z_stats, 100, 150, "x")
+        assert self._touched(lin_stats, 100, 150, "x") <= 2
+        assert z_x <= n_files // 2, z_x
+
+    def test_clamps_and_bounds_checks(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.layout import zorder_col
+
+        df = spark.createDataFrame([(-5.0, 2000.0)], "x double, y double")
+        row = df.select(
+            zorder_col([(F.col("x"), 0, 1000), (F.col("y"), 0, 1000)], bits=4).alias("z")
+        ).first()
+        # x clamps to cell 0, y to cell 15 -> z = interleave(0, 15) = 0b10101010
+        assert row.z == 0b10101010
+        with _pytest.raises(ValueError, match="bounds"):
+            zorder_col([(F.col("x"), 5, 5)])
+        with _pytest.raises(ValueError, match="signed long"):
+            zorder_col([(F.col("x"), 0, 1), (F.col("y"), 0, 1)], bits=32)
