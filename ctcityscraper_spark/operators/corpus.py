@@ -335,3 +335,83 @@ def contamination_pairs(
         .groupBy("test_doc", "train_doc")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# GPT-2-style pre-tokenizer split (lookaheads removed so the identical
+# pattern runs under Java regex and DuckDB's RE2); shared with the
+# text_bpe_token_count catalog query.
+BPE_SPLIT_RE = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
+
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+def pack_sequences(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = PACK_SEQ_LEN,
+    num_shards: int = PACK_SHARDS,
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: the map from documents to
+    fixed-length training sequences.
+
+    The standard pretraining batch-prep step: documents are concatenated
+    into one token stream and cut every ``seq_len`` tokens; a document
+    spanning a cut contributes its tail to the next sequence. Output is
+    the assignment table ``(shard_id, pack_id, doc_id, offset_in_pack,
+    n_tokens)`` — one row per (document, sequence it touches) — which is
+    exactly what a loader needs to assemble sequence tensors, and what an
+    attrition audit needs to trace a training token back to its source.
+
+    Scale design: packing is inherently sequential, so the stream is
+    deterministically sharded first (``hash64(id) % num_shards``) and each
+    shard packs independently — the cumulative-offset window is
+    ``partitionBy(shard)``, ONE shuffle on the shard key and parallelism =
+    ``num_shards`` (tens of thousands at 100 TB, each shard a bounded
+    token budget). No collect, no global sort: chunk assignment per doc is
+    pure arithmetic on the running offset, and the span explode
+    (`F.sequence`) is narrow. Token counts use the BPE-ish pre-tokenizer
+    regex inside the scan stage.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (hash64(F.col(id_col), seed) % num_shards).cast("int").alias("shard_id"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+        .cast("long")
+        .alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = toks.withColumn("end_off", F.sum("n_tok").over(w)).withColumn(
+        "start_off", F.col("end_off") - F.col("n_tok")
+    )
+    packs = spans.select(
+        "shard_id",
+        "doc_id",
+        "start_off",
+        "end_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {seq_len}"),
+                F.expr(f"(end_off - 1) div {seq_len}"),
+            )
+        ).alias("pack_id"),
+    )
+    lit_len = F.lit(seq_len).cast("long")
+    pack_start = F.greatest(F.col("start_off"), F.col("pack_id") * lit_len)
+    pack_end = F.least(F.col("end_off"), (F.col("pack_id") + 1) * lit_len)
+    return packs.select(
+        "shard_id",
+        "pack_id",
+        "doc_id",
+        (pack_start - F.col("pack_id") * lit_len).alias("offset_in_pack"),
+        (pack_end - pack_start).alias("n_tokens"),
+    )

@@ -18,6 +18,7 @@ from ctcityscraper_spark.operators.corpus import (
     SEGMENT_WIDTH,
     boilerplate_segments,
     contamination_pairs,
+    pack_sequences,
     pii_scrub,
     remove_boilerplate,
     repetition_signals,
@@ -293,3 +294,42 @@ def q_corpus_contamination(spark, sf_dir):
     cap bounding hot shingles — candidates only where shingles collide."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return contamination_pairs(docs).repartition(1).sortWithinPartitions("test_doc", "train_doc")
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
+               len(regexp_extract_all(text, ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+        FROM documents),
+    spans AS (
+        SELECT doc_id, shard_id, n_tok,
+               (SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS end_off
+        FROM toks WHERE n_tok > 0),
+    sp AS (SELECT *, end_off - n_tok AS start_off FROM spans),
+    exploded AS (
+        SELECT shard_id, doc_id, start_off, end_off,
+               unnest(range(start_off // 512, (end_off - 1) // 512 + 1)) AS pack_id
+        FROM sp)
+    SELECT shard_id, pack_id, doc_id,
+           GREATEST(start_off, pack_id * 512) - pack_id * 512 AS offset_in_pack,
+           LEAST(end_off, (pack_id + 1) * 512) - GREATEST(start_off, pack_id * 512) AS n_tokens
+    FROM exploded
+    ORDER BY shard_id, pack_id, doc_id
+    """,
+)
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (operators/corpus.pack_sequences):
+    documents -> fixed 512-token training sequences, packed independently
+    per hash shard so the cumulative-offset window is one shuffle on the
+    shard key, never a global sort. One output row per (doc, sequence it
+    touches) — the loader's assembly map and the token-provenance audit."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        pack_sequences(docs)
+        .repartition(1)
+        .sortWithinPartitions("shard_id", "pack_id", "doc_id")
+    )

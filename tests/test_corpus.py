@@ -258,3 +258,64 @@ class TestContamination:
         # cap below the shared shingle's frequency removes every candidate
         capped = contamination_pairs(df, n=8, test_mod=2, seed="t", df_cap=2)
         assert capped.count() == 0
+
+
+class TestPackSequences:
+    """pack_sequences (operators/corpus.py): concat-then-chunk packing
+    invariants — full packs are exactly seq_len, every token lands in
+    exactly one pack, spanning docs split across consecutive packs."""
+
+    def _packed(self, spark):
+        from ctcityscraper_spark.operators.corpus import pack_sequences
+
+        texts = [f"word{i} " * (30 + 17 * (i % 7)) for i in range(40)]
+        df = _docs(spark, texts)
+        return df, pack_sequences(df, seq_len=64, num_shards=4)
+
+    def test_full_packs_exact_and_tokens_conserved(self, spark):
+        df, packed = self._packed(spark)
+        rows = packed.collect()
+        # tokens conserved: per-doc contributions sum to the doc's count
+        from ctcityscraper_spark.operators.corpus import BPE_SPLIT_RE
+
+        want = {
+            r.doc_id: r.n
+            for r in df.select(
+                "doc_id", F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)).alias("n")
+            ).collect()
+        }
+        got = {}
+        for r in rows:
+            got[r.doc_id] = got.get(r.doc_id, 0) + r.n_tokens
+        assert got == {d: n for d, n in want.items() if n > 0}
+        # every pack except each shard's last is exactly seq_len tokens
+        per_pack, last = {}, {}
+        for r in rows:
+            per_pack[(r.shard_id, r.pack_id)] = per_pack.get((r.shard_id, r.pack_id), 0) + r.n_tokens
+            last[r.shard_id] = max(last.get(r.shard_id, -1), r.pack_id)
+        for (shard, pack), n in per_pack.items():
+            if pack < last[shard]:
+                assert n == 64, (shard, pack, n)
+            else:
+                assert 0 < n <= 64
+        # offsets stay inside the pack
+        assert all(0 <= r.offset_in_pack < 64 for r in rows)
+
+    def test_spanning_doc_hits_consecutive_packs(self, spark):
+        _, packed = self._packed(spark)
+        by_doc = {}
+        for r in packed.collect():
+            by_doc.setdefault(r.doc_id, []).append(r.pack_id)
+        spanning = {d: sorted(p) for d, p in by_doc.items() if len(p) > 1}
+        assert spanning, "fixture must produce at least one spanning doc"
+        for d, p in spanning.items():
+            assert p == list(range(p[0], p[0] + len(p))), (d, p)
+
+    def test_single_shuffle_on_shard_key(self, spark):
+        from ctcityscraper_spark.operators.corpus import pack_sequences
+
+        df, _ = self._packed(spark)
+        plan = pack_sequences(df, seq_len=64, num_shards=4)._jdf.queryExecution().executedPlan().toString()
+        # the window's shard-key exchange is the only shuffle
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Exchange rangepartitioning" not in plan
