@@ -415,3 +415,63 @@ def pack_sequences(
         (pack_start - F.col("pack_id") * lit_len).alias("offset_in_pack"),
         (pack_end - pack_start).alias("n_tokens"),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    mod: int = SAMPLE_MOD,
+) -> DataFrame:
+    """Deterministic dataset mixing: resample strata to target weights.
+
+    The pretraining "data mixture" step: given target proportions per
+    stratum (language / source / domain), emit each document
+    ``floor(rate)`` times plus one more for a deterministic
+    ``hash64(id) % mod < frac(rate)·mod`` fraction of ids, where
+    ``rate = weight·N_total / n_stratum``. Over-represented strata are
+    downsampled (rate < 1: keep-probability), under-represented strata
+    are upsampled epoch-style (rate > 1: integer repeats + fractional
+    epoch) — the output mixture matches the weights in expectation while
+    every decision is a pure function of the id, so re-runs are
+    byte-identical and resampling is audit-able per document. Strata
+    missing from ``weights`` get weight 0 (dropped).
+
+    Scale design: one aggregation shuffle for the per-stratum counts
+    (corpus total via a window over that tiny frame, never a driver
+    ``count()``), rates broadcast-joined back, repeats exploded narrowly
+    via ``F.sequence``. No collect, no skew: output rows per stratum are
+    bounded by weight·N_total by construction.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_s"))
+    counts = counts.withColumn(
+        "n_total", F.sum("n_s").over(Window.partitionBy())
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    rates = counts.withColumn(
+        "rate", wmap[F.col(stratum_col)] * F.col("n_total") / F.col("n_s")
+    ).select(stratum_col, "rate")
+    joined = df.join(F.broadcast(rates), stratum_col)
+    base = F.floor("rate")
+    thresh = F.floor((F.col("rate") - F.floor("rate")) * F.lit(mod)).cast("long")
+    n_copies = base + F.when(
+        hash64(F.col(id_col), seed) % mod < thresh, 1
+    ).otherwise(0)
+    return (
+        joined.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            stratum_col,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy"),
+            "n_copies",
+        )
+    )

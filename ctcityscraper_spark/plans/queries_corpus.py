@@ -18,6 +18,7 @@ from ctcityscraper_spark.operators.corpus import (
     SEGMENT_WIDTH,
     boilerplate_segments,
     contamination_pairs,
+    mixture_resample,
     pack_sequences,
     pii_scrub,
     remove_boilerplate,
@@ -332,4 +333,46 @@ def q_corpus_pack_sequences(spark, sf_dir):
         pack_sequences(docs)
         .repartition(1)
         .sortWithinPartitions("shard_id", "pack_id", "doc_id")
+    )
+
+
+MIX_WEIGHTS = {"en": 0.3, "zh": 0.25, "es": 0.2, "de": 0.15, "fr": 0.1}
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}::DOUBLE" for k, v in MIX_WEIGHTS.items()
+) + " END"
+
+
+@query(
+    "corpus_mixture_resample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, count(*)::BIGINT AS n_s,
+               (SELECT count(*) FROM documents)::BIGINT AS n_total
+        FROM documents GROUP BY lang),
+    rates AS (
+        SELECT lang, ({_MIX_CASE} * n_total) / n_s AS rate FROM counts),
+    rep AS (
+        SELECT d.doc_id, d.lang,
+               FLOOR(rate)::BIGINT
+               + CASE WHEN {hash64_sql('d.doc_id', 'mix')} % {SAMPLE_MOD}
+                           < FLOOR((rate - FLOOR(rate)) * {SAMPLE_MOD})::BIGINT
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN rates r USING (lang))
+    SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy, n_copies
+    FROM rep WHERE n_copies > 0
+    ORDER BY doc_id, copy
+    """,
+)
+def q_corpus_mixture_resample(spark, sf_dir):
+    """Dataset mixing (operators/corpus.mixture_resample): resample the
+    corpus so languages hit target mixture weights — integer epoch repeats
+    plus a hash-deterministic fractional epoch per stratum. One count
+    shuffle, rates broadcast back, narrow explode; every copy decision is
+    a pure function of doc_id (re-runs byte-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_resample(docs, MIX_WEIGHTS)
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "copy")
     )

@@ -319,3 +319,52 @@ class TestPackSequences:
         # the window's shard-key exchange is the only shuffle
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Exchange rangepartitioning" not in plan
+
+
+class TestMixtureResample:
+    """mixture_resample (operators/corpus.py): output mixture approaches the
+    target weights, decisions are deterministic per id, unknown strata drop."""
+
+    WEIGHTS = {"a": 0.6, "b": 0.4}
+
+    def _df(self, spark):
+        # 90 'a' docs vs 10 'b': a must be downsampled, b upsampled
+        rows = [Row(doc_id=i, lang="a" if i < 90 else "b") for i in range(100)]
+        return spark.createDataFrame(rows)
+
+    def test_mixture_hits_targets(self, spark):
+        from ctcityscraper_spark.operators.corpus import mixture_resample
+
+        out = mixture_resample(self._df(spark), self.WEIGHTS).collect()
+        by = {}
+        for r in out:
+            by[r.lang] = by.get(r.lang, 0) + 1
+        total = sum(by.values())
+        # rates: a = .6*100/90 = .667 (keep-prob), b = .4*100/10 = 4.0 (epochs)
+        assert abs(by["a"] / total - 0.6) < 0.1
+        assert abs(by["b"] / total - 0.4) < 0.1
+        # every b doc repeats exactly 4x (rate 4.0 has no fractional part)
+        b_copies = [r.n_copies for r in out if r.lang == "b"]
+        assert set(b_copies) == {4}
+        assert sorted(r.copy for r in out if r.doc_id == 95) == [1, 2, 3, 4]
+
+    def test_deterministic_and_drops_unknown(self, spark):
+        from ctcityscraper_spark.operators.corpus import mixture_resample
+
+        df = self._df(spark).union(
+            spark.createDataFrame([Row(doc_id=999, lang="zz")])
+        )
+        a = sorted(map(tuple, mixture_resample(df, self.WEIGHTS).collect()))
+        b = sorted(map(tuple, mixture_resample(df, self.WEIGHTS).collect()))
+        assert a == b
+        assert not any(r[1] == "zz" for r in a)
+
+    def test_rates_broadcast_no_extra_shuffle(self, spark):
+        from ctcityscraper_spark.operators.corpus import mixture_resample
+
+        plan = (
+            mixture_resample(self._df(spark), self.WEIGHTS)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
