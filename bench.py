@@ -44,10 +44,13 @@ def main() -> None:
     for name, q in QUERIES.items():
         if not q.headline:
             continue
-        # best of 2: a single local[32] run is vulnerable to GC/container
-        # hiccups; the min is the honest steady-state cost of the plan
-        best = float("inf")
-        for _ in range(2):
+        # best of 2 (3 when the first two disagree badly): a single
+        # local[32] run is vulnerable to GC/container hiccups; the min is
+        # the honest steady-state cost of the plan
+        runs: list[float] = []
+        while len(runs) < 2 or (
+            len(runs) == 2 and abs(runs[0] - runs[1]) > 0.25 * min(runs)
+        ):
             # drain garbage from the PREVIOUS query outside the timed
             # window, so each number is the plan's cost, not the GC debt
             # of whatever ran before it (measured 2-5x swings without)
@@ -57,8 +60,8 @@ def main() -> None:
             # materialize every row (not just count — forces full evaluation
             # of all projected expressions) without driver-collect overhead
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
 
     # ingestion throughput: the reference's own headline metric is
     # entries/sec through load (engine.py:347-348) — 2000 entries through

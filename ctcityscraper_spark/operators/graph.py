@@ -43,6 +43,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    broadcast_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) where component = min node id in the component.
 
@@ -51,6 +52,16 @@ def connected_components(
     (labels only ever decrease), so the label sum strictly decreases until
     the fixpoint — one tiny aggregate over the already-materialized label
     frame per round replaces a join + count.
+
+    ``broadcast_max_edges``: checkpointed frames carry no size statistics,
+    so Catalyst never auto-broadcasts the label side and every round's two
+    joins become shuffle joins — even on a few hundred edges (measured
+    ~2.7 s for 256 edges). The edge count IS known cheaply after the eager
+    checkpoint, so when it is at or below this threshold the label side of
+    both joins is broadcast explicitly (node count ≤ 2·edges, bounded) and
+    each round's only shuffle is the final min-aggregate. Above it —
+    billion-edge graphs where labels don't fit in one executor — the
+    shuffle-join path runs unchanged.
     """
     # Materialize the edge list ONCE before anything else: edges is often
     # the output of an expensive upstream pipeline (e.g. the LSH+Jaccard
@@ -62,16 +73,18 @@ def connected_components(
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
     ).localCheckpoint(eager=True)
+    small = edges.count() <= broadcast_max_edges  # count is free: materialized
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
+    bcast = F.broadcast if small else (lambda df: df)
     prev_sum = None
     for _ in range(max_iter):
         # neighbor labels: for each node, the labels of its neighbors
         neighbor = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(bcast(labels.withColumnRenamed("node", "b")), "b")
             .select(F.col("a").alias("node"), "component")
         )
         # pointer jumping: label(v) <- label(label(v)) doubles propagation
@@ -79,8 +92,11 @@ def connected_components(
         jumped = (
             labels.alias("l1")
             .join(
-                labels.select(
-                    F.col("node").alias("component"), F.col("component").alias("cc")
+                bcast(
+                    labels.select(
+                        F.col("node").alias("component"),
+                        F.col("component").alias("cc"),
+                    )
                 ),
                 "component",
             )

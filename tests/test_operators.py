@@ -217,6 +217,23 @@ class TestConnectedComponents:
         assert set(got.values()) == {0}
         assert len(got) == n + 1
 
+    def test_shuffle_path_matches_broadcast_path(self, spark):
+        # broadcast_max_edges=0 forces the big-graph shuffle-join rounds;
+        # both paths must produce identical labels
+        from ctcityscraper_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "doc_a long, doc_b long"
+        )
+        small = {
+            r.node: r.component for r in connected_components(edges).collect()
+        }
+        big = {
+            r.node: r.component
+            for r in connected_components(edges, broadcast_max_edges=0).collect()
+        }
+        assert small == big == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
 
 class TestSkewHelpers:
     def test_salted_agg_matches_plain(self, spark):
