@@ -324,7 +324,16 @@ def lsh_band_index(
 
 
 def _lsh_band_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
-    stacked = _band_stack(sig, k, bands)
+    # Persist the band index before self-joining: both join sides are the
+    # SAME frame, and without the persist Spark plans two full
+    # scan→shingle-explode→min-agg chains — every shingle md5 computed
+    # twice. Cached, the signature pipeline runs once and both sides read
+    # the in-memory index (~(8+k/bands·16) bytes/doc·band — far smaller
+    # than the corpus; MEMORY_AND_DISK spills rather than recomputes at
+    # 100 TB, and LRU eviction bounds a long session).
+    from pyspark.storagelevel import StorageLevel
+
+    stacked = _band_stack(sig, k, bands).persist(StorageLevel.MEMORY_AND_DISK)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
