@@ -326,6 +326,30 @@ def q_groupby_cube(spark, sf_dir):
 
 
 @query(
+    "groupby_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_groupby_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither rollup nor cube: the two
+    single-column marginals only), completing §2.4's grouping family via
+    the SQL surface — one Expand + one aggregate shuffle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
     "conditional_pivot_agg",
     oracle="""
     SELECT user_id,
