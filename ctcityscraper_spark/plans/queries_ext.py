@@ -1077,3 +1077,60 @@ def q_range_join_surge_windows(spark, sf_dir):
         )
         .repartition(1).sortWithinPartitions("start_ns")
     )
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT doc_id, unnest({shingle_sql(5)}) AS shingle FROM documents
+    ), sh AS (
+        SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    ), cand AS (
+        SELECT doc_a, doc_b FROM ({_minhash_oracle(16, 8, 5)})
+    )
+    SELECT n_true, n_candidates, n_hits,
+           n_hits / n_true AS recall,
+           n_hits / n_candidates AS precision
+    FROM (SELECT
+        (SELECT count(*) FROM truth) AS n_true,
+        (SELECT count(*) FROM cand) AS n_candidates,
+        (SELECT count(*) FROM truth t JOIN cand c
+           ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits)
+    """,
+)
+def q_dedup_lsh_recall(spark, sf_dir):
+    """Honest LSH quality audit: recall and precision of the MinHash-LSH
+    candidate stage against exact index-based Jaccard ground truth — the
+    number a pipeline owner checks before trusting banded LSH at a given
+    (k, bands, threshold). Both sides are inverted-index joins (never
+    quadratic); recall/precision are single exact divisions of counts."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    truth = ngram_jaccard_pairs(docs, n=5, threshold=0.6).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_true")).alias("recall"),
+            (F.col("n_hits") / F.col("n_candidates")).alias("precision"),
+        )
+    )
