@@ -53,7 +53,12 @@ def main() -> None:
         ):
             # drain garbage from the PREVIOUS query outside the timed
             # window, so each number is the plan's cost, not the GC debt
-            # of whatever ran before it (measured 2-5x swings without)
+            # of whatever ran before it (measured 2-5x swings without).
+            # clearCache keeps every trial COLD: operators that persist
+            # reusable artifacts (the LSH band index) must not get credit
+            # for a previous trial's cache — the number is the full
+            # pipeline cost, comparable across rounds.
+            spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
