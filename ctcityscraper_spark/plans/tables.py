@@ -1,10 +1,13 @@
 """Loaders for the driver's synthetic tables (TESTDATA.md).
 
 One parquet file per table at ``<sf_dir>/<name>.parquet``. The ``events``
-table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-read natively — we flip ``spark.sql.legacy.parquet.nanosAsLong`` (runtime
-settable) and expose both the raw nanosecond long (``ts_ns``, exact) and a
-microsecond-truncated timestamp (``ts``).
+table's ``ts`` physical type has varied across driver testdata generations
+(TIMESTAMP(NANOS), TIMESTAMP(MICROS) with/without UTC adjustment), so the
+loader normalizes from whatever Spark reads — long (via
+``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP, or TIMESTAMP_NTZ — to
+the same two columns every query builds on: the raw epoch-nanosecond long
+(``ts_ns``, exact; wall-clock treated as UTC, matching DuckDB ``epoch_ns``)
+and a microsecond-truncated timestamp (``ts``).
 """
 
 from __future__ import annotations
@@ -31,10 +34,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "timestamp_ntz":
+            # wall-clock-as-UTC, independent of the session timezone —
+            # exactly DuckDB's epoch_ns() on a naive TIMESTAMP
+            ns = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ) * F.lit(1000)
+        elif ts_type == "timestamp":
+            ns = F.unix_micros(F.col("ts")) * F.lit(1000)
+        else:  # bigint: TIMESTAMP(NANOS) file read via nanosAsLong
+            ns = F.col("ts")
+        # withColumn-in-place keeps ts's ordinal, so the schema is identical
+        # across physical source types
+        df = df.withColumn("ts", ns.cast("long")).withColumnsRenamed({"ts": "ts_ns"})
         # integer div: double division would lose precision above 2^53 ns
-        return df.withColumnsRenamed({"ts": "ts_ns"}).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
     return spark.read.parquet(path)
 
 
