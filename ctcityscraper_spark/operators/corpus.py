@@ -475,3 +475,113 @@ def mixture_resample(
             "n_copies",
         )
     )
+
+
+# -- exact duplicated-substring spans ---------------------------------------
+#
+# The suffix-array exact-substring dedup of Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (2021), re-expressed as a
+# shuffle pipeline: a suffix array doesn't distribute, but its *output* —
+# every maximal cross-document duplicated span of length >= L — is exactly
+# recoverable from stride-1 character windows of width L: two documents
+# share a substring of length s >= L iff they share s - L + 1 consecutive
+# aligned windows. Group windows by content, self-join the buckets,
+# island-merge consecutive positions per (pair, alignment) into maximal
+# spans. Every step is an equi-join or a window function; nothing touches
+# the driver.
+
+SPAN_WINDOW_CHARS = 40  # window width L: the minimum detectable span
+SPAN_DOC_CAP = 1000  # drop windows shared by more docs (boilerplate guard)
+
+
+def substring_windows(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = SPAN_WINDOW_CHARS,
+) -> DataFrame:
+    """(doc_id, pos, win): stride-1 character windows, 1-based positions.
+
+    Row inflation is x(len - L + 1) per document — the same order as the
+    corpus itself (a suffix array is bigger). The window string is carried
+    only into the bucket join; everything downstream is (ids, ints).
+    """
+    n = F.length(F.col(text))
+    positions = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text).alias("_txt"),
+        F.explode(positions).alias("pos"),
+    ).select(
+        "doc_id", "pos", F.expr(f"substring(_txt, pos, {width})").alias("win")
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = SPAN_WINDOW_CHARS,
+    min_span: int | None = None,
+    doc_cap: int = SPAN_DOC_CAP,
+) -> DataFrame:
+    """Maximal cross-document duplicated spans of length >= ``width``.
+
+    Output: (doc_a, doc_b, start_a, start_b, span_len, n_windows), doc_a <
+    doc_b, one row per maximal run of aligned shared windows. Exact: the
+    bucket key is hash64(win) but the join re-verifies the window strings,
+    so hash collisions cannot create false spans.
+
+    Scale: the self-join cost is sum(bucket^2) over identical-window
+    buckets — true duplication only, and ``doc_cap`` drops windows shared
+    by more than that many documents (license headers, navigation chrome)
+    whose pair output would be quadratic noise rather than signal. The
+    island merge shuffles once on (doc_a, doc_b, alignment), keys that are
+    high-cardinality and skew-free by construction.
+    """
+    win = substring_windows(df, text, id_col, width)
+    bucketed = win.withColumn("h", hash64(F.col("win"), "span"))
+    if doc_cap is not None:
+        hot = (
+            bucketed.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > doc_cap)
+            .select("h")
+        )
+        bucketed = bucketed.join(hot, "h", "left_anti")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    matched = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.win") == F.col("b.win"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("delta"),
+    )
+    from pyspark.sql.window import Window
+
+    run = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    spans = (
+        matched.withColumn(
+            "brk",
+            F.when(F.col("pa") - F.lag("pa").over(run) == 1, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("island", F.sum("brk").over(run))
+        .groupBy("doc_a", "doc_b", "delta", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + width).alias("span_len"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len", "n_windows")
+    )
+    if min_span is not None:
+        spans = spans.filter(F.col("span_len") >= min_span)
+    return spans

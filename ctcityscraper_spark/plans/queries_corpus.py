@@ -18,6 +18,7 @@ from ctcityscraper_spark.operators.corpus import (
     SEGMENT_WIDTH,
     boilerplate_segments,
     contamination_pairs,
+    duplicate_substring_spans,
     mixture_resample,
     pack_sequences,
     pii_scrub,
@@ -375,4 +376,52 @@ def q_corpus_mixture_resample(spark, sf_dir):
         mixture_resample(docs, MIX_WEIGHTS)
         .repartition(1)
         .sortWithinPartitions("doc_id", "copy")
+    )
+
+
+_SPAN_W = 40  # SPAN_WINDOW_CHARS
+
+
+@query(
+    "corpus_substring_spans",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(len(text) - {_SPAN_W} + 2, 1)))::INT AS pos
+        FROM documents),
+    w AS (SELECT doc_id, pos, substr(text, pos, {_SPAN_W}) AS win FROM pos),
+    hot AS (
+        SELECT win FROM w GROUP BY win
+        HAVING count(DISTINCT doc_id) > 1000),
+    wf AS (SELECT * FROM w WHERE win NOT IN (SELECT win FROM hot)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb, a.pos - b.pos AS delta
+        FROM wf a JOIN wf b ON a.win = b.win AND a.doc_id < b.doc_id),
+    brk AS (
+        SELECT *, CASE WHEN pa - LAG(pa) OVER
+                 (PARTITION BY doc_a, doc_b, delta ORDER BY pa) = 1
+            THEN 0 ELSE 1 END AS b
+        FROM m),
+    isl AS (
+        SELECT *, SUM(b) OVER
+            (PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS island
+        FROM brk)
+    SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+           MAX(pa) - MIN(pa) + {_SPAN_W} AS span_len, COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_a, doc_b, delta, island
+    ORDER BY doc_a, doc_b, start_a, start_b
+    """,
+)
+def q_corpus_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans >= 40 chars across documents (the
+    output of Lee et al. 2021's suffix-array dedup, computed as stride-1
+    window buckets + island merge — operators/corpus.duplicate_substring_spans).
+    Equi-join on hash64(window) with string re-verify, then one window-shuffle
+    on (pair, alignment); doc_cap guards boilerplate buckets."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        duplicate_substring_spans(docs, width=_SPAN_W)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b", "start_a", "start_b")
     )

@@ -6,6 +6,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from ctcityscraper_spark.operators.corpus import (
+    duplicate_substring_spans,
     shuffle_shards,
     boilerplate_segments,
     contamination_pairs,
@@ -368,3 +369,44 @@ class TestMixtureResample:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestSubstringSpans:
+    def test_single_maximal_span(self, spark):
+        # docs share exactly one 12-char substring "ABCDEFGHIJKL" embedded
+        # at different offsets; width 8 must merge 5 aligned windows into
+        # one maximal span of length 12 with the right start positions
+        shared = "ABCDEFGHIJKL"
+        docs = _docs(spark, ["xx" + shared + "yyyyyy", "qqqq" + shared + "zz"])
+        out = duplicate_substring_spans(docs, width=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_a, r.doc_b) == (0, 1)
+        assert (r.start_a, r.start_b) == (3, 5)
+        assert r.span_len == len(shared)
+        assert r.n_windows == len(shared) - 8 + 1
+
+    def test_short_docs_and_no_overlap_empty(self, spark):
+        docs = _docs(spark, ["tiny", "completely different content here"])
+        assert duplicate_substring_spans(docs, width=8).count() == 0
+
+    def test_doc_cap_drops_boilerplate_window(self, spark):
+        # the same 8-char window in 4 docs; cap=3 must suppress all pairs
+        docs = _docs(spark, ["HEADER00" + s for s in ["a", "b", "c", "d"]])
+        assert duplicate_substring_spans(docs, width=8, doc_cap=3).count() == 0
+        assert duplicate_substring_spans(docs, width=8, doc_cap=None).count() == 6
+
+    def test_min_span_filter(self, spark):
+        shared = "ABCDEFGHIJKL"  # span of 12
+        docs = _docs(spark, [shared + "xx", "yy" + shared])
+        assert duplicate_substring_spans(docs, width=8, min_span=13).count() == 0
+        assert duplicate_substring_spans(docs, width=8, min_span=12).count() == 1
+
+    def test_repeated_window_within_doc_both_alignments(self, spark):
+        # doc 1 contains the shared window twice -> two spans, one per
+        # alignment delta
+        w = "WINDOW88"
+        docs = _docs(spark, [w + "pad", "aa" + w + "bb" + w])
+        out = duplicate_substring_spans(docs, width=8).collect()
+        assert len(out) == 2
+        assert sorted((r.start_a, r.start_b) for r in out) == [(1, 3), (1, 13)]

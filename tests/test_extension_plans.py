@@ -31,6 +31,7 @@ BUCKETED_QUERIES = [
     "ann_srp_multiprobe_topk",
     "corpus_segment_dedup",
     "corpus_contamination",
+    "corpus_substring_spans",
     "dedup_winnow_pairs",
     "range_join_surge_windows",
     "dedup_groups_connected",
