@@ -394,3 +394,236 @@ def srp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# -- product quantization (PQ) ----------------------------------------------
+#
+# The 100 TB memory story for ANN: store each 64-dim float32 vector (256 B)
+# as M=8 4-bit codes (4 B, 64x smaller) and score queries against codes via
+# asymmetric distance computation (ADC) — Jegou et al., "Product
+# Quantization for Nearest Neighbor Search" (TPAMI 2011). The codebook is
+# tiny (M*K*sub_dim floats) and embeds as plan literals, so encoding and
+# scoring are pure whole-stage-codegen expressions: no UDF, no state
+# shipped, and the compressed corpus scan reads 4 B/vector instead of 256.
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codewords per subspace -> 4-bit codes (FAISS "fast-scan" size)
+
+
+def pq_codeword_val(m: int, j: int, d: int) -> float:
+    """Deterministic pseudo-random codeword component in [-0.3, 0.3].
+
+    Same md5 construction as plane_weight: both engines and every executor
+    compute literals from (m, j, d) alone. For production use, train with
+    pq_train_codebooks instead — the operators accept either codebook.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"pq:{m},{j},{d}".encode()).hexdigest()
+    return (int(h[:15], 16) % 601 - 300) / 1000.0
+
+
+def pq_codebook(dims: int, n_sub: int = PQ_M, k: int = PQ_K) -> list:
+    """codebook[m][j] = sub_dim-float codeword j of subspace m."""
+    s = dims // n_sub
+    return [
+        [[pq_codeword_val(m, j, d) for d in range(s)] for j in range(k)]
+        for m in range(n_sub)
+    ]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dims: int,
+    n_sub: int = PQ_M,
+    k: int = PQ_K,
+    vec: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list:
+    """Train PQ codebooks: per-subspace Lloyd's k-means on a corpus sample.
+
+    Driver-side numpy on ``sample`` rows — codebook training reads a bounded
+    sample regardless of corpus size (the FAISS recipe); only the resulting
+    M*K*sub_dim floats ship back into the plan as literals.
+    """
+    import numpy as np
+
+    rows = corpus.select(vec).limit(sample).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    s = dims // n_sub
+    books = []
+    for m in range(n_sub):
+        x = mat[:, m * s : (m + 1) * s]
+        centers = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(iters):
+            d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for j in range(k):
+                members = x[assign == j]
+                if len(members):
+                    centers[j] = members.mean(axis=0)
+        books.append([[float(v) for v in centers[j]] for j in range(k)])
+    return books
+
+
+def pq_encode_col(vec, codebook: list):
+    """array<int> of M codes: per subspace, argmin-L2 codeword index.
+
+    Ties take the smallest index (array_position returns the first minimum),
+    matching the oracle's ORDER BY d, j. Pure expressions — encoding happens
+    in the scan stage of whatever plan consumes it.
+    """
+    n_sub, k = len(codebook), len(codebook[0])
+    s = len(codebook[0][0])
+    codes = []
+    for m in range(n_sub):
+        sub = F.slice(vec, m * s + 1, s)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(c) for c in codebook[m][j]]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(k)
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_table_col(vec, codebook: list):
+    """array<array<double>>: tables[m][j] = dot(query_sub_m, codeword_mj).
+
+    The per-query ADC lookup table (M*K doubles) computed once per query
+    row; scoring a candidate is then M table lookups + a fold.
+    """
+    n_sub, k = len(codebook), len(codebook[0])
+    s = len(codebook[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(vec, m * s + 1, s),
+                            F.array(*[F.lit(c) for c in codebook[m][j]]),
+                            lambda x, c: x * c,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for j in range(k)
+                ]
+            )
+            for m in range(n_sub)
+        ]
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list | None = None,
+) -> DataFrame:
+    """Top-k by ADC inner-product over PQ codes (the compressed-scan path).
+
+    Returns (query_id, neighbor_id, rank, score): score is the ADC
+    approximation of dot(q, c); ties break by neighbor id. The scan reads
+    only codes (4 B/vector at the default config); queries broadcast with
+    their lookup tables. The join is the deliberate full compressed scan —
+    compose with IVF/SRP bucketing to cut candidates first, keeping this
+    scoring on the survivors.
+    """
+    cb = codebook if codebook is not None else pq_codebook(dims, n_sub, n_codes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_col(_as_double(F.col(vec)), cb).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        pq_adc_table_col(_as_double(F.col(vec)), cb).alias("tabs"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("tabs"), F.col("codes"), lambda tb, cd: F.get(tb, cd)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    shortlist: int = 50,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list | None = None,
+) -> DataFrame:
+    """ADC shortlist -> exact-cosine re-rank (the production PQ pipeline).
+
+    The compressed scan picks ``shortlist`` candidates per query; only those
+    rows' full vectors are fetched (equi-join on neighbor_id) and re-ranked
+    with the exact fold cosine. Returns (query_id, neighbor_id, rank,
+    cosine). Recall depends on the codebook — train with pq_train_codebooks
+    for real corpora; the deterministic codebook keeps the oracle exact.
+    """
+    cand = pq_adc_topk(
+        corpus, queries, dims, shortlist, n_sub, n_codes, vec, id_col, codebook
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -39,6 +39,9 @@ from ctcityscraper_spark.operators.dedup import (
 from ctcityscraper_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_vectorized,
+    pq_adc_topk,
+    pq_codebook,
+    pq_rerank_topk,
     probe_masks,
     srp_lsh_topk,
     srp_multiprobe_topk,
@@ -1133,4 +1136,117 @@ def q_dedup_lsh_recall(spark, sf_dir):
             (F.col("n_hits") / F.col("n_true")).alias("recall"),
             (F.col("n_hits") / F.col("n_candidates")).alias("precision"),
         )
+    )
+
+
+def _pq_common_sql(dims: int, n_sub: int, k: int) -> str:
+    """Shared CTE chain: literal codebook VALUES -> per-subspace codes
+    (argmin-L2, ties to smallest j = Spark's array_position-of-min) and
+    per-query ADC tables, every float a left-to-right list_reduce fold."""
+    cb = pq_codebook(dims, n_sub, k)
+    s = dims // n_sub
+    rows = ",\n        ".join(
+        f"({m}, {j}, [{', '.join(repr(c) for c in cb[m][j])}]::DOUBLE[])"
+        for m in range(n_sub)
+        for j in range(k)
+    )
+    return f"""
+    cb(m, j, cw) AS (SELECT * FROM (VALUES {rows}) t(m, j, cw)),
+    ms AS (SELECT unnest(range(0, {n_sub}))::INT AS m),
+    subs AS (
+        SELECT vec_id, m, list_slice(embedding, m*{s}+1, m*{s}+{s}) AS sv
+        FROM embeddings CROSS JOIN ms),
+    dists AS (
+        SELECT vec_id, s2.m, j,
+               list_reduce(list_transform(range(1, {s + 1}),
+                   i -> (sv[i]::DOUBLE - cw[i]) * (sv[i]::DOUBLE - cw[i])),
+                   (x, y) -> x + y) AS d
+        FROM subs s2 JOIN cb ON s2.m = cb.m),
+    codes AS (
+        SELECT vec_id, m, j AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM dists)
+        WHERE rn = 1),
+    ncodes AS (
+        SELECT vec_id AS neighbor_id, list(code ORDER BY m) AS codes
+        FROM codes GROUP BY vec_id),
+    qtab AS (
+        SELECT vec_id, s2.m, j,
+               list_reduce(list_transform(range(1, {s + 1}),
+                   i -> sv[i]::DOUBLE * cw[i]), (x, y) -> x + y) AS t
+        FROM subs s2 JOIN cb ON s2.m = cb.m WHERE vec_id < 10),
+    qt1 AS (SELECT vec_id, m, list(t ORDER BY j) AS tl FROM qtab GROUP BY vec_id, m),
+    qtabs AS (SELECT vec_id AS query_id, list(tl ORDER BY m) AS tabs FROM qt1 GROUP BY vec_id),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_transform(range(1, {n_sub + 1}),
+                   m -> tabs[m][codes[m] + 1]), (x, y) -> x + y) AS score
+        FROM qtabs CROSS JOIN ncodes WHERE query_id != neighbor_id)"""
+
+
+def _pq_adc_oracle(dims: int, n_sub: int = 8, k: int = 16, topk: int = 5) -> str:
+    return f"""
+    WITH {_pq_common_sql(dims, n_sub, k)}
+    SELECT query_id, neighbor_id, rank, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {topk} ORDER BY query_id, rank
+    """
+
+
+def _pq_rerank_oracle(
+    dims: int, n_sub: int = 8, k: int = 16, shortlist: int = 50, topk: int = 5
+) -> str:
+    return f"""
+    WITH {_pq_common_sql(dims, n_sub, k)},
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+        WHERE rn <= {shortlist}),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               {fold_dot_sql('q.embedding', 'c.embedding', dims)}
+                 / ({fold_norm_sql('q.embedding', dims)}
+                    * {fold_norm_sql('c.embedding', dims)}) AS cosine
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rr
+    ) WHERE rank <= {topk} ORDER BY query_id, rank
+    """
+
+
+@query("ann_pq_adc_topk", oracle=_pq_adc_oracle(EMB_DIMS))
+def q_ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): vectors compressed to
+    8 4-bit codes (64x smaller than float32), queries scored against codes
+    via ADC lookup tables — operators/similarity.pq_adc_topk. The scan
+    reads codes only; the deterministic literal codebook keeps both engines
+    bit-identical (train codebooks with pq_train_codebooks in production)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5)
+        .repartition(1)
+        .sortWithinPartitions("query_id", "rank")
+    )
+
+
+@query("ann_pq_rerank_topk", oracle=_pq_rerank_oracle(EMB_DIMS))
+def q_ann_pq_rerank_topk(spark, sf_dir):
+    """PQ production pipeline: ADC shortlist (50 per query) over compressed
+    codes, then exact-cosine re-rank of only the shortlist's full vectors
+    (equi-join fetch). Compressed scan + O(shortlist) float work per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_rerank_topk(
+            emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5, shortlist=50
+        )
+        .repartition(1)
+        .sortWithinPartitions("query_id", "rank")
     )
