@@ -202,3 +202,51 @@ def quality_score_sql(text_expr: str) -> str:
         f" + (1.0 - {punct_ratio})"
         f" + least({stop_ratio} * 5, 1.0)) / 3.0"
     )
+
+
+def tfidf_top_terms(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Keyword extraction for corpus exploration / topic routing. The idf
+    factor is the log-free surrogate ``N / df`` — monotone in rarity, so
+    per-document ranking is unchanged for terms with equal tf, and every
+    score stays a single exact division of integer counts (the module's
+    cross-engine determinism rule: transcendental functions are not
+    bit-portable between engines; integer ratios are).
+
+    Shuffles: one groupBy on (doc, term) for tf, one on term for df (both
+    partial-aggregated map-side), a broadcast-sized corpus count, then the
+    per-document top-k window on the doc key. Nothing quadratic; term keys
+    are capped by the df side being |vocabulary|.
+
+    Returns (doc_id, term, tf, df, tfidf, rank), rank 1..k per doc, ties
+    broken by term ascending.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", (F.col("tf") * F.col("n_docs")) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -28,6 +28,7 @@ from ctcityscraper_spark.operators.corpus import (
     shuffle_shards,
     stratified_sample,
 )
+from ctcityscraper_spark.operators.text import tfidf_top_terms
 from ctcityscraper_spark.plans.queries import query
 from ctcityscraper_spark.plans.queries_ext import TOKS, hash64_sql
 from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
@@ -424,4 +425,39 @@ def q_corpus_substring_spans(spark, sf_dir):
         duplicate_substring_spans(docs, width=_SPAN_W)
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b", "start_a", "start_b")
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term != '' GROUP BY doc_id, term),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term != '' GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df, (tf * n_docs) / df AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF (log-free N/df idf
+    surrogate keeps every score an exact integer ratio — operators/
+    text.tfidf_top_terms). Two partial-aggregated shuffles + broadcast
+    corpus count + per-doc top-k window."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        tfidf_top_terms(docs, k=3)
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "rank")
     )
