@@ -94,3 +94,73 @@ def deterministic_fake_decoder(payload: bytes) -> dict:
         "n_frames": 1 + head[2] % 8,
         "feature": [((b % 16) - 8) / 8.0 for b in head],
     }
+
+
+# -- video frame sampling ----------------------------------------------------
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, feature array<float>"
+
+# frame decoder: payload bytes -> list of dict(frame_idx, frame_md5, feature)
+FrameDecoder = Callable[[bytes], list]
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_decoder: FrameDecoder | None = None,
+    every: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode a video payload into frames and keep every ``every``-th one.
+
+    The 1->N fan-out shape of video pipelines: one binary row yields
+    multiple frame rows (index, content hash, feature vector), Arrow-batched
+    through mapInPandas. ``frame_decoder`` is the pluggable stub — inject a
+    real ffmpeg-backed one where available; raises NotImplementedError here
+    (no media libs in this environment). Frames are sampled inside the UDF,
+    so dropped frames never cross the Arrow boundary.
+    """
+    if frame_decoder is None:
+        raise NotImplementedError(
+            "frame sampling requires a frame decoder; none is available in "
+            "this environment — inject a FrameDecoder (bytes -> list[dict]) "
+            "or use deterministic_fake_frame_decoder for plumbing tests"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "feature": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for fr in frame_decoder(bytes(payload))[::every]:
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(int(fr["frame_idx"]))
+                    out["frame_md5"].append(str(fr["frame_md5"]))
+                    out["feature"].append([float(x) for x in fr["feature"]])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def deterministic_fake_frame_decoder(payload: bytes) -> list:
+    """Stand-in frame decoder: md5-derived pseudo-frames.
+
+    Every quantity is a pure function of the payload bytes through md5, so
+    the DuckDB oracle can compute identical frames from the same payload
+    (md5 -> frame count, per-frame md5 -> feature eighths, all exact in
+    float). A real decoder returns the same row shape from actual frames.
+    """
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    n_frames = 1 + int(h[0], 16) % 8
+    frames = []
+    for i in range(n_frames):
+        fh = hashlib.md5(payload + str(i).encode()).hexdigest()
+        frames.append(
+            {
+                "frame_idx": i,
+                "frame_md5": fh,
+                "feature": [(int(c, 16) - 8) / 8.0 for c in fh[:8]],
+            }
+        )
+    return frames

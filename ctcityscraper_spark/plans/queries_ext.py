@@ -1250,3 +1250,49 @@ def q_ann_pq_rerank_topk(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("query_id", "rank")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text, md5(text) AS h
+        FROM documents WHERE doc_id < 200),
+    n AS (
+        SELECT doc_id, text,
+               1 + ('0x' || substr(h, 1, 1))::BIGINT % 8 AS n_frames
+        FROM f),
+    frames AS (
+        SELECT doc_id, text, unnest(range(0, n_frames))::INT AS frame_idx
+        FROM n),
+    sampled AS (SELECT * FROM frames WHERE frame_idx % 2 = 0),
+    hashed AS (
+        SELECT doc_id, frame_idx,
+               md5(text || frame_idx::VARCHAR) AS frame_md5
+        FROM sampled)
+    SELECT doc_id, frame_idx, frame_md5,
+           list_transform(range(1, 9),
+               i -> (('0x' || substr(frame_md5, i, 1))::BIGINT - 8) / 8.0
+           ) AS feature
+    FROM hashed ORDER BY doc_id, frame_idx
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-pipeline 1->N fan-out: binary payloads decode to frames, every
+    2nd frame kept, emitting (frame_idx, content md5, feature) rows via
+    Arrow-batched mapInPandas (operators/multimodal.sample_frames). The
+    deterministic fake decoder derives frames from payload md5 so the
+    oracle replays the identical math; a real ffmpeg decoder drops in via
+    the same FrameDecoder contract."""
+    from ctcityscraper_spark.operators.multimodal import (
+        deterministic_fake_frame_decoder,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    return (
+        sample_frames(payload, deterministic_fake_frame_decoder, every=2)
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "frame_idx")
+    )

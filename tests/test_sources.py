@@ -137,6 +137,37 @@ class TestMultimodal:
         again = {r.doc_id: r for r in extract_features(df, decoder=deterministic_fake_decoder).collect()}
         assert rows[3].feature == again[3].feature
 
+    def test_frame_sample_stub_raises_without_decoder(self, spark):
+        from ctcityscraper_spark.operators.multimodal import sample_frames
+
+        df = spark.createDataFrame([Row(doc_id=1, payload=b"abc")])
+        with pytest.raises(NotImplementedError, match="frame decoder"):
+            sample_frames(df, frame_decoder=None)
+
+    def test_frame_sampling_stride_and_determinism(self, spark):
+        from ctcityscraper_spark.operators.multimodal import (
+            deterministic_fake_frame_decoder,
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, payload=f"video-{i}".encode()) for i in range(30)]
+        )
+        every1 = sample_frames(df, deterministic_fake_frame_decoder, every=1)
+        every2 = sample_frames(df, deterministic_fake_frame_decoder, every=2)
+        all_rows = every1.collect()
+        kept = every2.collect()
+        # stride-2 keeps exactly the even frame indexes of the full decode
+        assert {(r.doc_id, r.frame_idx) for r in kept} == {
+            (r.doc_id, r.frame_idx) for r in all_rows if r.frame_idx % 2 == 0
+        }
+        # frame counts stay within the fake decoder's 1..8 domain
+        per_doc = {}
+        for r in all_rows:
+            per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert all(1 <= len(v) <= 8 for v in per_doc.values())
+        assert all(len(r.feature) == 8 for r in all_rows)
+
 
 class TestStreaming:
     def test_tumbling_window_stream_matches_batch(self, spark, tmp_path):
