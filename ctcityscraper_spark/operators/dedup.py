@@ -552,3 +552,41 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_drop_list(
+    df: DataFrame,
+    dims: int,
+    threshold: float = 0.3,
+    bits: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via cluster-then-prune.
+
+    Cluster the embedding space, compare pairs ONLY within a cluster, and
+    drop every non-minimum member of each near-duplicate set (cosine >=
+    ``threshold``) — the cluster step bounds the pairwise work to
+    sum(cluster^2) instead of corpus^2, which is the paper's entire point
+    at 100 TB. Returns the drop list (drop_id rows, ascending).
+
+    ``cluster_col`` plugs in a trained assignment (e.g. KMeans list_id from
+    similarity.ivf_topk's indexer); the default derives a deterministic
+    ``bits``-bit SRP bucket so the result is oracle-checkable end-to-end —
+    same drop rule, swappable clusterer.
+    """
+    from ctcityscraper_spark.operators.similarity import srp_bucket_col
+
+    if cluster_col is None:
+        df = df.withColumn(
+            "_semcluster",
+            srp_bucket_col(
+                F.transform(F.col(vec), lambda x: x.cast("double")), dims, bits
+            ),
+        )
+        cluster_col = "_semcluster"
+    pairs = embedding_neardup_pairs(
+        df, vec=vec, id_col=id_col, threshold=threshold, block=cluster_col
+    )
+    return pairs.select(F.col("vec_b").alias("drop_id")).distinct()

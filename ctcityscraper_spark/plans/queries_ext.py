@@ -1296,3 +1296,35 @@ def q_multimodal_frame_sample(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("doc_id", "frame_idx")
     )
+
+
+@query(
+    "dedup_semdedup_drop_list",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               {_srp_bucket_sql('embedding', EMB_DIMS, 4)} AS blk
+        FROM embeddings),
+    p AS (
+        SELECT b.vec_id AS drop_id
+        FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id
+        WHERE {fold_dot_sql('a.embedding', 'b.embedding', EMB_DIMS)}
+                / ({fold_norm_sql('a.embedding', EMB_DIMS)}
+                   * {fold_norm_sql('b.embedding', EMB_DIMS)}) >= 0.3)
+    SELECT DISTINCT drop_id FROM p ORDER BY drop_id
+    """,
+)
+def q_dedup_semdedup_drop_list(spark, sf_dir):
+    """SemDeDup (operators/dedup.semdedup_drop_list): cluster embeddings
+    (deterministic 4-bit SRP buckets here; KMeans plugs in via
+    cluster_col), prune within-cluster cosine near-dups keeping each set's
+    minimum id. Pairwise work is bounded by the largest cluster, never the
+    corpus."""
+    from ctcityscraper_spark.operators.dedup import semdedup_drop_list
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        semdedup_drop_list(emb, dims=EMB_DIMS, threshold=0.3, bits=4)
+        .repartition(1)
+        .sortWithinPartitions("drop_id")
+    )

@@ -32,6 +32,7 @@ BUCKETED_QUERIES = [
     "corpus_segment_dedup",
     "corpus_contamination",
     "corpus_substring_spans",
+    "dedup_semdedup_drop_list",
     "dedup_winnow_pairs",
     "range_join_surge_windows",
     "dedup_groups_connected",
