@@ -531,8 +531,8 @@ def duplicate_substring_spans(
 
     Output: (doc_a, doc_b, start_a, start_b, span_len, n_windows), doc_a <
     doc_b, one row per maximal run of aligned shared windows. Exact: the
-    bucket key is hash64(win) but the join re-verifies the window strings,
-    so hash collisions cannot create false spans.
+    join key is the window string itself, so there are no hash collisions
+    to verify away.
 
     Scale: the self-join cost is sum(bucket^2) over identical-window
     buckets — true duplication only, and ``doc_cap`` drops windows shared
@@ -541,21 +541,25 @@ def duplicate_substring_spans(
     island merge shuffles once on (doc_a, doc_b, alignment), keys that are
     high-cardinality and skew-free by construction.
     """
-    win = substring_windows(df, text, id_col, width)
-    bucketed = win.withColumn("h", hash64(F.col("win"), "span"))
+    # Bucket key = the window string itself. A hash key would have to be
+    # re-verified against the string, and the string must ride the shuffle
+    # for that verify anyway — so hashing every window (~1 md5 per corpus
+    # character) buys nothing here and cost ~40% of the runtime when it was
+    # tried. At shuffle-volume-bound scale, swap in xxhash64 bucketing with
+    # a second-pass fetch-and-verify join; same downstream shape.
+    bucketed = substring_windows(df, text, id_col, width)
     if doc_cap is not None:
         hot = (
-            bucketed.groupBy("h")
+            bucketed.groupBy("win")
             .agg(F.countDistinct("doc_id").alias("nd"))
             .filter(F.col("nd") > doc_cap)
-            .select("h")
+            .select("win")
         )
-        bucketed = bucketed.join(hot, "h", "left_anti")
+        bucketed = bucketed.join(hot, "win", "left_anti")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     matched = a.join(
         b,
-        (F.col("a.h") == F.col("b.h"))
-        & (F.col("a.win") == F.col("b.win"))
+        (F.col("a.win") == F.col("b.win"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),

@@ -385,6 +385,8 @@ _SPAN_W = 40  # SPAN_WINDOW_CHARS
 
 @query(
     "corpus_substring_spans",
+    headline=True,  # the heaviest realistic corpus-dedup pipeline (stride-1
+    # windows over the whole corpus); benched round-over-round
     oracle=f"""
     WITH pos AS (
         SELECT doc_id, text,
