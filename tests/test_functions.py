@@ -159,3 +159,73 @@ class TestHash64:
                 "select ('0x' || substring(md5('3' || ?), 1, 15))::BIGINT", [v]
             ).fetchone()
             assert got[v] == exp, v
+
+
+class TestSqlFunctionTwins:
+    """The SQL-UDF surface (functions/sqlfuncs.py) must agree value-for-value
+    with the Column builders on adversarial inputs."""
+
+    INPUTS = [
+        "$1,500.00 ", "1,234", "  7.9 ", "7", "-3.5", "N/A", "", "   ",
+        "$,", "1.2.3", "0", "-0", " Total Value: ", "Beds & Baths:",
+        "MIXED Case  Key:", None, "2,000,000", "$0.01", "nan", "Infinity",
+    ]
+
+    def _frame(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(s=v) for v in self.INPUTS])
+
+    def test_every_twin_matches_column_builder(self, spark):
+        from ctcityscraper_spark.functions.coercion import (
+            clean_string_col,
+            comma_number_col,
+            float_col,
+            int_col,
+            money_col,
+            normalize_key,
+        )
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.functions.sqlfuncs import register_sql_functions
+
+        register_sql_functions(spark)
+        df = self._frame(spark)
+        pairs = [
+            ("money_clean(s)", money_col("s")),
+            ("float_clean(s)", float_col("s")),
+            ("int_clean(s)", int_col("s")),
+            ("string_clean(s)", clean_string_col("s")),
+            ("comma_number(s)", comma_number_col("s")),
+            ("normalize_key(s)", normalize_key("s")),
+            ("hash64('x', s)", hash64(F.col("s"), "x")),
+        ]
+        for sql_expr, col_expr in pairs:
+            got = df.selectExpr(f"{sql_expr} AS v").collect()
+            want = df.select(col_expr.alias("v")).collect()
+            # repr-compare: NaN == NaN under repr, exact otherwise
+            assert [repr(r.v) for r in got] == [
+                repr(r.v) for r in want
+            ], sql_expr
+
+    def test_registration_is_idempotent(self, spark):
+        from ctcityscraper_spark.functions.sqlfuncs import register_sql_functions
+
+        register_sql_functions(spark)
+        register_sql_functions(spark)
+        assert spark.sql("SELECT money_clean('$2') AS v").first().v == 2.0
+
+    def test_sql_udf_inlines_into_codegen(self, spark):
+        from ctcityscraper_spark.functions.sqlfuncs import register_sql_functions
+
+        register_sql_functions(spark)
+        df = self._frame(spark)
+        plan = (
+            df.selectExpr("money_clean(s) AS v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the body inlines as expressions — no BatchEvalPython / PythonUDF
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        # codegen stages print as *(n) markers in executedPlan.toString()
+        assert "*(1)" in plan
