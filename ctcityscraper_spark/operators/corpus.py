@@ -566,10 +566,19 @@ def duplicate_substring_spans(
         F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
         (F.col("a.pos") - F.col("b.pos")).alias("delta"),
     )
+    spans = _merge_window_runs(matched, width)
+    if min_span is not None:
+        spans = spans.filter(F.col("span_len") >= min_span)
+    return spans
+
+
+def _merge_window_runs(matched: DataFrame, width: int) -> DataFrame:
+    """Island-merge matched windows (doc_a, doc_b, pa, pb, delta) into
+    maximal spans: one window shuffle on (pair, alignment)."""
     from pyspark.sql.window import Window
 
     run = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
-    spans = (
+    return (
         matched.withColumn(
             "brk",
             F.when(F.col("pa") - F.lag("pa").over(run) == 1, F.lit(0)).otherwise(
@@ -586,6 +595,60 @@ def duplicate_substring_spans(
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "span_len", "n_windows")
     )
+
+
+def incremental_substring_spans(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    corpus_windows: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = SPAN_WINDOW_CHARS,
+    min_span: int | None = None,
+    doc_cap: int = SPAN_DOC_CAP,
+) -> DataFrame:
+    """Duplicated spans between a NEW batch and an EXISTING corpus only.
+
+    The production shape for growing corpora (same pattern as
+    incremental_dedup_pairs): the corpus window index is a stored artifact
+    — pass ``corpus_windows`` (the substring_windows output, ideally kept
+    bucketed on ``win``) to skip recomputing it — and the join cost is
+    ∝ batch windows x true duplication, never corpus x corpus. The
+    ``doc_cap`` boilerplate guard is computed over the corpus index, where
+    boilerplate lives. Returns (new_doc, corpus_doc, start_new,
+    start_corpus, span_len, n_windows).
+    """
+    idx = corpus_windows
+    if idx is None:
+        if corpus_docs is None:
+            raise ValueError("pass corpus_docs or corpus_windows")
+        idx = substring_windows(corpus_docs, text, id_col, width)
+    if doc_cap is not None:
+        hot = (
+            idx.groupBy("win")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > doc_cap)
+            .select("win")
+        )
+        idx = idx.join(hot, "win", "left_anti")
+    new_win = substring_windows(new_docs, text, id_col, width)
+    matched = new_win.alias("a").join(
+        idx.alias("b"),
+        (F.col("a.win") == F.col("b.win"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("delta"),
+    )
+    spans = _merge_window_runs(matched, width)
     if min_span is not None:
         spans = spans.filter(F.col("span_len") >= min_span)
-    return spans
+    return spans.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("corpus_doc"),
+        F.col("start_a").alias("start_new"),
+        F.col("start_b").alias("start_corpus"),
+        "span_len",
+        "n_windows",
+    )

@@ -19,6 +19,7 @@ from ctcityscraper_spark.operators.corpus import (
     boilerplate_segments,
     contamination_pairs,
     duplicate_substring_spans,
+    incremental_substring_spans,
     mixture_resample,
     pack_sequences,
     pii_scrub,
@@ -28,6 +29,7 @@ from ctcityscraper_spark.operators.corpus import (
     shuffle_shards,
     stratified_sample,
 )
+from ctcityscraper_spark.functions.hashing import hash64
 from ctcityscraper_spark.operators.text import tfidf_top_terms
 from ctcityscraper_spark.plans.queries import query
 from ctcityscraper_spark.plans.queries_ext import TOKS, hash64_sql
@@ -462,4 +464,62 @@ def q_text_tfidf_top_terms(spark, sf_dir):
         tfidf_top_terms(docs, k=3)
         .repartition(1)
         .sortWithinPartitions("doc_id", "rank")
+    )
+
+
+@query(
+    "corpus_incremental_spans",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {hash64_sql('doc_id', 'incspan')} % 5 = 0 AS is_new
+        FROM documents),
+    cw AS (
+        SELECT doc_id, pos, substr(text, pos, {_SPAN_W}) AS win FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - {_SPAN_W} + 2, 1)))::INT AS pos
+            FROM split WHERE NOT is_new)),
+    hot AS (
+        SELECT win FROM cw GROUP BY win
+        HAVING count(DISTINCT doc_id) > 1000),
+    cwf AS (SELECT * FROM cw WHERE win NOT IN (SELECT win FROM hot)),
+    nw AS (
+        SELECT doc_id, pos, substr(text, pos, {_SPAN_W}) AS win FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - {_SPAN_W} + 2, 1)))::INT AS pos
+            FROM split WHERE is_new)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb, a.pos - b.pos AS delta
+        FROM nw a JOIN cwf b ON a.win = b.win AND a.doc_id != b.doc_id),
+    brk AS (
+        SELECT *, CASE WHEN pa - LAG(pa) OVER
+                 (PARTITION BY doc_a, doc_b, delta ORDER BY pa) = 1
+            THEN 0 ELSE 1 END AS b
+        FROM m),
+    isl AS (
+        SELECT *, SUM(b) OVER
+            (PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS island
+        FROM brk)
+    SELECT doc_a AS new_doc, doc_b AS corpus_doc,
+           MIN(pa) AS start_new, MIN(pb) AS start_corpus,
+           MAX(pa) - MIN(pa) + {_SPAN_W} AS span_len, COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_a, doc_b, delta, island
+    ORDER BY new_doc, corpus_doc, start_new, start_corpus
+    """,
+)
+def q_corpus_incremental_spans(spark, sf_dir):
+    """Incremental exact-substring dedup: a hash-held-out 20% 'new batch'
+    of documents checked against the other 80% 'existing corpus' via the
+    (storable) corpus window index — join cost ∝ batch windows, the corpus
+    never re-pairs against itself (operators/corpus.
+    incremental_substring_spans)."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "incspan") % 5 == 0
+    return (
+        incremental_substring_spans(
+            docs.filter(is_new), docs.filter(~is_new), width=_SPAN_W
+        )
+        .repartition(1)
+        .sortWithinPartitions("new_doc", "corpus_doc", "start_new", "start_corpus")
     )
