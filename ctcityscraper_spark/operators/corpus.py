@@ -492,6 +492,11 @@ def mixture_resample(
 
 SPAN_WINDOW_CHARS = 40  # window width L: the minimum detectable span
 SPAN_DOC_CAP = 1000  # drop windows shared by more docs (boilerplate guard)
+# Above this many total windows the string-keyed bucket join is swapped for
+# the xxhash64-keyed one (8-byte shuffle keys + span-level fetch-and-verify).
+# Below it the string join wins locally: no second verify pass, and the
+# window strings fit comfortably in shuffle memory at that volume.
+SPAN_HASH_GATE_WINDOWS = 20_000_000
 
 
 def substring_windows(
@@ -499,24 +504,30 @@ def substring_windows(
     text: str = "text",
     id_col: str = "doc_id",
     width: int = SPAN_WINDOW_CHARS,
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, pos, win): stride-1 character windows, 1-based positions.
 
     Row inflation is x(len - L + 1) per document — the same order as the
-    corpus itself (a suffix array is bigger). The window string is carried
-    only into the bucket join; everything downstream is (ids, ints).
+    corpus itself (a suffix array is bigger). With ``hashed=True`` the
+    window string is replaced by ``win_h = xxhash64(win)`` in the same
+    projection, so the ``width``-char string never leaves the scan stage:
+    shuffle keys are 8 bytes instead of ``width`` bytes (~5x lighter at
+    the default width, the difference between TB- and PB-scale shuffle at
+    100 TB corpus size). A hashed index is also the storable form for
+    :func:`incremental_substring_spans` — 16 B/window on disk.
     """
     n = F.length(F.col(text))
     positions = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)).otherwise(
         F.array().cast("array<int>")
     )
+    win = F.expr(f"substring(_txt, pos, {width})")
+    key = F.xxhash64(win).alias("win_h") if hashed else win.alias("win")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text).alias("_txt"),
         F.explode(positions).alias("pos"),
-    ).select(
-        "doc_id", "pos", F.expr(f"substring(_txt, pos, {width})").alias("win")
-    )
+    ).select("doc_id", "pos", key)
 
 
 def duplicate_substring_spans(
@@ -526,13 +537,31 @@ def duplicate_substring_spans(
     width: int = SPAN_WINDOW_CHARS,
     min_span: int | None = None,
     doc_cap: int = SPAN_DOC_CAP,
+    bucket_by_hash: bool | None = None,
 ) -> DataFrame:
     """Maximal cross-document duplicated spans of length >= ``width``.
 
     Output: (doc_a, doc_b, start_a, start_b, span_len, n_windows), doc_a <
-    doc_b, one row per maximal run of aligned shared windows. Exact: the
-    join key is the window string itself, so there are no hash collisions
-    to verify away.
+    doc_b, one row per maximal run of aligned shared windows.
+
+    Two bucket-key strategies, auto-selected by corpus window volume when
+    ``bucket_by_hash`` is None (one cheap length-sum aggregation over the
+    text column decides):
+
+    - **string keys** (small inputs): join on the window string itself —
+      exact with no verify pass, fastest below
+      ``SPAN_HASH_GATE_WINDOWS`` total windows.
+    - **xxhash64 keys** (the scale path): windows shuffle as
+      (doc_id, pos, int64) — 8-byte keys instead of ``width``-byte
+      strings, so self-join shuffle volume drops ~``width``/8 x. The
+      ``doc_cap`` hot filter also aggregates over the 8-byte key. After
+      the island merge, a fetch-and-verify join re-extracts both span
+      substrings from the (tiny, true-duplication-sized) span shortlist
+      and keeps only string-equal spans, so hash collisions cannot
+      produce false output. (A collision could still *split* coverage of
+      one true span in the astronomically unlikely case it lands inside
+      a run — P ~ pair_windows / 2^64 — the standard exactness caveat of
+      every hashed-fingerprint dedup.)
 
     Scale: the self-join cost is sum(bucket^2) over identical-window
     buckets — true duplication only, and ``doc_cap`` drops windows shared
@@ -541,25 +570,30 @@ def duplicate_substring_spans(
     island merge shuffles once on (doc_a, doc_b, alignment), keys that are
     high-cardinality and skew-free by construction.
     """
-    # Bucket key = the window string itself. A hash key would have to be
-    # re-verified against the string, and the string must ride the shuffle
-    # for that verify anyway — so hashing every window (~1 md5 per corpus
-    # character) buys nothing here and cost ~40% of the runtime when it was
-    # tried. At shuffle-volume-bound scale, swap in xxhash64 bucketing with
-    # a second-pass fetch-and-verify join; same downstream shape.
-    bucketed = substring_windows(df, text, id_col, width)
+    if bucket_by_hash is None:
+        n_windows = (
+            df.select(
+                F.sum(
+                    F.greatest(F.length(F.col(text)) - width + 1, F.lit(0))
+                ).alias("n")
+            ).first()["n"]
+            or 0
+        )
+        bucket_by_hash = n_windows > SPAN_HASH_GATE_WINDOWS
+    key = "win_h" if bucket_by_hash else "win"
+    bucketed = substring_windows(df, text, id_col, width, hashed=bucket_by_hash)
     if doc_cap is not None:
         hot = (
-            bucketed.groupBy("win")
+            bucketed.groupBy(key)
             .agg(F.countDistinct("doc_id").alias("nd"))
             .filter(F.col("nd") > doc_cap)
-            .select("win")
+            .select(key)
         )
-        bucketed = bucketed.join(hot, "win", "left_anti")
+        bucketed = bucketed.join(hot, key, "left_anti")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     matched = a.join(
         b,
-        (F.col("a.win") == F.col("b.win"))
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
@@ -567,9 +601,41 @@ def duplicate_substring_spans(
         (F.col("a.pos") - F.col("b.pos")).alias("delta"),
     )
     spans = _merge_window_runs(matched, width)
+    if bucket_by_hash:
+        spans = _verify_spans(spans, df, text, id_col, "doc_a", "doc_b",
+                              "start_a", "start_b")
     if min_span is not None:
         spans = spans.filter(F.col("span_len") >= min_span)
     return spans
+
+
+def _verify_spans(
+    spans: DataFrame,
+    docs: DataFrame,
+    text: str,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    sa: str,
+    sb: str,
+) -> DataFrame:
+    """Fetch-and-verify pass for hash-bucketed spans: join the span
+    shortlist back to both documents' text and keep spans whose substrings
+    are string-equal. The shortlist is true-duplication-sized (plus a
+    ~2^-64 collision tail), so the two joins move only the texts of
+    documents that actually share content."""
+    out_cols = [a_col, b_col, sa, sb, "span_len", "n_windows"]
+    ta = docs.select(F.col(id_col).alias(a_col), F.col(text).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias(b_col), F.col(text).alias("_tb"))
+    return (
+        spans.join(ta, a_col)
+        .join(tb, b_col)
+        .filter(
+            F.col("_ta").substr(F.col(sa), F.col("span_len"))
+            == F.col("_tb").substr(F.col(sb), F.col("span_len"))
+        )
+        .select(*out_cols)
+    )
 
 
 def _merge_window_runs(matched: DataFrame, width: int) -> DataFrame:
@@ -606,35 +672,67 @@ def incremental_substring_spans(
     width: int = SPAN_WINDOW_CHARS,
     min_span: int | None = None,
     doc_cap: int = SPAN_DOC_CAP,
+    bucket_by_hash: bool | None = None,
 ) -> DataFrame:
     """Duplicated spans between a NEW batch and an EXISTING corpus only.
 
     The production shape for growing corpora (same pattern as
     incremental_dedup_pairs): the corpus window index is a stored artifact
     — pass ``corpus_windows`` (the substring_windows output, ideally kept
-    bucketed on ``win``) to skip recomputing it — and the join cost is
+    bucketed on its key) to skip recomputing it — and the join cost is
     ∝ batch windows x true duplication, never corpus x corpus. The
     ``doc_cap`` boilerplate guard is computed over the corpus index, where
     boilerplate lives. Returns (new_doc, corpus_doc, start_new,
     start_corpus, span_len, n_windows).
+
+    ``bucket_by_hash``: as in :func:`duplicate_substring_spans` — the
+    stored-index scale path is a *hashed* index (``substring_windows(...,
+    hashed=True)``: 16 B/window instead of carrying the window string).
+    When None, it is inferred from a provided ``corpus_windows``'s key
+    column (``win_h`` vs ``win``), else from the corpus window volume.
+    The fetch-and-verify pass needs the corpus texts, so with a hashed
+    index pass ``corpus_docs`` too; without them the spans are exact only
+    up to xxhash64 collisions (~2^-64 per window pair) and verification
+    is skipped.
     """
     idx = corpus_windows
+    if bucket_by_hash is None:
+        if idx is not None:
+            bucket_by_hash = "win_h" in idx.columns
+        else:
+            n_windows = (
+                corpus_docs.select(
+                    F.sum(
+                        F.greatest(
+                            F.length(F.col(text)) - width + 1, F.lit(0)
+                        )
+                    ).alias("n")
+                ).first()["n"]
+                or 0
+            )
+            bucket_by_hash = n_windows > SPAN_HASH_GATE_WINDOWS
+    key = "win_h" if bucket_by_hash else "win"
     if idx is None:
         if corpus_docs is None:
             raise ValueError("pass corpus_docs or corpus_windows")
-        idx = substring_windows(corpus_docs, text, id_col, width)
+        idx = substring_windows(
+            corpus_docs, text, id_col, width, hashed=bucket_by_hash
+        )
+    elif bucket_by_hash and "win_h" not in idx.columns:
+        idx = idx.select("doc_id", "pos", F.xxhash64("win").alias("win_h"))
     if doc_cap is not None:
         hot = (
-            idx.groupBy("win")
+            idx.groupBy(key)
             .agg(F.countDistinct("doc_id").alias("nd"))
             .filter(F.col("nd") > doc_cap)
-            .select("win")
+            .select(key)
         )
-        idx = idx.join(hot, "win", "left_anti")
-    new_win = substring_windows(new_docs, text, id_col, width)
+        idx = idx.join(hot, key, "left_anti")
+    new_win = substring_windows(new_docs, text, id_col, width,
+                                hashed=bucket_by_hash)
     matched = new_win.alias("a").join(
         idx.alias("b"),
-        (F.col("a.win") == F.col("b.win"))
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
         & (F.col("a.doc_id") != F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
@@ -642,6 +740,12 @@ def incremental_substring_spans(
         (F.col("a.pos") - F.col("b.pos")).alias("delta"),
     )
     spans = _merge_window_runs(matched, width)
+    if bucket_by_hash and corpus_docs is not None:
+        texts = new_docs.select(id_col, text).unionByName(
+            corpus_docs.select(id_col, text)
+        )
+        spans = _verify_spans(spans, texts, text, id_col, "doc_a", "doc_b",
+                              "start_a", "start_b")
     if min_span is not None:
         spans = spans.filter(F.col("span_len") >= min_span)
     return spans.select(

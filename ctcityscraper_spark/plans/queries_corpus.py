@@ -422,11 +422,14 @@ def q_corpus_substring_spans(spark, sf_dir):
     """Exact duplicated-substring spans >= 40 chars across documents (the
     output of Lee et al. 2021's suffix-array dedup, computed as stride-1
     window buckets + island merge — operators/corpus.duplicate_substring_spans).
-    Equi-join on hash64(window) with string re-verify, then one window-shuffle
-    on (pair, alignment); doc_cap guards boilerplate buckets."""
+    Runs the scale path explicitly: equi-join on xxhash64(window) 8-byte keys
+    (the window string never rides the shuffle), doc_cap hot-window filter
+    aggregated over the same 8-byte keys, then one window-shuffle on (pair,
+    alignment) and a span-level fetch-and-verify join that re-extracts both
+    substrings from the true-duplication-sized shortlist."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return (
-        duplicate_substring_spans(docs, width=_SPAN_W)
+        duplicate_substring_spans(docs, width=_SPAN_W, bucket_by_hash=True)
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b", "start_a", "start_b")
     )
@@ -513,12 +516,14 @@ def q_corpus_incremental_spans(spark, sf_dir):
     of documents checked against the other 80% 'existing corpus' via the
     (storable) corpus window index — join cost ∝ batch windows, the corpus
     never re-pairs against itself (operators/corpus.
-    incremental_substring_spans)."""
+    incremental_substring_spans). Scale path: hashed (16 B/window) index,
+    fetch-and-verify on the span shortlist."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     is_new = hash64(F.col("doc_id"), "incspan") % 5 == 0
     return (
         incremental_substring_spans(
-            docs.filter(is_new), docs.filter(~is_new), width=_SPAN_W
+            docs.filter(is_new), docs.filter(~is_new), width=_SPAN_W,
+            bucket_by_hash=True
         )
         .repartition(1)
         .sortWithinPartitions("new_doc", "corpus_doc", "start_new", "start_corpus")

@@ -410,3 +410,55 @@ class TestSubstringSpans:
         out = duplicate_substring_spans(docs, width=8).collect()
         assert len(out) == 2
         assert sorted((r.start_a, r.start_b) for r in out) == [(1, 3), (1, 13)]
+
+    def test_hash_path_matches_string_path(self, spark):
+        # the xxhash64-bucketed scale path (8-byte join keys + span-level
+        # fetch-and-verify) must produce byte-identical output to the
+        # exact string-keyed path on every span shape above
+        shared = "ABCDEFGHIJKL"
+        w = "WINDOW88"
+        docs = _docs(
+            spark,
+            [
+                "xx" + shared + "yyyyyy",
+                "qqqq" + shared + "zz",
+                w + "pad",
+                "aa" + w + "bb" + w,
+                "tiny",
+            ],
+        )
+        cols = ["doc_a", "doc_b", "start_a", "start_b", "span_len", "n_windows"]
+        a = sorted(
+            map(tuple, duplicate_substring_spans(
+                docs, width=8, bucket_by_hash=False).select(*cols).collect())
+        )
+        b = sorted(
+            map(tuple, duplicate_substring_spans(
+                docs, width=8, bucket_by_hash=True).select(*cols).collect())
+        )
+        assert a == b and len(a) > 0
+
+    def test_hash_path_plan_joins_on_long_key(self, spark):
+        # scale claim: in the hashed path the bucket self-join keys are the
+        # 8-byte xxhash64 longs — the window *string* must not appear as a
+        # join key (it only reappears in the final verify substr compare)
+        import re
+
+        docs = _docs(spark, ["abcdefghijkl" * 3, "xxabcdefghijklxx"])
+        plan = (
+            duplicate_substring_spans(docs, width=8, bucket_by_hash=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "xxhash64" in plan
+        join_lines = [
+            ln for ln in plan.splitlines()
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+            or "BroadcastHashJoin" in ln
+        ]
+        assert join_lines, "no equi-join in hashed span plan"
+        keyed = [ln for ln in join_lines if re.search(r"win_h#\d+", ln)]
+        assert keyed, "bucket join must key on win_h"
+        for ln in keyed:
+            assert not re.search(r"\bwin#\d+", ln), (
+                "window string must not be a join key in the hashed path"
+            )
