@@ -138,21 +138,31 @@ def _run(
     distributed_flatten = source.table_schemas is not None
 
     for chunk in _chunks(entry_ids, batch_size):
+        # one parquet file per ~100k rows per table per micro-batch: typical
+        # batches coalesce to a single file, which keeps the session-file
+        # count at one-per-table and turns end-of-run compaction into a
+        # no-op; huge backfill batches still fan the write out. The coalesce
+        # sits on the write side of the persisted fetch, so the rate-limited
+        # fetch parallelism (num_partitions) is untouched.
+        write_files = max(1, len(chunk) // 100_000)
         if distributed_flatten:
             flat = fetch_and_flatten_distributed(
                 spark, source, params.base_url, chunk, **fetch_kw
             ).persist()
-            results = (
-                flat.select("seq", "invalid", "error").distinct().orderBy("seq").collect()
+            # entry-order sort happens driver-side: a Spark orderBy before
+            # collect costs a range-partition sampling job per micro-batch
+            # for a <= batch_size-row frame
+            results = sorted(
+                flat.select("seq", "invalid", "error").distinct().collect(),
+                key=lambda r: r.seq,
             )
         else:
             flat = None
-            results = (
+            results = sorted(
                 fetch_entries_distributed(
                     spark, source, params.base_url, chunk, **fetch_kw
-                )
-                .orderBy("seq")
-                .collect()
+                ).collect(),
+                key=lambda r: r.seq,
             )
 
         payloads: list[dict] = []
@@ -186,6 +196,7 @@ def _run(
                     flat.filter(F.col("table") == table)
                     .select(F.from_json("row_json", ddl).alias("r"))
                     .select("r.*")
+                    .coalesce(write_files)
                 )
                 written, skipped = store.write_batch(
                     table,
@@ -206,6 +217,7 @@ def _run(
                 df = _rows_to_df(spark, rows)
                 if df is None:
                     continue
+                df = df.coalesce(write_files)
                 written, skipped = store.write_batch(
                     table,
                     df,
