@@ -2,11 +2,13 @@
 
 Image/audio/video travel as ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched pandas
-UDFs over ``mapInPandas``. The media libraries are not present in this
-container, so the decode step is STUBBED: ``decoder=None`` raises
-NotImplementedError at call time, and tests inject a deterministic fake
-decoder. Everything Spark-side — schema, batch iteration, partitioning,
-UDF signatures — is real and tested.
+UDFs over ``mapInPandas``. Decoders resolve at call time via optional
+imports: where Pillow (images) or PyAV (video) is installed,
+``decoder=None`` picks the real library-backed decoder automatically;
+where neither exists (this container), it raises a clearly-marked
+NotImplementedError and tests inject a deterministic fake decoder.
+Everything Spark-side — schema, batch iteration, partitioning, UDF
+signatures — is real and tested either way.
 
 Scale: payload bytes never hit the driver; ``mapInPandas`` streams Arrow
 batches through the Python workers, and metadata-only queries prune the
@@ -55,14 +57,17 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    ``decoder`` is the pluggable media stub — pass a real one where PIL /
-    ffmpeg exist. Raises NotImplementedError (clearly marked) when missing.
+    ``decoder`` is pluggable; when None, :func:`pillow_image_decoder` is
+    used if Pillow is importable, else NotImplementedError (clearly
+    marked) — pass your own Decoder for other media libraries.
     """
     if decoder is None:
+        decoder = _optional_pillow_decoder()
+    if decoder is None:
         raise NotImplementedError(
-            f"media {batch_note} requires a decoder; none is available in this "
-            "environment — inject a Decoder (bytes -> dict) or use "
-            "deterministic_fake_decoder for plumbing tests"
+            f"media {batch_note} requires a decoder and Pillow is not "
+            "installed in this environment — inject a Decoder (bytes -> "
+            "dict) or use deterministic_fake_decoder for plumbing tests"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,6 +83,43 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _optional_pillow_decoder() -> Decoder | None:
+    """Return the Pillow-backed image decoder if Pillow imports, else None.
+
+    The import try lives in a factory (not module top-level) so the check
+    happens on the executor-side code path only when a decode is actually
+    requested, and the module stays importable everywhere.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return None
+    return pillow_image_decoder
+
+
+def pillow_image_decoder(payload: bytes) -> dict:
+    """Real image decoder (requires Pillow): dimensions + frame count +
+    an 8-bin grayscale-intensity histogram (mass-normalized) as the
+    feature vector — deterministic for a given payload, cheap enough to
+    run per row inside the Arrow batch loop."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        n_frames = int(getattr(img, "n_frames", 1))
+        hist = img.convert("L").histogram()  # 256 luminance bins
+    total = float(sum(hist)) or 1.0
+    feature = [sum(hist[i * 32 : (i + 1) * 32]) / total for i in range(8)]
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "feature": feature,
+    }
 
 
 def deterministic_fake_decoder(payload: bytes) -> dict:
@@ -115,16 +157,19 @@ def sample_frames(
 
     The 1->N fan-out shape of video pipelines: one binary row yields
     multiple frame rows (index, content hash, feature vector), Arrow-batched
-    through mapInPandas. ``frame_decoder`` is the pluggable stub — inject a
-    real ffmpeg-backed one where available; raises NotImplementedError here
-    (no media libs in this environment). Frames are sampled inside the UDF,
-    so dropped frames never cross the Arrow boundary.
+    through mapInPandas. ``frame_decoder`` is pluggable; when None,
+    :func:`pyav_frame_decoder` is used if PyAV is importable, else
+    NotImplementedError. Frames are sampled inside the UDF, so dropped
+    frames never cross the Arrow boundary.
     """
     if frame_decoder is None:
+        frame_decoder = _optional_pyav_frame_decoder()
+    if frame_decoder is None:
         raise NotImplementedError(
-            "frame sampling requires a frame decoder; none is available in "
-            "this environment — inject a FrameDecoder (bytes -> list[dict]) "
-            "or use deterministic_fake_frame_decoder for plumbing tests"
+            "frame sampling requires a frame decoder and PyAV is not "
+            "installed in this environment — inject a FrameDecoder "
+            "(bytes -> list[dict]) or use "
+            "deterministic_fake_frame_decoder for plumbing tests"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,6 +184,43 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def _optional_pyav_frame_decoder() -> FrameDecoder | None:
+    """Return the PyAV-backed frame decoder if PyAV imports, else None."""
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        return None
+    return pyav_frame_decoder
+
+
+def pyav_frame_decoder(payload: bytes) -> list:
+    """Real video frame decoder (requires PyAV/ffmpeg): one row per frame
+    with the frame bytes' md5 and an 8-bin luminance histogram feature —
+    the same row shape as the deterministic fake."""
+    import hashlib
+    import io
+
+    import av
+
+    frames = []
+    with av.open(io.BytesIO(payload)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            gray = frame.reformat(format="gray").to_ndarray()
+            raw = gray.tobytes()
+            hist = [0] * 8
+            for b in raw:
+                hist[b >> 5] += 1
+            total = float(len(raw)) or 1.0
+            frames.append(
+                {
+                    "frame_idx": i,
+                    "frame_md5": hashlib.md5(raw).hexdigest(),
+                    "feature": [h / total for h in hist],
+                }
+            )
+    return frames
 
 
 def deterministic_fake_frame_decoder(payload: bytes) -> list:

@@ -72,6 +72,95 @@ class TestSodaSource:
             ).count()
 
 
+class TestCitiesDirectory:
+    # a directory page in the shape the reference parses
+    # (fetch_vgsi_cities, scrapers/vgsi/source.py:706-737): anchors to
+    # gis.vgsi.com city sites among unrelated links
+    HTML = """
+    <html><body>
+      <a href="https://gis.vgsi.com/newhavenct/">New Haven, CT</a>
+      <a href="https://gis.vgsi.com/branfordct/Default.aspx">Branford</a>
+      <a class="x" href="https://gis.vgsi.com/StamfordCT/">  Stamford  </a>
+      <a href="https://gis.vgsi.com/">bare root, no city token</a>
+      <a href="https://example.com/hartfordct/">wrong host</a>
+      <a href="https://gis.vgsi.com/newhavenct/">New Haven (dupe wins)</a>
+    </body></html>
+    """
+
+    def test_parse_city_links_reference_semantics(self):
+        from ctcityscraper_spark.sources.directory import parse_city_links
+
+        cities = parse_city_links(self.HTML)
+        assert set(cities) == {"newhaven", "branford", "stamford"}
+        # key = host token minus state code, state lowercased even for
+        # mixed-case tokens, name = tag-stripped anchor text
+        assert cities["stamford"]["state"] == "ct"
+        assert cities["stamford"]["city_name"] == "Stamford"
+        assert cities["branford"]["url"].endswith("/branfordct/Default.aspx")
+        assert all(c["type"] == "vgsi" for c in cities.values())
+        # later duplicate key overwrites, like the reference's dict build
+        assert cities["newhaven"]["city_name"] == "New Haven (dupe wins)"
+
+    def test_fetch_store_lookup_roundtrip(self, spark, tmp_path):
+        from ctcityscraper_spark.sources.directory import (
+            cities_dimension,
+            city_url,
+            fetch_cities,
+            store_cities,
+        )
+
+        fetched_urls = []
+
+        def fetcher(url):
+            fetched_urls.append(url)
+            return self.HTML
+
+        cities = fetch_cities(fetcher, "http://directory.test/portal")
+        assert fetched_urls == ["http://directory.test/portal"]
+        assert store_cities(spark, tmp_path, cities) == 3
+        assert city_url(spark, tmp_path, "newhaven") == "https://gis.vgsi.com/newhavenct/"
+        assert city_url(spark, tmp_path, "nowhere") is None
+        # re-seeding upserts (newest wins), never duplicates
+        cities["newhaven"]["url"] = "https://gis.vgsi.com/newhavenct/v2/"
+        store_cities(spark, tmp_path, cities)
+        dim = cities_dimension(spark, tmp_path)
+        assert dim.read().count() == 3
+        assert city_url(spark, tmp_path, "newhaven").endswith("/v2/")
+
+    def test_seed_json_both_shapes_and_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from ctcityscraper_spark import cli
+        from ctcityscraper_spark.sources.directory import (
+            city_url,
+            load_cities_seed,
+        )
+
+        mapping = {
+            "newhaven": {"city_name": "New Haven", "state": "ct",
+                         "url": "https://gis.vgsi.com/newhavenct/", "type": "vgsi"},
+        }
+        rows = [{"city_key": "hartford", "city_name": "Hartford", "state": "ct",
+                 "url": "https://gis.vgsi.com/hartfordct/", "type": "vgsi"}]
+        p_map = tmp_path / "seed_map.json"
+        p_rows = tmp_path / "seed_rows.json"
+        p_map.write_text(_json.dumps(mapping))
+        p_rows.write_text(_json.dumps(rows))
+        assert load_cities_seed(p_rows) == {
+            "hartford": {k: v for k, v in rows[0].items() if k != "city_key"}
+        }
+        data_dir = tmp_path / "data"
+        rc = cli.main(["admin", "--data-dir", str(data_dir),
+                       "--seed-cities-json", str(p_map)])
+        assert rc == 0
+        assert _json.loads(capsys.readouterr().out.strip())["stored_cities"] == 1
+        rc = cli.main(["admin", "--data-dir", str(data_dir),
+                       "--seed-cities-json", str(p_rows)])
+        assert rc == 0
+        assert city_url(spark, data_dir, "newhaven") is not None
+        assert city_url(spark, data_dir, "hartford") is not None
+
+
 class TestLookupDimension:
     def test_upsert_insert_then_update(self, spark, tmp_path):
         dim = LookupDimension(spark, tmp_path / "cities", key="city_key")
@@ -120,9 +209,30 @@ class TestMultimodal:
         assert out.media_type == "text/plain"
 
     def test_decoder_stub_raises_without_decoder(self, spark):
+        # decoder=None auto-resolves to Pillow where installed; only when
+        # it is absent must the call raise the clearly-marked stub error
+        try:
+            import PIL.Image  # noqa: F401
+
+            pytest.skip("Pillow installed: decoder=None resolves for real")
+        except ImportError:
+            pass
         df = spark.createDataFrame([Row(doc_id=1, payload=b"abc")])
         with pytest.raises(NotImplementedError, match="decoder"):
             extract_features(df, decoder=None)
+
+    def test_pillow_real_decoder(self, spark):
+        # runs only where Pillow exists: decoder=None must decode a real
+        # PNG end-to-end through the same mapInPandas plumbing
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (7, 5), color=(255, 0, 0)).save(buf, format="PNG")
+        df = spark.createDataFrame([Row(doc_id=1, payload=buf.getvalue())])
+        r = extract_features(df, decoder=None).first()
+        assert (r.width, r.height, r.n_frames) == (7, 5, 1)
+        assert len(r.feature) == 8 and abs(sum(r.feature) - 1.0) < 1e-6
 
     def test_fake_decoder_pipeline(self, spark):
         df = spark.createDataFrame(
@@ -140,6 +250,12 @@ class TestMultimodal:
     def test_frame_sample_stub_raises_without_decoder(self, spark):
         from ctcityscraper_spark.operators.multimodal import sample_frames
 
+        try:
+            import av  # noqa: F401
+
+            pytest.skip("PyAV installed: frame_decoder=None resolves for real")
+        except ImportError:
+            pass
         df = spark.createDataFrame([Row(doc_id=1, payload=b"abc")])
         with pytest.raises(NotImplementedError, match="frame decoder"):
             sample_frames(df, frame_decoder=None)
