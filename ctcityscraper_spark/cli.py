@@ -94,8 +94,34 @@ def cmd_refresh_all(args) -> int:
 
 
 def cmd_admin(args) -> int:
-    """Inspect a scope: tables, files, row counts, checkpoint."""
+    """Inspect a scope — or seed the cities dimension (reference
+    run_admin --fetch-cities, scrapers/vgsi/source.py:968-977)."""
     spark = get_spark(app_name="ctcityscraper_admin")
+    if getattr(args, "fetch_cities", False) or getattr(args, "seed_cities_json", None):
+        from ctcityscraper_spark.sources.directory import (
+            DEFAULT_DIRECTORY_URL,
+            fetch_cities,
+            load_cities_seed,
+            store_cities,
+        )
+
+        if args.seed_cities_json:
+            cities = load_cities_seed(args.seed_cities_json)
+        else:
+            from urllib.request import urlopen
+
+            def fetcher(url: str) -> str:
+                with urlopen(url, timeout=30) as resp:  # noqa: S310 — the
+                    # directory URL is operator-provided, like the reference
+                    return resp.read().decode("utf-8", "replace")
+
+            cities = fetch_cities(fetcher, args.cities_url or DEFAULT_DIRECTORY_URL)
+        count = store_cities(spark, args.data_dir, cities)
+        print(json.dumps({"stored_cities": count}))
+        return 0
+    if args.scope is None:
+        print("admin: a scope is required unless seeding cities", file=sys.stderr)
+        return 2
     store = ParquetStore(spark, args.data_dir, args.scope)
     from ctcityscraper_spark.sources.checkpoint import CheckpointStore
 
@@ -134,9 +160,22 @@ def main(argv: list[str] | None = None) -> int:
     add_shared_args(p_all)
     p_all.set_defaults(fn=cmd_refresh_all)
 
-    p_adm = sub.add_parser("admin", help="inspect a scope")
-    p_adm.add_argument("scope")
+    p_adm = sub.add_parser("admin", help="inspect a scope / seed cities dim")
+    p_adm.add_argument("scope", nargs="?", default=None)
     p_adm.add_argument("--data-dir", default="data")
+    p_adm.add_argument(
+        "--fetch-cities", action="store_true",
+        help="scrape the site directory into the cities dimension",
+    )
+    p_adm.add_argument(
+        "--cities-url",
+        default=None,
+        help="directory page URL (defaults to the public portal)",
+    )
+    p_adm.add_argument(
+        "--seed-cities-json", default=None,
+        help="seed the cities dimension from a JSON file instead of fetching",
+    )
     p_adm.set_defaults(fn=cmd_admin)
 
     args = parser.parse_args(argv)
