@@ -1,0 +1,62 @@
+"""Bench-runner error-path contract (round-3 lesson: a single failing
+query must never zero the whole round's trend line)."""
+
+from types import SimpleNamespace
+
+from bench import build_output, run_headline, time_query
+
+
+def _succeeding(spark, sf_dir):
+    return spark.range(10)
+
+
+class TestTimeQuery:
+    def test_best_timing_survives_later_trial_failure(self, spark):
+        calls = {"n": 0}
+
+        def flaky(spark_, sf_dir):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("boom on trial 2")
+            return spark_.range(10)
+
+        best, err = time_query(spark, flaky, "unused")
+        assert best is not None and best > 0
+        assert err is not None and "boom on trial 2" in err
+
+    def test_always_failing_reports_error_only(self, spark):
+        def bad(spark_, sf_dir):
+            raise ValueError("no such table")
+
+        best, err = time_query(spark, bad, "unused")
+        assert best is None
+        assert "no such table" in err
+
+    def test_clean_query_times_without_error(self, spark):
+        best, err = time_query(spark, _succeeding, "unused")
+        assert best is not None and err is None
+
+
+class TestRunHeadlineAndOutput:
+    def test_partial_flag_and_error_map(self, spark):
+        def bad(spark_, sf_dir):
+            raise RuntimeError("exploding query")
+
+        queries = {
+            "good": SimpleNamespace(headline=True, fn=_succeeding),
+            "bad": SimpleNamespace(headline=True, fn=bad),
+            "not_headline": SimpleNamespace(headline=False, fn=bad),
+        }
+        timings, errors = run_headline(spark, "unused", queries)
+        assert set(timings) == {"good"}
+        assert set(errors) == {"bad"}
+
+        out = build_output(timings, errors, sf=0.01)
+        assert out["partial"] is True
+        assert "bad" in out["errors"]
+        assert out["value"] == round(sum(timings.values()), 4)
+
+    def test_clean_output_has_no_partial_flag(self):
+        out = build_output({"q": 1.0}, {}, sf=0.1)
+        assert "partial" not in out and "errors" not in out
+        assert out["value"] == 1.0
