@@ -116,13 +116,20 @@ def connected_components(
         from pyspark.sql.types import StructField, StructType
 
         comp = _union_find_components(edges.collect(), src, dst)
-        node_type = edges.schema[src].dataType
+        # node type/nullability must match the distributed paths' output:
+        # derive them from the same src-union-dst Spark coercion those
+        # paths apply (int src + bigint dst promotes to bigint here too)
+        node_field = (
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .schema["node"]
+        )
         out = spark.createDataFrame(
             sorted(comp.items()),
             StructType(
                 [
-                    StructField("node", node_type, False),
-                    StructField("component", node_type, False),
+                    StructField("node", node_field.dataType, node_field.nullable),
+                    StructField("component", node_field.dataType, node_field.nullable),
                 ]
             ),
         )

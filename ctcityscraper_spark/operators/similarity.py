@@ -446,11 +446,26 @@ def pq_train_codebooks(
 
     Driver-side numpy on ``sample`` rows — codebook training reads a bounded
     sample regardless of corpus size (the FAISS recipe); only the resulting
-    M*K*sub_dim floats ship back into the plan as literals.
+    M*K*sub_dim floats ship back into the plan as literals. The sample is
+    deterministic across runs and cluster layouts when an id column
+    (vec_id/doc_id/id) exists — ordered take; otherwise whatever ``limit``
+    returns (single-file local reads are stable, multi-file cluster reads
+    are not), so keep an id column for reproducible codebooks.
     """
     import numpy as np
 
-    rows = corpus.select(vec).limit(sample).collect()
+    sampled = corpus
+    for id_col in ("vec_id", "doc_id", "id"):
+        if id_col in corpus.columns:
+            sampled = corpus.orderBy(id_col)
+            break
+    rows = sampled.select(vec).limit(sample).collect()
+    if len(rows) < k:
+        raise ValueError(
+            f"PQ training needs >= k={k} sample vectors; got {len(rows)} "
+            f"(corpus too small or {vec!r} mostly null) — lower k or grow "
+            "the sample"
+        )
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     s = dims // n_sub

@@ -24,17 +24,30 @@ CHANGES_SCHEMA = "uuid string, row_hash string, version int"
 _STATE_SCHEMA = "last_hash string, version int"
 
 
+def _collect_sorted(pdfs: Iterator[pd.DataFrame], order_col: str) -> pd.DataFrame:
+    """Buffer one key's Arrow batches and sort the WHOLE micro-batch by the
+    arrival column: a key's rows can span multiple Arrow batches, and
+    sorting per-batch would version them in arrival order instead of event
+    order. Memory is bounded by one key's rows in one micro-batch — the
+    per-entity update volume, small by construction for CDC streams."""
+    frames = [pdf for pdf in pdfs]
+    if not frames:
+        return pd.DataFrame()
+    whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    if order_col in whole.columns:
+        whole = whole.sort_values(order_col, kind="stable")
+    return whole
+
+
 def _change_filter(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (uuid,) = key
     last_hash, version = state.get if state.exists else (None, 0)
     out_rows = []
-    for pdf in pdfs:
-        # order within the micro-batch by arrival column if provided
-        if "scraped_at" in pdf.columns:
-            pdf = pdf.sort_values("scraped_at")
-        for h in pdf["row_hash"]:
+    whole = _collect_sorted(pdfs, "scraped_at")
+    if len(whole):
+        for h in whole["row_hash"]:
             if h != last_hash:
                 version += 1
                 last_hash = h
@@ -71,16 +84,16 @@ def _sessionize(
     gap_ns = 3600 * 10**9
     last_ts, session_id, count = state.get if state.exists else (None, 0, 0)
     closed = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts_ns"]):
-            ts = int(ts)
-            if last_ts is None or ts - last_ts > gap_ns:
-                if count:
-                    closed.append((user_id, session_id, count))
-                session_id += 1
-                count = 0
-            count += 1
-            last_ts = ts
+    whole = _collect_sorted(pdfs, "ts_ns")
+    for ts in whole["ts_ns"] if len(whole) else ():
+        ts = int(ts)
+        if last_ts is None or ts - last_ts > gap_ns:
+            if count:
+                closed.append((user_id, session_id, count))
+            session_id += 1
+            count = 0
+        count += 1
+        last_ts = ts
     state.update((last_ts, session_id, count))
     if closed:
         yield pd.DataFrame(closed, columns=["user_id", "session_id", "events_in_session"])
@@ -134,10 +147,9 @@ def streaming_change_filter_tws(stream: DataFrame, key: str = "uuid") -> DataFra
                 self._state.get() if self._state.exists() else (None, 0)
             )
             out = []
-            for pdf in rows:
-                if "scraped_at" in pdf.columns:
-                    pdf = pdf.sort_values("scraped_at")
-                for h in pdf["row_hash"]:
+            whole = _collect_sorted(rows, "scraped_at")
+            if len(whole):
+                for h in whole["row_hash"]:
                     if h != last_hash:
                         version += 1
                         last_hash = h

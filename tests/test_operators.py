@@ -1,5 +1,6 @@
 """Operator-level tests: dedup family internals and vectorized similarity."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -578,6 +579,21 @@ class TestPqAnn:
         # true neighbors even on random embeddings (PQ's hardest case)
         assert r_trained >= r_random
         assert r_trained >= 0.5
+
+    def test_train_guard_rejects_sample_smaller_than_k(self, spark):
+        from ctcityscraper_spark.operators.similarity import pq_train_codebooks
+
+        emb = load_table(spark, SF, "embeddings")
+        with pytest.raises(ValueError, match="PQ training needs"):
+            pq_train_codebooks(emb, dims=64, sample=5)  # default k=16 > 5
+
+    def test_training_sample_is_deterministic(self, spark):
+        from ctcityscraper_spark.operators.similarity import pq_train_codebooks
+
+        emb = load_table(spark, SF, "embeddings")
+        a = pq_train_codebooks(emb, dims=64, sample=200, iters=2)
+        b = pq_train_codebooks(emb, dims=64, sample=200, iters=2)
+        assert a == b
 
     def test_full_shortlist_is_exact(self, spark):
         from ctcityscraper_spark.operators.similarity import pq_rerank_topk
