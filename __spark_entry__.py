@@ -58,9 +58,10 @@ DRIVER_PRIORITY = [
     # ANN family (exact-vectorized, LSH, PQ)
     "ann_cosine_topk_vectorized", "ann_srp_lsh_topk", "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
-    # corpus ops
+    # corpus ops (cut_spans = the substring-dedup APPLY step; the
+    # incremental-spans variant of the same pipeline stays repo-verified)
     "corpus_segment_dedup", "corpus_substring_spans",
-    "corpus_incremental_spans", "corpus_pack_sequences",
+    "corpus_cut_spans", "corpus_pack_sequences",
 ]
 
 

@@ -638,6 +638,94 @@ def _verify_spans(
     )
 
 
+def cut_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY exact-substring dedup: excise duplicated spans from documents.
+
+    The second half of Lee et al. 2021 — :func:`duplicate_substring_spans`
+    *detects* cross-document duplication; this operator removes it. Policy:
+    every span is cut from the higher-id document of its pair (``doc_b``),
+    so the lowest-id occurrence of any duplicated substring survives —
+    deterministic and order-free, the standard greedy tie-break.
+
+    Returns (doc_id, clean_text, n_cut_spans, n_cut_chars) for EVERY input
+    document (uncut docs pass through with 0s). ``n_cut_spans`` counts
+    merged (maximal, non-overlapping) cut intervals, not raw pair rows.
+
+    Scale: cut intervals per doc are bounded by true duplication; the
+    interval merge is the same window-island shape as the span detector
+    (one shuffle on doc_id), the interval list per doc collapses to an
+    array (few elements — merged intervals are disjoint), and text
+    reassembly is a single fold expression over that array in the join
+    stage. One window shuffle + one aggregation + one equi-join with the
+    docs table; text strings cross the shuffle once (the join), never
+    per-interval.
+    """
+    from pyspark.sql.window import Window
+
+    cuts = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").cast("int").alias("start"),
+        (F.col("start_b") + F.col("span_len")).cast("int").alias("end"),
+    )
+    # classic island merge: a new island starts where this interval begins
+    # past the running max end of all preceding intervals (touching
+    # intervals — start == prev end, end exclusive — merge too)
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    run_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cuts.withColumn(
+            "brk",
+            F.when(F.col("start") > F.coalesce(run_max, F.lit(0)), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("start", "end"))).alias("ivs"),
+        F.count("*").alias("n_cut_spans"),
+        F.sum(F.col("end") - F.col("start")).alias("n_cut_chars"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text).alias("_txt")
+    ).join(per_doc, "doc_id", "left")
+    empty_ivs = F.array().cast("array<struct<start:int,end:int>>")
+    txt = F.col("_txt")
+    # fold the disjoint sorted intervals: acc carries (cursor pos, output
+    # so far); each interval appends the kept gap before it and advances
+    # the cursor past it; finish appends the tail after the last interval
+    folded = F.aggregate(
+        F.coalesce(F.col("ivs"), empty_ivs),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"), F.lit("").alias("out")
+        ),
+        lambda acc, iv: F.struct(
+            iv["end"].alias("pos"),
+            F.concat(
+                acc["out"], txt.substr(acc["pos"], iv["start"] - acc["pos"])
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            txt.substr(acc["pos"], F.length(txt) - acc["pos"] + 1),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        folded.alias("clean_text"),
+        F.coalesce("n_cut_spans", F.lit(0)).alias("n_cut_spans"),
+        F.coalesce("n_cut_chars", F.lit(0)).alias("n_cut_chars"),
+    )
+
+
 def _merge_window_runs(matched: DataFrame, width: int) -> DataFrame:
     """Island-merge matched windows (doc_a, doc_b, pa, pb, delta) into
     maximal spans: one window shuffle on (pair, alignment)."""

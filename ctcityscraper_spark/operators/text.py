@@ -250,3 +250,47 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def vocab_coverage(
+    df,
+    vocab_size: int = 1000,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document coverage of the corpus top-``vocab_size`` vocabulary.
+
+    The tokenizer-budget planning question: with a V-term vocabulary, what
+    fraction of each document's tokens fall out-of-vocabulary? Vocabulary =
+    the V corpus-wide most frequent terms (ties broken by term ascending,
+    deterministic across engines).
+
+    Shuffles: one term-frequency groupBy (map-side partial), then the
+    vocabulary selection is a distributed top-K (sort+limit plans as
+    TakeOrderedAndProject — every partition contributes its local top V,
+    no single-partition global sort), broadcast-joined back to the token
+    stream, and one per-doc aggregation. OOV fraction is a single exact
+    division of integer counts (cross-engine determinism rule). Documents
+    with zero nonempty tokens have no coverage row.
+
+    Returns (doc_id, n_tokens, n_oov, oov_frac) per document.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*")
+        ).alias("oov_frac"),
+    )

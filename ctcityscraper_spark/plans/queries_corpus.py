@@ -18,6 +18,7 @@ from ctcityscraper_spark.operators.corpus import (
     SEGMENT_WIDTH,
     boilerplate_segments,
     contamination_pairs,
+    cut_duplicate_spans,
     duplicate_substring_spans,
     incremental_substring_spans,
     mixture_resample,
@@ -30,7 +31,7 @@ from ctcityscraper_spark.operators.corpus import (
     stratified_sample,
 )
 from ctcityscraper_spark.functions.hashing import hash64
-from ctcityscraper_spark.operators.text import tfidf_top_terms
+from ctcityscraper_spark.operators.text import tfidf_top_terms, vocab_coverage
 from ctcityscraper_spark.plans.queries import query
 from ctcityscraper_spark.plans.queries_ext import TOKS, hash64_sql
 from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
@@ -436,6 +437,98 @@ def q_corpus_substring_spans(spark, sf_dir):
 
 
 @query(
+    "corpus_cut_spans",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(len(text) - {_SPAN_W} + 2, 1)))::INT AS pos
+        FROM documents),
+    w AS (SELECT doc_id, pos, substr(text, pos, {_SPAN_W}) AS win FROM pos),
+    hot AS (
+        SELECT win FROM w GROUP BY win
+        HAVING count(DISTINCT doc_id) > 1000),
+    wf AS (SELECT * FROM w WHERE win NOT IN (SELECT win FROM hot)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb, a.pos - b.pos AS delta
+        FROM wf a JOIN wf b ON a.win = b.win AND a.doc_id < b.doc_id),
+    brk AS (
+        SELECT *, CASE WHEN pa - LAG(pa) OVER
+                 (PARTITION BY doc_a, doc_b, delta ORDER BY pa) = 1
+            THEN 0 ELSE 1 END AS b
+        FROM m),
+    isl AS (
+        SELECT *, SUM(b) OVER
+            (PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS island
+        FROM brk),
+    spans AS (
+        SELECT doc_a, doc_b, MIN(pb) AS start_b,
+               MAX(pa) - MIN(pa) + {_SPAN_W} AS span_len
+        FROM isl GROUP BY doc_a, doc_b, delta, island),
+    cuts AS (
+        SELECT doc_b AS doc_id, start_b AS s, start_b + span_len AS e
+        FROM spans),
+    cbrk AS (
+        SELECT *, CASE WHEN s > coalesce(MAX(e) OVER
+                 (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            THEN 1 ELSE 0 END AS nb
+        FROM cuts),
+    cisl AS (
+        SELECT *, SUM(nb) OVER (
+            PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+        FROM cbrk),
+    merged AS (
+        SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        FROM cisl GROUP BY doc_id, ci),
+    pieces AS (
+        SELECT mm.doc_id, mm.s AS ord,
+               substr(mm.text, mm.prev_e, mm.s - mm.prev_e) AS piece
+        FROM (SELECT mg.doc_id, mg.s, mg.e,
+                     coalesce(LAG(mg.e) OVER (
+                         PARTITION BY mg.doc_id ORDER BY mg.s), 1) AS prev_e,
+                     d.text
+              FROM merged mg JOIN documents d USING (doc_id)) mm
+        UNION ALL
+        SELECT mg.doc_id, 2147483647 AS ord,
+               substr(d.text, mx.me, len(d.text) - mx.me + 1) AS piece
+        FROM (SELECT doc_id, MAX(e) AS me FROM merged GROUP BY doc_id) mx
+        JOIN documents d USING (doc_id)
+        JOIN (SELECT DISTINCT doc_id FROM merged) mg USING (doc_id)),
+    reassembled AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+        FROM pieces GROUP BY doc_id),
+    stats AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_cut_spans,
+               SUM(e - s)::BIGINT AS n_cut_chars
+        FROM merged GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           coalesce(r.clean_text, d.text) AS clean_text,
+           coalesce(st.n_cut_spans, 0) AS n_cut_spans,
+           coalesce(st.n_cut_chars, 0) AS n_cut_chars
+    FROM documents d
+    LEFT JOIN reassembled r USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_cut_spans(spark, sf_dir):
+    """The APPLY step of exact-substring dedup (Lee et al. 2021): detect
+    duplicated spans (hash-bucketed scale path), cut each from the
+    higher-id document of its pair (lowest-id occurrence survives), merge
+    overlapping cut intervals per doc, reassemble the survivors with one
+    fold expression (operators/corpus.cut_duplicate_spans)."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    spans = duplicate_substring_spans(docs, width=_SPAN_W, bucket_by_hash=True)
+    return (
+        cut_duplicate_spans(docs, spans)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH toks AS (
@@ -467,6 +560,38 @@ def q_text_tfidf_top_terms(spark, sf_dir):
         tfidf_top_terms(docs, k=3)
         .repartition(1)
         .sortWithinPartitions("doc_id", "rank")
+    )
+
+
+_VOCAB_V = 500
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS tf FROM toks
+           WHERE term != '' GROUP BY term),
+    vocab AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT {_VOCAB_V}),
+    t AS (SELECT doc_id, term FROM toks WHERE term != '')
+    SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+           count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+           count(*) FILTER (WHERE v.term IS NULL) / count(*) AS oov_frac
+    FROM t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id ORDER BY doc_id
+    """,
+)
+def q_text_vocab_coverage(spark, sf_dir):
+    """Per-document OOV rate against the corpus top-500 vocabulary
+    (tokenizer-budget planning — operators/text.vocab_coverage). Vocabulary
+    selection plans as a distributed top-K (TakeOrderedAndProject), then a
+    broadcast flag join + one per-doc aggregation; OOV fraction is an
+    exact integer-count division."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        vocab_coverage(docs, vocab_size=_VOCAB_V)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -438,6 +438,38 @@ class TestSubstringSpans:
         )
         assert a == b and len(a) > 0
 
+    def test_cut_spans_higher_id_loses_and_passthrough(self, spark):
+        from ctcityscraper_spark.operators.corpus import cut_duplicate_spans
+
+        shared = "ABCDEFGHIJKL"
+        docs = _docs(spark, ["xx" + shared + "yy", "qq" + shared + "zz",
+                             "unrelated text"])
+        spans = duplicate_substring_spans(docs, width=8)
+        out = {r.doc_id: r for r in cut_duplicate_spans(docs, spans).collect()}
+        # lowest-id occurrence survives; higher-id doc loses the span
+        assert out[0].clean_text == "xx" + shared + "yy"
+        assert out[0].n_cut_spans == 0
+        assert out[1].clean_text == "qqzz"
+        assert (out[1].n_cut_spans, out[1].n_cut_chars) == (1, len(shared))
+        # docs in no pair pass through untouched
+        assert out[2].clean_text == "unrelated text"
+        assert (out[2].n_cut_spans, out[2].n_cut_chars) == (0, 0)
+
+    def test_cut_spans_overlapping_intervals_merge(self, spark):
+        from ctcityscraper_spark.operators.corpus import cut_duplicate_spans
+
+        # doc 2 overlaps doc 0 in ABCDEFGHIJ and doc 1 in EFGHIJKLMN;
+        # the two cut intervals overlap and must merge into one
+        docs = _docs(
+            spark,
+            ["ABCDEFGHIJqqqq", "ppppEFGHIJKLMN", "zzABCDEFGHIJKLMNzz"],
+        )
+        spans = duplicate_substring_spans(docs, width=8)
+        out = {r.doc_id: r for r in cut_duplicate_spans(docs, spans).collect()}
+        assert out[2].clean_text == "zzzz"
+        assert (out[2].n_cut_spans, out[2].n_cut_chars) == (1, 14)
+        assert out[0].n_cut_spans == 0 and out[1].n_cut_spans == 0
+
     def test_hash_path_plan_joins_on_long_key(self, spark):
         # scale claim: in the hashed path the bucket self-join keys are the
         # 8-byte xxhash64 longs — the window *string* must not appear as a

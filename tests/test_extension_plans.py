@@ -51,6 +51,13 @@ class TestExtensionPlans:
         assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a BNLJ"
 
+    def test_vocab_selection_is_distributed_topk(self, spark):
+        """Vocabulary selection (top-V terms) must plan as
+        TakeOrderedAndProject — every partition contributes its local top V
+        — never a global single-partition sort of the whole term table."""
+        plan = plan_of(spark, "text_vocab_coverage")
+        assert "TakeOrderedAndProject" in plan
+
     @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs"])
     def test_band_join_is_real_join(self, spark, name):
         plan = plan_of(spark, name)
