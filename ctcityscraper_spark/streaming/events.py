@@ -136,3 +136,72 @@ def write_scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_spans(
+    stream: DataFrame,
+    docs_dir: str,
+    index_dir: str,
+    spans_dir: str,
+    checkpoint_dir: str,
+    width: int | None = None,
+    doc_cap: int | None = None,
+):
+    """Streaming exact-substring dedup against a growing stored index.
+
+    The production shape for a continuously-ingested corpus: each
+    micro-batch of new documents is checked for duplicated spans against
+    the STORED hashed window index (operators/corpus.substring_windows
+    ``hashed=True`` — 16 B/window parquet), matched spans append to
+    ``spans_dir``, and the batch's own windows + texts then extend the
+    index, so later batches dedup against everything before them. Within
+    a micro-batch documents are not paired against each other (same
+    contract as incremental_substring_spans); exactness via the span-level
+    fetch-and-verify against the stored corpus texts.
+
+    Exactly-once per batch via the streaming checkpoint. Returns the
+    StreamingQuery handle; caller stops it.
+    """
+    from pathlib import Path
+
+    from ctcityscraper_spark.operators.corpus import (
+        SPAN_DOC_CAP,
+        SPAN_WINDOW_CHARS,
+        incremental_substring_spans,
+        substring_windows,
+    )
+
+    w = width or SPAN_WINDOW_CHARS
+    cap = doc_cap if doc_cap is not None else SPAN_DOC_CAP
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            if any(Path(index_dir).glob("*.parquet")):
+                spans = incremental_substring_spans(
+                    batch_df,
+                    corpus_docs=spark.read.parquet(docs_dir),
+                    corpus_windows=spark.read.parquet(index_dir),
+                    width=w,
+                    doc_cap=cap,
+                    bucket_by_hash=True,
+                )
+                spans.write.mode("append").parquet(spans_dir)
+            batch_df.select("doc_id", "text").write.mode("append").parquet(
+                docs_dir
+            )
+            substring_windows(batch_df, width=w, hashed=True).write.mode(
+                "append"
+            ).parquet(index_dir)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -313,6 +313,65 @@ class TestStreaming:
         got = spark.sql("select sum(n) as total from win_counts").first().total
         assert got == ev.count()
 
+    def test_streaming_incremental_spans_grows_index(self, spark, tmp_path):
+        """Two micro-batches of documents: batch 1 seeds the stored hashed
+        window index, batch 2 dedups against it and lands its spans; the
+        index then holds both batches' windows."""
+        import time as _time
+
+        from ctcityscraper_spark.streaming.events import (
+            stream_from_directory,
+            streaming_incremental_spans,
+        )
+
+        shared = "EXACTLY-THE-SAME-SPAN-CONTENT-0123456789"  # 40 chars
+        src = tmp_path / "incoming"
+        d1 = spark.createDataFrame(
+            [(1, "aaa " + shared + " bbb")], "doc_id long, text string"
+        )
+        d2 = spark.createDataFrame(
+            [(2, "zzzzz " + shared + " qq"), (3, "completely unrelated text")],
+            "doc_id long, text string",
+        )
+        d1.coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)  # file-source ordering is by modification time
+        d2.coalesce(1).write.mode("append").parquet(str(src))
+
+        stream = stream_from_directory(
+            spark, str(src), d1.schema, max_files_per_trigger=1
+        )
+        q = streaming_incremental_spans(
+            stream,
+            docs_dir=str(tmp_path / "docs"),
+            index_dir=str(tmp_path / "index"),
+            spans_dir=str(tmp_path / "spans"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            width=20,
+        )
+        q.awaitTermination(120)
+
+        spans = spark.read.parquet(str(tmp_path / "spans")).collect()
+        assert len(spans) == 1
+        r = spans[0]
+        assert {r.new_doc, r.corpus_doc} == {1, 2}
+        # maximal span includes the shared space on each side of the marker
+        assert r.span_len == len(shared) + 2
+        # the index accumulated both batches' windows, hashed form
+        idx = spark.read.parquet(str(tmp_path / "index"))
+        assert set(idx.columns) == {"doc_id", "pos", "win_h"}
+        assert idx.select("doc_id").distinct().count() == 3
+        # restarting the stream with the same checkpoint reprocesses nothing
+        q2 = streaming_incremental_spans(
+            stream_from_directory(spark, str(src), d1.schema, max_files_per_trigger=1),
+            docs_dir=str(tmp_path / "docs"),
+            index_dir=str(tmp_path / "index"),
+            spans_dir=str(tmp_path / "spans"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            width=20,
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(str(tmp_path / "spans")).count() == 1
+
     def test_streaming_dedup_drops_in_horizon_dups(self, spark, tmp_path):
         """dropDuplicatesWithinWatermark: duplicate event_ids inside the
         watermark horizon collapse to one row; state stays bounded."""
