@@ -117,6 +117,54 @@ class TestExtensionPlans:
             spark.sql("DROP TABLE IF EXISTS t_ba")
             spark.sql("DROP TABLE IF EXISTS t_bb")
 
+    def test_span_index_bucketed_on_hash_skips_index_shuffle(self, spark, tmp_path):
+        """The stored hashed window index (substring_windows hashed=True)
+        written bucketed on win_h joins incremental batches with NO
+        Exchange on the index side — the corpus-sized side of the
+        incremental span join never re-shuffles at query time."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import substring_windows
+        from ctcityscraper_spark.sources.bucketed import write_bucketed
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} with shared span ABCDEFGHIJKLMNOP")
+             for i in range(50)],
+            "doc_id long, text string",
+        )
+        idx = substring_windows(docs, width=8, hashed=True)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                idx, "t_span_idx", ["win_h"], 4, sort=["win_h"],
+                path=str(tmp_path / "span_idx"),
+            )
+            batch = substring_windows(
+                spark.createDataFrame(
+                    [(99, "a new doc also containing ABCDEFGHIJKLMNOP")],
+                    "doc_id long, text string",
+                ),
+                width=8,
+                hashed=True,
+            )
+            joined = spark.table("t_span_idx").alias("b").join(
+                batch.alias("a"),
+                (F.col("a.win_h") == F.col("b.win_h"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            # exactly one Exchange (the small batch side re-buckets to the
+            # index layout); the index side itself must not shuffle
+            assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_span_idx")
+
     def test_parallelize_scan_skips_repartition_on_multifile(self, spark, tmp_path):
         path = str(tmp_path / "multi")
         spark.range(0, 10_000).repartition(8).write.parquet(path)
