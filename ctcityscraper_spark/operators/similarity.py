@@ -222,38 +222,54 @@ def cosine_topk_vectorized(
     )
 
 
-def ivf_topk(
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer + probed re-rank.
+) -> tuple[DataFrame, list]:
+    """Build the IVF index as a STORED artifact: (indexed, centroids).
 
-    Index: KMeans(n_lists) over the corpus; each vector joins its nearest
-    centroid's list. Search: each query probes its ``n_probe`` nearest
-    centroids and exact-cosine re-ranks only those lists — candidate volume
-    is ~n_probe/n_lists of the corpus. At 100 TB the index is a one-off
-    batch job and the assignment column is just another parquet column to
-    equi-join on. Recall tunes with n_probe (n_probe == n_lists is exact).
+    ``indexed`` is (neighbor_id, cv, list_id) — write it as parquet
+    (ideally bucketed on ``list_id``, sources/bucketed.py, so probe joins
+    never shuffle the corpus side) and keep ``centroids`` (a plain
+    n_lists × dims nested list, JSON-serializable) next to it. At 100 TB
+    index construction is a one-off batch job; queries are
+    :func:`ivf_probe_topk` against the stored frame.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
     ).withColumn("features", array_to_vector("cv"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id").fit(c)
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id"
+    ).fit(c)
     indexed = model.transform(c).select("neighbor_id", "cv", "list_id")
+    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    return indexed, centroids
 
-    centroids = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
-    sc = corpus.sparkSession.sparkContext
-    b_centroids = sc.broadcast(centroids)
+
+def ivf_probe_topk(
+    indexed: DataFrame,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a stored IVF index: probe ``n_probe`` nearest lists per query,
+    exact-cosine re-rank only those lists (~n_probe/n_lists of the
+    corpus). Recall tunes with n_probe (n_probe == n_lists is exact)."""
+    import numpy as np
+
+    ctrs_arr = np.array(centroids, dtype=np.float64)
+    sc = indexed.sparkSession.sparkContext
+    b_centroids = sc.broadcast(ctrs_arr)
+    n_probe = min(n_probe, len(centroids))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
@@ -291,6 +307,29 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN, build-and-query in one call: k-means coarse
+    quantizer + probed exact-cosine re-rank. Convenience composition of
+    :func:`build_ivf_index` + :func:`ivf_probe_topk` — for a standing
+    corpus, build once, store, and query the stored index instead.
+    """
+    indexed, centroids = build_ivf_index(
+        corpus, n_lists=n_lists, vec=vec, id_col=id_col, seed=seed
+    )
+    return ivf_probe_topk(
+        indexed, centroids, queries, k=k, n_probe=n_probe, vec=vec, id_col=id_col
     )
 
 

@@ -129,6 +129,40 @@ class TestIvfAnn:
         assert hits / len(exact) >= 0.33
 
 
+    def test_stored_index_roundtrip_matches_inline(self, spark, tmp_path):
+        """The production shape: build once, persist (parquet + JSON
+        centroids), query the stored index — identical output to the
+        inline build-and-query composition."""
+        import json
+
+        from ctcityscraper_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_probe_topk,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        inline = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_topk(emb, queries, k=3, n_lists=8, n_probe=4).collect()
+        )
+
+        indexed, centroids = build_ivf_index(emb, n_lists=8)
+        indexed.write.parquet(str(tmp_path / "ivf_index"))
+        (tmp_path / "centroids.json").write_text(json.dumps(centroids))
+
+        stored_idx = spark.read.parquet(str(tmp_path / "ivf_index"))
+        stored_ctrs = json.loads((tmp_path / "centroids.json").read_text())
+        stored = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_probe_topk(
+                stored_idx, stored_ctrs, queries, k=3, n_probe=4
+            ).collect()
+        )
+        assert stored == inline and len(stored) > 0
+
+
 class TestAsofJoin:
     def test_matches_most_recent_prior(self, spark):
         from ctcityscraper_spark.operators.asof import asof_join
