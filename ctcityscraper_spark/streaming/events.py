@@ -146,6 +146,7 @@ def streaming_incremental_spans(
     checkpoint_dir: str,
     width: int | None = None,
     doc_cap: int | None = None,
+    pair_within_batch: bool = True,
 ):
     """Streaming exact-substring dedup against a growing stored index.
 
@@ -154,25 +155,34 @@ def streaming_incremental_spans(
     the STORED hashed window index (operators/corpus.substring_windows
     ``hashed=True`` — 16 B/window parquet), matched spans append to
     ``spans_dir``, and the batch's own windows + texts then extend the
-    index, so later batches dedup against everything before them. Within
-    a micro-batch documents are not paired against each other (same
-    contract as incremental_substring_spans); exactness via the span-level
-    fetch-and-verify against the stored corpus texts.
+    index, so later batches dedup against everything before them. With
+    ``pair_within_batch`` (default) the batch is also self-paired, so two
+    duplicates arriving in the SAME micro-batch are caught too — their
+    spans land with the lower id as ``corpus_doc`` (the kept occurrence,
+    matching cut_duplicate_spans' keep-lowest policy). Exactness via the
+    span-level fetch-and-verify against the stored corpus texts.
 
     Exactly-once per batch via the streaming checkpoint. Returns the
     StreamingQuery handle; caller stops it.
     """
     from pathlib import Path
 
+    from pyspark.sql import functions as SF
+
     from ctcityscraper_spark.operators.corpus import (
         SPAN_DOC_CAP,
         SPAN_WINDOW_CHARS,
+        duplicate_substring_spans,
         incremental_substring_spans,
         substring_windows,
     )
 
     w = width or SPAN_WINDOW_CHARS
     cap = doc_cap if doc_cap is not None else SPAN_DOC_CAP
+    out_cols = [
+        "new_doc", "corpus_doc", "start_new", "start_corpus",
+        "span_len", "n_windows",
+    ]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -188,8 +198,20 @@ def streaming_incremental_spans(
                     width=w,
                     doc_cap=cap,
                     bucket_by_hash=True,
-                )
+                ).select(*out_cols)
                 spans.write.mode("append").parquet(spans_dir)
+            if pair_within_batch:
+                within = duplicate_substring_spans(
+                    batch_df, width=w, doc_cap=cap, bucket_by_hash=True
+                ).select(
+                    SF.col("doc_b").alias("new_doc"),
+                    SF.col("doc_a").alias("corpus_doc"),
+                    SF.col("start_b").alias("start_new"),
+                    SF.col("start_a").alias("start_corpus"),
+                    "span_len",
+                    "n_windows",
+                )
+                within.write.mode("append").parquet(spans_dir)
             batch_df.select("doc_id", "text").write.mode("append").parquet(
                 docs_dir
             )

@@ -325,12 +325,15 @@ class TestStreaming:
         )
 
         shared = "EXACTLY-THE-SAME-SPAN-CONTENT-0123456789"  # 40 chars
+        within = "WITHIN-BATCH-DUPLICATED-MARKER-ABCDEFGH"
         src = tmp_path / "incoming"
         d1 = spark.createDataFrame(
             [(1, "aaa " + shared + " bbb")], "doc_id long, text string"
         )
         d2 = spark.createDataFrame(
-            [(2, "zzzzz " + shared + " qq"), (3, "completely unrelated text")],
+            [(2, "zzzzz " + shared + " qq"),
+             (3, within + " xx"),  # 3 and 4 duplicate INSIDE this batch
+             (4, "yy " + within)],
             "doc_id long, text string",
         )
         d1.coalesce(1).write.mode("append").parquet(str(src))
@@ -351,15 +354,16 @@ class TestStreaming:
         q.awaitTermination(120)
 
         spans = spark.read.parquet(str(tmp_path / "spans")).collect()
-        assert len(spans) == 1
-        r = spans[0]
-        assert {r.new_doc, r.corpus_doc} == {1, 2}
+        pairs = {(r.new_doc, r.corpus_doc): r for r in spans}
+        assert set(pairs) == {(2, 1), (4, 3)}
         # maximal span includes the shared space on each side of the marker
-        assert r.span_len == len(shared) + 2
+        assert pairs[(2, 1)].span_len == len(shared) + 2
+        # within-batch pair: lower id is the kept corpus_doc occurrence
+        assert pairs[(4, 3)].span_len == len(within)
         # the index accumulated both batches' windows, hashed form
         idx = spark.read.parquet(str(tmp_path / "index"))
         assert set(idx.columns) == {"doc_id", "pos", "win_h"}
-        assert idx.select("doc_id").distinct().count() == 3
+        assert idx.select("doc_id").distinct().count() == 4
         # restarting the stream with the same checkpoint reprocesses nothing
         q2 = streaming_incremental_spans(
             stream_from_directory(spark, str(src), d1.schema, max_files_per_trigger=1),
@@ -370,7 +374,7 @@ class TestStreaming:
             width=20,
         )
         q2.awaitTermination(120)
-        assert spark.read.parquet(str(tmp_path / "spans")).count() == 1
+        assert spark.read.parquet(str(tmp_path / "spans")).count() == 2
 
     def test_streaming_dedup_drops_in_horizon_dups(self, spark, tmp_path):
         """dropDuplicatesWithinWatermark: duplicate event_ids inside the
