@@ -94,6 +94,24 @@ class TestCorpusPipeline:
         orphans = packed.join(filtered, "doc_id", "left_anti").count()
         assert orphans == 0
 
+    def test_span_cut_reduces_duplication(self, spark):
+        """Cutting detected spans must strictly reduce cross-document
+        duplication on this corpus (each duplicated span keeps exactly
+        its lowest-id occurrence)."""
+        docs = parallelize_scan(load_table(spark, SF, "documents"), spark).select(
+            "doc_id", "text"
+        )
+        before = duplicate_substring_spans(docs, width=20, bucket_by_hash=True)
+        n_before = before.count()
+        cleaned = cut_duplicate_spans(docs, before).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        n_after = duplicate_substring_spans(
+            cleaned, width=20, bucket_by_hash=True
+        ).count()
+        assert n_before > 0
+        assert n_after < n_before
+
     def test_pipeline_is_deterministic(self, spark):
         _, _, _, _, packed1 = _prepare(spark)
         _, _, _, _, packed2 = _prepare(spark)
