@@ -162,8 +162,13 @@ def streaming_incremental_spans(
     matching cut_duplicate_spans' keep-lowest policy). Exactness via the
     span-level fetch-and-verify against the stored corpus texts.
 
-    Exactly-once per batch via the streaming checkpoint. Returns the
-    StreamingQuery handle; caller stops it.
+    Exactly-once end-to-end: the streaming checkpoint skips completed
+    batches, and every write lands in a ``batch_id=N`` partition with
+    mode=overwrite, so a crash-and-replay of an in-flight batch rewrites
+    its own partitions instead of appending duplicates (the standard
+    foreachBatch idempotence recipe). Readers just read the parent dirs —
+    ``batch_id`` surfaces as a partition column recording lineage.
+    Returns the StreamingQuery handle; caller stops it.
     """
     from pathlib import Path
 
@@ -184,22 +189,36 @@ def streaming_incremental_spans(
         "span_len", "n_windows",
     ]
 
+    def _put(df: DataFrame, base: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
+
+    def _index_frames(base: str, before_batch: int):
+        # only batches strictly BEFORE this one: a replayed batch must not
+        # join against its own half-written previous attempt
+        return [
+            p for p in Path(base).glob("batch_id=*")
+            if int(p.name.split("=", 1)[1]) < before_batch and any(p.glob("*.parquet"))
+        ]
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            if any(Path(index_dir).glob("*.parquet")):
+            spans = None
+            prior = _index_frames(index_dir, batch_id)
+            if prior:
                 spans = incremental_substring_spans(
                     batch_df,
-                    corpus_docs=spark.read.parquet(docs_dir),
-                    corpus_windows=spark.read.parquet(index_dir),
+                    corpus_docs=spark.read.parquet(
+                        *[str(p) for p in _index_frames(docs_dir, batch_id)]
+                    ),
+                    corpus_windows=spark.read.parquet(*[str(p) for p in prior]),
                     width=w,
                     doc_cap=cap,
                     bucket_by_hash=True,
                 ).select(*out_cols)
-                spans.write.mode("append").parquet(spans_dir)
             if pair_within_batch:
                 within = duplicate_substring_spans(
                     batch_df, width=w, doc_cap=cap, bucket_by_hash=True
@@ -211,13 +230,15 @@ def streaming_incremental_spans(
                     "span_len",
                     "n_windows",
                 )
-                within.write.mode("append").parquet(spans_dir)
-            batch_df.select("doc_id", "text").write.mode("append").parquet(
-                docs_dir
+                spans = within if spans is None else spans.unionByName(within)
+            if spans is not None:
+                _put(spans, spans_dir, batch_id)
+            _put(batch_df.select("doc_id", "text"), docs_dir, batch_id)
+            _put(
+                substring_windows(batch_df, width=w, hashed=True),
+                index_dir,
+                batch_id,
             )
-            substring_windows(batch_df, width=w, hashed=True).write.mode(
-                "append"
-            ).parquet(index_dir)
         finally:
             batch_df.unpersist()
 

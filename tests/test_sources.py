@@ -360,10 +360,13 @@ class TestStreaming:
         assert pairs[(2, 1)].span_len == len(shared) + 2
         # within-batch pair: lower id is the kept corpus_doc occurrence
         assert pairs[(4, 3)].span_len == len(within)
-        # the index accumulated both batches' windows, hashed form
+        # the index accumulated both batches' windows, hashed form, with
+        # the writing batch recorded as a partition column (idempotent
+        # per-batch overwrite layout)
         idx = spark.read.parquet(str(tmp_path / "index"))
-        assert set(idx.columns) == {"doc_id", "pos", "win_h"}
+        assert set(idx.columns) == {"doc_id", "pos", "win_h", "batch_id"}
         assert idx.select("doc_id").distinct().count() == 4
+        assert idx.select("batch_id").distinct().count() == 2
         # restarting the stream with the same checkpoint reprocesses nothing
         q2 = streaming_incremental_spans(
             stream_from_directory(spark, str(src), d1.schema, max_files_per_trigger=1),
