@@ -104,3 +104,91 @@ class TestCoercionTotality:
             .r
         )
         assert out == pytest.approx(amount / 100.0)
+
+
+def _ref_spans(docs: dict, width: int):
+    """Brute-force reference for duplicate_substring_spans (tiny inputs)."""
+    spans = []
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ta, tb = docs[a], docs[b]
+            matched = [
+                (pa, pb)
+                for pa in range(1, len(ta) - width + 2)
+                for pb in range(1, len(tb) - width + 2)
+                if ta[pa - 1:pa - 1 + width] == tb[pb - 1:pb - 1 + width]
+            ]
+            bydelta = {}
+            for pa, pb in matched:
+                bydelta.setdefault(pa - pb, []).append((pa, pb))
+            for pts in bydelta.values():
+                pts.sort()
+                run = [pts[0]]
+                for p in pts[1:] + [(None, None)]:
+                    if p[0] is not None and p[0] == run[-1][0] + 1:
+                        run.append(p)
+                    else:
+                        spans.append(
+                            (a, b, run[0][0], run[0][1],
+                             run[-1][0] - run[0][0] + width)
+                        )
+                        run = [p]
+    return spans
+
+
+def _ref_cut(docs: dict, width: int):
+    """Reference for cut_duplicate_spans: merge per-doc_b intervals, excise."""
+    cuts = {}
+    for a, b, sa, sb, L in _ref_spans(docs, width):
+        cuts.setdefault(b, []).append((sb, sb + L))
+    out = {}
+    for d, t in docs.items():
+        merged = []
+        for s, e in sorted(cuts.get(d, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        kept, pos = [], 1
+        for s, e in merged:
+            kept.append(t[pos - 1:s - 1])
+            pos = e
+        kept.append(t[pos - 1:])
+        out[d] = ("".join(kept), len(merged), sum(e - s for s, e in merged))
+    return out
+
+
+class TestSpanCutProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=30),
+            min_size=2, max_size=4,
+        ),
+        hashed=st.booleans(),
+    )
+    def test_detect_and_cut_match_bruteforce(self, spark, texts, hashed):
+        """Random tiny-alphabet corpora (duplication-dense by construction):
+        both bucket-key paths of detect+cut must match the brute-force
+        reference on clean text and cut stats."""
+        from ctcityscraper_spark.operators.corpus import (
+            cut_duplicate_spans,
+            duplicate_substring_spans,
+        )
+
+        width = 5
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        spans = duplicate_substring_spans(
+            df, width=width, doc_cap=None, bucket_by_hash=hashed
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_cut_spans, r.n_cut_chars)
+            for r in cut_duplicate_spans(df, spans).collect()
+        }
+        assert got == _ref_cut(docs, width)
