@@ -138,13 +138,18 @@ def _run(
     distributed_flatten = source.table_schemas is not None
 
     for chunk in _chunks(entry_ids, batch_size):
-        # one parquet file per ~100k rows per table per micro-batch: typical
-        # batches coalesce to a single file, which keeps the session-file
-        # count at one-per-table and turns end-of-run compaction into a
-        # no-op; huge backfill batches still fan the write out. The coalesce
-        # sits on the write side of the persisted fetch, so the rate-limited
-        # fetch parallelism (num_partitions) is untouched.
-        write_files = max(1, len(chunk) // 100_000)
+        # Micro-batches (the normal case) coalesce the write side to ONE
+        # file per table: the session-file count stays one-per-table and
+        # end-of-run compaction becomes a no-op. The coalesce narrows the
+        # post-fetch pipeline (from_json parse + stamping + write) to one
+        # task, which is fine at micro-batch row counts and does NOT touch
+        # the rate-limited fetch parallelism (the fetch materializes into
+        # the persist during the status action, before any coalesce).
+        # Large backfill chunks skip the coalesce entirely — flatten
+        # fan-out multiplies rows per entry, and serializing a multi-
+        # million-row parse/write into one task would bottleneck the batch;
+        # compaction handles their file count afterwards.
+        write_files = 1 if len(chunk) <= 10_000 else None
         if distributed_flatten:
             flat = fetch_and_flatten_distributed(
                 spark, source, params.base_url, chunk, **fetch_kw
@@ -196,8 +201,9 @@ def _run(
                     flat.filter(F.col("table") == table)
                     .select(F.from_json("row_json", ddl).alias("r"))
                     .select("r.*")
-                    .coalesce(write_files)
                 )
+                if write_files:
+                    tdf = tdf.coalesce(write_files)
                 written, skipped = store.write_batch(
                     table,
                     tdf,
@@ -217,7 +223,8 @@ def _run(
                 df = _rows_to_df(spark, rows)
                 if df is None:
                     continue
-                df = df.coalesce(write_files)
+                if write_files:
+                    df = df.coalesce(write_files)
                 written, skipped = store.write_batch(
                     table,
                     df,

@@ -602,7 +602,7 @@ def duplicate_substring_spans(
     )
     spans = _merge_window_runs(matched, width)
     if bucket_by_hash:
-        spans = _verify_spans(spans, df, text, id_col, "doc_a", "doc_b",
+        spans = _verify_spans(spans, df, df, text, id_col, "doc_a", "doc_b",
                               "start_a", "start_b")
     if min_span is not None:
         spans = spans.filter(F.col("span_len") >= min_span)
@@ -611,7 +611,8 @@ def duplicate_substring_spans(
 
 def _verify_spans(
     spans: DataFrame,
-    docs: DataFrame,
+    docs_a: DataFrame,
+    docs_b: DataFrame,
     text: str,
     id_col: str,
     a_col: str,
@@ -620,13 +621,13 @@ def _verify_spans(
     sb: str,
 ) -> DataFrame:
     """Fetch-and-verify pass for hash-bucketed spans: join the span
-    shortlist back to both documents' text and keep spans whose substrings
-    are string-equal. The shortlist is true-duplication-sized (plus a
-    ~2^-64 collision tail), so the two joins move only the texts of
-    documents that actually share content."""
+    shortlist back to each side's OWN text source and keep spans whose
+    substrings are string-equal. The shortlist is true-duplication-sized
+    (plus a ~2^-64 collision tail), so the two joins move only the texts
+    of documents that actually share content."""
     out_cols = [a_col, b_col, sa, sb, "span_len", "n_windows"]
-    ta = docs.select(F.col(id_col).alias(a_col), F.col(text).alias("_ta"))
-    tb = docs.select(F.col(id_col).alias(b_col), F.col(text).alias("_tb"))
+    ta = docs_a.select(F.col(id_col).alias(a_col), F.col(text).alias("_ta"))
+    tb = docs_b.select(F.col(id_col).alias(b_col), F.col(text).alias("_tb"))
     return (
         spans.join(ta, a_col)
         .join(tb, b_col)
@@ -784,6 +785,8 @@ def incremental_substring_spans(
     is skipped.
     """
     idx = corpus_windows
+    if idx is None and corpus_docs is None:
+        raise ValueError("pass corpus_docs or corpus_windows")
     if bucket_by_hash is None:
         if idx is not None:
             bucket_by_hash = "win_h" in idx.columns
@@ -801,8 +804,6 @@ def incremental_substring_spans(
             bucket_by_hash = n_windows > SPAN_HASH_GATE_WINDOWS
     key = "win_h" if bucket_by_hash else "win"
     if idx is None:
-        if corpus_docs is None:
-            raise ValueError("pass corpus_docs or corpus_windows")
         idx = substring_windows(
             corpus_docs, text, id_col, width, hashed=bucket_by_hash
         )
@@ -829,11 +830,13 @@ def incremental_substring_spans(
     )
     spans = _merge_window_runs(matched, width)
     if bucket_by_hash and corpus_docs is not None:
-        texts = new_docs.select(id_col, text).unionByName(
-            corpus_docs.select(id_col, text)
-        )
-        spans = _verify_spans(spans, texts, text, id_col, "doc_a", "doc_b",
-                              "start_a", "start_b")
+        # verify each side against ITS OWN text source: a doc_id present in
+        # both new_docs and corpus_docs (a re-ingested document) must check
+        # the new side against the new text and the corpus side against the
+        # stored text — a unioned frame would double-match and verify
+        # against the wrong version
+        spans = _verify_spans(spans, new_docs, corpus_docs, text, id_col,
+                              "doc_a", "doc_b", "start_a", "start_b")
     if min_span is not None:
         spans = spans.filter(F.col("span_len") >= min_span)
     return spans.select(

@@ -204,20 +204,19 @@ def pyav_frame_decoder(payload: bytes) -> list:
 
     import av
 
+    import numpy as np
+
     frames = []
     with av.open(io.BytesIO(payload)) as container:
         for i, frame in enumerate(container.decode(video=0)):
             gray = frame.reformat(format="gray").to_ndarray()
-            raw = gray.tobytes()
-            hist = [0] * 8
-            for b in raw:
-                hist[b >> 5] += 1
-            total = float(len(raw)) or 1.0
+            hist = np.bincount((gray >> 5).ravel(), minlength=8)
+            total = float(gray.size) or 1.0
             frames.append(
                 {
                     "frame_idx": i,
-                    "frame_md5": hashlib.md5(raw).hexdigest(),
-                    "feature": [h / total for h in hist],
+                    "frame_md5": hashlib.md5(gray.tobytes()).hexdigest(),
+                    "feature": [float(h) / total for h in hist],
                 }
             )
     return frames

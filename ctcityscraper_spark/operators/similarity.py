@@ -487,16 +487,19 @@ def pq_train_codebooks(
     sample regardless of corpus size (the FAISS recipe); only the resulting
     M*K*sub_dim floats ship back into the plan as literals. The sample is
     deterministic across runs and cluster layouts when an id column
-    (vec_id/doc_id/id) exists — ordered take; otherwise whatever ``limit``
-    returns (single-file local reads are stable, multi-file cluster reads
-    are not), so keep an id column for reproducible codebooks.
+    (vec_id/doc_id/id) exists — ordered by xxhash64(id), which is both
+    reproducible AND unbiased (plain id order would train only on the
+    earliest documents of a time-ordered corpus); otherwise whatever
+    ``limit`` returns (single-file local reads are stable, multi-file
+    cluster reads are not), so keep an id column for reproducible
+    codebooks.
     """
     import numpy as np
 
     sampled = corpus
     for id_col in ("vec_id", "doc_id", "id"):
         if id_col in corpus.columns:
-            sampled = corpus.orderBy(id_col)
+            sampled = corpus.orderBy(F.xxhash64(F.col(id_col)), id_col)
             break
     rows = sampled.select(vec).limit(sample).collect()
     if len(rows) < k:

@@ -31,11 +31,12 @@ from ctcityscraper_spark.sources.lookup import LookupDimension
 
 DEFAULT_DIRECTORY_URL = "https://www.vgsi.com/vision-client-community-portal/"
 
-# href="..." of an anchor pointing at a gis.vgsi.com city site, and the
-# anchor text (the display name). The reference matches the same hrefs via
-# BeautifulSoup find_all(href=re.compile(r"https://gis\.vgsi\.com/")).
+# href of an anchor pointing at a gis.vgsi.com city site (either quoting
+# style — CMS templates flip between them), and the anchor text (the
+# display name). The reference matches the same hrefs via BeautifulSoup
+# find_all(href=re.compile(r"https://gis\.vgsi\.com/")).
 _LINK_RE = re.compile(
-    r'<a\b[^>]*href="(https://gis\.vgsi\.com/[^"]*)"[^>]*>(.*?)</a>',
+    r'<a\b[^>]*href=["\'](https://gis\.vgsi\.com/[^"\']*)["\'][^>]*>(.*?)</a>',
     re.IGNORECASE | re.DOTALL,
 )
 _TAG_RE = re.compile(r"<[^>]+>")

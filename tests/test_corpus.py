@@ -2,6 +2,7 @@
 (the catalog queries in plans/queries_corpus.py cover the happy path against
 DuckDB; these pin down degenerate inputs and the scale guards)."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -469,6 +470,37 @@ class TestSubstringSpans:
         assert out[2].clean_text == "zzzz"
         assert (out[2].n_cut_spans, out[2].n_cut_chars) == (1, 14)
         assert out[0].n_cut_spans == 0 and out[1].n_cut_spans == 0
+
+    def test_incremental_reingested_doc_id_verifies_per_side(self, spark):
+        # a doc_id present in BOTH the new batch (updated text) and the
+        # stored corpus (old text) must verify each side against its own
+        # version — a unioned text frame would emit duplicate span rows
+        from ctcityscraper_spark.operators.corpus import (
+            incremental_substring_spans,
+        )
+
+        S = "SHARED-SPAN-BODY-XYZ"
+        corpus = spark.createDataFrame(
+            [(5, "old version entirely different"), (7, "corpus " + S)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(5, "new " + S)], "doc_id long, text string"
+        )
+        out = incremental_substring_spans(
+            new, corpus, width=8, bucket_by_hash=True
+        ).collect()
+        assert len(out) == 1
+        assert (out[0].new_doc, out[0].corpus_doc) == (5, 7)
+
+    def test_incremental_without_corpus_raises_cleanly(self, spark):
+        from ctcityscraper_spark.operators.corpus import (
+            incremental_substring_spans,
+        )
+
+        new = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="corpus_docs or corpus_windows"):
+            incremental_substring_spans(new)
 
     def test_hash_path_plan_joins_on_long_key(self, spark):
         # scale claim: in the hashed path the bucket self-join keys are the

@@ -84,6 +84,7 @@ class TestCitiesDirectory:
       <a href="https://gis.vgsi.com/">bare root, no city token</a>
       <a href="https://example.com/hartfordct/">wrong host</a>
       <a href="https://gis.vgsi.com/newhavenct/">New Haven (dupe wins)</a>
+      <a href='https://gis.vgsi.com/seymourct/'>Seymour (single quotes)</a>
     </body></html>
     """
 
@@ -91,7 +92,7 @@ class TestCitiesDirectory:
         from ctcityscraper_spark.sources.directory import parse_city_links
 
         cities = parse_city_links(self.HTML)
-        assert set(cities) == {"newhaven", "branford", "stamford"}
+        assert set(cities) == {"newhaven", "branford", "stamford", "seymour"}
         # key = host token minus state code, state lowercased even for
         # mixed-case tokens, name = tag-stripped anchor text
         assert cities["stamford"]["state"] == "ct"
@@ -117,14 +118,14 @@ class TestCitiesDirectory:
 
         cities = fetch_cities(fetcher, "http://directory.test/portal")
         assert fetched_urls == ["http://directory.test/portal"]
-        assert store_cities(spark, tmp_path, cities) == 3
+        assert store_cities(spark, tmp_path, cities) == 4
         assert city_url(spark, tmp_path, "newhaven") == "https://gis.vgsi.com/newhavenct/"
         assert city_url(spark, tmp_path, "nowhere") is None
         # re-seeding upserts (newest wins), never duplicates
         cities["newhaven"]["url"] = "https://gis.vgsi.com/newhavenct/v2/"
         store_cities(spark, tmp_path, cities)
         dim = cities_dimension(spark, tmp_path)
-        assert dim.read().count() == 3
+        assert dim.read().count() == 4
         assert city_url(spark, tmp_path, "newhaven").endswith("/v2/")
 
     def test_seed_json_both_shapes_and_cli(self, spark, tmp_path, capsys):
