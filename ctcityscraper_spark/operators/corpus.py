@@ -847,3 +847,81 @@ def incremental_substring_spans(
         "span_len",
         "n_windows",
     )
+
+
+def token_budget_selection(
+    df: DataFrame,
+    budget_tokens: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bins: int = 1000,
+    seed: str = "budget",
+) -> DataFrame:
+    """Highest-quality documents up to a token budget, without a global sort.
+
+    The data-budget step of a pretraining pipeline ("take the best N
+    billion tokens"): documents are ranked by quality bin
+    (``floor(quality_score * bins)``, descending), ties broken by
+    ``hash64(id, seed)`` then id, and a document is selected iff the
+    cumulative token count BEFORE it is < ``budget_tokens`` — the greedy
+    prefix, which may overshoot by at most one document.
+
+    Scale design — the naive version is a global ORDER BY + running sum
+    over the whole corpus (one giant range shuffle + serial window). This
+    is two-phase instead: (1) one aggregation of per-bin token sums
+    (<= bins+1 rows collected to the driver — bounded, never corpus-sized)
+    finds which bins are fully inside the budget and which single bin
+    straddles it; (2) full bins come back as a filter (no ordering at
+    all), and only the straddling bin (~1/``bins`` of the corpus — raise
+    ``bins`` to tighten) pays a window. Output matches the naive version
+    row-for-row. Triggers one Spark action at call time (the bin-sum
+    collect). Returns (doc_id, n_tokens, q_bin).
+    """
+    from pyspark.sql import Window
+
+    from ctcityscraper_spark.operators.text import quality_score_col
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.floor(quality_score_col(text) * bins).cast("int").alias("q_bin"),
+        hash64(F.col(id_col), seed).alias("_h"),
+    )
+    bin_sums = {
+        r["q_bin"]: r["s"]
+        for r in toks.groupBy("q_bin").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    full_bins: list[int] = []
+    boundary = None
+    remaining = 0
+    cum = 0
+    for b in sorted(bin_sums, reverse=True):
+        s = bin_sums[b]
+        if cum + s <= budget_tokens:
+            full_bins.append(b)
+            cum += s
+            continue
+        if cum < budget_tokens:
+            boundary = b
+            remaining = budget_tokens - cum
+        break
+    out_cols = ["doc_id", "n_tokens", "q_bin"]
+    selected = toks.filter(F.lit(False)).select(*out_cols)
+    if full_bins:
+        selected = toks.filter(F.col("q_bin").isin(full_bins)).select(*out_cols)
+    if boundary is not None:
+        w = Window.orderBy("_h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        part = (
+            toks.filter(F.col("q_bin") == boundary)
+            .withColumn(
+                "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            )
+            .filter(F.col("_before") < remaining)
+            .select(*out_cols)
+        )
+        selected = selected.unionByName(part)
+    return selected

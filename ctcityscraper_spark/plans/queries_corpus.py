@@ -29,9 +29,14 @@ from ctcityscraper_spark.operators.corpus import (
     segments,
     shuffle_shards,
     stratified_sample,
+    token_budget_selection,
 )
 from ctcityscraper_spark.functions.hashing import hash64
-from ctcityscraper_spark.operators.text import tfidf_top_terms, vocab_coverage
+from ctcityscraper_spark.operators.text import (
+    quality_score_sql,
+    tfidf_top_terms,
+    vocab_coverage,
+)
 from ctcityscraper_spark.plans.queries import query
 from ctcityscraper_spark.plans.queries_ext import TOKS, hash64_sql
 from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
@@ -560,6 +565,43 @@ def q_text_tfidf_top_terms(spark, sf_dir):
         tfidf_top_terms(docs, k=3)
         .repartition(1)
         .sortWithinPartitions("doc_id", "rank")
+    )
+
+
+_BUDGET_TOKENS = 40_000
+_BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_RE_SQL}'))::BIGINT AS n_tokens,
+               CAST(floor(({quality_score_sql('text')}) * 1000) AS INT) AS q_bin,
+               {hash64_sql('doc_id', 'budget')} AS h
+        FROM documents),
+    o AS (
+        SELECT *, coalesce(SUM(n_tokens) OVER (
+            ORDER BY q_bin DESC, h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        FROM t)
+    SELECT doc_id, n_tokens, q_bin FROM o
+    WHERE bef < {_BUDGET_TOKENS} ORDER BY doc_id
+    """,
+)
+def q_corpus_token_budget(spark, sf_dir):
+    """Data-budget selection: the highest-quality documents whose cumulative
+    BPE-token count fits a budget (operators/corpus.token_budget_selection).
+    Two-phase — per-quality-bin token sums (<= 1001 rows to the driver)
+    pick the full bins and the single straddling bin; only the straddling
+    ~1/1000 of the corpus pays a window, full bins are a filter. The naive
+    SQL twin (global ORDER BY + running sum) must match row-for-row."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        token_budget_selection(docs, _BUDGET_TOKENS)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -526,3 +526,64 @@ class TestSubstringSpans:
             assert not re.search(r"\bwin#\d+", ln), (
                 "window string must not be a join key in the hashed path"
             )
+
+
+class TestTokenBudget:
+    def test_budget_edges_and_overshoot(self, spark):
+        from ctcityscraper_spark.operators.corpus import token_budget_selection
+
+        docs = _docs(spark, [
+            "high quality document with plenty of reasonable words here",
+            "another good document with many reasonable common words",
+            "short",
+        ])
+        total = sum(
+            r.n_tokens
+            for r in token_budget_selection(docs, 10**9).collect()
+        )
+        # huge budget selects everything
+        assert token_budget_selection(docs, 10**9).count() == 3
+        # zero budget selects nothing
+        assert token_budget_selection(docs, 0).count() == 0
+        # a budget of 1 token still selects exactly one document (greedy
+        # prefix overshoots by at most the final document)
+        assert token_budget_selection(docs, 1).count() == 1
+        # selection is monotone in the budget
+        n_half = token_budget_selection(docs, total // 2).count()
+        assert 1 <= n_half <= 3
+
+    def test_matches_naive_global_sort(self, spark):
+        from pyspark.sql import Window
+
+        from ctcityscraper_spark.operators.corpus import (
+            BPE_SPLIT_RE,
+            token_budget_selection,
+        )
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.text import quality_score_col
+        from ctcityscraper_spark.plans.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        budget = 20_000
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.q_bin)
+            for r in token_budget_selection(docs, budget).collect()
+        )
+        # naive twin: one global window
+        t = docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0))
+            .cast("long").alias("n_tokens"),
+            F.floor(quality_score_col("text") * 1000).cast("int").alias("q_bin"),
+            hash64(F.col("doc_id"), "budget").alias("h"),
+        )
+        w = Window.orderBy(F.col("q_bin").desc(), "h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        naive = sorted(
+            (r.doc_id, r.n_tokens, r.q_bin)
+            for r in t.withColumn(
+                "bef", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            ).filter(F.col("bef") < budget).collect()
+        )
+        assert got == naive and len(got) > 0
