@@ -874,7 +874,12 @@ def token_budget_selection(
     straddles it; (2) full bins come back as a filter (no ordering at
     all), and only the straddling bin (~1/``bins`` of the corpus — raise
     ``bins`` to tighten) pays a window. Output matches the naive version
-    row-for-row. Triggers one Spark action at call time (the bin-sum
+    row-for-row, including the tie where a bin exactly exhausts the
+    budget (such a bin is treated as a straddling bin so a zero-token
+    document sorted at its tail — cumulative-before == budget — is
+    excluded, exactly like ``bef < budget`` in the naive form).
+    Documents with a NULL ``text`` have no quality score and are never
+    selected. Triggers one Spark action at call time (the bin-sum
     collect). Returns (doc_id, n_tokens, q_bin).
     """
     from pyspark.sql import Window
@@ -888,7 +893,7 @@ def token_budget_selection(
         .alias("n_tokens"),
         F.floor(quality_score_col(text) * bins).cast("int").alias("q_bin"),
         hash64(F.col(id_col), seed).alias("_h"),
-    )
+    ).filter(F.col("q_bin").isNotNull())
     bin_sums = {
         r["q_bin"]: r["s"]
         for r in toks.groupBy("q_bin").agg(F.sum("n_tokens").alias("s")).collect()
@@ -899,7 +904,10 @@ def token_budget_selection(
     cum = 0
     for b in sorted(bin_sums, reverse=True):
         s = bin_sums[b]
-        if cum + s <= budget_tokens:
+        # strict <: a bin that EXACTLY exhausts the budget goes through the
+        # window path so its zero-token tail (cum-before == budget) is
+        # excluded, matching the naive `bef < budget` rule row-for-row
+        if cum + s < budget_tokens:
             full_bins.append(b)
             cum += s
             continue

@@ -585,7 +585,7 @@ _BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
         SELECT *, coalesce(SUM(n_tokens) OVER (
             ORDER BY q_bin DESC, h, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
-        FROM t)
+        FROM t WHERE q_bin IS NOT NULL)
     SELECT doc_id, n_tokens, q_bin FROM o
     WHERE bef < {_BUDGET_TOKENS} ORDER BY doc_id
     """,

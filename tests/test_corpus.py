@@ -552,6 +552,60 @@ class TestTokenBudget:
         n_half = token_budget_selection(docs, total // 2).count()
         assert 1 <= n_half <= 3
 
+    def test_null_text_never_selected_and_exact_fit_ties(self, spark):
+        """Null texts must not crash the driver-side bin walk (r5 ADVICE:
+        None q_bin used to TypeError in sorted()), and budgets that land
+        EXACTLY on a cumulative bin boundary must match the naive
+        ``bef < budget`` rule row-for-row — including zero-token docs."""
+        from pyspark.sql import Window
+
+        from ctcityscraper_spark.operators.corpus import (
+            BPE_SPLIT_RE,
+            token_budget_selection,
+        )
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.text import quality_score_col
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="good common words spoken here repeatedly"),
+                Row(doc_id=1, text=None),
+                Row(doc_id=2, text="another decent document with many words"),
+                Row(doc_id=3, text=""),
+                Row(doc_id=4, text="the quick brown fox jumps over the dog"),
+            ]
+        )
+        # no TypeError, and the null-text doc is never selected
+        sel = {r.doc_id for r in token_budget_selection(docs, 10**9).collect()}
+        assert 1 not in sel and sel >= {0, 2, 4}
+
+        # naive twin (same null-bin exclusion), materialized once
+        t = docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0))
+            .cast("long").alias("n_tokens"),
+            F.floor(quality_score_col("text") * 1000).cast("int").alias("q_bin"),
+            hash64(F.col("doc_id"), "budget").alias("h"),
+        ).filter(F.col("q_bin").isNotNull())
+        rows = t.orderBy(F.col("q_bin").desc(), "h", "doc_id").collect()
+        cums, c = [], 0
+        for r in rows:
+            cums.append(c)
+            c += r.n_tokens
+        # sweep every cumulative boundary (exact fits) plus off-by-ones
+        budgets = {0, 1, c} | set(cums) | {b + 1 for b in cums}
+        for budget in sorted(budgets):
+            got = sorted(
+                (r.doc_id, r.n_tokens, r.q_bin)
+                for r in token_budget_selection(docs, budget).collect()
+            )
+            naive = sorted(
+                (r.doc_id, r.n_tokens, r.q_bin)
+                for r, bef in zip(rows, cums)
+                if bef < budget
+            )
+            assert got == naive, f"budget={budget}"
+
     def test_matches_naive_global_sort(self, spark):
         from pyspark.sql import Window
 
