@@ -39,10 +39,10 @@ DRIVER_PRIORITY = [
     "pricing_summary", "scan_filter_project", "distinct_sort", "topk_orders",
     "join_agg_by_segment", "join_star_three_way",
     "anti_join_customers_without_orders", "semi_join_parts_in_lineitem",
-    "groupby_rollup", "groupby_cube", "groupby_grouping_sets",
+    "groupby_rollup",
     "conditional_pivot_agg", "window_running_total", "union_by_name",
-    "except_lapsed_customers", "money_roundtrip", "string_normalize",
-    "regex_extract_tokens", "date_bucket_monthly", "json_extract_props",
+    "except_lapsed_customers", "money_roundtrip",
+    "regex_extract_tokens", "json_extract_props",
     "row_hash_content", "entity_uuid_identity", "top_revenue_orders",
     "regional_customer_revenue", "quantiles_by_status",
     # SCD2 family
@@ -55,13 +55,17 @@ DRIVER_PRIORITY = [
     "dedup_simhash_pairs", "dedup_incremental_lsh", "dedup_cascade_confirmed",
     "dedup_groups_connected", "dedup_embedding_blocked",
     "dedup_semdedup_drop_list",
-    # ANN family (exact-vectorized, LSH, PQ)
-    "ann_cosine_topk_vectorized", "ann_srp_lsh_topk", "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    # corpus ops (cut_spans = the substring-dedup APPLY step; the
-    # incremental-spans variant of the same pipeline stays repo-verified)
+    # ANN family (exact-vectorized, LSH, IVF, PQ)
+    "ann_cosine_topk_vectorized", "ann_srp_lsh_topk", "ann_ivf_topk",
+    "ann_pq_adc_topk", "ann_pq_rerank_topk",
+    # corpus ops (cut_spans = the substring-dedup APPLY step;
+    # incremental_spans = the batch-vs-stored-index variant)
     "corpus_segment_dedup", "corpus_substring_spans",
-    "corpus_cut_spans", "corpus_pack_sequences",
+    "corpus_cut_spans", "corpus_incremental_spans", "corpus_pack_sequences",
+    # round-6 rotation: newest operators get externally-verified rows
+    # (dropped this round, all 5x driver-verified: groupby_cube,
+    # groupby_grouping_sets, string_normalize, date_bucket_monthly)
+    "corpus_token_budget", "text_vocab_coverage",
 ]
 
 
