@@ -41,11 +41,33 @@ def cosine_topk(
     k: int = 5,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    max_pairs: int = 50_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (brute force).
 
     Returns (query_id, neighbor_id, rank, cosine). Ties break by neighbor id.
+
+    This is the bit-exact ORACLE TWIN — expression-only so DuckDB can
+    reproduce it — not the scale path. It cross-joins, so it is size-gated
+    (same pattern as ``graph.connected_components``): when
+    ``|corpus| * |queries| > max_pairs`` it raises instead of silently
+    launching an O(C*Q) plan; use :func:`cosine_topk_vectorized` (Arrow
+    numpy matmul blocks) for real corpora, or the SRP/IVF/PQ candidate
+    generators when even Q*C scoring is too much. The two counts the gate
+    pays are cheap column-pruned scans; pass ``max_pairs=0`` to disable
+    the gate (and the counts) for oracle harnesses that manage size
+    themselves.
     """
+    if max_pairs:
+        n_c, n_q = corpus.count(), queries.count()
+        if n_c * n_q > max_pairs:
+            raise ValueError(
+                f"cosine_topk is the brute-force oracle twin: |corpus|={n_c} "
+                f"x |queries|={n_q} = {n_c * n_q} pairs exceeds "
+                f"max_pairs={max_pairs}. Use cosine_topk_vectorized (exact, "
+                "Arrow-blocked) or srp_lsh_topk/ivf_topk/pq_adc_topk "
+                "(approximate) instead, or raise max_pairs explicitly."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
     )

@@ -102,6 +102,32 @@ class TestJaccardDfCap:
         assert uncapped.count() == 10  # C(5,2)
 
 
+class TestCosineTopkSizeGate:
+    def test_refuses_above_max_pairs(self, spark):
+        """The brute-force oracle twin must not silently launch an O(C*Q)
+        cross join on a real corpus — same size-gate pattern as
+        graph.connected_components."""
+        import pytest
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        with pytest.raises(ValueError, match="cosine_topk_vectorized"):
+            cosine_topk(emb, queries, k=3, max_pairs=10)
+
+    def test_output_unchanged_below_gate(self, spark):
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        gated = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in cosine_topk(emb, queries, k=3).collect()
+        )
+        ungated = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in cosine_topk(emb, queries, k=3, max_pairs=0).collect()
+        )
+        assert gated == ungated and len(gated) > 0
+
+
 class TestIvfAnn:
     def test_full_probe_equals_exact(self, spark):
         from ctcityscraper_spark.operators.similarity import ivf_topk
