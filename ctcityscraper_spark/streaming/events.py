@@ -138,6 +138,161 @@ def write_scd2_stream(
     )
 
 
+def _hadoop_fs(spark: SparkSession, base: str):
+    """(FileSystem, Path class) for ``base``'s scheme via the Hadoop API.
+
+    Driver-side ``pathlib`` only sees the local filesystem — on an
+    hdfs:/s3a:/abfss: URI it silently lists nothing, which for the
+    incremental span sink meant cross-batch dedup silently skipped
+    (r5 ADVICE). The Hadoop FileSystem API resolves whatever scheme the
+    cluster is configured for, local paths included.
+    """
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path_cls
+
+
+def _list_batch_dirs(
+    spark: SparkSession, base: str, before_batch: int
+) -> list[tuple[int, str]]:
+    """Sorted (batch_id, dir) for ``base/batch_id=N`` children with
+    ``N < before_batch`` holding at least one parquet file."""
+    fs, path_cls = _hadoop_fs(spark, base)
+    if not fs.exists(path_cls(base)):
+        return []
+    out: list[tuple[int, str]] = []
+    for st in fs.globStatus(path_cls(base + "/batch_id=*")) or []:
+        if not st.isDirectory():
+            continue
+        try:
+            bid = int(st.getPath().getName().split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid >= before_batch:
+            continue
+        parts = fs.globStatus(path_cls(str(st.getPath()) + "/*.parquet"))
+        if parts is not None and len(parts) > 0:
+            out.append((bid, str(st.getPath())))
+    return sorted(out)
+
+
+def _compacted_epochs(spark: SparkSession, base: str) -> list[tuple[int, str]]:
+    """Sorted (upto, dir) for committed (_SUCCESS-marked) compaction epochs
+    under ``base/compacted/upto=M`` — each covers batches [0, M)."""
+    fs, path_cls = _hadoop_fs(spark, base)
+    out: list[tuple[int, str]] = []
+    for st in fs.globStatus(path_cls(base + "/compacted/upto=*")) or []:
+        try:
+            m = int(st.getPath().getName().split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(path_cls(str(st.getPath()) + "/_SUCCESS")):
+            out.append((m, str(st.getPath())))
+    return sorted(out)
+
+
+def _epoch_table(table_prefix: str, upto: int) -> str:
+    return f"{table_prefix}_upto_{upto}"
+
+
+def read_incremental_zone(
+    spark: SparkSession,
+    base: str,
+    before_batch: int = 2**62,
+    table_prefix: str | None = None,
+) -> DataFrame | None:
+    """Everything written for batches strictly before ``before_batch``:
+    the newest committed compaction epoch M <= before_batch, plus the
+    per-batch tail in [M, before_batch). None when nothing exists yet.
+
+    The compacted epoch is preferred as its bucketed catalog table (the
+    shuffle-free join side); if the catalog no longer has it (new session,
+    ephemeral metastore) the epoch's parquet path is read directly —
+    identical rows, bucketing metadata lost. NOTE: once an epoch exists a
+    bare ``spark.read.parquet(base)`` no longer works (mixed ``batch_id=``
+    / ``compacted/upto=`` layouts conflict in partition discovery) — read
+    through this helper instead.
+    """
+    frames: list[DataFrame] = []
+    low = 0
+    epochs = [(m, p) for m, p in _compacted_epochs(spark, base) if m <= before_batch]
+    if epochs:
+        low, path = epochs[-1]
+        tbl = _epoch_table(table_prefix, low) if table_prefix else None
+        if tbl and spark.catalog.tableExists(tbl):
+            frames.append(spark.table(tbl))
+        else:
+            frames.append(spark.read.parquet(path))
+    tail = [p for bid, p in _list_batch_dirs(spark, base, before_batch) if bid >= low]
+    if tail:
+        frames.append(spark.read.parquet(*tail))
+    if not frames:
+        return None
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    return df
+
+
+def compact_incremental_zone(
+    spark: SparkSession,
+    base: str,
+    upto: int,
+    table_prefix: str | None = None,
+    bucket_keys: list[str] | None = None,
+    buckets: int = 8,
+    sort: list[str] | None = None,
+) -> bool:
+    """Rewrite all data for batches < ``upto`` into one consolidated epoch.
+
+    The streaming sink grows one ``batch_id=N`` partition per micro-batch —
+    at high batch counts that is exactly the small-file problem the batch
+    engine's compaction solves (T7). This rewrites the current epoch + tail
+    into ``base/compacted/upto=M``; with ``bucket_keys`` it lands as a
+    bucketed catalog table (sources/bucketed.write_bucketed), so the
+    post-compaction probe join carries NO Exchange on the index side.
+
+    Crash-safe/idempotent: the epoch dir is valid only once its _SUCCESS
+    marker exists, readers always pick the newest committed epoch and
+    ignore batch dirs below it, and stale batch dirs + older epochs are
+    deleted only AFTER the new epoch committed — a replay that re-runs the
+    compaction simply overwrites the same epoch. Returns True if an epoch
+    was (re)written.
+    """
+    from ctcityscraper_spark.sources.bucketed import write_bucketed
+
+    # a committed epoch for this exact upto means the rewrite already
+    # happened (replay after a crash between commit and cleanup) — reading
+    # it back to overwrite itself is both pointless and rejected by Spark
+    # (UNSUPPORTED_OVERWRITE); only the cleanup below can still be pending
+    already = any(m == upto for m, _ in _compacted_epochs(spark, base))
+    if not already:
+        full = read_incremental_zone(spark, base, upto, table_prefix)
+        if full is None:
+            return False
+        path = f"{base}/compacted/upto={upto}"
+        if bucket_keys and table_prefix:
+            write_bucketed(
+                full, _epoch_table(table_prefix, upto), bucket_keys, buckets,
+                sort=sort, path=path,
+            )
+        else:
+            full.write.mode("overwrite").parquet(path)
+    # cleanup strictly after the new epoch committed
+    fs, path_cls = _hadoop_fs(spark, base)
+    for _, p in _list_batch_dirs(spark, base, upto):
+        fs.delete(path_cls(p), True)
+    for m, p in _compacted_epochs(spark, base):
+        if m < upto:
+            fs.delete(path_cls(p), True)
+            if table_prefix:
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {_epoch_table(table_prefix, m)}"
+                )
+    return True
+
+
 def streaming_incremental_spans(
     stream: DataFrame,
     docs_dir: str,
@@ -147,6 +302,9 @@ def streaming_incremental_spans(
     width: int | None = None,
     doc_cap: int | None = None,
     pair_within_batch: bool = True,
+    compact_every: int | None = None,
+    compact_buckets: int = 8,
+    compact_table_prefix: str | None = None,
 ):
     """Streaming exact-substring dedup against a growing stored index.
 
@@ -166,11 +324,24 @@ def streaming_incremental_spans(
     batches, and every write lands in a ``batch_id=N`` partition with
     mode=overwrite, so a crash-and-replay of an in-flight batch rewrites
     its own partitions instead of appending duplicates (the standard
-    foreachBatch idempotence recipe). Readers just read the parent dirs —
-    ``batch_id`` surfaces as a partition column recording lineage.
+    foreachBatch idempotence recipe). Batch discovery goes through the
+    Hadoop FileSystem API, so the dirs may live on any scheme the cluster
+    supports (hdfs:/s3a:/...), not just the local disk. ``batch_id``
+    surfaces as a partition column recording lineage; read the index/docs
+    dirs via :func:`read_incremental_zone` (required once compaction runs).
+
+    With ``compact_every=N`` the sink periodically rewrites the index and
+    docs batch partitions into one consolidated epoch
+    (:func:`compact_incremental_zone`): the index lands as a catalog table
+    bucketed on ``win_h`` (``compact_buckets``), so right after compaction
+    the corpus-sized side of the probe join is shuffle-free; between
+    compactions only the small per-batch tail re-shuffles. Compaction runs
+    at the START of a batch and covers only batches strictly before it —
+    those are durable per the checkpoint — so the strictly-before join
+    contract and replay idempotence are preserved.
     Returns the StreamingQuery handle; caller stops it.
     """
-    from pathlib import Path
+    import hashlib
 
     from pyspark.sql import functions as SF
 
@@ -184,6 +355,9 @@ def streaming_incremental_spans(
 
     w = width or SPAN_WINDOW_CHARS
     cap = doc_cap if doc_cap is not None else SPAN_DOC_CAP
+    idx_prefix = compact_table_prefix or (
+        "span_idx_" + hashlib.md5(index_dir.encode()).hexdigest()[:8]
+    )
     out_cols = [
         "new_doc", "corpus_doc", "start_new", "start_corpus",
         "span_len", "n_windows",
@@ -192,29 +366,30 @@ def streaming_incremental_spans(
     def _put(df: DataFrame, base: str, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
 
-    def _index_frames(base: str, before_batch: int):
-        # only batches strictly BEFORE this one: a replayed batch must not
-        # join against its own half-written previous attempt
-        return [
-            p for p in Path(base).glob("batch_id=*")
-            if int(p.name.split("=", 1)[1]) < before_batch and any(p.glob("*.parquet"))
-        ]
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, index_dir)
+            if not epochs or epochs[-1][0] < batch_id:
+                compact_incremental_zone(
+                    spark, index_dir, batch_id, table_prefix=idx_prefix,
+                    bucket_keys=["win_h"], buckets=compact_buckets,
+                    sort=["win_h"],
+                )
+                compact_incremental_zone(spark, docs_dir, batch_id)
         batch_df = batch_df.persist()
         try:
             spans = None
-            prior = _index_frames(index_dir, batch_id)
-            if prior:
+            # only batches strictly BEFORE this one: a replayed batch must
+            # not join against its own half-written previous attempt
+            idx = read_incremental_zone(spark, index_dir, batch_id, idx_prefix)
+            if idx is not None:
                 spans = incremental_substring_spans(
                     batch_df,
-                    corpus_docs=spark.read.parquet(
-                        *[str(p) for p in _index_frames(docs_dir, batch_id)]
-                    ),
-                    corpus_windows=spark.read.parquet(*[str(p) for p in prior]),
+                    corpus_docs=read_incremental_zone(spark, docs_dir, batch_id),
+                    corpus_windows=idx,
                     width=w,
                     doc_cap=cap,
                     bucket_by_hash=True,

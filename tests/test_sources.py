@@ -380,6 +380,127 @@ class TestStreaming:
         q2.awaitTermination(120)
         assert spark.read.parquet(str(tmp_path / "spans")).count() == 2
 
+    def test_streaming_spans_compaction(self, spark, tmp_path):
+        """compact_every=2: after 4 single-doc batches the index holds one
+        bucketed compacted epoch (batches < 2) plus a two-batch tail; spans
+        against pre-compaction docs are still found, the post-compaction
+        probe join is shuffle-free on the index side, and checkpoint replay
+        plus a repeated compaction are both no-ops."""
+        import re
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import substring_windows
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            compact_incremental_zone,
+            read_incremental_zone,
+            stream_from_directory,
+            streaming_incremental_spans,
+        )
+
+        shared = "EXACTLY-THE-SAME-SPAN-CONTENT-0123456789"  # 40 chars
+        src = tmp_path / "incoming"
+        batches = [
+            [(1, "aaa " + shared + " bbb")],
+            [(2, "zzzzz " + shared + " qq")],
+            [(3, "totally unrelated content without any marker")],
+            [(4, "yy " + shared + " end")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)  # file-source ordering is by modification time
+
+        schema = "doc_id long, text string"
+        kwargs = dict(
+            docs_dir=str(tmp_path / "docs"),
+            index_dir=str(tmp_path / "index"),
+            spans_dir=str(tmp_path / "spans"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            width=20,
+            compact_every=2,
+            compact_buckets=4,
+            compact_table_prefix="t_stream_compact",
+        )
+        stream = stream_from_directory(
+            spark, str(src), spark.createDataFrame(batches[0], schema).schema,
+            max_files_per_trigger=1,
+        )
+        try:
+            q = streaming_incremental_spans(stream, **kwargs)
+            q.awaitTermination(180)
+
+            spans = spark.read.parquet(str(tmp_path / "spans")).collect()
+            pairs = {(r.new_doc, r.corpus_doc) for r in spans}
+            # doc 4 (post-compaction) still matches doc 1 (inside the
+            # compacted epoch) and doc 2 (tail)
+            assert pairs == {(2, 1), (4, 1), (4, 2)}
+
+            # layout: one committed epoch covering batches < 2, tail dirs kept
+            epochs = _compacted_epochs(spark, kwargs["index_dir"])
+            assert [m for m, _ in epochs] == [2]
+            import pathlib
+            idx_dir = pathlib.Path(kwargs["index_dir"])
+            tail = sorted(p.name for p in idx_dir.glob("batch_id=*"))
+            assert tail == ["batch_id=2", "batch_id=3"]
+
+            # full zone read sees all 4 docs' windows
+            idx = read_incremental_zone(
+                spark, kwargs["index_dir"], table_prefix="t_stream_compact"
+            )
+            assert idx.select("doc_id").distinct().count() == 4
+
+            # post-compaction probe: joining a new batch against the epoch
+            # table shuffles ONLY the batch side
+            probe = substring_windows(
+                spark.createDataFrame(
+                    [(99, "probe doc containing " + shared)], schema
+                ),
+                width=20,
+                hashed=True,
+            )
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = spark.table("t_stream_compact_upto_2").alias("b").join(
+                    probe.alias("a"),
+                    (F.col("a.win_h") == F.col("b.win_h"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+                assert joined.count() > 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+            # checkpoint replay: nothing reprocessed, layout unchanged
+            q2 = streaming_incremental_spans(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q2.awaitTermination(180)
+            assert spark.read.parquet(str(tmp_path / "spans")).count() == len(spans)
+            assert [m for m, _ in _compacted_epochs(spark, kwargs["index_dir"])] == [2]
+
+            # a crash-replayed compaction (same upto) is idempotent
+            assert compact_incremental_zone(
+                spark, kwargs["index_dir"], 2, table_prefix="t_stream_compact",
+                bucket_keys=["win_h"], buckets=4, sort=["win_h"],
+            )
+            idx2 = read_incremental_zone(
+                spark, kwargs["index_dir"], table_prefix="t_stream_compact"
+            )
+            assert idx2.select("doc_id").distinct().count() == 4
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_stream_compact_upto_2")
+
     def test_streaming_dedup_drops_in_horizon_dups(self, spark, tmp_path):
         """dropDuplicatesWithinWatermark: duplicate event_ids inside the
         watermark horizon collapse to one row; state stays bounded."""
