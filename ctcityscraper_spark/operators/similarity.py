@@ -355,6 +355,122 @@ def ivf_topk(
     )
 
 
+def hash_pick_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "ivfctr",
+) -> list:
+    """Deterministic coarse quantizer: the ``n_lists`` corpus vectors with
+    the smallest ``(hash64(id, seed), id)``.
+
+    IVF's contract is "any coarse quantizer" (FAISS takes arbitrary ones);
+    k-means (:func:`build_ivf_index`) clusters better, but hash-picked
+    centers are reproducible bit-for-bit across engines and file layouts —
+    the variant the oracle-gated recall audit uses, and an honest cheap
+    baseline (random-center IVF). Bounded: collects exactly n_lists rows
+    via a distributed TakeOrderedAndProject, never the corpus.
+    """
+    from ctcityscraper_spark.functions.hashing import hash64
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec)).alias("cv")
+        )
+        .orderBy(hash64(F.col("cid"), seed), "cid")
+        .limit(n_lists)
+        .collect()
+    )
+    return [[float(x) for x in r.cv] for r in rows]
+
+
+def _l2_argmin_structs(v, centroids: list):
+    """array<struct<d,list_id>> sorted by (distance, list_id) — distances
+    are left-to-right float64 folds against centroid literals, so DuckDB's
+    list_reduce reproduces them bit-for-bit."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(c) for c in ctr]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, ctr in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 5,
+    n_probe: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Expression-only IVF: literal centroids, argmin-L2 list assignment,
+    probed equi-join on list_id, exact-cosine re-rank of the probed lists.
+
+    Unlike :func:`ivf_probe_topk` (numpy centroid distances inside a Pandas
+    UDF), every float here is a left-to-right JVM fold — deterministic and
+    DuckDB-reproducible, which is what the recall-audit oracle needs. The
+    shape is the same as the stored-index path: assignment is a scan-stage
+    projection (centroids ride along as literals, nothing shuffles for
+    them), candidates come from an equi-join on list_id — ~n_probe/n_lists
+    of the corpus scored per query, never a cross join.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec)).alias("cv"),
+        F.element_at(_l2_argmin_structs(_as_double(F.col(vec)), centroids), 1)[
+            "list_id"
+        ].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec)).alias("qv"),
+        F.transform(
+            F.slice(
+                _l2_argmin_structs(_as_double(F.col(vec)), centroids),
+                1,
+                min(n_probe, len(centroids)),
+            ),
+            lambda s: s["list_id"],
+        ).alias("probe_lists"),
+    ).select("query_id", "qv", F.explode("probe_lists").alias("list_id"))
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def probe_masks(bits: int, probe_bits: int) -> list[int]:
     """XOR masks for multi-probe: every mask with popcount <= probe_bits
     (0 = the query's own bucket). Deterministic order; shared with the

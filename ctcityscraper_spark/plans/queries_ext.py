@@ -39,6 +39,8 @@ from ctcityscraper_spark.operators.dedup import (
 from ctcityscraper_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_vectorized,
+    hash_pick_centroids,
+    ivf_flat_topk,
     pq_adc_topk,
     pq_codebook,
     pq_rerank_topk,
@@ -857,6 +859,120 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).repartition(1).sortWithinPartitions("query_id", "rank")
 
 
+def _exact_ann_cte(dims: int, topk: int = 5, nq: int = 10) -> str:
+    """CTE ``ex``: exact cosine top-k pairs for queries vec_id < nq."""
+    cos = (
+        f"{fold_dot_sql('q.embedding', 'c.embedding', dims)}"
+        f" / ({fold_norm_sql('q.embedding', dims)}"
+        f" * {fold_norm_sql('c.embedding', dims)})"
+    )
+    return f"""
+    ex AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {nq})
+        WHERE rank <= {topk})"""
+
+
+def _recall_tail_sql(approx_cte: str, approx_count: str) -> str:
+    return f"""
+    SELECT n_exact, {approx_count}, n_hits,
+           n_hits / n_exact AS recall_at_k
+    FROM (SELECT
+        (SELECT count(*) FROM ex) AS n_exact,
+        (SELECT count(*) FROM {approx_cte}) AS {approx_count},
+        (SELECT count(*) FROM ex e JOIN {approx_cte} a
+           ON e.query_id = a.query_id
+          AND e.neighbor_id = a.neighbor_id) AS n_hits)
+    """
+
+
+def _ivf_recall_oracle(
+    dims: int, n_lists: int = 8, n_probe: int = 2, topk: int = 5
+) -> str:
+    l2 = (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        f"i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE)"
+        f" * (e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    cos = (
+        f"{fold_dot_sql('q.embedding', 'c.embedding', dims)}"
+        f" / ({fold_norm_sql('q.embedding', dims)}"
+        f" * {fold_norm_sql('c.embedding', dims)})"
+    )
+    return f"""
+    WITH ctr AS (
+        SELECT rn - 1 AS list_id, cv FROM (
+            SELECT embedding AS cv, ROW_NUMBER() OVER (
+                ORDER BY {hash64_sql('vec_id', 'ivfctr')}, vec_id) AS rn
+            FROM embeddings) WHERE rn <= {n_lists}),
+    ad AS (
+        SELECT e.vec_id, ctr.list_id, {l2} AS d
+        FROM embeddings e CROSS JOIN ctr),
+    assign AS (
+        SELECT vec_id AS neighbor_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM ad)
+        WHERE rn = 1),
+    probe AS (
+        SELECT vec_id AS query_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM ad WHERE vec_id < 10)
+        WHERE rn <= {n_probe}),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probe p JOIN assign a USING (list_id)
+        WHERE p.query_id != a.neighbor_id),
+    sc AS (
+        SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+    ivfk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+        WHERE rank <= {topk}),
+    {_exact_ann_cte(dims, topk)}
+    {_recall_tail_sql('ivfk', 'n_approx')}
+    """
+
+
+@query("ann_ivf_recall", oracle=_ivf_recall_oracle(EMB_DIMS))
+def q_ann_ivf_recall(spark, sf_dir):
+    """Honest IVF quality audit (the ANN twin of dedup_lsh_recall):
+    recall@5 of partial-probe IVF (n_probe=2 of n_lists=8) against the
+    exact cosine top-5. Uses the hash-picked deterministic coarse
+    quantizer (operators/similarity.hash_pick_centroids) + the
+    expression-only probe path (ivf_flat_topk) so every float is a
+    left-to-right fold DuckDB reproduces bit-for-bit — k-means centers
+    cluster better but are not oracle-expressible; recall tunes the same
+    way with n_probe in both variants (TestIvfAnn covers k-means)."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    qs = emb.filter(F.col("vec_id") < 10)
+    ctrs = hash_pick_centroids(emb, 8)
+    approx = ivf_flat_topk(emb, qs, ctrs, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(approx.agg(F.count("*").alias("n_approx")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )
+
+
 # ================================================================== multimodal
 
 
@@ -1249,6 +1365,47 @@ def q_ann_pq_rerank_topk(spark, sf_dir):
         )
         .repartition(1)
         .sortWithinPartitions("query_id", "rank")
+    )
+
+
+def _pq_recall_oracle(
+    dims: int, n_sub: int = 8, k: int = 16, topk: int = 5
+) -> str:
+    return f"""
+    WITH {_pq_common_sql(dims, n_sub, k)},
+    pqk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        WHERE rank <= {topk}),
+    {_exact_ann_cte(dims, topk)}
+    {_recall_tail_sql('pqk', 'n_approx')}
+    """
+
+
+@query("ann_pq_recall", oracle=_pq_recall_oracle(EMB_DIMS))
+def q_ann_pq_recall(spark, sf_dir):
+    """PQ quality audit: recall@5 of the 8x16 ADC compressed scan against
+    the exact cosine top-5 — the number that says what the 16x compression
+    costs before anyone trusts pq_adc_topk output. Counts are exact
+    integers; recall is a single division."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    qs = emb.filter(F.col("vec_id") < 10)
+    approx = pq_adc_topk(emb, qs, EMB_DIMS, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(approx.agg(F.count("*").alias("n_approx")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact")).alias("recall_at_k"),
+        )
     )
 
 

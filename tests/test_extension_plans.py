@@ -165,6 +165,56 @@ class TestExtensionPlans:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_span_idx")
 
+    def test_ivf_stored_index_bucketed_probe_skips_index_shuffle(
+        self, spark, tmp_path
+    ):
+        """build_ivf_index output written via write_bucketed(list_id) probes
+        with NO Exchange on the index side: plan shows the sort-merge join
+        with exactly 2 Exchanges (probe side re-bucket + the top-k window),
+        vs 3 when the index is a plain unbucketed frame — the corpus-sized
+        inverted file never re-shuffles at query time. Output identical to
+        the unbucketed probe."""
+        import re
+
+        from ctcityscraper_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_probe_topk,
+        )
+        from ctcityscraper_spark.plans.tables import load_table
+        from ctcityscraper_spark.sources.bucketed import write_bucketed
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter("vec_id < 5")
+        indexed, centroids = build_ivf_index(emb, n_lists=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                indexed, "t_ivf_idx", ["list_id"], 4, sort=["list_id"],
+                path=str(tmp_path / "ivf_idx"),
+            )
+            stored = ivf_probe_topk(
+                spark.table("t_ivf_idx"), centroids, queries, k=3, n_probe=2
+            )
+            plan = stored._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+            unbucketed = ivf_probe_topk(
+                indexed, centroids, queries, k=3, n_probe=2
+            )
+            uplan = unbucketed._jdf.queryExecution().executedPlan().toString()
+            assert len(re.findall(r"Exchange hashpartitioning", uplan)) == 3
+            got = sorted(
+                (r.query_id, r.rank, r.neighbor_id) for r in stored.collect()
+            )
+            want = sorted(
+                (r.query_id, r.rank, r.neighbor_id) for r in unbucketed.collect()
+            )
+            assert got == want and len(got) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_ivf_idx")
+
     def test_parallelize_scan_skips_repartition_on_multifile(self, spark, tmp_path):
         path = str(tmp_path / "multi")
         spark.range(0, 10_000).repartition(8).write.parquet(path)

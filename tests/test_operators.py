@@ -141,6 +141,25 @@ class TestIvfAnn:
                 for r in ivf_topk(emb, queries, k=3, n_lists=8, n_probe=8).collect()}
         assert exact == full
 
+    def test_flat_hash_centroids_full_probe_equals_exact(self, spark):
+        """The expression-only IVF variant (hash-picked centroids, fold
+        arithmetic — the oracle-auditable one) is also exact at full
+        probe, like the k-means variant."""
+        from ctcityscraper_spark.operators.similarity import (
+            hash_pick_centroids,
+            ivf_flat_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        ctrs = hash_pick_centroids(emb, 8)
+        assert len(ctrs) == 8
+        exact = {(r.query_id, r.rank): r.neighbor_id
+                 for r in cosine_topk(emb, queries, k=3).collect()}
+        full = {(r.query_id, r.rank): r.neighbor_id
+                for r in ivf_flat_topk(emb, queries, ctrs, k=3, n_probe=8).collect()}
+        assert exact == full
+
     def test_partial_probe_recall(self, spark):
         from ctcityscraper_spark.operators.similarity import ivf_topk
 
