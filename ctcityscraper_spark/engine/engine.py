@@ -101,6 +101,7 @@ def _run(
     materialize_current: dict[str, str] | None = None,
     retries: int = 3,
     retry_delay: float = 1.0,
+    coalesce_max_rows: int = 10_000,
 ) -> EngineStats:
     t0 = time.time()
     start_time = datetime.now(timezone.utc).replace(tzinfo=None)
@@ -145,11 +146,13 @@ def _run(
         # task, which is fine at micro-batch row counts and does NOT touch
         # the rate-limited fetch parallelism (the fetch materializes into
         # the persist during the status action, before any coalesce).
-        # Large backfill chunks skip the coalesce entirely — flatten
-        # fan-out multiplies rows per entry, and serializing a multi-
-        # million-row parse/write into one task would bottleneck the batch;
-        # compaction handles their file count afterwards.
-        write_files = 1 if len(chunk) <= 10_000 else None
+        # The gate is on ROWS, not entries: flatten fan-out multiplies rows
+        # per entry, and a 10k-entry chunk of a high-fan-out table could
+        # otherwise push a multi-million-row parse/write through one task.
+        # Distributed-flatten chunks count the persisted flat frame (one
+        # cheap cached action); the driver-flatten path knows len(rows)
+        # exactly, per table. Above coalesce_max_rows the coalesce is
+        # skipped and compaction handles the file count afterwards.
         if distributed_flatten:
             flat = fetch_and_flatten_distributed(
                 spark, source, params.base_url, chunk, **fetch_kw
@@ -196,6 +199,7 @@ def _run(
             # schema and append per table (the bulk-backfill path)
             from pyspark.sql import functions as F
 
+            write_files = 1 if flat.count() <= coalesce_max_rows else None
             for table, ddl in source.table_schemas.items():
                 tdf = (
                     flat.filter(F.col("table") == table)
@@ -223,8 +227,8 @@ def _run(
                 df = _rows_to_df(spark, rows)
                 if df is None:
                     continue
-                if write_files:
-                    df = df.coalesce(write_files)
+                if len(rows) <= coalesce_max_rows:
+                    df = df.coalesce(1)
                 written, skipped = store.write_batch(
                     table,
                     df,

@@ -276,6 +276,29 @@ class TestDistributedFlatten:
         # same golden as the driver-flatten path
         assert props.agg(F.avg("assessment_value")).first()[0] == 155000.0
 
+    def test_coalesce_gate_counts_rows_not_entries(self, spark, tmp_store):
+        """The one-file write coalesce gates on flattened ROW count (r5
+        ADVICE: entry count understates high-fan-out tables). 5 entries
+        flatten to 15 rows: above a 5-row gate the parse/write stays
+        distributed (multiple files), with the default 10k gate the
+        micro-batch still lands as one file per table."""
+        src = make_source(table_schemas=self.SCHEMAS)
+        run_load(spark, tmp_store, src,
+                 ResolvedParams("newhaven", entry_ids=[1, 2, 3, 4, 5]),
+                 batch_size=5, workers=4, retry_delay=0, compact_after=False,
+                 coalesce_max_rows=5)
+        assert len(tmp_store.list_files("buildings")) > 1
+        assert tmp_store.scan("buildings").count() == 10
+
+        store2 = type(tmp_store)(
+            spark, str(tmp_store.data_dir) + "_default", "newhaven"
+        )
+        run_load(spark, store2, src,
+                 ResolvedParams("newhaven", entry_ids=[1, 2, 3, 4, 5]),
+                 batch_size=5, workers=4, retry_delay=0, compact_after=False)
+        assert len(store2.list_files("buildings")) == 1
+        assert store2.scan("buildings").count() == 10
+
     def test_refresh_dedup_in_distributed_mode(self, spark, tmp_store):
         src = make_source(table_schemas=self.SCHEMAS)
         p = ResolvedParams("newhaven", entry_ids=[1, 2, 3])
