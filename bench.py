@@ -81,6 +81,9 @@ def build_output(timings: dict, errors: dict, sf) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # explicit schema field: a total summed over fewer queries than the
+        # full headline set must never read as a round-over-round speedup
+        "comparable": not errors,
     }
     if errors:
         # the total is NOT round-comparable when any query errored out —

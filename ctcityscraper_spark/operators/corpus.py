@@ -558,10 +558,11 @@ def duplicate_substring_spans(
       the island merge, a fetch-and-verify join re-extracts both span
       substrings from the (tiny, true-duplication-sized) span shortlist
       and keeps only string-equal spans, so hash collisions cannot
-      produce false output. (A collision could still *split* coverage of
-      one true span in the astronomically unlikely case it lands inside
-      a run — P ~ pair_windows / 2^64 — the standard exactness caveat of
-      every hashed-fingerprint dedup.)
+      produce false output. (In the astronomically unlikely case a
+      collision lands *inside* a run — P ~ pair_windows / 2^64 — the
+      verify compares the full merged substrings, mismatches, and drops
+      that merged span entirely, so its true sub-spans go unreported;
+      the standard exactness caveat of every hashed-fingerprint dedup.)
 
     Scale: the self-join cost is sum(bucket^2) over identical-window
     buckets — true duplication only, and ``doc_cap`` drops windows shared

@@ -53,10 +53,19 @@ class TestRunHeadlineAndOutput:
 
         out = build_output(timings, errors, sf=0.01)
         assert out["partial"] is True
+        assert out["comparable"] is False
         assert "bad" in out["errors"]
         assert out["value"] == round(sum(timings.values()), 4)
 
     def test_clean_output_has_no_partial_flag(self):
         out = build_output({"q": 1.0}, {}, sf=0.1)
         assert "partial" not in out and "errors" not in out
+        assert out["comparable"] is True
         assert out["value"] == 1.0
+
+    def test_any_error_always_marks_incomparable(self):
+        """The trend guard: errors non-empty => comparable False, no matter
+        how many timings survived."""
+        for timings in ({}, {"a": 1.0}, {"a": 1.0, "b": 2.0}):
+            out = build_output(timings, {"x": "boom"}, sf=0.1)
+            assert out["comparable"] is False and out["partial"] is True
