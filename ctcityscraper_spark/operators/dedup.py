@@ -75,6 +75,48 @@ def exact_duplicates(df: DataFrame, text: str = "text", id_col: str = "doc_id") 
     )
 
 
+def incremental_exact_duplicates(
+    new_docs: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mark each NEW document as an exact duplicate of the stored corpus.
+
+    ``corpus_fingerprints`` is the stored fingerprint index — e.g. the
+    ``fingerprint`` column of :func:`exact_duplicates` output, persisted as
+    parquet. Returns (doc_id, fingerprint, dup_of_corpus) for every new
+    document; output is exact.
+
+    Scale design — the naive shape shuffles BOTH sides of the probe join,
+    and at 100 TB the index side dwarfs every batch. The join is written so
+    Catalyst's runtime Bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) applies: the
+    index is the application (big, scan) side and the batch the creation
+    side, so the optimizer builds a Bloom of the batch's fingerprints and
+    pushes ``might_contain`` beneath the index scan — the corpus-sized
+    side shuffles only rows whose fingerprint *might* be in the batch
+    (true matches + the Bloom's fpp), not the whole index
+    (asserted in tests/test_extension_plans.py). The left join back to the
+    batch keeps non-duplicates with dup_of_corpus=false.
+    """
+    fps = new_docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint_col(text).alias("fingerprint")
+    )
+    # index side first = application side for the runtime-filter rewrite
+    hits = (
+        corpus_fingerprints.select("fingerprint")
+        .join(fps.select("fingerprint").distinct(), "fingerprint", "left_semi")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return fps.join(hits, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("dup_of_corpus"),
+    )
+
+
 def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
     """(id, shingle) inverted-index rows, distinct per doc."""
     return df.select(

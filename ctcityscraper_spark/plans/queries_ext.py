@@ -30,6 +30,7 @@ from ctcityscraper_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_duplicates,
     cascade_confirmed_pairs,
+    incremental_exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -164,6 +165,50 @@ def q_dedup_exact(spark, sf_dir):
         F.sum("n_docs").alias("n_docs"),
         F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_groups"),
         F.min("keep_id").alias("first_keep"),
+    )
+
+
+_FP_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {hash64_sql('doc_id', 'incexact')} % 5 = 0 AS is_new
+        FROM documents),
+    idx AS (
+        SELECT DISTINCT {_FP_SQL} AS fingerprint
+        FROM split WHERE NOT is_new),
+    new AS (
+        SELECT doc_id, {_FP_SQL} AS fingerprint
+        FROM split WHERE is_new)
+    SELECT n.doc_id AS doc_id, n.fingerprint AS fingerprint,
+           (i.fingerprint IS NOT NULL) AS dup_of_corpus
+    FROM new n LEFT JOIN idx i ON n.fingerprint = i.fingerprint
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_incremental_exact(spark, sf_dir):
+    """Incremental exact dedup: a hash-held-out 20% 'new batch' marked
+    against the other 80%'s stored fingerprint index (operators/dedup.
+    incremental_exact_duplicates). At scale the join is shaped for
+    Catalyst's runtime Bloom-filter injection — the corpus-sized index
+    scan gets a might_contain pre-filter built from the batch, so the
+    index shuffles only possible matches (plan asserted in
+    tests/test_extension_plans.py); output is exact either way."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "incexact") % 5 == 0
+    idx = (
+        docs.filter(~is_new)
+        .select(fingerprint_col("text").alias("fingerprint"))
+        .distinct()
+    )
+    return (
+        incremental_exact_duplicates(docs.filter(is_new), idx)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

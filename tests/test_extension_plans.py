@@ -215,6 +215,70 @@ class TestExtensionPlans:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_ivf_idx")
 
+    def test_incremental_exact_dedup_gets_runtime_bloom_filter(
+        self, spark, tmp_path
+    ):
+        """With spark.sql.optimizer.runtime.bloomFilter.enabled, the
+        corpus-fingerprint index scan in incremental_exact_duplicates is
+        pre-filtered by might_contain(bloom of the batch fingerprints) —
+        the 100 TB side shuffles only possible matches. Output identical
+        with the optimization off."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.dedup import (
+            incremental_exact_duplicates,
+        )
+        from ctcityscraper_spark.operators.text import fingerprint_col
+        from ctcityscraper_spark.plans.tables import load_table
+
+        docs_path = str(tmp_path / "docs")
+        idx_path = str(tmp_path / "fp_idx")
+        docs = load_table(spark, SF, "documents")
+        docs.write.parquet(docs_path)
+        docs.select(fingerprint_col("text").alias("fingerprint")).distinct(
+        ).write.parquet(idx_path)
+
+        stored_idx = spark.read.parquet(idx_path)
+        batch = spark.read.parquet(docs_path).filter(
+            hash64(F.col("doc_id"), "incexact") % 5 == 0
+        )
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            out = incremental_exact_duplicates(batch, stored_idx)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan, (
+                "runtime bloom filter not injected on the index scan"
+            )
+            with_bloom = sorted(
+                (r.doc_id, r.fingerprint, r.dup_of_corpus)
+                for r in out.collect()
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+            )
+            without = sorted(
+                (r.doc_id, r.fingerprint, r.dup_of_corpus)
+                for r in incremental_exact_duplicates(
+                    batch, stored_idx
+                ).collect()
+            )
+            assert with_bloom == without and len(with_bloom) > 0
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_parallelize_scan_skips_repartition_on_multifile(self, spark, tmp_path):
         path = str(tmp_path / "multi")
         spark.range(0, 10_000).repartition(8).write.parquet(path)
