@@ -40,9 +40,8 @@ DRIVER_PRIORITY = [
     "join_agg_by_segment", "join_star_three_way",
     "anti_join_customers_without_orders", "semi_join_parts_in_lineitem",
     "groupby_rollup",
-    "conditional_pivot_agg", "window_running_total", "union_by_name",
-    "except_lapsed_customers", "money_roundtrip",
-    "regex_extract_tokens", "json_extract_props",
+    "conditional_pivot_agg", "union_by_name",
+    "money_roundtrip", "json_extract_props",
     "row_hash_content", "entity_uuid_identity", "top_revenue_orders",
     "regional_customer_revenue", "quantiles_by_status",
     # SCD2 family
@@ -64,8 +63,10 @@ DRIVER_PRIORITY = [
     "corpus_cut_spans", "corpus_incremental_spans", "corpus_pack_sequences",
     # round-6 rotation: newest operators get externally-verified rows
     # (dropped this round, all 5x driver-verified: groupby_cube,
-    # groupby_grouping_sets, string_normalize, date_bucket_monthly)
+    # groupby_grouping_sets, string_normalize, date_bucket_monthly,
+    # window_running_total, except_lapsed_customers, regex_extract_tokens)
     "corpus_token_budget", "text_vocab_coverage",
+    "dedup_incremental_exact", "ann_ivf_recall", "ann_pq_recall",
 ]
 
 
