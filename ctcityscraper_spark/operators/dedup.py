@@ -566,8 +566,13 @@ def embedding_neardup_pairs(
     ``block`` joins only within a blocking key (e.g. a cluster/LSH bucket
     from similarity.py) — pass None for the exhaustive O(n²) verify-scale
     variant. Dot/norm are left-to-right float64 folds so the DuckDB oracle
-    matches bit-for-bit.
+    matches bit-for-bit. Invalid vectors (NULL / NULL-element / zero-norm,
+    ``similarity.valid_vector_cond``) are excluded — cosine is undefined
+    for them and the division raises under ANSI mode.
     """
+    from ctcityscraper_spark.operators.similarity import valid_vectors
+
+    df = valid_vectors(df, vec)
     v = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("v"),
@@ -618,8 +623,9 @@ def semdedup_drop_list(
     ``bits``-bit SRP bucket so the result is oracle-checkable end-to-end —
     same drop rule, swappable clusterer.
     """
-    from ctcityscraper_spark.operators.similarity import srp_bucket_col
+    from ctcityscraper_spark.operators.similarity import srp_bucket_col, valid_vectors
 
+    df = valid_vectors(df, vec)
     if cluster_col is None:
         df = df.withColumn(
             "_semcluster",

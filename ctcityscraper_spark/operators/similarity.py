@@ -35,6 +35,36 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def valid_vector_cond(vec) -> Column:
+    """Predicate: the vector is usable for cosine math.
+
+    TRUE iff the array is non-NULL, contains no NULL elements, and has at
+    least one non-zero element (norm > 0 — cosine is undefined for the
+    zero vector, and under ANSI mode the division raises DIVIDE_BY_ZERO
+    at runtime rather than yielding NULL). A 100 TB embedding corpus
+    always contains such rows (failed encoder calls, padded batches), so
+    every embedding operator filters on this at entry. The SQL twin is
+    ``queries_ext.VALID_EMB_PRED`` — the two must stay in lockstep; the
+    adversarial oracle gate (tests/test_adversarial_oracle.py) seeds a
+    NULL and an all-zero vector to enforce that.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    no_null_elems = F.size(F.filter(v, lambda x: x.isNull())) == 0
+    nonzero = F.size(F.filter(v, lambda x: x != 0)) > 0
+    return v.isNotNull() & no_null_elems & nonzero
+
+
+def valid_vectors(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Drop rows whose embedding fails :func:`valid_vector_cond`.
+
+    Applied at the entry of every embedding operator (cosine/SRP/IVF/PQ/
+    near-dup/SemDeDup) so invalid vectors can neither crash the plan nor
+    silently appear as neighbors. The filter is a narrow scan-stage
+    predicate — no shuffle, evaluated inside whole-stage codegen.
+    """
+    return df.filter(valid_vector_cond(vec))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,7 +87,13 @@ def cosine_topk(
     pays are cheap column-pruned scans; pass ``max_pairs=0`` to disable
     the gate (and the counts) for oracle harnesses that manage size
     themselves.
+
+    NULL / NULL-element / zero-norm vectors are excluded on both sides
+    (:func:`valid_vectors` — cosine is undefined for them; the SQL
+    oracles carry the same predicate).
     """
+    corpus = valid_vectors(corpus, vec)
+    queries = valid_vectors(queries, vec)
     if max_pairs:
         n_c, n_q = corpus.count(), queries.count()
         if n_c * n_q > max_pairs:
@@ -122,8 +158,11 @@ def int8_topk(
     exact arithmetic, deterministic ties (neighbor id ascending). This is
     the full-scan quantized baseline; at scale, feed the quantized corpus
     through the SRP/IVF bucketed candidate generation instead of the cross
-    join, keeping the int8 scoring.
+    join, keeping the int8 scoring. Invalid vectors (NULL / NULL-element /
+    zero-norm) are excluded on both sides (:func:`valid_vectors`).
     """
+    corpus = valid_vectors(corpus, vec)
+    queries = valid_vectors(queries, vec)
     q = queries.select(
         F.col(id_col).alias("query_id"), int8_quantize_col(F.col(vec)).alias("qv")
     )
@@ -198,11 +237,16 @@ def cosine_topk_vectorized(
 
     Results equal cosine_topk up to float-sum association (numpy pairwise
     vs sequential fold) — use cosine_topk where bit-exact oracle parity is
-    required.
+    required. Invalid vectors (NULL / NULL-element / zero-norm) are
+    excluded on both sides (:func:`valid_vectors`) — a NULL embedding
+    would otherwise break the dense np.stack, and a zero norm would turn
+    a whole similarity block into NaNs.
     """
     import numpy as np
     import pandas as pd
 
+    corpus = valid_vectors(corpus, vec)
+    queries = valid_vectors(queries, vec)
     q_rows = queries.select(id_col, vec).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -263,6 +307,7 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    corpus = valid_vectors(corpus, vec)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
     ).withColumn("features", array_to_vector("cv"))
@@ -293,6 +338,7 @@ def ivf_probe_topk(
     b_centroids = sc.broadcast(ctrs_arr)
     n_probe = min(n_probe, len(centroids))
 
+    queries = valid_vectors(queries, vec)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
     )
@@ -375,7 +421,7 @@ def hash_pick_centroids(
     from ctcityscraper_spark.functions.hashing import hash64
 
     rows = (
-        corpus.select(
+        valid_vectors(corpus, vec).select(
             F.col(id_col).alias("cid"), _as_double(F.col(vec)).alias("cv")
         )
         .orderBy(hash64(F.col("cid"), seed), "cid")
@@ -430,6 +476,8 @@ def ivf_flat_topk(
     them), candidates come from an equi-join on list_id — ~n_probe/n_lists
     of the corpus scored per query, never a cross join.
     """
+    corpus = valid_vectors(corpus, vec)
+    queries = valid_vectors(queries, vec)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec)).alias("cv"),
@@ -507,6 +555,8 @@ def srp_multiprobe_topk(
     distinct, so no candidate pair duplicates — no distinct needed.
     Returns (query_id, neighbor_id, rank, cosine) like srp_lsh_topk.
     """
+    corpus = valid_vectors(corpus, vec)
+    queries = valid_vectors(queries, vec)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
     ).withColumn("bucket", srp_bucket_col(F.col("cv"), dims, bits))
@@ -547,7 +597,10 @@ def srp_lsh_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket, then exact
-    cosine re-ranks. Returns (query_id, neighbor_id, rank, cosine)."""
+    cosine re-ranks. Returns (query_id, neighbor_id, rank, cosine).
+    Invalid vectors are excluded on both sides (:func:`valid_vectors`)."""
+    corpus = valid_vectors(corpus, vec)
+    queries = valid_vectors(queries, vec)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
     ).withColumn("bucket", srp_bucket_col(F.col("cv"), dims, bits))
@@ -634,6 +687,7 @@ def pq_train_codebooks(
     """
     import numpy as np
 
+    corpus = valid_vectors(corpus, vec)
     sampled = corpus
     for id_col in ("vec_id", "doc_id", "id"):
         if id_col in corpus.columns:
@@ -741,9 +795,12 @@ def pq_adc_topk(
     only codes (4 B/vector at the default config); queries broadcast with
     their lookup tables. The join is the deliberate full compressed scan —
     compose with IVF/SRP bucketing to cut candidates first, keeping this
-    scoring on the survivors.
+    scoring on the survivors. Invalid vectors are excluded on both sides
+    (:func:`valid_vectors`).
     """
     cb = codebook if codebook is not None else pq_codebook(dims, n_sub, n_codes)
+    corpus = valid_vectors(corpus, vec)
+    queries = valid_vectors(queries, vec)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode_col(_as_double(F.col(vec)), cb).alias("codes"),
@@ -796,6 +853,8 @@ def pq_rerank_topk(
     cand = pq_adc_topk(
         corpus, queries, dims, shortlist, n_sub, n_codes, vec, id_col, codebook
     ).select("query_id", "neighbor_id")
+    queries = valid_vectors(queries, vec)
+    corpus = valid_vectors(corpus, vec)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
     )

@@ -88,7 +88,14 @@ def lang_id_col(text: Column | str) -> Column:
     Deterministic tie-break: earlier language in LANG_MARKERS wins. Encoded
     as score*8 + (7 - index) so ``greatest`` resolves both score and order —
     the same arithmetic the SQL twin uses.
+
+    NULL text -> NULL prediction (matching the SQL twin, where NULL
+    propagates through regexp_split_to_array). Without the guard Spark's
+    legacy ``size(NULL) = -1`` leaks through the argmax arithmetic and
+    produces a garbage language for NULL rows — caught by the adversarial
+    oracle gate (tests/test_adversarial_oracle.py).
     """
+    c = F.col(text) if isinstance(text, str) else text
     toks = F.array_distinct(tokens_col(text))
     langs = list(LANG_MARKERS)
     encoded = [
@@ -99,7 +106,8 @@ def lang_id_col(text: Column | str) -> Column:
     ]
     best = F.greatest(*encoded)
     idx = 7 - (best % 8)  # back to the language index
-    return F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx + 1)
+    pred = F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx + 1)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(pred)
 
 
 def normalized_text_col(text: Column | str) -> Column:

@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ctcityscraper_spark.plans.queries import _dec_sum, query
+from ctcityscraper_spark.plans.queries_ext import EMB_VALID
 from ctcityscraper_spark.plans.tables import load_table
 
 
@@ -428,9 +429,9 @@ def _int8_dot_sql(a: str, b: str, dims: int) -> str:
     "ann_int8_topk",
     oracle=f"""
     WITH q8 AS (SELECT vec_id AS query_id, {_int8_sql('embedding', 64)} AS qv
-                FROM embeddings WHERE vec_id < 10),
+                FROM {EMB_VALID} embeddings WHERE vec_id < 10),
          c8 AS (SELECT vec_id AS neighbor_id, {_int8_sql('embedding', 64)} AS cv
-                FROM embeddings),
+                FROM {EMB_VALID} embeddings),
          scored AS (
             SELECT query_id, neighbor_id,
                    {_int8_dot_sql('qv', 'cv', 64)} AS score

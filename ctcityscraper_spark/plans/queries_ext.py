@@ -62,6 +62,19 @@ from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
 
 EMB_DIMS = 64
 
+# SQL twin of operators.similarity.valid_vector_cond — the usable-vector
+# contract every embedding operator enforces at entry (non-NULL array, no
+# NULL elements, at least one non-zero element so the norm is positive).
+# The two predicates must stay in lockstep; tests/test_adversarial_oracle.py
+# seeds NULL and zero-norm vectors to enforce it.
+VALID_EMB_PRED = (
+    "(embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0.0)) > 0)"
+)
+# Inline view: `FROM {EMB_VALID} <alias>` reads embeddings minus invalid rows.
+EMB_VALID = "(SELECT * FROM embeddings WHERE " + VALID_EMB_PRED + ")"
+
 # ------------------------------------------------------------- SQL fragments
 
 TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -403,7 +416,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 @query(
     "dedup_embedding_neardup",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding FROM embeddings)
+    WITH v AS (SELECT vec_id, embedding FROM {EMB_VALID} embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {fold_dot_sql('a.embedding', 'b.embedding', EMB_DIMS)}
              / ({fold_norm_sql('a.embedding', EMB_DIMS)} * {fold_norm_sql('b.embedding', EMB_DIMS)})
@@ -625,7 +638,7 @@ def q_text_bpe_token_count(spark, sf_dir):
 @query(
     "dedup_embedding_blocked",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding, label FROM embeddings)
+    WITH v AS (SELECT vec_id, embedding, label FROM {EMB_VALID} embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {fold_dot_sql('a.embedding', 'b.embedding', EMB_DIMS)}
              / ({fold_norm_sql('a.embedding', EMB_DIMS)} * {fold_norm_sql('b.embedding', EMB_DIMS)})
@@ -727,8 +740,8 @@ def q_dedup_drop_list(spark, sf_dir):
 @query(
     "ann_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {EMB_VALID} embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM {EMB_VALID} embeddings),
          scored AS (
             SELECT query_id, neighbor_id,
                    {fold_dot_sql('qv', 'cv', EMB_DIMS)}
@@ -753,8 +766,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 @query(
     "ann_cosine_topk_vectorized",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 100),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {EMB_VALID} embeddings WHERE vec_id < 100),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM {EMB_VALID} embeddings),
          scored AS (
             SELECT query_id, neighbor_id,
                    {fold_dot_sql('qv', 'cv', EMB_DIMS)}
@@ -804,10 +817,10 @@ def _srp_bucket_sql(vec_expr: str, dims: int, bits: int) -> str:
     oracle=f"""
     WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
                       {_srp_bucket_sql('embedding', EMB_DIMS, 8)} AS bucket
-               FROM embeddings),
+               FROM {EMB_VALID} embeddings),
          q AS (SELECT vec_id AS query_id, embedding AS qv,
                       {_srp_bucket_sql('embedding', EMB_DIMS, 8)} AS bucket
-               FROM embeddings WHERE vec_id < 10),
+               FROM {EMB_VALID} embeddings WHERE vec_id < 10),
          scored AS (
             SELECT query_id, neighbor_id,
                    {fold_dot_sql('qv', 'cv', EMB_DIMS)}
@@ -834,10 +847,10 @@ def _srp_multiprobe_oracle(bits: int, probe_bits: int) -> str:
     return f"""
     WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
                       {_srp_bucket_sql('embedding', EMB_DIMS, bits)} AS bucket
-               FROM embeddings),
+               FROM {EMB_VALID} embeddings),
          q AS (SELECT vec_id AS query_id, embedding AS qv,
                       {_srp_bucket_sql('embedding', EMB_DIMS, bits)} AS bucket0
-               FROM embeddings WHERE vec_id < 10),
+               FROM {EMB_VALID} embeddings WHERE vec_id < 10),
          probes AS (
             SELECT query_id, qv, xor(bucket0, m.mask) AS bucket
             FROM q CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
@@ -872,8 +885,8 @@ def q_ann_srp_multiprobe_topk(spark, sf_dir):
 @query(
     "ann_ivf_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {EMB_VALID} embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM {EMB_VALID} embeddings),
          scored AS (
             SELECT query_id, neighbor_id,
                    {fold_dot_sql('qv', 'cv', EMB_DIMS)}
@@ -917,7 +930,7 @@ def _exact_ann_cte(dims: int, topk: int = 5, nq: int = 10) -> str:
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                        ORDER BY {cos} DESC, c.vec_id) AS rank
-            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            FROM {EMB_VALID} q JOIN {EMB_VALID} c ON q.vec_id != c.vec_id
             WHERE q.vec_id < {nq})
         WHERE rank <= {topk})"""
 
@@ -953,10 +966,10 @@ def _ivf_recall_oracle(
         SELECT rn - 1 AS list_id, cv FROM (
             SELECT embedding AS cv, ROW_NUMBER() OVER (
                 ORDER BY {hash64_sql('vec_id', 'ivfctr')}, vec_id) AS rn
-            FROM embeddings) WHERE rn <= {n_lists}),
+            FROM {EMB_VALID} embeddings) WHERE rn <= {n_lists}),
     ad AS (
         SELECT e.vec_id, ctr.list_id, {l2} AS d
-        FROM embeddings e CROSS JOIN ctr),
+        FROM {EMB_VALID} e CROSS JOIN ctr),
     assign AS (
         SELECT vec_id AS neighbor_id, list_id FROM (
             SELECT *, ROW_NUMBER() OVER (
@@ -975,8 +988,8 @@ def _ivf_recall_oracle(
     sc AS (
         SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
         FROM cand
-        JOIN embeddings q ON q.vec_id = cand.query_id
-        JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+        JOIN {EMB_VALID} q ON q.vec_id = cand.query_id
+        JOIN {EMB_VALID} c ON c.vec_id = cand.neighbor_id),
     ivfk AS (
         SELECT query_id, neighbor_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1316,7 +1329,7 @@ def _pq_common_sql(dims: int, n_sub: int, k: int) -> str:
     ms AS (SELECT unnest(range(0, {n_sub}))::INT AS m),
     subs AS (
         SELECT vec_id, m, list_slice(embedding, m*{s}+1, m*{s}+{s}) AS sv
-        FROM embeddings CROSS JOIN ms),
+        FROM {EMB_VALID} embeddings CROSS JOIN ms),
     dists AS (
         SELECT vec_id, s2.m, j,
                list_reduce(list_transform(range(1, {s + 1}),
@@ -1373,8 +1386,8 @@ def _pq_rerank_oracle(
                  / ({fold_norm_sql('q.embedding', dims)}
                     * {fold_norm_sql('c.embedding', dims)}) AS cosine
         FROM short s
-        JOIN embeddings q ON q.vec_id = s.query_id
-        JOIN embeddings c ON c.vec_id = s.neighbor_id)
+        JOIN {EMB_VALID} q ON q.vec_id = s.query_id
+        JOIN {EMB_VALID} c ON c.vec_id = s.neighbor_id)
     SELECT query_id, neighbor_id, rank, cosine FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1506,7 +1519,7 @@ def q_multimodal_frame_sample(spark, sf_dir):
     WITH v AS (
         SELECT vec_id, embedding,
                {_srp_bucket_sql('embedding', EMB_DIMS, 4)} AS blk
-        FROM embeddings),
+        FROM {EMB_VALID} embeddings),
     p AS (
         SELECT b.vec_id AS drop_id
         FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id

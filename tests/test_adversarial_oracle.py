@@ -1,0 +1,134 @@
+"""Adversarial-data oracle gate.
+
+Re-runs the Spark-vs-DuckDB correctness gate (tests/test_queries_oracle.py)
+for every documents/embeddings catalog query against a deliberately hostile
+scale-factor directory:
+
+- documents: NULL text / lang / source / n_chars, empty text, whitespace-only
+  text, single-token text, tab-and-unicode text, plus a realistic corpus with
+  exact duplicates so dedup operators have work to do.
+- embeddings: a NULL vector and an all-zero vector (zero norm — the classic
+  NaN-cosine producer) among valid ones, plus a NULL label.
+
+A 100 TB crawl corpus contains all of these; an operator that matches the
+oracle on clean data but crashes or silently diverges on NULLs is not done.
+The driver-found ``token_budget_selection`` NULL-bin crash (round 5) is the
+motivating example — this gate makes that whole class regression-tested.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ctcityscraper_spark.plans.compare import compare_frames, duckdb_connection
+from ctcityscraper_spark.plans.queries import QUERIES
+from ctcityscraper_spark.plans.tables import TABLE_NAMES
+
+SRC_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+VOCAB = [
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
+    "window", "small", "hash", "join", "batch", "stream", "spark", "dup",
+    "filter", "shuffle", "broadcast", "bucket", "codec", "vector", "token",
+]
+
+EMB_DIMS = 64
+
+
+def _adversarial_documents() -> pa.Table:
+    rng = np.random.RandomState(7)
+    rows: list[tuple] = []
+    for i in range(300):
+        n = int(rng.randint(5, 60))
+        text = " ".join(VOCAB[rng.randint(len(VOCAB))] for _ in range(n))
+        rows.append((i, text, ["en", "es", "fr", "de", "pt"][i % 5], f"src{i % 8}", len(text)))
+    # exact duplicates + a near-duplicate (one token appended) for dedup ops
+    rows.append((300, rows[0][1], "en", "src0", rows[0][4]))
+    rows.append((301, rows[1][1], "es", "src1", rows[1][4]))
+    rows.append((302, rows[2][1] + " extra", "fr", "src2", rows[2][4] + 6))
+    # hostile rows
+    rows += [
+        (400, None, None, None, None),          # all-NULL payload
+        (401, "", "en", "src1", 0),             # empty text
+        (402, "   ", "en", None, 3),            # whitespace-only
+        (403, "a", None, "src2", 1),            # single token, NULL lang
+        (404, "café 日本語 naïve tab\tsep", "ja", "src3", 24),
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _adversarial_embeddings() -> pa.Table:
+    rng = np.random.RandomState(11)
+    vecs: list[list[float] | None] = []
+    labels: list[int | None] = []
+    for i in range(300):
+        v = rng.randn(EMB_DIMS).astype(np.float32)
+        vecs.append([float(x) for x in v])
+        labels.append(int(i % 7))
+    vecs.append(None)                    # NULL vector
+    labels.append(3)
+    vecs.append([0.0] * EMB_DIMS)        # zero-norm vector
+    labels.append(None)                  # NULL label
+    ids = list(range(len(vecs)))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("adv_sf")
+    pq.write_table(_adversarial_documents(), d / "documents.parquet")
+    pq.write_table(_adversarial_embeddings(), d / "embeddings.parquet")
+    for name in TABLE_NAMES:
+        dst = d / f"{name}.parquet"
+        if not dst.exists():
+            dst.symlink_to(f"{SRC_SF_DIR}/{name}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    con = duckdb_connection(adv_dir)
+    yield con
+    con.close()
+
+
+def _targets() -> list[str]:
+    names = []
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        if "documents" in q.oracle or "embeddings" in q.oracle:
+            names.append(name)
+    return names
+
+
+@pytest.mark.parametrize("name", _targets())
+def test_adversarial_matches_oracle(spark, adv_dir, adv_duck, name):
+    q = QUERIES[name]
+    spark_pdf = q.fn(spark, adv_dir).toPandas()
+    oracle_pdf = adv_duck.execute(q.oracle).df()
+    report = compare_frames(spark_pdf, oracle_pdf)
+    assert report["row_count_match"], report
+    assert report["schema_match"], report
+    assert report["values_match"], {
+        k: v for k, v in report.items() if k != "first_diffs"
+    } | {"first_diffs": report.get("first_diffs")}
