@@ -67,6 +67,7 @@ DRIVER_PRIORITY = [
     # window_running_total, except_lapsed_customers, regex_extract_tokens)
     "corpus_token_budget", "text_vocab_coverage",
     "dedup_incremental_exact", "ann_ivf_recall", "ann_pq_recall",
+    "dedup_keep_best",
 ]
 
 

@@ -24,7 +24,7 @@ engine's extension per the project north star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ctcityscraper_spark.functions.hashing import hash64
 from ctcityscraper_spark.operators.text import fingerprint_col, tokens_col
@@ -638,3 +638,43 @@ def semdedup_drop_list(
         df, vec=vec, id_col=id_col, threshold=threshold, block=cluster_col
     )
     return pairs.select(F.col("vec_b").alias("drop_id")).distinct()
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    components: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Drop list keeping the BEST member of each duplicate cluster.
+
+    The production alternative to keep-min-id: given ``components`` from
+    :func:`graph.connected_components` (node, component) and a quality
+    expression over ``docs`` (e.g. ``text.quality_score_col``), keep the
+    highest-quality member per cluster (ties: smallest id) and emit
+    (drop_id, keep_id) for everything else — so a trainer keeps the
+    cleanest copy of each near-duplicate set instead of an arbitrary one.
+
+    Scale shape: ``components`` holds only nodes that appear in duplicate
+    clusters — orders smaller than the corpus — so it broadcasts into the
+    docs scan (no corpus shuffle to fetch quality); the ranking window then
+    shuffles only those cluster members on component. NULL quality (e.g.
+    NULL text) ranks last in both engines (DESC NULLS LAST).
+    """
+    q = docs.select(F.col(id_col).alias(node_col), quality.alias("_q"))
+    scored = q.join(F.broadcast(components), node_col)
+    w = Window.partitionBy(component_col).orderBy(
+        F.col("_q").desc(), F.col(node_col)
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    keep = ranked.filter(F.col("rk") == 1).select(
+        component_col, F.col(node_col).alias("keep_id")
+    )
+    return (
+        ranked.filter(F.col("rk") > 1)
+        .select(component_col, F.col(node_col).alias("drop_id"))
+        .join(keep, component_col)
+        .select("drop_id", "keep_id")
+    )

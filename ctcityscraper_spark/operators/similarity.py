@@ -49,8 +49,11 @@ def valid_vector_cond(vec) -> Column:
     NULL and an all-zero vector to enforce that.
     """
     v = F.col(vec) if isinstance(vec, str) else vec
-    no_null_elems = F.size(F.filter(v, lambda x: x.isNull())) == 0
-    nonzero = F.size(F.filter(v, lambda x: x != 0)) > 0
+    # exists() short-circuits and allocates nothing, unlike size(filter())
+    # which builds the filtered array per row — measurable on the corpus
+    # side of every ANN scan.
+    no_null_elems = ~F.exists(v, lambda x: x.isNull())
+    nonzero = F.exists(v, lambda x: x != 0)
     return v.isNotNull() & no_null_elems & nonzero
 
 

@@ -1543,3 +1543,67 @@ def q_dedup_semdedup_drop_list(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("drop_id")
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_cascade_oracle()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, component) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.component FROM edges e JOIN walk w ON e.b = w.node
+        WHERE w.component < e.a
+    ),
+    comp AS (SELECT node, MIN(component) AS component FROM walk GROUP BY node),
+    ranked AS (
+        SELECT c.node, c.component,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY {quality_score_sql('d.text')} DESC,
+                                           c.node) AS rk
+        FROM comp c JOIN documents d ON d.doc_id = c.node),
+    keepers AS (SELECT component, node AS keep_id FROM ranked WHERE rk = 1)
+    SELECT r.node AS drop_id, k.keep_id
+    FROM ranked r JOIN keepers k USING (component)
+    WHERE r.rk > 1 ORDER BY drop_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST-representative dedup (operators/dedup.keep_best_representative):
+    cascade pairs -> connected components -> keep the highest-quality member
+    of each duplicate cluster (quality_score_col; ties to smallest id),
+    drop the rest. The production drop-list policy — a trainer keeps the
+    cleanest copy of each near-duplicate set, not an arbitrary minimum id.
+    Oracle recomputes the same clusters via the recursive min-label CTE and
+    the same quality ranking."""
+    from ctcityscraper_spark.operators.dedup import (
+        _jaccard_verify_from_shingles,
+        _lsh_band_pairs,
+        _minhash_sigs_from_shingles,
+        doc_shingles,
+        keep_best_representative,
+    )
+    from ctcityscraper_spark.operators.graph import (
+        connected_components,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+    from ctcityscraper_spark.operators.text import quality_score_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    ids0 = persistent_rdd_ids(spark)
+    sh0 = doc_shingles(docs, n=5).localCheckpoint(eager=True)
+    sh0_ids = persistent_rdd_ids(spark) - ids0
+    cand = _lsh_band_pairs(_minhash_sigs_from_shingles(sh0, 16), 16, 8)
+    confirmed = _jaccard_verify_from_shingles(sh0, cand, 0.6, 1000).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(confirmed)
+    out = keep_best_representative(docs, comp, quality_score_col("text"))
+    unpersist_rdd_ids(spark, sh0_ids)
+    return out.repartition(1).sortWithinPartitions("drop_id")
