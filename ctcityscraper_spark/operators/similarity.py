@@ -38,23 +38,28 @@ def _norm(a):
 def valid_vector_cond(vec) -> Column:
     """Predicate: the vector is usable for cosine math.
 
-    TRUE iff the array is non-NULL, contains no NULL elements, and has at
-    least one non-zero element (norm > 0 — cosine is undefined for the
-    zero vector, and under ANSI mode the division raises DIVIDE_BY_ZERO
-    at runtime rather than yielding NULL). A 100 TB embedding corpus
-    always contains such rows (failed encoder calls, padded batches), so
-    every embedding operator filters on this at entry. The SQL twin is
+    TRUE iff the array is non-NULL, every element is a finite non-NULL
+    float, and at least one element is non-zero (norm > 0 — cosine is
+    undefined for the zero vector, and under ANSI mode the division
+    raises DIVIDE_BY_ZERO at runtime rather than yielding NULL). A
+    NULL/NaN/Inf element poisons dot products, norms, KMeans training
+    and int8 scaling alike, and NaN *ordering* differs between engines'
+    top-k windows — so such vectors are excluded outright, matching what
+    a real pipeline does with failed encoder rows. The SQL twin is
     ``queries_ext.VALID_EMB_PRED`` — the two must stay in lockstep; the
-    adversarial oracle gate (tests/test_adversarial_oracle.py) seeds a
-    NULL and an all-zero vector to enforce that.
+    adversarial oracle gate (tests/test_adversarial_oracle.py) seeds
+    NULL, zero-norm and NaN-element vectors to enforce that.
     """
     v = F.col(vec) if isinstance(vec, str) else vec
     # exists() short-circuits and allocates nothing, unlike size(filter())
     # which builds the filtered array per row — measurable on the corpus
     # side of every ANN scan.
-    no_null_elems = ~F.exists(v, lambda x: x.isNull())
+    inf = F.lit(float("inf"))
+    bad_elem = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x.cast("double")) | (F.abs(x) == inf)
+    )
     nonzero = F.exists(v, lambda x: x != 0)
-    return v.isNotNull() & no_null_elems & nonzero
+    return v.isNotNull() & ~bad_elem & nonzero
 
 
 def valid_vectors(df: DataFrame, vec: str = "embedding") -> DataFrame:
@@ -251,6 +256,12 @@ def cosine_topk_vectorized(
     corpus = valid_vectors(corpus, vec)
     queries = valid_vectors(queries, vec)
     q_rows = queries.select(id_col, vec).collect()
+    if not q_rows:
+        # an empty query set (e.g. every query failed validity) would make
+        # the broadcast matrix 1-D and crash the axis-1 norm below
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -69,7 +69,8 @@ EMB_DIMS = 64
 # seeds NULL and zero-norm vectors to enforce it.
 VALID_EMB_PRED = (
     "(embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND len(list_filter(embedding,"
+    " x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0"
     " AND len(list_filter(embedding, x -> x <> 0.0)) > 0)"
 )
 # Inline view: `FROM {EMB_VALID} <alias>` reads embeddings minus invalid rows.

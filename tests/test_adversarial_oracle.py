@@ -7,8 +7,12 @@ scale-factor directory:
 - documents: NULL text / lang / source / n_chars, empty text, whitespace-only
   text, single-token text, tab-and-unicode text, plus a realistic corpus with
   exact duplicates so dedup operators have work to do.
-- embeddings: a NULL vector and an all-zero vector (zero norm — the classic
-  NaN-cosine producer) among valid ones, plus a NULL label.
+- embeddings: a NULL vector, an all-zero vector (zero norm — the classic
+  NaN-cosine producer) and a NaN-element vector among valid ones, plus a
+  NULL label.
+
+Also exercises fully-empty corpora / query sets (the first micro-batch of
+a new pipeline) against every document and embedding operator.
 
 A 100 TB crawl corpus contains all of these; an operator that matches the
 oracle on clean data but crashes or silently diverges on NULLs is not done.
@@ -82,6 +86,8 @@ def _adversarial_embeddings() -> pa.Table:
     labels.append(3)
     vecs.append([0.0] * EMB_DIMS)        # zero-norm vector
     labels.append(None)                  # NULL label
+    vecs.append([float("nan")] + [1.0] * (EMB_DIMS - 1))  # NaN element
+    labels.append(5)
     ids = list(range(len(vecs)))
     return pa.table(
         {
@@ -132,3 +138,58 @@ def test_adversarial_matches_oracle(spark, adv_dir, adv_duck, name):
     assert report["values_match"], {
         k: v for k, v in report.items() if k != "first_diffs"
     } | {"first_diffs": report.get("first_diffs")}
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def test_empty_corpus_operators(spark):
+    """Every document operator returns an EMPTY frame (not an error) on an
+    empty corpus — the first micro-batch of a brand-new pipeline."""
+    from ctcityscraper_spark.operators import corpus, dedup, text
+
+    empty = spark.createDataFrame([], DOCS_SCHEMA)
+    outs = [
+        dedup.exact_duplicates(empty),
+        dedup.ngram_jaccard_pairs(empty),
+        dedup.minhash_lsh_pairs(empty),
+        dedup.simhash_pairs(empty),
+        dedup.cascade_confirmed_pairs(empty),
+        dedup.winnow_pairs(empty),
+        corpus.segment_dedup(empty) if hasattr(corpus, "segment_dedup") else corpus.segments(empty),
+        corpus.repetition_signals(empty),
+        corpus.pii_scrub(empty),
+        corpus.stratified_sample(empty, {"src0": 0.5}),
+        corpus.pack_sequences(empty),
+        corpus.token_budget_selection(empty, 1000),
+        corpus.duplicate_substring_spans(empty),
+        empty.select(text.quality_score_col("text"), text.lang_id_col("text")),
+    ]
+    for df in outs:
+        assert df.count() == 0
+
+
+def test_empty_embeddings_and_empty_queries(spark):
+    """Embedding operators tolerate an empty corpus AND an empty query set
+    (e.g. every query vector failed validity) — the numpy matmul path must
+    not crash on a 0-row side."""
+    from ctcityscraper_spark.operators.dedup import semdedup_drop_list
+    from ctcityscraper_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+        srp_lsh_topk,
+        valid_vectors,
+    )
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    full = spark.read.parquet(f"{SRC_SF_DIR}/embeddings.parquet").limit(20)
+
+    assert valid_vectors(empty).count() == 0
+    assert cosine_topk(empty, empty).count() == 0
+    assert cosine_topk(full, empty).count() == 0
+    assert cosine_topk_vectorized(empty, empty).count() == 0
+    assert cosine_topk_vectorized(full, empty).count() == 0
+    assert cosine_topk_vectorized(empty, full).count() == 0
+    assert srp_lsh_topk(full, empty, dims=EMB_DIMS).count() == 0
+    assert semdedup_drop_list(empty, dims=EMB_DIMS).count() == 0

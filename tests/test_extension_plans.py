@@ -37,6 +37,7 @@ BUCKETED_QUERIES = [
     "range_join_surge_windows",
     "dedup_groups_connected",
     "dedup_incremental_lsh",
+    "dedup_keep_best",
 ]
 
 
@@ -424,3 +425,23 @@ class TestZorderLayout:
             zorder_col([(F.col("x"), 5, 5)])
         with _pytest.raises(ValueError, match="signed long"):
             zorder_col([(F.col("x"), 0, 1), (F.col("y"), 0, 1)], bits=32)
+
+
+class TestKeepBestPlan:
+    def test_components_broadcast_into_docs_scan(self, spark):
+        """keep_best_representative must fetch quality by BROADCASTING the
+        (tiny) component labels into the docs scan — a shuffled join here
+        would move the whole corpus to rank a handful of cluster members."""
+        from ctcityscraper_spark.operators.dedup import keep_best_representative
+        from ctcityscraper_spark.operators.graph import connected_components
+        from ctcityscraper_spark.operators.text import quality_score_col
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        comp = connected_components(edges)
+        out = keep_best_representative(docs, comp, quality_score_col("text"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
