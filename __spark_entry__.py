@@ -35,11 +35,12 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # relational + functions core
-    "pricing_summary", "scan_filter_project", "distinct_sort", "topk_orders",
+    # relational + functions core (scan_filter_project and groupby_rollup
+    # rotated out this round — both 5x driver-verified; their shapes ride
+    # along in nearly every other row and stay in-repo gated)
+    "pricing_summary", "distinct_sort", "topk_orders",
     "join_agg_by_segment", "join_star_three_way",
     "anti_join_customers_without_orders", "semi_join_parts_in_lineitem",
-    "groupby_rollup",
     "conditional_pivot_agg", "union_by_name",
     "money_roundtrip", "json_extract_props",
     "row_hash_content", "entity_uuid_identity", "top_revenue_orders",
@@ -67,7 +68,7 @@ DRIVER_PRIORITY = [
     # window_running_total, except_lapsed_customers, regex_extract_tokens)
     "corpus_token_budget", "text_vocab_coverage",
     "dedup_incremental_exact", "ann_ivf_recall", "ann_pq_recall",
-    "dedup_keep_best",
+    "dedup_keep_best", "corpus_quality_deciles",
 ]
 
 

@@ -934,3 +934,70 @@ def token_budget_selection(
         )
         selected = selected.unionByName(part)
     return selected
+
+
+def global_quality_rank(
+    df: DataFrame,
+    quality,
+    n_bins: int = 1024,
+    id_col: str = "doc_id",
+    deciles: int | None = 10,
+) -> DataFrame:
+    """Exact global rank by (quality DESC, id ASC) — without a global sort.
+
+    The curriculum/selection primitive: "rank every document in the corpus
+    by quality" is a global ORDER BY, which at 100 TB means either a
+    single-partition sort (catastrophic) or a range-partitioned TeraSort
+    (a full corpus shuffle into sampled ranges). This computes the same
+    EXACT ranks with a histogram instead:
+
+    1. coarse-bin each row by quality (scan-stage projection; ``quality``
+       is assumed in [0, 1] — clamped; NULL quality -> a trailing bin);
+    2. one groupBy collects per-bin counts (<= n_bins+1 rows to the
+       driver — bounded) and prefix-sums them into bin offsets, ordered
+       high-quality-bin first, NULL bin last;
+    3. a window partitioned BY BIN (parallel across bins — never a
+       single-partition sort) ranks within bins; global rank = bin offset
+       + within-bin row_number.
+
+    Rows in a higher bin have strictly higher quality than any row in a
+    lower bin, so concatenating per-bin orderings reproduces the global
+    ordering row-for-row (oracled against ROW_NUMBER() OVER (ORDER BY q
+    DESC NULLS LAST, id)). Skew caveat: a single bin holding most of the
+    corpus degrades toward the sort it replaces — raise ``n_bins`` (the
+    histogram costs the same one aggregate).
+
+    With ``deciles=k``, also emits the k-quantile bucket from the driver-
+    known total count (floor((rank-1)*k/N)+1) for curriculum staging.
+    """
+    from pyspark.sql import Window
+
+    q = quality if not isinstance(quality, str) else F.col(quality)
+    b = F.when(q.isNull(), F.lit(-1)).otherwise(
+        F.least(F.floor(q * n_bins).cast("int"), F.lit(n_bins - 1))
+    )
+    binned = df.select(F.col(id_col), q.alias("_q"), b.alias("_bin"))
+    counts = binned.groupBy("_bin").agg(F.count("*").alias("n")).collect()
+    ordered = sorted(counts, key=lambda r: (r["_bin"] == -1, -r["_bin"]))
+    offs: list[tuple[int, int]] = []
+    total = 0
+    for r in ordered:
+        offs.append((r["_bin"], total))
+        total += r["n"]
+    spark = df.sparkSession
+    if not offs:
+        out = spark.createDataFrame([], f"{id_col} long, rank long")
+        return out.withColumn("decile", F.lit(None).cast("int")) if deciles else out
+    off_df = spark.createDataFrame(offs, "_bin int, _off long")
+    w = Window.partitionBy("_bin").orderBy(F.col("_q").desc_nulls_last(), id_col)
+    ranked = (
+        binned.join(F.broadcast(off_df), "_bin")
+        .withColumn("rank", (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .select(id_col, "rank")
+    )
+    if deciles:
+        ranked = ranked.withColumn(
+            "decile",
+            (F.floor((F.col("rank") - 1) * deciles / F.lit(total)) + 1).cast("int"),
+        )
+    return ranked

@@ -695,3 +695,35 @@ def q_corpus_incremental_spans(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("new_doc", "corpus_doc", "start_new", "start_corpus")
     )
+
+
+@query(
+    "corpus_quality_deciles",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, {quality_score_sql('text')} AS q FROM documents),
+    r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY q DESC NULLS LAST, doc_id) AS rank
+          FROM q)
+    SELECT doc_id, rank,
+           (((rank - 1) * 10) // (SELECT count(*) FROM documents) + 1)::INT
+             AS decile
+    FROM r ORDER BY doc_id
+    """,
+)
+def q_corpus_quality_deciles(spark, sf_dir):
+    """Exact global quality rank + decile WITHOUT a global sort
+    (operators/corpus.global_quality_rank): histogram bins -> driver
+    prefix-sum offsets (<= n_bins+1 rows) -> per-bin parallel ranking
+    windows. The oracle is the naive ROW_NUMBER global sort — row-for-row
+    equality proves the histogram path exact. The curriculum/selection
+    primitive at 100 TB, where a real global ORDER BY means a corpus-wide
+    range shuffle."""
+    from ctcityscraper_spark.operators.corpus import global_quality_rank
+    from ctcityscraper_spark.operators.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        global_quality_rank(docs, quality_score_col("text"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

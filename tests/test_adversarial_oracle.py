@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from ctcityscraper_spark.plans.compare import compare_frames, duckdb_connection
 from ctcityscraper_spark.plans.queries import QUERIES
@@ -164,6 +165,7 @@ def test_empty_corpus_operators(spark):
         corpus.pack_sequences(empty),
         corpus.token_budget_selection(empty, 1000),
         corpus.duplicate_substring_spans(empty),
+        corpus.global_quality_rank(empty, F.length("text") / 1000.0),
         empty.select(text.quality_score_col("text"), text.lang_id_col("text")),
     ]
     for df in outs:

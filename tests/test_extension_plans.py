@@ -445,3 +445,19 @@ class TestKeepBestPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestGlobalRankPlan:
+    def test_rank_avoids_global_sort(self, spark):
+        """global_quality_rank must NOT plan a range-partitioned global
+        sort (the TeraSort corpus shuffle it exists to avoid): ordering
+        happens in per-bin windows (hashpartitioning on _bin) and the bin
+        offsets arrive via broadcast."""
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+        from ctcityscraper_spark.operators.text import quality_score_col
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = global_quality_rank(docs, quality_score_col("text"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan.lower()
+        assert "BroadcastHashJoin" in plan
