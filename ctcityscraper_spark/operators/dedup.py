@@ -660,21 +660,21 @@ def keep_best_representative(
     Scale shape: ``components`` holds only nodes that appear in duplicate
     clusters — orders smaller than the corpus — so it broadcasts into the
     docs scan (no corpus shuffle to fetch quality); the ranking window then
-    shuffles only those cluster members on component. NULL quality (e.g.
-    NULL text) ranks last in both engines (DESC NULLS LAST).
+    shuffles only those cluster members on component. keep_id rides the
+    SAME window as the rank (``first`` over the identical ordering), so
+    the components plan — often the tail of a whole LSH->CC pipeline — is
+    consumed exactly once: a keep/drop self-join here would evaluate that
+    pipeline twice (measured ~2x wall-clock on the 10x corpus). NULL
+    quality (e.g. NULL text) ranks last in both engines (DESC NULLS LAST).
     """
     q = docs.select(F.col(id_col).alias(node_col), quality.alias("_q"))
     scored = q.join(F.broadcast(components), node_col)
     w = Window.partitionBy(component_col).orderBy(
         F.col("_q").desc(), F.col(node_col)
     )
-    ranked = scored.withColumn("rk", F.row_number().over(w))
-    keep = ranked.filter(F.col("rk") == 1).select(
-        component_col, F.col(node_col).alias("keep_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "keep_id", F.first(node_col).over(w)
     )
-    return (
-        ranked.filter(F.col("rk") > 1)
-        .select(component_col, F.col(node_col).alias("drop_id"))
-        .join(keep, component_col)
-        .select("drop_id", "keep_id")
+    return ranked.filter(F.col("rk") > 1).select(
+        F.col(node_col).alias("drop_id"), "keep_id"
     )
