@@ -18,7 +18,7 @@ deterministic and oracle-matchable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 SRP_BITS = 8
 
@@ -895,3 +895,54 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# -- index sidecar persistence ----------------------------------------------
+#
+# The stored-index workflow (build once as a batch job, query many times)
+# needs the non-DataFrame half of each index persisted too: IVF centroids
+# and PQ codebooks are small driver-side float nests that embed as plan
+# literals at query time. JSON sidecars keep them engine-agnostic and
+# human-auditable next to the parquet/bucketed index tables.
+
+
+def save_vectors_json(obj: list, path, kind: str) -> None:
+    """Persist an IVF centroid list (kind='ivf_centroids', n_lists x dims)
+    or a PQ codebook (kind='pq_codebook', M x K x sub_dim) as a JSON
+    sidecar with its shape recorded for load-time validation. Atomic
+    (write tmp + rename) so a crashed writer never leaves a torn sidecar
+    for concurrent probe jobs."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    payload = {"kind": kind, "shape": _nest_shape(obj), "data": obj}
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    tmp.write_text(json.dumps(payload))
+    tmp.rename(p)
+
+
+def load_vectors_json(path, kind: str) -> list:
+    """Load and validate a sidecar written by :func:`save_vectors_json`."""
+    import json
+    from pathlib import Path
+
+    payload = json.loads(Path(path).read_text())
+    if payload.get("kind") != kind:
+        raise ValueError(
+            f"sidecar {path} holds kind={payload.get('kind')!r}, expected {kind!r}"
+        )
+    data = payload["data"]
+    if _nest_shape(data) != payload["shape"]:
+        raise ValueError(f"sidecar {path} shape mismatch (torn write?)")
+    return data
+
+
+def _nest_shape(obj) -> list[int]:
+    shape = []
+    while isinstance(obj, list):
+        shape.append(len(obj))
+        if not obj:
+            break
+        obj = obj[0]
+    return shape

@@ -641,3 +641,49 @@ class TestTokenBudget:
             ).filter(F.col("bef") < budget).collect()
         )
         assert got == naive and len(got) > 0
+
+
+class TestGlobalQualityRank:
+    """global_quality_rank must equal the naive global-sort ROW_NUMBER on
+    every distribution — including the degenerate ones the histogram path
+    could get wrong (all-equal quality = one bin, NULLs, heavy ties)."""
+
+    def _naive(self, df, qcol):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col(qcol).desc_nulls_last(), "doc_id")
+        return {
+            r.doc_id: r.rank
+            for r in df.withColumn("rank", F.row_number().over(w)).collect()
+        }
+
+    @pytest.mark.parametrize(
+        "qualities",
+        [
+            [0.5] * 20,                                  # all equal -> one bin
+            [0.0, 1.0] * 10,                             # extremes incl. exact 1.0
+            [None, 0.3, None, 0.9, 0.3, 0.3, None],      # NULLs + ties
+            [i / 37 % 1.0 for i in range(60)],           # many distinct bins
+        ],
+    )
+    def test_matches_naive_global_sort(self, spark, qualities):
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        df = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qualities)], "doc_id long, q double"
+        )
+        got = {
+            r.doc_id: r.rank
+            for r in global_quality_rank(df, F.col("q"), n_bins=8).collect()
+        }
+        assert got == self._naive(df, "q")
+
+    def test_decile_sizes_are_ntile_shaped(self, spark):
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        df = spark.createDataFrame(
+            [(i, float(i % 17) / 17) for i in range(103)], "doc_id long, q double"
+        )
+        out = global_quality_rank(df, F.col("q"), deciles=10)
+        sizes = [r["count"] for r in out.groupBy("decile").count().orderBy("decile").collect()]
+        assert sum(sizes) == 103 and max(sizes) - min(sizes) <= 1

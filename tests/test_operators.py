@@ -745,3 +745,39 @@ class TestSemDeDup:
         loose = semdedup_drop_list(emb, dims=64, threshold=0.2, bits=4).count()
         tight = semdedup_drop_list(emb, dims=64, threshold=0.5, bits=4).count()
         assert tight <= loose
+
+
+class TestAnnSidecars:
+    def test_pq_codebook_roundtrip_scores_identically(self, spark, tmp_path):
+        from ctcityscraper_spark.operators.similarity import (
+            load_vectors_json,
+            pq_adc_topk,
+            pq_train_codebooks,
+            save_vectors_json,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = pq_train_codebooks(emb, dims=64, sample=200)
+        path = tmp_path / "codebook.json"
+        save_vectors_json(cb, path, "pq_codebook")
+        cb2 = load_vectors_json(path, "pq_codebook")
+        assert cb2 == cb
+        q = emb.filter("vec_id < 3")
+        a = pq_adc_topk(emb, q, dims=64, codebook=cb).collect()
+        b = pq_adc_topk(emb, q, dims=64, codebook=cb2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_ivf_centroids_roundtrip_and_kind_check(self, tmp_path):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import (
+            load_vectors_json,
+            save_vectors_json,
+        )
+
+        ctrs = [[0.1 * i + 0.01 * d for d in range(4)] for i in range(3)]
+        path = tmp_path / "centroids.json"
+        save_vectors_json(ctrs, path, "ivf_centroids")
+        assert load_vectors_json(path, "ivf_centroids") == ctrs
+        with _pytest.raises(ValueError, match="kind"):
+            load_vectors_json(path, "pq_codebook")
