@@ -41,7 +41,11 @@ def asof_join(
 
     Ties among right rows at the same (key, ts) resolve deterministically
     to the LAST row in the right frame's row order (monotonic id
-    tie-break). Raises ValueError if the left frame already contains a
+    tie-break). A left row with NULL ``ts`` has no as-of instant and
+    carries NULLs (it sorts before every timestamped right row — Spark's
+    ASC NULLS FIRST default, which the SQL oracle pins explicitly since
+    DuckDB defaults to NULLS LAST and would hand such rows the FINAL
+    right match instead). Raises ValueError if the left frame already contains a
     carry-named column (e.g. chaining asof_joins with the same suffix) —
     pass a different ``suffix`` instead of silently duplicating names.
     """

@@ -411,9 +411,9 @@ def q_scd2_latest_state(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id, event_type, version FROM (
         SELECT *,
-            LAG(md5(event_type)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_hash,
+            LAG(md5(event_type)) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_hash,
             md5(event_type) AS row_hash,
-            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS version
         FROM events
     ) WHERE row_hash != prev_hash OR prev_hash IS NULL
     ORDER BY user_id, version
@@ -421,7 +421,10 @@ def q_scd2_latest_state(spark, sf_dir):
 )
 def q_scd2_history(spark, sf_dir):
     """W2+W3+W4 history view (reference scrapers/vgsi/source.py:813-837):
-    LAG(hash) + ROW_NUMBER, keep version boundaries only."""
+    LAG(hash) + ROW_NUMBER, keep version boundaries only. Version order
+    pins NULL scrape-times FIRST (oldest/unknown — Spark's ASC default;
+    the oracle says NULLS FIRST explicitly because DuckDB defaults the
+    other way, which shifted every later version number on dirty data)."""
     ev = _t(spark, sf_dir, "events").withColumn("row_hash", F.md5("event_type"))
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     return (
@@ -438,7 +441,7 @@ def q_scd2_history(spark, sf_dir):
     "scd2_changed_since",
     oracle="""
     SELECT user_id, event_id, event_type FROM (
-        SELECT *, LAG(md5(event_type)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_hash,
+        SELECT *, LAG(md5(event_type)) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_hash,
                md5(event_type) AS row_hash
         FROM events
     )
@@ -645,13 +648,19 @@ def q_date_bucket_monthly(spark, sf_dir):
 @query(
     "json_extract_props",
     oracle="""
-    SELECT json_extract_string(props, '$.k') AS k_value, COUNT(*) AS n
+    SELECT CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_value,
+           COUNT(*) AS n
     FROM events GROUP BY k_value ORDER BY CAST(k_value AS BIGINT)
     """,
 )
 def q_json_extract(spark, sf_dir):
     """F8/F9 JSON escape hatch: extract from the props JSON-string column
-    (the reference's extra_fields pattern, scrapers/vgsi/source.py:301-330)."""
+    (the reference's extra_fields pattern, scrapers/vgsi/source.py:301-330).
+    Dirty-data contract: malformed / empty / NULL JSON yields NULL — what
+    Spark's get_json_object does natively; the oracle needs the explicit
+    json_valid guard because DuckDB's json_extract_string ERRORS on
+    malformed input (adversarial gate)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.select(F.get_json_object("props", "$.k").alias("k_value"))
@@ -718,13 +727,14 @@ def q_events_tumbling(spark, sf_dir):
     "events_sessionization",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 3600000000000
                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id,
-               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM gaps
     )
@@ -735,8 +745,13 @@ def q_events_tumbling(spark, sf_dir):
 )
 def q_events_sessionization(spark, sf_dir):
     """Session windows (1h inactivity gap) derived with lag + running sum —
-    the batch twin of streaming session windows."""
-    ev = _t(spark, sf_dir, "events")
+    the batch twin of streaming session windows. NULL event-time rows are
+    excluded (no time, no session — a streaming engine would drop them at
+    the watermark), and every ORDER BY carries the event_id tiebreaker:
+    with exact-duplicate timestamps — certain at 100 TB — an untied
+    running sum is nondeterministic and engines disagree (adversarial
+    gate)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     gap_ns = 3600 * 10**9
     with_flag = ev.withColumn(

@@ -1072,7 +1072,7 @@ def q_multimodal_bytes_meta(spark, sf_dir):
         SELECT *,
             last_value(pv IGNORE NULLS) OVER w AS last_purchase_value,
             last_value(pts IGNORE NULLS) OVER w AS last_purchase_ts_us
-        FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio
+        FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, prio
                             ROWS UNBOUNDED PRECEDING)
     )
     SELECT user_id, event_id, last_purchase_value, last_purchase_ts_us

@@ -85,6 +85,11 @@ def _sessionize(
     last_ts, session_id, count = state.get if state.exists else (None, 0, 0)
     closed = []
     whole = _collect_sorted(pdfs, "ts_ns")
+    if len(whole):
+        # NULL event-time rows have no session (the batch twin filters them
+        # the same way; a real stream drops them at the watermark) — and
+        # int(NaN) below would kill the executor
+        whole = whole[whole["ts_ns"].notna()]
     for ts in whole["ts_ns"] if len(whole) else ():
         ts = int(ts)
         if last_ts is None or ts - last_ts > gap_ns:

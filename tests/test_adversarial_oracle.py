@@ -10,6 +10,10 @@ scale-factor directory:
 - embeddings: a NULL vector, an all-zero vector (zero norm — the classic
   NaN-cosine producer) and a NaN-element vector among valid ones, plus a
   NULL label.
+- events: NULL ts / user_id / event_type / value, malformed and empty
+  JSON props, a window-boundary timestamp, a negative value, and
+  exact-duplicate timestamps (tie-break stress for every ORDER BY ts
+  window: sessionization, SCD2 versioning, as-of, LOCF).
 
 Also exercises fully-empty corpora / query sets (the first micro-batch of
 a new pipeline) against every document and embedding operator.
@@ -99,11 +103,55 @@ def _adversarial_embeddings() -> pa.Table:
     )
 
 
+def _adversarial_events() -> pa.Table:
+    from datetime import datetime, timedelta
+
+    rng = np.random.RandomState(13)
+    types = ["signup", "click", "error", "view", "purchase"]
+    base = datetime(2024, 1, 1)
+    rows: list[tuple] = []
+    eid = 0
+    for u in range(12):
+        t = base + timedelta(minutes=int(rng.randint(0, 600)))
+        for _ in range(40):
+            t = t + timedelta(seconds=int(rng.randint(30, 40_000)))
+            props = '{"k": %d}' % int(rng.randint(0, 100))
+            rows.append((eid, t, u, types[int(rng.randint(5))],
+                         float(np.round(rng.uniform(0, 300), 2)), props))
+            eid += 1
+    # hostile rows
+    t0 = base + timedelta(hours=6)  # exactly on a 6h tumbling boundary
+    rows += [
+        (9000, None, 3, "click", 1.0, '{"k": 1}'),          # NULL ts
+        (9001, t0, None, "view", 2.0, '{"k": 2}'),          # NULL user
+        (9002, t0, 4, None, 3.0, '{"k": 3}'),               # NULL type
+        (9003, t0, 4, "click", None, None),                 # NULL value+props
+        (9004, t0, 5, "click", 4.0, "{oops"),               # malformed JSON
+        (9005, t0, 5, "click", 5.0, ""),                    # empty-string JSON
+        (9006, t0, 6, "purchase", -7.5, '{"k": -1}'),       # negative value
+    ]
+    # exact-duplicate timestamps for one user: tie-break stress for every
+    # ORDER BY ts window (sessionization, funnel, LOCF, as-of)
+    td = base + timedelta(days=2, hours=3)
+    rows += [(9100 + i, td, 7, "click", float(i), '{"k": 7}') for i in range(3)]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("adv_sf")
     pq.write_table(_adversarial_documents(), d / "documents.parquet")
     pq.write_table(_adversarial_embeddings(), d / "embeddings.parquet")
+    pq.write_table(_adversarial_events(), d / "events.parquet")
     for name in TABLE_NAMES:
         dst = d / f"{name}.parquet"
         if not dst.exists():
@@ -123,7 +171,11 @@ def _targets() -> list[str]:
     for name, q in QUERIES.items():
         if q.oracle is None:
             continue
-        if "documents" in q.oracle or "embeddings" in q.oracle:
+        if (
+            "documents" in q.oracle
+            or "embeddings" in q.oracle
+            or "events" in q.oracle
+        ):
             names.append(name)
     return names
 
