@@ -55,9 +55,11 @@ class TestStreamingSessionize:
         h = 3600 * 10**9
         schema = "user_id long, ts_ns long"
         # u7: events at t0, t0+10m (session 1), then t0+5h, t0+5h+1m
-        # (session 2), then t0+20h (session 3 — still open, not emitted)
+        # (session 2), then t0+20h (session 3 — still open, not emitted).
+        # A NULL event time rides along: it must be ignored (the batch twin
+        # filters NULL ts), not crash the stateful worker on int(NaN).
         spark.createDataFrame(
-            [(7, 0), (7, h // 6)], schema
+            [(7, 0), (7, h // 6), (7, None)], schema
         ).coalesce(1).write.mode("append").parquet(str(src))
         spark.createDataFrame(
             [(7, 5 * h), (7, 5 * h + h // 60), (7, 20 * h)], schema
