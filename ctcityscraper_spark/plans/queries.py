@@ -242,13 +242,17 @@ def q_join_star_three_way(spark, sf_dir):
     "anti_join_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     ORDER BY c_custkey
     """,
 )
 def q_anti_join(spark, sf_dir):
     """Left anti join — the reference's hash-dedup shape (J2/D2;
-    src/engine/database.py:139-149: drop rows whose hash exists already)."""
+    src/engine/database.py:139-149: drop rows whose hash exists already).
+    The contract is NOT EXISTS, which is what Spark's left_anti implements:
+    a NOT IN oracle looks equivalent until the key column contains a NULL,
+    at which point three-valued logic empties the whole result
+    (adversarial gate)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -673,8 +677,12 @@ def q_json_extract(spark, sf_dir):
 @query(
     "row_hash_content",
     oracle="""
-    SELECT md5('{"o_orderpriority":"' || o_orderpriority || '","o_orderstatus":"' || o_orderstatus || '"}')
-               AS row_hash,
+    SELECT md5('{' || concat_ws(',',
+               CASE WHEN o_orderpriority IS NOT NULL
+                    THEN '"o_orderpriority":"' || o_orderpriority || '"' END,
+               CASE WHEN o_orderstatus IS NOT NULL
+                    THEN '"o_orderstatus":"' || o_orderstatus || '"' END)
+               || '}') AS row_hash,
            COUNT(*) AS n
     FROM orders GROUP BY row_hash ORDER BY row_hash
     """,

@@ -14,6 +14,10 @@ scale-factor directory:
   JSON props, a window-boundary timestamp, a negative value, and
   exact-duplicate timestamps (tie-break stress for every ORDER BY ts
   window: sessionization, SCD2 versioning, as-of, LOCF).
+- orders / lineitem / customer: NULL join keys (the NOT IN vs NOT EXISTS
+  trap), orphan foreign keys, NULL measures / dates / group-by columns,
+  negative amounts — appended to the clean rows so FK-dependent queries
+  keep their real data.
 
 Also exercises fully-empty corpora / query sets (the first micro-batch of
 a new pipeline) against every document and embedding operator.
@@ -146,12 +150,59 @@ def _adversarial_events() -> pa.Table:
     )
 
 
+def _hostile_relational(table: str) -> pa.Table:
+    """The real sf0.001 table plus dirty rows: NULL join keys, orphan FKs,
+    NULL measures/dates — what a 100 TB lake actually contains. Appended to
+    the clean rows so every FK-dependent query still has its real data."""
+    from datetime import datetime
+
+    base = pq.read_table(f"{SRC_SF_DIR}/{table}.parquet")
+    extra_rows: dict[str, list] = {
+        "orders": {
+            "o_orderkey": [900001, 900002, 900003],
+            "o_custkey": [None, 999_999, 1],           # NULL key, orphan FK
+            "o_orderstatus": ["F", None, "O"],
+            "o_totalprice": [None, 10.0, -5.0],        # NULL / negative measure
+            "o_orderdate": [datetime(2024, 1, 5), None, datetime(2024, 1, 6)],
+            "o_orderpriority": [None, "1-URGENT", "2-HIGH"],
+        },
+        "lineitem": {
+            "l_orderkey": [None, 900001, 900001],      # NULL key + real join hits
+            "l_partkey": [1, None, 2],
+            "l_suppkey": [1, 1, None],
+            "l_linenumber": [1, 1, 2],
+            "l_quantity": [None, -3.0, 7.0],
+            "l_extendedprice": [100.0, None, 50.0],
+            "l_discount": [0.05, 0.1, None],
+            "l_tax": [0.02, None, 0.01],
+            "l_returnflag": [None, "N", "R"],
+            "l_linestatus": ["O", None, "F"],
+            "l_shipdate": [None, datetime(2024, 2, 1), datetime(2024, 2, 2)],
+        },
+        "customer": {
+            "c_custkey": [900010, 900011],
+            "c_name": [None, "hostile customer"],
+            "c_nationkey": [None, 0],
+            "c_acctbal": [None, -100.0],
+            "c_mktsegment": [None, "BUILDING"],
+        },
+    }[table]
+    schema = base.schema
+    extra = pa.table(
+        {f.name: pa.array(extra_rows[f.name], f.type) for f in schema},
+        schema=pa.schema([schema.field(i) for i in range(len(schema))]),
+    )
+    return pa.concat_tables([base, extra])
+
+
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("adv_sf")
     pq.write_table(_adversarial_documents(), d / "documents.parquet")
     pq.write_table(_adversarial_embeddings(), d / "embeddings.parquet")
     pq.write_table(_adversarial_events(), d / "events.parquet")
+    for t in ("orders", "lineitem", "customer"):
+        pq.write_table(_hostile_relational(t), d / f"{t}.parquet")
     for name in TABLE_NAMES:
         dst = d / f"{name}.parquet"
         if not dst.exists():
@@ -171,10 +222,9 @@ def _targets() -> list[str]:
     for name, q in QUERIES.items():
         if q.oracle is None:
             continue
-        if (
-            "documents" in q.oracle
-            or "embeddings" in q.oracle
-            or "events" in q.oracle
+        if any(
+            t in q.oracle
+            for t in ("documents", "embeddings", "events", "orders", "lineitem", "customer")
         ):
             names.append(name)
     return names
