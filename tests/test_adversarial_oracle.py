@@ -186,6 +186,20 @@ def _hostile_relational(table: str) -> pa.Table:
             "c_acctbal": [None, -100.0],
             "c_mktsegment": [None, "BUILDING"],
         },
+        "part": {
+            "p_partkey": [900020, 900021],
+            "p_name": [None, "hostile part"],
+            "p_brand": [None, "Brand#00"],
+            "p_type": [None, "HOSTILE TYPE"],
+            "p_size": [None, -1],
+            "p_retailprice": [None, 0.0],
+        },
+        "supplier": {
+            "s_suppkey": [900030, 900031],
+            "s_name": [None, "hostile supplier"],
+            "s_nationkey": [None, 999],          # NULL + orphan FK
+            "s_acctbal": [None, -1.0],
+        },
     }[table]
     schema = base.schema
     extra = pa.table(
@@ -201,7 +215,7 @@ def adv_dir(tmp_path_factory) -> str:
     pq.write_table(_adversarial_documents(), d / "documents.parquet")
     pq.write_table(_adversarial_embeddings(), d / "embeddings.parquet")
     pq.write_table(_adversarial_events(), d / "events.parquet")
-    for t in ("orders", "lineitem", "customer"):
+    for t in ("orders", "lineitem", "customer", "part", "supplier"):
         pq.write_table(_hostile_relational(t), d / f"{t}.parquet")
     for name in TABLE_NAMES:
         dst = d / f"{name}.parquet"
@@ -224,7 +238,10 @@ def _targets() -> list[str]:
             continue
         if any(
             t in q.oracle
-            for t in ("documents", "embeddings", "events", "orders", "lineitem", "customer")
+            for t in (
+                "documents", "embeddings", "events",
+                "orders", "lineitem", "customer", "part", "supplier",
+            )
         ):
             names.append(name)
     return names
