@@ -192,3 +192,40 @@ class TestSpanCutProperties:
             for r in cut_duplicate_spans(df, spans).collect()
         }
         assert got == _ref_cut(docs, width)
+
+
+class TestValidVectorPredicateParity:
+    """The usable-vector contract must agree between the Spark predicate
+    (similarity.valid_vector_cond) and its DuckDB SQL twin
+    (queries_ext.VALID_EMB_PRED) on ARBITRARY float vectors — including
+    -0.0, subnormals, infinities, NaN, NULL elements and NULL vectors —
+    or the adversarial gate's guarantees only hold for the seeded cases."""
+
+    _elem = st.one_of(
+        st.none(),
+        st.floats(width=32, allow_nan=True, allow_infinity=True),
+        st.sampled_from([-0.0, 0.0, 5e-39, -5e-39, 3.4e38, -3.4e38]),
+    )
+    _vec = st.one_of(st.none(), st.lists(_elem, min_size=0, max_size=6))
+
+    @settings(**SETTINGS)
+    @given(vecs=st.lists(_vec, min_size=1, max_size=8))
+    def test_spark_and_duckdb_agree(self, spark, vecs):
+        from ctcityscraper_spark.operators.similarity import valid_vector_cond
+        from ctcityscraper_spark.plans.queries_ext import VALID_EMB_PRED
+
+        rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got_spark = sorted(
+            r.vec_id for r in df.filter(valid_vector_cond("embedding")).collect()
+        )
+        con = duckdb.connect()
+        con.register("embeddings", df.toPandas())
+        got_duck = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT vec_id FROM embeddings WHERE {VALID_EMB_PRED}"
+            ).fetchall()
+        )
+        con.close()
+        assert got_spark == got_duck, (vecs, got_spark, got_duck)
