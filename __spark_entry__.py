@@ -35,16 +35,25 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # relational + functions core (scan_filter_project and groupby_rollup
-    # rotated out this round — both 5x driver-verified; their shapes ride
-    # along in nearly every other row and stay in-repo gated)
-    "pricing_summary", "distinct_sort", "topk_orders",
-    "join_agg_by_segment", "join_star_three_way",
-    "anti_join_customers_without_orders", "semi_join_parts_in_lineitem",
-    "conditional_pivot_agg", "union_by_name",
-    "money_roundtrip", "json_extract_props",
-    "row_hash_content", "entity_uuid_identity", "top_revenue_orders",
-    "regional_customer_revenue", "quantiles_by_status",
+    # relational + functions core. Round-7 rotation: 12 six-times-
+    # driver-verified rows rotated OUT (distinct_sort, topk_orders,
+    # join_star_three_way, anti_join_customers_without_orders,
+    # semi_join_parts_in_lineitem, union_by_name, money_roundtrip,
+    # row_hash_content, entity_uuid_identity, top_revenue_orders,
+    # regional_customer_revenue, quantiles_by_status — all still in-repo
+    # oracle-gated every run) to give never-driver-verified queries
+    # external rows.
+    "pricing_summary", "join_agg_by_segment", "conditional_pivot_agg",
+    "json_extract_props",
+    # rotated IN (r7): the reference's literal engine API surface first
+    "engine_scd2_current", "engine_scd2_changed_since",
+    # rotated IN (r7): the four decorrelated-subquery shapes
+    "subq_exists_late_shipment", "subq_outer_join_order_counts",
+    "subq_rich_inactive_customers", "subq_scalar_avg_quantity",
+    # rotated IN (r7): remaining never-verified priority picks
+    "dedup_lsh_recall", "scd2_as_of", "timeseries_gapfill_locf",
+    "window_frame_stats", "range_join_surge_windows",
+    "text_tfidf_top_terms",
     # SCD2 family
     "scd2_latest_state", "scd2_history_versions", "scd2_changed_since",
     # streaming-shaped event analytics
@@ -62,10 +71,7 @@ DRIVER_PRIORITY = [
     # incremental_spans = the batch-vs-stored-index variant)
     "corpus_segment_dedup", "corpus_substring_spans",
     "corpus_cut_spans", "corpus_incremental_spans", "corpus_pack_sequences",
-    # round-6 rotation: newest operators get externally-verified rows
-    # (dropped this round, all 5x driver-verified: groupby_cube,
-    # groupby_grouping_sets, string_normalize, date_bucket_monthly,
-    # window_running_total, except_lapsed_customers, regex_extract_tokens)
+    # round-6 additions, kept for a second verified round
     "corpus_token_budget", "text_vocab_coverage",
     "dedup_incremental_exact", "ann_ivf_recall", "ann_pq_recall",
     "dedup_keep_best", "corpus_quality_deciles",

@@ -12,6 +12,13 @@ round's trend line): per-query failures land in an ``errors`` map, a query
 whose first trial succeeded keeps its best completed timing even if a later
 trial throws, and ``"partial": true`` flags any total computed with errors
 present so round-over-round totals are never silently incomparable.
+
+Self-normalization (round-7): boot-to-boot VM variance (measured ±40 % on
+identical code) broke cross-round comparability of raw seconds, so a fixed
+pure-CPU calibration job is timed first and every query is reported both
+raw (``queries``/``value``) and divided by it (``queries_normalized``/
+``value_normalized`` — unitless machine-relative cost; read trends off
+these).
 """
 
 from __future__ import annotations
@@ -20,6 +27,30 @@ import json
 import os
 import re
 import time
+
+
+def calibrate(spark, trials: int = 3, rows: int = 256_000_000) -> float:
+    """Fixed pure-CPU calibration workload — the round-over-round
+    normalizer. The VM these rounds run on varies boot-to-boot (measured
+    ±40 % on identical code), so raw seconds no longer measure the code.
+    This times a constant, I/O-free Spark job (a 32-partition xxhash64
+    fold over ``spark.range`` — whole-stage codegen, no shuffle, no
+    Python workers, no disk) whose cost moves with the machine, not the
+    repo; dividing query seconds by it cancels the machine. Min of
+    ``trials`` runs, GC drained before each — same policy as
+    :func:`time_query`."""
+    best = None
+    for _ in range(trials):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        # bit_xor, not sum: a long sum of 48M hashes overflows under
+        # Spark 4's ANSI mode
+        spark.range(0, rows, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id, xxhash64(id, 42))) as s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
 
 
 def time_query(spark, fn, sf_dir: str, max_trials: int = 3) -> tuple[float | None, str | None]:
@@ -74,7 +105,7 @@ def run_headline(spark, sf_dir: str, queries) -> tuple[dict, dict]:
     return timings, errors
 
 
-def build_output(timings: dict, errors: dict, sf) -> dict:
+def build_output(timings: dict, errors: dict, sf, calibration_sec: float | None = None) -> dict:
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -85,6 +116,16 @@ def build_output(timings: dict, errors: dict, sf) -> dict:
         # full headline set must never read as a round-over-round speedup
         "comparable": not errors,
     }
+    if calibration_sec:
+        # raw seconds AND machine-normalized ratios: cross-round trends
+        # should be read off the normalized numbers (unit: multiples of
+        # the fixed CPU calibration job on the same boot), raw seconds
+        # stay for within-round comparisons
+        out["calibration_sec"] = calibration_sec
+        out["value_normalized"] = round(out["value"] / calibration_sec, 4)
+        out["queries_normalized"] = {
+            k: round(v / calibration_sec, 4) for k, v in timings.items()
+        }
     if errors:
         # the total is NOT round-comparable when any query errored out —
         # flag it rather than letting a smaller sum read as a speedup
@@ -116,6 +157,10 @@ def main() -> None:
     spark.range(100).repartition(4).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # calibrate AFTER warmup, BEFORE the queries: one fixed CPU job that
+    # prices this boot's hardware so cross-round numbers stay comparable
+    calibration_sec = calibrate(spark)
 
     timings, errors = run_headline(spark, sf_dir, QUERIES)
 
@@ -155,7 +200,7 @@ def main() -> None:
     if ingest_runs:
         timings["ingest_load_2000"] = round(min(ingest_runs), 4)
 
-    print(json.dumps(build_output(timings, errors, sf)))
+    print(json.dumps(build_output(timings, errors, sf, calibration_sec)))
 
 
 if __name__ == "__main__":

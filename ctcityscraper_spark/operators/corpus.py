@@ -887,6 +887,11 @@ def token_budget_selection(
 
     from ctcityscraper_spark.operators.text import quality_score_col
 
+    # persist BEFORE the bin-sum collect: toks embeds the caller's
+    # upstream plan and is consumed up to three times (the collect, the
+    # full-bins filter, the straddling-bin window) — without this an
+    # expensive upstream would execute once per consumer. persist (not
+    # localCheckpoint): evicted blocks recompute instead of failing.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
@@ -894,7 +899,7 @@ def token_budget_selection(
         .alias("n_tokens"),
         F.floor(quality_score_col(text) * bins).cast("int").alias("q_bin"),
         hash64(F.col(id_col), seed).alias("_h"),
-    ).filter(F.col("q_bin").isNotNull())
+    ).filter(F.col("q_bin").isNotNull()).persist()
     bin_sums = {
         r["q_bin"]: r["s"]
         for r in toks.groupBy("q_bin").agg(F.sum("n_tokens").alias("s")).collect()
@@ -952,7 +957,12 @@ def global_quality_rank(
     EXACT ranks with a histogram instead:
 
     1. coarse-bin each row by quality (scan-stage projection; ``quality``
-       is assumed in [0, 1] — clamped; NULL quality -> a trailing bin);
+       is assumed in [0, 1] — clamped on BOTH sides, so out-of-range
+       values land in the first/last bin with exact within-bin ordering
+       by the raw ``_q`` preserved; NULL and NaN quality -> a trailing
+       bin — NaN means "no usable score" here, same as NULL, and is
+       routed explicitly because its would-be bin is NULL and its sort
+       position engine-dependent);
     2. one groupBy collects per-bin counts (<= n_bins+1 rows to the
        driver — bounded) and prefix-sums them into bin offsets, ordered
        high-quality-bin first, NULL bin last;
@@ -973,10 +983,21 @@ def global_quality_rank(
     from pyspark.sql import Window
 
     q = quality if not isinstance(quality, str) else F.col(quality)
-    b = F.when(q.isNull(), F.lit(-1)).otherwise(
-        F.least(F.floor(q * n_bins).cast("int"), F.lit(n_bins - 1))
+    qd = q.cast("double")
+    b = F.when(qd.isNull() | F.isnan(qd), F.lit(-1)).otherwise(
+        F.least(
+            F.greatest(F.floor(qd * n_bins), F.lit(0)).cast("int"),
+            F.lit(n_bins - 1),
+        )
     )
-    binned = df.select(F.col(id_col), q.alias("_q"), b.alias("_bin"))
+    # persist BEFORE the histogram collect: binned embeds the caller's
+    # upstream plan (often an expensive dedup/quality pipeline), and both
+    # the collect below and the returned join/window consume it — without
+    # this the whole upstream would execute twice (the exact issue
+    # graph.connected_components fixes with its eager checkpoint).
+    # persist (not localCheckpoint): evicted blocks recompute from
+    # lineage instead of failing, the right degradation corpus-side.
+    binned = df.select(F.col(id_col), qd.alias("_q"), b.alias("_bin")).persist()
     counts = binned.groupBy("_bin").agg(F.count("*").alias("n")).collect()
     ordered = sorted(counts, key=lambda r: (r["_bin"] == -1, -r["_bin"]))
     offs: list[tuple[int, int]] = []
@@ -986,6 +1007,7 @@ def global_quality_rank(
         total += r["n"]
     spark = df.sparkSession
     if not offs:
+        binned.unpersist()
         out = spark.createDataFrame([], f"{id_col} long, rank long")
         return out.withColumn("decile", F.lit(None).cast("int")) if deciles else out
     off_df = spark.createDataFrame(offs, "_bin int, _off long")

@@ -647,6 +647,7 @@ def keep_best_representative(
     id_col: str = "doc_id",
     node_col: str = "node",
     component_col: str = "component",
+    broadcast_max_nodes: int = 8_000_000,
 ) -> DataFrame:
     """Drop list keeping the BEST member of each duplicate cluster.
 
@@ -658,17 +659,37 @@ def keep_best_representative(
     cleanest copy of each near-duplicate set instead of an arbitrary one.
 
     Scale shape: ``components`` holds only nodes that appear in duplicate
-    clusters — orders smaller than the corpus — so it broadcasts into the
-    docs scan (no corpus shuffle to fetch quality); the ranking window then
-    shuffles only those cluster members on component. keep_id rides the
-    SAME window as the rank (``first`` over the identical ordering), so
-    the components plan — often the tail of a whole LSH->CC pipeline — is
-    consumed exactly once: a keep/drop self-join here would evaluate that
-    pipeline twice (measured ~2x wall-clock on the 10x corpus). NULL
-    quality (e.g. NULL text) ranks last in both engines (DESC NULLS LAST).
+    clusters, so on lightly-duplicated corpora it is orders smaller than
+    the corpus and broadcasting it into the docs scan avoids a corpus
+    shuffle to fetch quality. But crawl-scale corpora run 30-50 %
+    duplication — that is WHY they get deduped — so the frame can be a
+    large fraction of the corpus and an unconditional broadcast would OOM
+    the executors. Same remedy as :func:`graph.connected_components`:
+    eagerly ``localCheckpoint`` components (which also guarantees the
+    often-expensive LSH->CC upstream plan is evaluated exactly ONCE — a
+    keep/drop self-join here would run it twice, measured ~2x wall-clock
+    on the 10x corpus; the count afterwards is free), then broadcast only
+    when it holds <= ``broadcast_max_nodes`` rows (two longs/row — the
+    default ~8M rows is ~200 MB of hint, comfortably under executor
+    memory); above the gate a plain shuffle join lets AQE pick the
+    strategy at runtime. The ranking window then shuffles only cluster
+    members on component. keep_id rides the SAME window as the rank
+    (``first`` over the identical ordering). NULL quality (e.g. NULL
+    text) ranks last in both engines (DESC NULLS LAST). The checkpoint
+    backing the returned plan stays persisted (same lifetime contract as
+    ``connected_components``' returned labels).
     """
     q = docs.select(F.col(id_col).alias(node_col), quality.alias("_q"))
-    scored = q.join(F.broadcast(components), node_col)
+    components = components.select(node_col, component_col).localCheckpoint(
+        eager=True
+    )
+    n_comp = components.count()  # free: materialized by the checkpoint
+    comp_side = (
+        F.broadcast(components)
+        if n_comp <= broadcast_max_nodes
+        else components
+    )
+    scored = q.join(comp_side, node_col)
     w = Window.partitionBy(component_col).orderBy(
         F.col("_q").desc(), F.col(node_col)
     )

@@ -252,17 +252,40 @@ def cosine_topk_vectorized(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
     corpus = valid_vectors(corpus, vec)
     queries = valid_vectors(queries, vec)
+    # id columns keep their INPUT types (long ids stay long, string ids
+    # stay string) on BOTH the empty and non-empty paths — a hard-coded
+    # "long" here would make the two paths return different schemas for
+    # non-long ids
+    partial_fields = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, True),
+            StructField("neighbor_id", corpus.schema[id_col].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
     q_rows = queries.select(id_col, vec).collect()
     if not q_rows:
         # an empty query set (e.g. every query failed validity) would make
         # the broadcast matrix 1-D and crash the axis-1 norm below
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine double"
+        empty_schema = StructType(
+            [
+                partial_fields["query_id"],
+                partial_fields["neighbor_id"],
+                StructField("rank", IntegerType(), False),
+                partial_fields["cosine"],
+            ]
         )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        return corpus.sparkSession.createDataFrame([], empty_schema)
+    q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     sc = corpus.sparkSession.sparkContext
@@ -271,7 +294,7 @@ def cosine_topk_vectorized(
     def topk_blocks(batches):
         ids, mat, qn = bq.value
         for pdf in batches:
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(list(pdf[vec]), dtype=np.float64)
             if len(c_ids) == 0:
                 continue
@@ -291,9 +314,7 @@ def cosine_topk_vectorized(
                 out["cosine"].extend(row[best].tolist())
             yield pd.DataFrame(out)
 
-    partial = corpus.select(id_col, vec).mapInPandas(
-        topk_blocks, "query_id long, neighbor_id long, cosine double"
-    )
+    partial = corpus.select(id_col, vec).mapInPandas(topk_blocks, partial_fields)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
@@ -910,24 +931,44 @@ def save_vectors_json(obj: list, path, kind: str) -> None:
     """Persist an IVF centroid list (kind='ivf_centroids', n_lists x dims)
     or a PQ codebook (kind='pq_codebook', M x K x sub_dim) as a JSON
     sidecar with its shape recorded for load-time validation. Atomic
-    (write tmp + rename) so a crashed writer never leaves a torn sidecar
-    for concurrent probe jobs."""
+    (write tmp + fsync + rename + dir fsync) so neither a crashed writer
+    NOR a post-rename power loss leaves a torn/empty sidecar for
+    concurrent probe jobs — rename alone only orders the metadata, not
+    the data blocks."""
     import json
+    import os
     from pathlib import Path
 
     p = Path(path)
     payload = {"kind": kind, "shape": _nest_shape(obj), "data": obj}
     tmp = p.with_suffix(p.suffix + ".tmp")
-    tmp.write_text(json.dumps(payload))
+    with open(tmp, "w") as f:
+        f.write(json.dumps(payload))
+        f.flush()
+        os.fsync(f.fileno())
     tmp.rename(p)
+    dir_fd = os.open(p.parent, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def load_vectors_json(path, kind: str) -> list:
-    """Load and validate a sidecar written by :func:`save_vectors_json`."""
+    """Load and validate a sidecar written by :func:`save_vectors_json`.
+
+    Every corruption mode raises the same descriptive ``ValueError`` —
+    unparseable JSON (torn write on a filesystem without the fsync
+    guarantees), wrong kind, or shape mismatch."""
     import json
     from pathlib import Path
 
-    payload = json.loads(Path(path).read_text())
+    try:
+        payload = json.loads(Path(path).read_text())
+    except json.JSONDecodeError as exc:
+        raise ValueError(
+            f"sidecar {path} is not valid JSON (torn write?): {exc}"
+        ) from exc
     if payload.get("kind") != kind:
         raise ValueError(
             f"sidecar {path} holds kind={payload.get('kind')!r}, expected {kind!r}"

@@ -69,3 +69,28 @@ class TestRunHeadlineAndOutput:
         for timings in ({}, {"a": 1.0}, {"a": 1.0, "b": 2.0}):
             out = build_output(timings, {"x": "boom"}, sf=0.1)
             assert out["comparable"] is False and out["partial"] is True
+
+
+class TestCalibration:
+    """Round-7: boot-to-boot VM variance (measured ±40 % on identical
+    code) broke cross-round comparability of raw seconds — the bench now
+    times a fixed pure-CPU job and reports machine-normalized ratios."""
+
+    def test_calibrate_returns_positive_seconds(self, spark):
+        from bench import calibrate
+
+        c = calibrate(spark, trials=1, rows=1_000_000)
+        assert isinstance(c, float) and c > 0
+
+    def test_output_carries_raw_and_normalized(self):
+        out = build_output({"a": 2.0, "b": 4.0}, {}, sf=0.1, calibration_sec=2.0)
+        assert out["calibration_sec"] == 2.0
+        assert out["value"] == 6.0  # raw seconds stay the driver metric
+        assert out["value_normalized"] == 3.0
+        assert out["queries_normalized"] == {"a": 1.0, "b": 2.0}
+
+    def test_no_calibration_keeps_legacy_schema(self):
+        out = build_output({"a": 1.0}, {}, sf=0.1)
+        assert "calibration_sec" not in out
+        assert "queries_normalized" not in out
+        assert "value_normalized" not in out

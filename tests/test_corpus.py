@@ -687,3 +687,85 @@ class TestGlobalQualityRank:
         out = global_quality_rank(df, F.col("q"), deciles=10)
         sizes = [r["count"] for r in out.groupBy("decile").count().orderBy("decile").collect()]
         assert sum(sizes) == 103 and max(sizes) - min(sizes) <= 1
+
+    def test_out_of_range_quality_clamps_with_exact_order(self, spark):
+        """Quality outside [0,1] lands in the first/last bin but keeps its
+        EXACT global position (within-bin ordering uses the raw value):
+        before the two-sided clamp, quality in (-1/n_bins, 0) floored to
+        bin -1 and silently collided with the NULL sentinel."""
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        qualities = [-0.0004, 1.7, 0.95, -0.5, 0.0005, None, 2.3]
+        df = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qualities)], "doc_id long, q double"
+        )
+        got = {
+            r.doc_id: r.rank
+            for r in global_quality_rank(df, F.col("q"), n_bins=1024).collect()
+        }
+        assert got == self._naive(df, "q")
+
+    def test_nan_quality_routes_to_trailing_bin(self, spark):
+        """NaN quality means "no usable score": it ranks in the trailing
+        bin alongside NULL instead of crashing the driver-side bin sort
+        (floor(NaN) casts to a NULL bin -> TypeError on -None before the
+        fix) or floating to rank 1 (NaN > every double in Spark's sort)."""
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        df = spark.createDataFrame(
+            [(1, 0.9), (2, float("nan")), (3, 0.1), (4, None)],
+            "doc_id long, q double",
+        )
+        got = {
+            r.doc_id: r.rank
+            for r in global_quality_rank(df, F.col("q"), n_bins=16).collect()
+        }
+        assert got[1] == 1 and got[3] == 2
+        assert {got[2], got[4]} == {3, 4}
+
+
+class TestSinglePassUpstream:
+    """The histogram-offset operators trigger a driver-side collect AND
+    return a plan over the same input: without the internal persist the
+    caller's upstream pipeline would execute once per consumer (the exact
+    issue graph.connected_components fixes with its eager checkpoint).
+    An accumulator-instrumented upstream counts real evaluations."""
+
+    def _instrumented(self, spark, rows, schema):
+        acc = spark.sparkContext.accumulator(0)
+
+        def counting(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        df = (
+            spark.createDataFrame(rows, schema)
+            .repartition(4)
+            .mapInPandas(counting, schema)
+        )
+        return df, acc
+
+    def test_global_quality_rank_single_upstream_pass(self, spark):
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        df, acc = self._instrumented(
+            spark,
+            [(i, (i % 13) / 13) for i in range(200)],
+            "doc_id long, q double",
+        )
+        out = global_quality_rank(df, F.col("q"), n_bins=16, deciles=10)
+        assert out.count() == 200
+        assert acc.value == 200, f"upstream ran {acc.value / 200:.1f}x"
+
+    def test_token_budget_single_upstream_pass(self, spark):
+        from ctcityscraper_spark.operators.corpus import token_budget_selection
+
+        df, acc = self._instrumented(
+            spark,
+            [(i, "word " * (i % 7 + 1)) for i in range(120)],
+            "doc_id long, text string",
+        )
+        out = token_budget_selection(df, budget_tokens=150)
+        out.collect()
+        assert acc.value == 120, f"upstream ran {acc.value / 120:.1f}x"

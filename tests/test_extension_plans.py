@@ -446,6 +446,55 @@ class TestKeepBestPlan:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
 
+    def test_broadcast_gate_falls_back_to_shuffle_join(self, spark):
+        """Above ``broadcast_max_nodes`` the explicit broadcast hint must
+        disappear: crawl corpora run 30-50 % duplication, so components
+        can be a large fraction of the corpus and a forced broadcast OOMs
+        the executors instead of degrading. With the auto-broadcast
+        thresholds disabled (so ONLY the explicit hint could produce a
+        BroadcastHashJoin), the above-gate plan must be a SortMergeJoin
+        and the below-gate plan must still broadcast — with identical
+        results. In production the thresholds stay on, so AQE may still
+        *choose* to broadcast a small un-hinted side; the gate only stops
+        the library from FORCING it."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import keep_best_representative
+
+        docs = spark.createDataFrame(
+            [(i, float(i % 10) / 10) for i in range(40)], "doc_id long, q double"
+        )
+        comps = spark.createDataFrame(
+            [(i, i // 4 * 4) for i in range(40)], "node long, component long"
+        )
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        for k in saved:
+            spark.conf.set(k, "-1")
+        try:
+            lo = keep_best_representative(
+                docs, comps, F.col("q"), broadcast_max_nodes=1_000_000
+            )
+            hi = keep_best_representative(
+                docs, comps, F.col("q"), broadcast_max_nodes=10
+            )
+            plan_lo = lo._jdf.queryExecution().executedPlan().toString()
+            plan_hi = hi._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan_lo
+            assert "BroadcastHashJoin" not in plan_hi
+            assert "SortMergeJoin" in plan_hi
+            assert sorted(map(tuple, lo.collect())) == sorted(
+                map(tuple, hi.collect())
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
 
 class TestGlobalRankPlan:
     def test_rank_avoids_global_sort(self, spark):

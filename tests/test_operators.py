@@ -173,6 +173,42 @@ class TestIvfAnn:
         # random embeddings are the hardest case for IVF; demand >=1/3 recall
         assert hits / len(exact) >= 0.33
 
+    def test_kmeans_recall_at_least_hash_picked(self, spark):
+        """The driver-verified ann_ivf_recall audit necessarily uses
+        hash-picked centroids (DuckDB must reproduce them bit-for-bit);
+        this pins the BETTER quantizer's advantage so a k-means
+        regression can't hide behind the oracle: on the same fixture at
+        equal n_probe, k-means-IVF recall@5 must be >= hash-picked
+        recall@5. Deterministic fixture + seeded k-means => stable."""
+        from ctcityscraper_spark.operators.similarity import (
+            hash_pick_centroids,
+            ivf_flat_topk,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact: dict = {}
+        for r in cosine_topk(emb, queries, k=5).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def recall(rows) -> float:
+            got: dict = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            hits = sum(len(got.get(q, set()) & n) for q, n in exact.items())
+            return hits / sum(len(n) for n in exact.values())
+
+        km = recall(
+            ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2).collect()
+        )
+        hp = recall(
+            ivf_flat_topk(
+                emb, queries, hash_pick_centroids(emb, 8), k=5, n_probe=2
+            ).collect()
+        )
+        assert km >= hp, f"k-means recall {km} < hash-picked {hp}"
+
 
     def test_stored_index_roundtrip_matches_inline(self, spark, tmp_path):
         """The production shape: build once, persist (parquet + JSON
@@ -781,3 +817,44 @@ class TestAnnSidecars:
         assert load_vectors_json(path, "ivf_centroids") == ctrs
         with _pytest.raises(ValueError, match="kind"):
             load_vectors_json(path, "pq_codebook")
+
+    def test_torn_sidecar_raises_descriptive_valueerror(self, tmp_path):
+        """A truncated/unparseable sidecar (crash on a filesystem without
+        the fsync guarantees) must raise the SAME descriptive ValueError
+        as the kind/shape checks — not a raw JSONDecodeError."""
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import (
+            load_vectors_json,
+            save_vectors_json,
+        )
+
+        path = tmp_path / "ctr.json"
+        save_vectors_json([[1.0, 2.0]], path, "ivf_centroids")
+        path.write_text('{"kind": "ivf_cent')  # simulate the torn write
+        with _pytest.raises(ValueError, match="torn write"):
+            load_vectors_json(path, "ivf_centroids")
+
+
+class TestVectorizedAnnSchema:
+    def test_empty_and_nonempty_paths_agree_on_string_ids(self, spark):
+        """cosine_topk_vectorized derives its id types from the inputs:
+        string ids come back as strings on BOTH the empty-query early
+        return and the mapInPandas path (the early return used to
+        hard-code longs and silently diverge)."""
+        from ctcityscraper_spark.operators.similarity import (
+            cosine_topk_vectorized,
+        )
+
+        emb = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+            "vec_id string, embedding array<double>",
+        )
+        res = cosine_topk_vectorized(emb, emb, k=2)
+        empty = cosine_topk_vectorized(emb, emb.filter("vec_id = 'zz'"), k=2)
+        assert [(f.name, f.dataType) for f in res.schema.fields] == [
+            (f.name, f.dataType) for f in empty.schema.fields
+        ]
+        rows = {(r.query_id, r.rank): r.neighbor_id for r in res.collect()}
+        assert rows[("a", 1)] == "b" and rows[("c", 1)] == "b"
+        assert empty.count() == 0
