@@ -6,7 +6,10 @@ scale-factor directory:
 
 - documents: NULL text / lang / source / n_chars, empty text, whitespace-only
   text, single-token text, tab-and-unicode text, plus a realistic corpus with
-  exact duplicates so dedup operators have work to do.
+  exact duplicates so dedup operators have work to do — and span-pathological
+  docs (duplicate passages aligned exactly at doc boundaries, width-1 /
+  width-exact texts, repeated-token and single-char-run docs where every
+  in-doc window collides) for the substring-span family.
 - embeddings: a NULL vector, an all-zero vector (zero norm — the classic
   NaN-cosine producer) and a NaN-element vector among valid ones, plus a
   NULL label.
@@ -71,6 +74,26 @@ def _adversarial_documents() -> pa.Table:
         (402, "   ", "en", None, 3),            # whitespace-only
         (403, "a", None, "src2", 1),            # single token, NULL lang
         (404, "café 日本語 naïve tab\tsep", "ja", "src3", 24),
+    ]
+    # span-pathological rows (catalog span window = 40 chars): duplicate
+    # passages aligned exactly at doc boundaries, texts one char below /
+    # exactly at the window width, and repeated-token / single-char-run
+    # docs where EVERY in-doc window collides (the island-merge and
+    # doc_cap stress case). All flow through the same Spark-vs-DuckDB
+    # compare as the clean corpus.
+    passage = "SHARED-BOUNDARY-PASSAGE-" + "x1y2z3" * 10          # 84 chars
+    span_rows = [
+        (500, passage + " trailing tail words here"),  # span at doc START
+        (501, "leading words before " + passage),      # span at doc END
+        (502, passage),                                # span IS the doc
+        (503, passage),                                #   (start 0, both)
+        (504, "Q" * 39), (505, "Q" * 39),              # width-1: no span
+        (506, "R" * 40), (507, "R" * 40),              # exactly one window
+        (508, "dup " * 50), (509, "dup " * 50),        # repeated-token doc
+        (510, "a" * 120), (511, "a" * 120 + " tail"),  # single-char run
+    ]
+    rows += [
+        (i, t, ["en", "de"][i % 2], f"src{i % 8}", len(t)) for i, t in span_rows
     ]
     return pa.table(
         {

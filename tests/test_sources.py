@@ -501,6 +501,125 @@ class TestStreaming:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_stream_compact_upto_2")
 
+    def test_streaming_spans_adversarial_batch_boundaries(self, spark, tmp_path):
+        """Adversarial micro-batch boundaries for the incremental span
+        pipeline: a duplicate passage split across batches and aligned
+        exactly at doc boundaries, an EMPTY batch in the middle, width-1
+        texts (zero windows — the batch still has to extend the index
+        without producing spans), and same-batch single-char-run docs
+        where every in-doc window collides. Ground truth is the BATCH
+        operators replayed batch-by-batch offline (incremental vs the
+        strictly-before corpus, plus the within-batch self-pair) — the
+        streaming sink must land exactly that span set, exactly once,
+        including after a checkpoint replay."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import (
+            duplicate_substring_spans,
+            incremental_substring_spans,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            stream_from_directory,
+            streaming_incremental_spans,
+        )
+
+        P = "BOUNDARY-SPAN-MARKER-0123456789-ABCDEFGHIJ"  # 42 chars, w=20
+        schema = "doc_id long, text string"
+        batches = [
+            [(1, "lead words padding then " + P)],       # P at doc END
+            [],                                          # EMPTY batch
+            [(2, P + " trailing tail"), (3, "Q" * 19)],  # P at doc START;
+                                                         # width-1 text
+            [(4, "a" * 60), (5, "a" * 60),               # in-batch run dups
+             (6, "sub " + P[:20] + " other")],           # single-window hit
+            [(7, "Q" * 19)],                             # zero-window batch
+        ]
+        src = tmp_path / "incoming"
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)  # file-source ordering is by modification time
+
+        # ground truth: batch operators replayed over the same boundaries
+        out_cols = [
+            "new_doc", "corpus_doc", "start_new", "start_corpus",
+            "span_len", "n_windows",
+        ]
+        expected: set = set()
+        corpus: list = []
+        for rows in batches:
+            if not rows:
+                continue
+            bdf = spark.createDataFrame(rows, schema)
+            if corpus:
+                inc = incremental_substring_spans(
+                    bdf,
+                    spark.createDataFrame(corpus, schema),
+                    width=20,
+                    bucket_by_hash=True,
+                )
+                expected |= {
+                    tuple(r) for r in inc.select(*out_cols).collect()
+                }
+            within = duplicate_substring_spans(
+                bdf, width=20, bucket_by_hash=True
+            ).select(
+                F.col("doc_b").alias("new_doc"),
+                F.col("doc_a").alias("corpus_doc"),
+                F.col("start_b").alias("start_new"),
+                F.col("start_a").alias("start_corpus"),
+                "span_len",
+                "n_windows",
+            )
+            expected |= {tuple(r) for r in within.collect()}
+            corpus += rows
+
+        # sanity on the fixture itself: the cross-batch boundary pair, the
+        # single-window probe hits, and the in-batch run dup all exist;
+        # the width-1 docs never pair
+        got_pairs = {(a, b) for a, b, *_ in expected}
+        assert (2, 1) in got_pairs and (5, 4) in got_pairs
+        assert {(6, 1), (6, 2)} <= got_pairs
+        assert not any(3 in p or 7 in p for p in got_pairs)
+
+        kwargs = dict(
+            docs_dir=str(tmp_path / "docs"),
+            index_dir=str(tmp_path / "index"),
+            spans_dir=str(tmp_path / "spans"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            width=20,
+        )
+        q = streaming_incremental_spans(
+            stream_from_directory(
+                spark, str(src), spark.createDataFrame(batches[0], schema).schema,
+                max_files_per_trigger=1,
+            ),
+            **kwargs,
+        )
+        q.awaitTermination(180)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "spans"))
+            .select(*out_cols)
+            .collect()
+        }
+        assert got == expected
+
+        # checkpoint replay: exactly once, even across the empty and
+        # zero-window batches
+        q2 = streaming_incremental_spans(
+            stream_from_directory(
+                spark, str(src), spark.createDataFrame(batches[0], schema).schema,
+                max_files_per_trigger=1,
+            ),
+            **kwargs,
+        )
+        q2.awaitTermination(180)
+        assert spark.read.parquet(str(tmp_path / "spans")).count() == len(expected)
+
     def test_streaming_dedup_drops_in_horizon_dups(self, spark, tmp_path):
         """dropDuplicatesWithinWatermark: duplicate event_ids inside the
         watermark horizon collapse to one row; state stays bounded."""
