@@ -984,9 +984,14 @@ def global_quality_rank(
 
     q = quality if not isinstance(quality, str) else F.col(quality)
     qd = q.cast("double")
+    # clamp the DOUBLE before floor: clamping first is monotone (exact
+    # global order preserved — within-bin ordering uses the raw _q) and
+    # it is what makes +/-Infinity safe under ANSI mode, where
+    # floor(inf).cast("int") throws CAST_OVERFLOW instead of binning
     b = F.when(qd.isNull() | F.isnan(qd), F.lit(-1)).otherwise(
         F.least(
-            F.greatest(F.floor(qd * n_bins), F.lit(0)).cast("int"),
+            F.floor(F.greatest(F.least(qd, F.lit(1.0)), F.lit(0.0)) * n_bins)
+            .cast("int"),
             F.lit(n_bins - 1),
         )
     )
@@ -1007,8 +1012,20 @@ def global_quality_rank(
         total += r["n"]
     spark = df.sparkSession
     if not offs:
+        from pyspark.sql.types import LongType, StructField, StructType
+
         binned.unpersist()
-        out = spark.createDataFrame([], f"{id_col} long, rank long")
+        # id keeps its INPUT type (string ids stay strings) so the empty
+        # path's schema matches the non-empty path's
+        out = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, df.schema[id_col].dataType, True),
+                    StructField("rank", LongType(), True),
+                ]
+            ),
+        )
         return out.withColumn("decile", F.lit(None).cast("int")) if deciles else out
     off_df = spark.createDataFrame(offs, "_bin int, _off long")
     w = Window.partitionBy("_bin").orderBy(F.col("_q").desc_nulls_last(), id_col)

@@ -99,6 +99,12 @@ def cosine_topk(
     NULL / NULL-element / zero-norm vectors are excluded on both sides
     (:func:`valid_vectors` — cosine is undefined for them; the SQL
     oracles carry the same predicate).
+
+    The gate's two counts re-execute whatever plan feeds ``corpus`` /
+    ``queries`` before the query itself runs — if either is the tail of
+    an expensive pipeline, persist it first (or pass ``max_pairs=0``);
+    the counts then read the materialized blocks instead of re-running
+    the upstream.
     """
     corpus = valid_vectors(corpus, vec)
     queries = valid_vectors(queries, vec)

@@ -17,10 +17,10 @@ scale-factor directory:
   JSON props, a window-boundary timestamp, a negative value, and
   exact-duplicate timestamps (tie-break stress for every ORDER BY ts
   window: sessionization, SCD2 versioning, as-of, LOCF).
-- orders / lineitem / customer: NULL join keys (the NOT IN vs NOT EXISTS
-  trap), orphan foreign keys, NULL measures / dates / group-by columns,
-  negative amounts — appended to the clean rows so FK-dependent queries
-  keep their real data.
+- orders / lineitem / customer / part / supplier / nation / region: NULL
+  join keys (the NOT IN vs NOT EXISTS trap), orphan foreign keys, NULL
+  measures / dates / group-by and dimension names, negative amounts —
+  appended to the clean rows so FK-dependent queries keep their real data.
 
 Also exercises fully-empty corpora / query sets (the first micro-batch of
 a new pipeline) against every document and embedding operator.
@@ -223,6 +223,15 @@ def _hostile_relational(table: str) -> pa.Table:
             "s_nationkey": [None, 999],          # NULL + orphan FK
             "s_acctbal": [None, -1.0],
         },
+        "nation": {
+            "n_nationkey": [900040, 900041],
+            "n_name": [None, "hostile nation"],   # NULL group-by name
+            "n_regionkey": [None, 777],           # NULL + orphan region FK
+        },
+        "region": {
+            "r_regionkey": [900050],
+            "r_name": [None],                     # NULL dim name
+        },
     }[table]
     schema = base.schema
     extra = pa.table(
@@ -238,7 +247,8 @@ def adv_dir(tmp_path_factory) -> str:
     pq.write_table(_adversarial_documents(), d / "documents.parquet")
     pq.write_table(_adversarial_embeddings(), d / "embeddings.parquet")
     pq.write_table(_adversarial_events(), d / "events.parquet")
-    for t in ("orders", "lineitem", "customer", "part", "supplier"):
+    for t in ("orders", "lineitem", "customer", "part", "supplier",
+              "nation", "region"):
         pq.write_table(_hostile_relational(t), d / f"{t}.parquet")
     for name in TABLE_NAMES:
         dst = d / f"{name}.parquet"
@@ -264,6 +274,7 @@ def _targets() -> list[str]:
             for t in (
                 "documents", "embeddings", "events",
                 "orders", "lineitem", "customer", "part", "supplier",
+                "nation", "region",
             )
         ):
             names.append(name)

@@ -723,6 +723,40 @@ class TestGlobalQualityRank:
         assert got[1] == 1 and got[3] == 2
         assert {got[2], got[4]} == {3, 4}
 
+    def test_infinite_quality_clamps_instead_of_ansi_overflow(self, spark):
+        """+/-Infinity must clamp into the extreme bins (keeping exact
+        order via the raw value): the double is clamped BEFORE floor,
+        because floor(inf).cast("int") throws CAST_OVERFLOW under
+        Spark 4's ANSI mode."""
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        df = spark.createDataFrame(
+            [(1, float("inf")), (2, 0.5), (3, float("-inf")), (4, 1.7)],
+            "doc_id long, q double",
+        )
+        got = {
+            r.doc_id: r.rank
+            for r in global_quality_rank(df, F.col("q"), n_bins=16).collect()
+        }
+        assert got == {1: 1, 4: 2, 2: 3, 3: 4}
+
+    def test_empty_and_nonempty_schemas_agree_on_string_ids(self, spark):
+        """The empty-input early return derives the id type from the
+        input (it used to hard-code long), so callers with string doc
+        ids get one stable schema either way."""
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        full = spark.createDataFrame(
+            [("a", 0.5), ("b", 0.9)], "doc_id string, q double"
+        )
+        r_full = global_quality_rank(full, F.col("q"), n_bins=8)
+        r_empty = global_quality_rank(full.filter("q > 10"), F.col("q"), n_bins=8)
+        assert [(f.name, f.dataType) for f in r_full.schema.fields] == [
+            (f.name, f.dataType) for f in r_empty.schema.fields
+        ]
+        assert r_empty.count() == 0
+        assert {r.doc_id: r.rank for r in r_full.collect()} == {"b": 1, "a": 2}
+
 
 class TestSinglePassUpstream:
     """The histogram-offset operators trigger a driver-side collect AND

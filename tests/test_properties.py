@@ -229,3 +229,57 @@ class TestValidVectorPredicateParity:
         )
         con.close()
         assert got_spark == got_duck, (vecs, got_spark, got_duck)
+
+
+class TestGlobalRankTotality:
+    """global_quality_rank over ARBITRARY doubles: any mix of NaN,
+    +/-Infinity, subnormals, negatives and out-of-range values must
+    produce the exact ranking of the documented contract — usable values
+    by raw quality DESC (clamping is monotone, so out-of-range keeps its
+    exact position), then NaN, then NULL, ids breaking every tie — and
+    never throw (ANSI floor/cast overflow was a real crash for inf)."""
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        qs=st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_rank_matches_python_model(self, spark, qs):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import global_quality_rank
+
+        df = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qs)], "doc_id long, q double"
+        )
+        got = {
+            r.doc_id: r.rank
+            for r in global_quality_rank(
+                df, F.col("q"), n_bins=8, deciles=None
+            ).collect()
+        }
+
+        def key(item):
+            i, q = item
+            if q is None:
+                return (2, 0.0, i)
+            if math.isnan(q):
+                return (1, 0.0, i)
+            # -q with a 0.0 normalization so -0.0 ties 0.0 like Spark does
+            return (0, -(q + 0.0), i)
+
+        expected = {
+            i: rank + 1
+            for rank, (i, _) in enumerate(sorted(enumerate(qs), key=key))
+        }
+        assert got == expected
