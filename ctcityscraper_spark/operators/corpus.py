@@ -857,6 +857,7 @@ def token_budget_selection(
     id_col: str = "doc_id",
     bins: int = 1000,
     seed: str = "budget",
+    sub_bits: int = 10,
 ) -> DataFrame:
     """Highest-quality documents up to a token budget, without a global sort.
 
@@ -873,15 +874,25 @@ def token_budget_selection(
     (<= bins+1 rows collected to the driver — bounded, never corpus-sized)
     finds which bins are fully inside the budget and which single bin
     straddles it; (2) full bins come back as a filter (no ordering at
-    all), and only the straddling bin (~1/``bins`` of the corpus — raise
-    ``bins`` to tighten) pays a window. Output matches the naive version
-    row-for-row, including the tie where a bin exactly exhausts the
-    budget (such a bin is treated as a straddling bin so a zero-token
-    document sorted at its tail — cumulative-before == budget — is
-    excluded, exactly like ``bef < budget`` in the naive form).
-    Documents with a NULL ``text`` have no quality score and are never
-    selected. Triggers one Spark action at call time (the bin-sum
-    collect). Returns (doc_id, n_tokens, q_bin).
+    all), and only the straddling bin pays ordering work. Output matches
+    the naive version row-for-row, including the tie where a bin exactly
+    exhausts the budget (such a bin is treated as a straddling bin so a
+    zero-token document sorted at its tail — cumulative-before == budget
+    — is excluded, exactly like ``bef < budget`` in the naive form).
+
+    The straddling bin itself gets the SAME treatment one level down: at
+    100 TB it is still ~1/``bins`` of the corpus (~100 GB), and a single
+    global window over it would be one task. Its tie-break key is a
+    UNIFORM hash by construction, so a second histogram over the top
+    ``sub_bits`` bits of ``_h`` (arithmetic shift — monotone in the
+    signed ordering, and a doc_id tie can never cross a sub-bin because
+    equal ``_h`` means equal sub-bin) splits it exactly: full sub-bins by
+    filter, and ONLY the straddling sub-bin — ~1/(bins * 2^sub_bits) of
+    the corpus — pays the window. No single-partition sort anywhere at
+    any realistic scale. Documents with a NULL ``text`` have no quality
+    score and are never selected. Triggers two Spark actions at call
+    time (the bin-sum and sub-bin-sum collects, both over the persisted
+    token frame). Returns (doc_id, n_tokens, q_bin).
     """
     from pyspark.sql import Window
 
@@ -926,18 +937,49 @@ def token_budget_selection(
     if full_bins:
         selected = toks.filter(F.col("q_bin").isin(full_bins)).select(*out_cols)
     if boundary is not None:
-        w = Window.orderBy("_h", "doc_id").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        part = (
-            toks.filter(F.col("q_bin") == boundary)
-            .withColumn(
-                "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        part_toks = toks.filter(F.col("q_bin") == boundary)
+        shift = 64 - sub_bits
+        sub = F.shiftright("_h", shift)
+        sub_sums = {
+            r["_sub"]: r["s"]
+            for r in part_toks.groupBy(sub.alias("_sub"))
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()
+        }
+        # selection order inside the bin is _h ASC, so walk sub-bins
+        # ascending; the exact-fit rule mirrors the outer loop (strict <)
+        # for the same zero-token-tail reason
+        full_subs: list[int] = []
+        sub_boundary = None
+        sub_remaining = remaining
+        scum = 0
+        for sb in sorted(sub_sums):
+            s = sub_sums[sb]
+            if scum + s < remaining:
+                full_subs.append(sb)
+                scum += s
+                continue
+            if scum < remaining:
+                sub_boundary = sb
+                sub_remaining = remaining - scum
+            break
+        if full_subs:
+            selected = selected.unionByName(
+                part_toks.filter(sub.isin(full_subs)).select(*out_cols)
             )
-            .filter(F.col("_before") < remaining)
-            .select(*out_cols)
-        )
-        selected = selected.unionByName(part)
+        if sub_boundary is not None:
+            w = Window.orderBy("_h", "doc_id").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            tail = (
+                part_toks.filter(sub == sub_boundary)
+                .withColumn(
+                    "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                )
+                .filter(F.col("_before") < sub_remaining)
+                .select(*out_cols)
+            )
+            selected = selected.unionByName(tail)
     return selected
 
 

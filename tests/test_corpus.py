@@ -643,6 +643,64 @@ class TestTokenBudget:
         assert got == naive and len(got) > 0
 
 
+class TestTokenBudgetSubRefinement:
+    def test_single_bin_corpus_exercises_sub_histogram(self, spark):
+        """All docs share ONE quality bin, so the whole selection rides
+        the second-level hash-prefix histogram (full sub-bins by filter +
+        one windowed straddling sub-bin). With sub_bits=2 the 4 sub-bins
+        each hold many docs, forcing both the full-sub and straddling-sub
+        paths; the result must still equal the naive global sort, and be
+        identical across sub_bits settings."""
+        from pyspark.sql import Window
+
+        from ctcityscraper_spark.operators.corpus import (
+            BPE_SPLIT_RE,
+            token_budget_selection,
+        )
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.text import quality_score_col
+
+        # identical text length/shape => identical quality => one q_bin
+        docs = spark.createDataFrame(
+            [(i, "tok " * 5) for i in range(80)], "doc_id long, text string"
+        )
+        budget = 200  # 80 docs x 5 tokens = 400: budget lands mid-bin
+        got = {
+            r.doc_id
+            for r in token_budget_selection(docs, budget, sub_bits=2).collect()
+        }
+        coarse = {
+            r.doc_id
+            for r in token_budget_selection(docs, budget, sub_bits=10).collect()
+        }
+        assert got == coarse
+        # naive reference: global sort by (q_bin desc, _h, doc_id)
+        naive = (
+            docs.select(
+                "doc_id",
+                F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0))
+                .cast("long")
+                .alias("n_tokens"),
+                F.floor(quality_score_col("text") * 1000).cast("int").alias("q_bin"),
+                hash64(F.col("doc_id"), "budget").alias("_h"),
+            )
+            .withColumn(
+                "_before",
+                F.coalesce(
+                    F.sum("n_tokens").over(
+                        Window.orderBy(
+                            F.col("q_bin").desc(), "_h", "doc_id"
+                        ).rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .filter(F.col("_before") < budget)
+        )
+        assert got == {r.doc_id for r in naive.collect()}
+        assert len(got) == 40  # 200 budget / 5 tokens each
+
+
 class TestGlobalQualityRank:
     """global_quality_rank must equal the naive global-sort ROW_NUMBER on
     every distribution — including the degenerate ones the histogram path
