@@ -898,6 +898,10 @@ def token_budget_selection(
 
     from ctcityscraper_spark.operators.text import quality_score_col
 
+    if not 1 <= sub_bits <= 32:
+        # JVM shifts are mod-64: sub_bits=0 would silently become a
+        # 0-bit shift (every doc its own sub-bin -> an unbounded collect)
+        raise ValueError(f"sub_bits must be in [1, 32], got {sub_bits}")
     # persist BEFORE the bin-sum collect: toks embeds the caller's
     # upstream plan and is consumed up to three times (the collect, the
     # full-bins filter, the straddling-bin window) — without this an
@@ -986,7 +990,7 @@ def token_budget_selection(
 def global_quality_rank(
     df: DataFrame,
     quality,
-    n_bins: int = 1024,
+    n_bins: int = 8192,
     id_col: str = "doc_id",
     deciles: int | None = 10,
 ) -> DataFrame:
@@ -1017,7 +1021,11 @@ def global_quality_rank(
     ordering row-for-row (oracled against ROW_NUMBER() OVER (ORDER BY q
     DESC NULLS LAST, id)). Skew caveat: a single bin holding most of the
     corpus degrades toward the sort it replaces — raise ``n_bins`` (the
-    histogram costs the same one aggregate).
+    histogram costs the same one aggregate; the driver collect and the
+    broadcast offset frame stay tiny at any sane setting — the 8192
+    default is <1 MB). The irreducible case is a corpus where most rows
+    share ONE exact quality value: no value-based split can separate
+    ties, and the tied mass lands in one window partition ordered by id.
 
     With ``deciles=k``, also emits the k-quantile bucket from the driver-
     known total count (floor((rank-1)*k/N)+1) for curriculum staging.

@@ -700,6 +700,17 @@ class TestTokenBudgetSubRefinement:
         assert got == {r.doc_id for r in naive.collect()}
         assert len(got) == 40  # 200 budget / 5 tokens each
 
+    def test_sub_bits_out_of_range_raises(self, spark):
+        """JVM shifts are mod-64, so sub_bits=0 would silently become a
+        0-bit shift (every doc its own sub-bin, unbounded driver collect)
+        — the guard must refuse instead."""
+        from ctcityscraper_spark.operators.corpus import token_budget_selection
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        for bad in (0, -1, 33):
+            with pytest.raises(ValueError, match="sub_bits"):
+                token_budget_selection(docs, 10, sub_bits=bad)
+
 
 class TestGlobalQualityRank:
     """global_quality_rank must equal the naive global-sort ROW_NUMBER on
