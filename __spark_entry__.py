@@ -76,6 +76,13 @@ DRIVER_PRIORITY = [
     "dedup_incremental_exact", "ann_ivf_recall", "ann_pq_recall",
     "dedup_keep_best", "corpus_quality_deciles",
 ]
+# Still never driver-verified after this round's window (rotate IN next
+# round, swapping out multi-verified rows): ann_int8_topk,
+# ann_srp_multiprobe_topk, approx_aggregates_check,
+# corpus_boilerplate_segments, corpus_contamination,
+# corpus_mixture_resample, corpus_pii_scrub, corpus_repetition_signals,
+# corpus_sample_k_per_group, corpus_shard_stats, corpus_stratified_sample,
+# multimodal_frame_sample, text_top_bigrams.
 
 
 def _ordered(catalog: dict) -> dict:

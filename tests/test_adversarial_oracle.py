@@ -319,6 +319,11 @@ def test_empty_corpus_operators(spark):
         corpus.token_budget_selection(empty, 1000),
         corpus.duplicate_substring_spans(empty),
         corpus.global_quality_rank(empty, F.length("text") / 1000.0),
+        dedup.keep_best_representative(
+            empty,
+            spark.createDataFrame([], "node long, component long"),
+            F.length("text") / 1000.0,
+        ),
         empty.select(text.quality_score_col("text"), text.lang_id_col("text")),
     ]
     for df in outs:
