@@ -82,7 +82,14 @@ def extract_features(
                 out["feature"].append([float(x) for x in d.get("feature", [])])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+    # NULL payloads are excluded JVM-side before the Arrow boundary (same
+    # policy as similarity.valid_vectors): a 100 TB lake contains them,
+    # and bytes(None) would crash the whole batch inside the UDF
+    return (
+        df.select(id_col, payload_col)
+        .filter(F.col(payload_col).isNotNull())
+        .mapInPandas(run, FEATURE_SCHEMA)
+    )
 
 
 def _optional_pillow_decoder() -> Decoder | None:
@@ -183,7 +190,12 @@ def sample_frames(
                     out["feature"].append([float(x) for x in fr["feature"]])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+    # NULL payloads excluded JVM-side — see extract_features
+    return (
+        df.select(id_col, payload_col)
+        .filter(F.col(payload_col).isNotNull())
+        .mapInPandas(run, FRAME_SCHEMA)
+    )
 
 
 def _optional_pyav_frame_decoder() -> FrameDecoder | None:

@@ -209,6 +209,25 @@ class TestMultimodal:
         assert len(out.content_md5) == 32
         assert out.media_type == "text/plain"
 
+    def test_null_payload_rows_are_excluded_not_crashing(self, spark):
+        """NULL binary payloads (a 100 TB lake always has some) must be
+        dropped JVM-side before the Arrow boundary — bytes(None) inside
+        the UDF would kill the whole batch. Empty payloads still decode."""
+        from ctcityscraper_spark.operators.multimodal import (
+            deterministic_fake_decoder,
+            deterministic_fake_frame_decoder,
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"hello")), (2, None), (3, bytearray(b""))],
+            "doc_id long, payload binary",
+        )
+        feats = extract_features(df, deterministic_fake_decoder).collect()
+        assert sorted(r.doc_id for r in feats) == [1, 3]
+        frames = sample_frames(df, deterministic_fake_frame_decoder).collect()
+        assert sorted({r.doc_id for r in frames}) == [1, 3]
+
     def test_decoder_stub_raises_without_decoder(self, spark):
         # decoder=None auto-resolves to Pillow where installed; only when
         # it is absent must the call raise the clearly-marked stub error
