@@ -82,12 +82,13 @@ def extract_features(
                 out["feature"].append([float(x) for x in d.get("feature", [])])
             yield pd.DataFrame(out)
 
-    # NULL payloads are excluded JVM-side before the Arrow boundary (same
-    # policy as similarity.valid_vectors): a 100 TB lake contains them,
-    # and bytes(None) would crash the whole batch inside the UDF
+    # NULL payloads and NULL ids are excluded JVM-side before the Arrow
+    # boundary (same policy as similarity.valid_vectors): a 100 TB lake
+    # contains both, and bytes(None) / int(None) would crash the whole
+    # batch inside the UDF
     return (
         df.select(id_col, payload_col)
-        .filter(F.col(payload_col).isNotNull())
+        .filter(F.col(payload_col).isNotNull() & F.col(id_col).isNotNull())
         .mapInPandas(run, FEATURE_SCHEMA)
     )
 
@@ -190,10 +191,10 @@ def sample_frames(
                     out["feature"].append([float(x) for x in fr["feature"]])
             yield pd.DataFrame(out)
 
-    # NULL payloads excluded JVM-side — see extract_features
+    # NULL payloads / ids excluded JVM-side — see extract_features
     return (
         df.select(id_col, payload_col)
-        .filter(F.col(payload_col).isNotNull())
+        .filter(F.col(payload_col).isNotNull() & F.col(id_col).isNotNull())
         .mapInPandas(run, FRAME_SCHEMA)
     )
 

@@ -220,7 +220,8 @@ class TestMultimodal:
         )
 
         df = spark.createDataFrame(
-            [(1, bytearray(b"hello")), (2, None), (3, bytearray(b""))],
+            [(1, bytearray(b"hello")), (2, None), (3, bytearray(b"")),
+             (None, bytearray(b"x"))],
             "doc_id long, payload binary",
         )
         feats = extract_features(df, deterministic_fake_decoder).collect()
