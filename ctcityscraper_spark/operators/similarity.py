@@ -379,7 +379,19 @@ def ivf_probe_topk(
     b_centroids = sc.broadcast(ctrs_arr)
     n_probe = min(n_probe, len(centroids))
 
-    queries = valid_vectors(queries, vec)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    # NULL ids are excluded at entry (int(None) would kill the Arrow
+    # batch; downstream the query_id != neighbor_id filter drops them
+    # anyway), and the probe schema derives the id type from the input
+    # so non-long ids round-trip
+    queries = valid_vectors(queries, vec).filter(F.col(id_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
     )
@@ -394,12 +406,21 @@ def ivf_probe_topk(
                 v = np.asarray(qv, dtype=np.float64)
                 d = ((ctrs - v) ** 2).sum(axis=1)
                 for lid in np.argsort(d)[:n_probe]:
-                    out["query_id"].append(int(qid))
+                    out["query_id"].append(qid)
                     out["qv"].append(list(qv))
                     out["list_id"].append(int(lid))
             yield pd.DataFrame(out)
 
-    probed = q.mapInPandas(probe, "query_id long, qv array<double>, list_id int")
+    probed = q.mapInPandas(
+        probe,
+        StructType(
+            [
+                StructField("query_id", queries.schema[id_col].dataType, True),
+                StructField("qv", ArrayType(DoubleType()), True),
+                StructField("list_id", IntegerType(), True),
+            ]
+        ),
+    )
     scored = (
         probed.join(indexed, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -209,6 +209,24 @@ class TestIvfAnn:
         )
         assert km >= hp, f"k-means recall {km} < hash-picked {hp}"
 
+    def test_null_query_id_excluded_not_crashing(self, spark):
+        """A NULL query id with a valid vector must be dropped at entry
+        (int(None) inside the probe UDF killed the whole Arrow batch);
+        the other queries keep their results."""
+        from ctcityscraper_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_probe_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        idx, ctrs = build_ivf_index(emb, n_lists=4)
+        queries = emb.limit(5).withColumn(
+            "vec_id",
+            F.when(F.col("vec_id") == 0, None).otherwise(F.col("vec_id")),
+        )
+        rows = ivf_probe_topk(idx, ctrs, queries, k=3).collect()
+        assert rows and all(r.query_id is not None for r in rows)
+
 
     def test_stored_index_roundtrip_matches_inline(self, spark, tmp_path):
         """The production shape: build once, persist (parquet + JSON
