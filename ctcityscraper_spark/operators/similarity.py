@@ -254,7 +254,10 @@ def cosine_topk_vectorized(
     required. Invalid vectors (NULL / NULL-element / zero-norm) are
     excluded on both sides (:func:`valid_vectors`) — a NULL embedding
     would otherwise break the dense np.stack, and a zero norm would turn
-    a whole similarity block into NaNs.
+    a whole similarity block into NaNs. NULL ids are excluded too: in
+    cosine_topk they vanish through the ``query_id != neighbor_id``
+    filter (NULL comparisons are never true), and the two variants must
+    agree row-for-row on which inputs participate.
     """
     import numpy as np
     import pandas as pd
@@ -265,8 +268,8 @@ def cosine_topk_vectorized(
         StructType,
     )
 
-    corpus = valid_vectors(corpus, vec)
-    queries = valid_vectors(queries, vec)
+    corpus = valid_vectors(corpus, vec).filter(F.col(id_col).isNotNull())
+    queries = valid_vectors(queries, vec).filter(F.col(id_col).isNotNull())
     # id columns keep their INPUT types (long ids stay long, string ids
     # stay string) on BOTH the empty and non-empty paths — a hard-coded
     # "long" here would make the two paths return different schemas for

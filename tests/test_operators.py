@@ -854,6 +854,35 @@ class TestAnnSidecars:
             load_vectors_json(path, "ivf_centroids")
 
 
+class TestVectorizedAnnNullIdParity:
+    def test_null_ids_drop_like_the_exact_twin(self, spark):
+        """cosine_topk drops NULL-id rows through its query_id !=
+        neighbor_id filter (NULL comparisons are never true); the
+        vectorized variant must agree instead of emitting NULL-keyed
+        output rows."""
+        from ctcityscraper_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_vectorized,
+        )
+
+        emb = load_table(spark, SF, "embeddings").limit(20)
+        dirty = emb.withColumn(
+            "vec_id",
+            F.when(F.col("vec_id") % 3 == 0, None).otherwise(F.col("vec_id")),
+        )
+        exact = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in cosine_topk(dirty, dirty, k=3).collect()
+        }
+        fast = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in cosine_topk_vectorized(dirty, dirty, k=3).collect()
+        }
+        assert {q for q, _, _ in fast} == {q for q, _, _ in exact}
+        assert None not in {q for q, _, _ in fast}
+        assert None not in {n for _, _, n in fast}
+
+
 class TestVectorizedAnnSchema:
     def test_empty_and_nonempty_paths_agree_on_string_ids(self, spark):
         """cosine_topk_vectorized derives its id types from the inputs:
