@@ -108,9 +108,15 @@ def connected_components(
     # re-executed for each appearance in round 1 (measured 5x slower).
     spark = edges.sparkSession
     ids_before = persistent_rdd_ids(spark)
-    edges = edges.select(
-        F.col(src).alias(src), F.col(dst).alias(dst)
-    ).localCheckpoint(eager=True)
+    # NULL endpoints drop at entry: the distributed rounds lose them in
+    # the label joins anyway (NULL never equi-joins), and the driver
+    # union-find would otherwise treat None as a real node — the three
+    # size-adaptive paths must agree row-for-row on any input
+    edges = (
+        edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .localCheckpoint(eager=True)
+    )
     n_edges = edges.count()  # count is free: materialized
     if n_edges <= driver_max_edges:
         from pyspark.sql.types import StructField, StructType

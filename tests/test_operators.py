@@ -395,6 +395,30 @@ class TestConnectedComponents:
         assert len(got) == n + 1
 
 
+class TestConnectedComponentsNullEdges:
+    def test_null_endpoints_drop_identically_on_all_paths(self, spark):
+        """Edges with a NULL endpoint must vanish on every size-adaptive
+        path: the distributed rounds lose them in equi-joins anyway, and
+        the driver union-find would otherwise invent a None node — the
+        paths must agree row-for-row."""
+        from ctcityscraper_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (None, 3), (4, None), (5, 6)], "doc_a long, doc_b long"
+        )
+        expected = [(1, 1), (2, 1), (5, 5), (6, 5)]
+        driver = sorted(map(tuple, connected_components(edges).collect()))
+        dist = sorted(
+            map(
+                tuple,
+                connected_components(
+                    edges, driver_max_edges=0, broadcast_max_edges=0
+                ).collect(),
+            )
+        )
+        assert driver == dist == expected
+
+
 class TestSkewHelpers:
     def test_salted_agg_matches_plain(self, spark):
         from ctcityscraper_spark.operators.skew import salted_agg
