@@ -678,6 +678,12 @@ def keep_best_representative(
     text) ranks last in both engines (DESC NULLS LAST). The checkpoint
     backing the returned plan stays persisted (same lifetime contract as
     ``connected_components``' returned labels).
+
+    Skew bound: the window partitions BY COMPONENT, so the largest
+    duplicate cluster sizes one partition (~24 B/member — a 10M-member
+    boilerplate cluster is ~240 MB, fine; clusters in the hundreds of
+    millions would need a min_by-aggregation rewrite that trades the
+    window for a second docs join).
     """
     q = docs.select(F.col(id_col).alias(node_col), quality.alias("_q"))
     components = components.select(node_col, component_col).localCheckpoint(

@@ -236,6 +236,74 @@ def srp_bucket_col(vec, dims: int, bits: int = SRP_BITS):
     return bucket
 
 
+def srp_bucket_vectorized(
+    df: DataFrame,
+    dims: int,
+    bits: int = SRP_BITS,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Numpy twin of :func:`srp_bucket_col` for HIGH-DIMENSIONAL vectors.
+
+    The expression variant embeds ``dims * bits`` double literals in the
+    plan — fine at the 64-dim fixtures, but a production 4096-dim / 16-bit
+    config is 65k literals, which balloons the plan tree and falls out of
+    whole-stage codegen. This computes the same buckets with one Arrow
+    matmul per batch against the identical :func:`plane_weight` matrix
+    (broadcast once, never in the plan). Returns (id, bucket) rows —
+    plug the result in wherever a block/cluster column is accepted
+    (``embedding_neardup_pairs(block=...)``,
+    ``semdedup_drop_list(cluster_col=...)``) via a join, or use it to
+    build a stored bucket index.
+
+    Caveat: matmul sums pairwise while the expression folds left-to-right,
+    so a projection within float-association distance of zero can flip a
+    bit on knife-edge vectors — irrelevant for candidate generation
+    (SRP is approximate by design) but use :func:`srp_bucket_col` where
+    bit-exact oracle parity matters. Invalid vectors and NULL ids are
+    excluded (same entry contract as every embedding operator).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31] for int32 buckets, got {bits}")
+    planes = np.array(
+        [[plane_weight(b, d) for d in range(dims)] for b in range(bits)],
+        dtype=np.float64,
+    )
+    pow2 = (1 << np.arange(bits)).astype(np.int64)
+    cleaned = valid_vectors(df, vec).filter(F.col(id_col).isNotNull())
+    sc = cleaned.sparkSession.sparkContext
+    b_planes = sc.broadcast(planes)
+
+    def run(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec]), dtype=np.float64)
+            proj = mat @ pl.T  # rows x bits
+            buckets = ((proj > 0) @ pow2).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: buckets.astype("int32")})
+
+    return cleaned.select(id_col, vec).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField(id_col, cleaned.schema[id_col].dataType, True),
+                StructField(out_col, IntegerType(), True),
+            ]
+        ),
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

@@ -929,3 +929,66 @@ class TestVectorizedAnnSchema:
         rows = {(r.query_id, r.rank): r.neighbor_id for r in res.collect()}
         assert rows[("a", 1)] == "b" and rows[("c", 1)] == "b"
         assert empty.count() == 0
+
+
+class TestSrpBucketVectorized:
+    def test_matches_expression_variant_on_fixture(self, spark):
+        """The numpy SRP bucketing (the high-dim scale path — the literal
+        expression would embed dims*bits literals in the plan) must agree
+        with srp_bucket_col bucket-for-bucket on the fixture; the only
+        theoretical divergence is a projection within float-association
+        distance of zero, which the fixture's real-magnitude vectors
+        never hit."""
+        from ctcityscraper_spark.operators.similarity import (
+            _as_double,
+            srp_bucket_col,
+            srp_bucket_vectorized,
+            valid_vectors,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        expr = {
+            r.vec_id: r.bucket
+            for r in valid_vectors(emb)
+            .select(
+                "vec_id",
+                srp_bucket_col(_as_double(F.col("embedding")), 64, 8).alias(
+                    "bucket"
+                ),
+            )
+            .collect()
+        }
+        fast = {
+            r.vec_id: r.bucket
+            for r in srp_bucket_vectorized(emb, dims=64, bits=8).collect()
+        }
+        assert fast == expr and len(fast) > 0
+
+    def test_invalid_vectors_and_null_ids_excluded(self, spark):
+        from ctcityscraper_spark.operators.similarity import (
+            srp_bucket_vectorized,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0]),
+                (2, None),               # NULL vector
+                (3, [0.0, 0.0]),         # zero norm
+                (None, [1.0, 1.0]),      # NULL id
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = srp_bucket_vectorized(df, dims=2, bits=4).collect()
+        assert [r.vec_id for r in out] == [1]
+
+    def test_bits_guard(self, spark):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import (
+            srp_bucket_vectorized,
+        )
+
+        df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+        for bad in (0, 32):
+            with _pytest.raises(ValueError, match="bits"):
+                srp_bucket_vectorized(df, dims=1, bits=bad)
