@@ -856,7 +856,11 @@ def pq_encode_col(vec, codebook: list):
 
     Ties take the smallest index (array_position returns the first minimum),
     matching the oracle's ORDER BY d, j. Pure expressions — encoding happens
-    in the scan stage of whatever plan consumes it.
+    in the scan stage of whatever plan consumes it. Plan-size note: the
+    codebook embeds M*K*sub_dim double literals (1k at the 64-dim default
+    — comfortably in codegen); very high-dim configs (4096-dim, M=512)
+    reach ~65k literals and should encode through an Arrow matmul instead,
+    the same pattern as :func:`srp_bucket_vectorized`.
     """
     n_sub, k = len(codebook), len(codebook[0])
     s = len(codebook[0][0])
