@@ -283,3 +283,129 @@ class TestGlobalRankTotality:
             for rank, (i, _) in enumerate(sorted(enumerate(qs), key=key))
         }
         assert got == expected
+
+
+class TestTokenBudgetTotality:
+    """token_budget_selection over ARBITRARY corpora and budgets must
+    equal the naive global-sort greedy prefix — including empty texts,
+    NULL texts, zero-token docs, budgets of 0/1/huge, and corpora small
+    enough that every sub-bin path (full bins, straddling bin, full
+    sub-bins, straddling sub-bin) gets exercised across examples."""
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.one_of(
+                st.none(),
+                st.text(alphabet="ab ", min_size=0, max_size=30),
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+        budget=st.integers(min_value=0, max_value=60),
+        sub_bits=st.sampled_from([1, 2, 10]),
+    )
+    def test_matches_naive_greedy_prefix(self, spark, texts, budget, sub_bits):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.corpus import (
+            BPE_SPLIT_RE,
+            token_budget_selection,
+        )
+        from ctcityscraper_spark.operators.text import quality_score_col
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id
+            for r in token_budget_selection(df, budget, sub_bits=sub_bits).collect()
+        }
+        naive = (
+            df.select(
+                "doc_id",
+                F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0))
+                .cast("long")
+                .alias("n_tokens"),
+                F.floor(quality_score_col("text") * 1000)
+                .cast("int")
+                .alias("q_bin"),
+                hash64(F.col("doc_id"), "budget").alias("_h"),
+            )
+            .filter(F.col("q_bin").isNotNull())
+            .withColumn(
+                "_before",
+                F.coalesce(
+                    F.sum("n_tokens").over(
+                        Window.orderBy(
+                            F.col("q_bin").desc(), "_h", "doc_id"
+                        ).rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .filter(F.col("_before") < budget)
+        )
+        assert got == {r.doc_id for r in naive.collect()}
+
+
+class TestKeepBestTotality:
+    """keep_best_representative over ARBITRARY qualities (NaN, infinities,
+    NULLs, ties) and arbitrary cluster assignments must equal the Python
+    model: per component, keep the member ranked first by quality DESC
+    (Spark ordering: NaN above numbers, NULLs last), ties by id; emit
+    (drop, keep) for every other member. Members without a docs row
+    vanish through the inner join."""
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        qs=st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+            ),
+            min_size=2,
+            max_size=12,
+        ),
+        n_groups=st.integers(min_value=1, max_value=4),
+    )
+    def test_matches_python_model(self, spark, qs, n_groups):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import keep_best_representative
+
+        docs = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qs)], "doc_id long, q double"
+        )
+        comps = spark.createDataFrame(
+            [(i, i % n_groups) for i in range(len(qs))],
+            "node long, component long",
+        )
+        got = {
+            (r.drop_id, r.keep_id)
+            for r in keep_best_representative(docs, comps, F.col("q")).collect()
+        }
+
+        def key(i):
+            q = qs[i]
+            if q is None:
+                return (2, 0.0, i)
+            if math.isnan(q):
+                return (0, 0.0, i)
+            return (1, -(q + 0.0), i)
+
+        expected = set()
+        for g in range(n_groups):
+            members = sorted(
+                (i for i in range(len(qs)) if i % n_groups == g), key=key
+            )
+            expected |= {(i, members[0]) for i in members[1:]}
+        assert got == expected
