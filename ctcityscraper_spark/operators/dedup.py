@@ -609,6 +609,7 @@ def semdedup_drop_list(
     vec: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str | None = None,
+    literal_gate: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via cluster-then-prune.
 
@@ -621,18 +622,36 @@ def semdedup_drop_list(
     ``cluster_col`` plugs in a trained assignment (e.g. KMeans list_id from
     similarity.ivf_topk's indexer); the default derives a deterministic
     ``bits``-bit SRP bucket so the result is oracle-checkable end-to-end —
-    same drop rule, swappable clusterer.
+    same drop rule, swappable clusterer. Above ``literal_gate`` plan
+    literals (dims * bits — the catalog's 64-dim configs sit far below
+    it) the default clusterer auto-switches to the Arrow-matmul SRP path
+    (:func:`similarity.srp_bucket_vectorized` with ``carry_vec`` — one
+    scan, no bucket join back): at 4096-dim/16-bit the literal expression
+    is 65k plan literals and falls out of codegen entirely.
     """
-    from ctcityscraper_spark.operators.similarity import srp_bucket_col, valid_vectors
+    from ctcityscraper_spark.operators.similarity import (
+        SRP_LITERAL_GATE,
+        srp_bucket_col,
+        srp_bucket_vectorized,
+        valid_vectors,
+    )
 
+    if literal_gate is None:
+        literal_gate = SRP_LITERAL_GATE
     df = valid_vectors(df, vec)
     if cluster_col is None:
-        df = df.withColumn(
-            "_semcluster",
-            srp_bucket_col(
-                F.transform(F.col(vec), lambda x: x.cast("double")), dims, bits
-            ),
-        )
+        if dims * bits <= literal_gate:
+            df = df.withColumn(
+                "_semcluster",
+                srp_bucket_col(
+                    F.transform(F.col(vec), lambda x: x.cast("double")), dims, bits
+                ),
+            )
+        else:
+            df = srp_bucket_vectorized(
+                df, dims, bits, vec=vec, id_col=id_col,
+                out_col="_semcluster", carry_vec=True,
+            )
         cluster_col = "_semcluster"
     pairs = embedding_neardup_pairs(
         df, vec=vec, id_col=id_col, threshold=threshold, block=cluster_col

@@ -236,6 +236,13 @@ def srp_bucket_col(vec, dims: int, bits: int = SRP_BITS):
     return bucket
 
 
+# literal-count gate above which SRP bucketing auto-switches from the
+# plan-embedded expression (dims * bits double literals) to the Arrow
+# matmul path — 4096 literals is comfortably inside codegen, a 4096-dim
+# 16-bit config (65k) is not
+SRP_LITERAL_GATE = 4096
+
+
 def srp_bucket_vectorized(
     df: DataFrame,
     dims: int,
@@ -243,6 +250,7 @@ def srp_bucket_vectorized(
     vec: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "bucket",
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Numpy twin of :func:`srp_bucket_col` for HIGH-DIMENSIONAL vectors.
 
@@ -263,10 +271,17 @@ def srp_bucket_vectorized(
     (SRP is approximate by design) but use :func:`srp_bucket_col` where
     bit-exact oracle parity matters. Invalid vectors and NULL ids are
     excluded (same entry contract as every embedding operator).
+
+    ``carry_vec`` also emits the double-cast vector column, so a consumer
+    that needs both the bucket and the vector (e.g. the SemDeDup pair
+    join) gets them from ONE scan instead of joining buckets back onto
+    the source.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
         IntegerType,
         StructField,
         StructType,
@@ -291,17 +306,18 @@ def srp_bucket_vectorized(
             mat = np.array(list(pdf[vec]), dtype=np.float64)
             proj = mat @ pl.T  # rows x bits
             buckets = ((proj > 0) @ pow2).astype(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col], out_col: buckets.astype("int32")})
+            out = {id_col: pdf[id_col], out_col: buckets.astype("int32")}
+            if carry_vec:
+                out[vec] = [list(row) for row in mat]
+            yield pd.DataFrame(out)
 
-    return cleaned.select(id_col, vec).mapInPandas(
-        run,
-        StructType(
-            [
-                StructField(id_col, cleaned.schema[id_col].dataType, True),
-                StructField(out_col, IntegerType(), True),
-            ]
-        ),
-    )
+    fields = [
+        StructField(id_col, cleaned.schema[id_col].dataType, True),
+        StructField(out_col, IntegerType(), True),
+    ]
+    if carry_vec:
+        fields.append(StructField(vec, ArrayType(DoubleType()), True))
+    return cleaned.select(id_col, vec).mapInPandas(run, StructType(fields))
 
 
 def cosine_topk_vectorized(

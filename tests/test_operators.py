@@ -992,3 +992,24 @@ class TestSrpBucketVectorized:
         for bad in (0, 32):
             with _pytest.raises(ValueError, match="bits"):
                 srp_bucket_vectorized(df, dims=1, bits=bad)
+
+    def test_semdedup_vectorized_path_matches_expression_path(self, spark):
+        """Forcing the high-dim Arrow SRP path (literal_gate=0) must
+        yield the same drop list as the default literal-expression
+        clusterer — the auto-gate switches implementation, never
+        semantics (fixture projections are far from the float knife
+        edge)."""
+        from ctcityscraper_spark.operators.dedup import semdedup_drop_list
+
+        emb = load_table(spark, SF, "embeddings")
+        expr = {
+            r.drop_id
+            for r in semdedup_drop_list(emb, dims=64, bits=4).collect()
+        }
+        fast = {
+            r.drop_id
+            for r in semdedup_drop_list(
+                emb, dims=64, bits=4, literal_gate=0
+            ).collect()
+        }
+        assert fast == expr and len(fast) > 0
