@@ -521,6 +521,87 @@ class TestStreaming:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_stream_compact_upto_2")
 
+    def test_streaming_spans_multi_epoch_chain(self, spark, tmp_path):
+        """compact_every=2 over 6 single-doc batches: compaction fires at
+        batches 2 and 4, each epoch absorbing the previous epoch plus the
+        tail. Final layout must hold ONLY the newest committed epoch
+        (upto=4, old epoch and its table dropped) plus the tail
+        [4, 6); spans across every epoch boundary are still found and
+        the full zone still reads all docs."""
+        import pathlib
+        import time as _time
+
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_incremental_zone,
+            stream_from_directory,
+            streaming_incremental_spans,
+        )
+
+        shared = "EXACTLY-THE-SAME-SPAN-CONTENT-0123456789"  # 40 chars
+        src = tmp_path / "incoming"
+        batches = [
+            [(1, "aaa " + shared + " bbb")],
+            [(2, "no marker content in this one at all....")],
+            [(3, "cc " + shared + " dd")],
+            [(4, "more unrelated filler text without spans")],
+            [(5, "ee " + shared + " ff")],
+            [(6, "qq " + shared)],
+        ]
+        schema = "doc_id long, text string"
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+        kwargs = dict(
+            docs_dir=str(tmp_path / "docs"),
+            index_dir=str(tmp_path / "index"),
+            spans_dir=str(tmp_path / "spans"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            width=20,
+            compact_every=2,
+            compact_buckets=4,
+            compact_table_prefix="t_chain_compact",
+        )
+        try:
+            q = streaming_incremental_spans(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q.awaitTermination(240)
+
+            pairs = {
+                (r.new_doc, r.corpus_doc)
+                for r in spark.read.parquet(str(tmp_path / "spans")).collect()
+            }
+            # every marker doc matches every EARLIER marker doc, across
+            # both epoch boundaries
+            assert pairs == {(3, 1), (5, 1), (5, 3), (6, 1), (6, 3), (6, 5)}
+
+            # only the newest epoch survives; its predecessor (and table)
+            # were cleaned up strictly after commit
+            assert [m for m, _ in _compacted_epochs(spark, kwargs["index_dir"])] == [4]
+            assert not spark.catalog.tableExists("t_chain_compact_upto_2")
+            tail = sorted(
+                p.name
+                for p in pathlib.Path(kwargs["index_dir"]).glob("batch_id=*")
+            )
+            assert tail == ["batch_id=4", "batch_id=5"]
+
+            idx = read_incremental_zone(
+                spark, kwargs["index_dir"], table_prefix="t_chain_compact"
+            )
+            assert idx.select("doc_id").distinct().count() == 6
+        finally:
+            for t in ("t_chain_compact_upto_2", "t_chain_compact_upto_4"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_streaming_spans_adversarial_batch_boundaries(self, spark, tmp_path):
         """Adversarial micro-batch boundaries for the incremental span
         pipeline: a duplicate passage split across batches and aligned
