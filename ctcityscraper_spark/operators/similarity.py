@@ -320,6 +320,26 @@ def srp_bucket_vectorized(
     return cleaned.select(id_col, vec).mapInPandas(run, StructType(fields))
 
 
+def _srp_side(df, dims, bits, vec, id_col, out_id, out_vec, literal_gate):
+    """(out_id, out_vec double-array, bucket) for one side of an SRP
+    join: the plan-literal expression below ``literal_gate`` plan
+    literals, the Arrow-matmul path (same plane matrix, vector carried in
+    the same pass) above it. Callers' downstream logic — probe-mask
+    XORs, equi-joins, cosine re-rank — is bucket-representation-agnostic,
+    so the gate switches implementation, never semantics (modulo the
+    knife-edge float-association caveat on srp_bucket_vectorized)."""
+    if literal_gate is None:
+        literal_gate = SRP_LITERAL_GATE
+    if dims * bits <= literal_gate:
+        return df.select(
+            F.col(id_col).alias(out_id), _as_double(F.col(vec)).alias(out_vec)
+        ).withColumn("bucket", srp_bucket_col(F.col(out_vec), dims, bits))
+    b = srp_bucket_vectorized(
+        df, dims, bits, vec=vec, id_col=id_col, carry_vec=True
+    )
+    return b.select(F.col(id_col).alias(out_id), F.col(vec).alias(out_vec), "bucket")
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -690,6 +710,7 @@ def srp_multiprobe_topk(
     probe_bits: int = 1,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    literal_gate: int | None = None,
 ) -> DataFrame:
     """Multi-probe SRP-LSH: each query probes its own bucket PLUS every
     bucket within ``probe_bits`` bit-flips of it — the recall knob at fixed
@@ -703,16 +724,18 @@ def srp_multiprobe_topk(
     Each corpus vector lives in exactly one bucket and probe masks are
     distinct, so no candidate pair duplicates — no distinct needed.
     Returns (query_id, neighbor_id, rank, cosine) like srp_lsh_topk.
+    Above ``literal_gate`` plan literals (dims * bits) bucketing
+    auto-switches to the Arrow-matmul path (:func:`_srp_side`); the
+    probe-mask XOR explode is an expression over the bucket int either
+    way.
     """
     corpus = valid_vectors(corpus, vec)
     queries = valid_vectors(queries, vec)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
-    ).withColumn("bucket", srp_bucket_col(F.col("cv"), dims, bits))
+    c = _srp_side(corpus, dims, bits, vec, id_col, "neighbor_id", "cv", literal_gate)
     masks = F.array(*[F.lit(m) for m in probe_masks(bits, probe_bits)])
     q = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv"))
-        .withColumn("bucket0", srp_bucket_col(F.col("qv"), dims, bits))
+        _srp_side(queries, dims, bits, vec, id_col, "query_id", "qv", literal_gate)
+        .withColumnRenamed("bucket", "bucket0")
         .select("query_id", "qv", "bucket0", F.explode(masks).alias("mask"))
         .withColumn("bucket", F.col("bucket0").bitwiseXOR(F.col("mask")))
         .drop("bucket0", "mask")
@@ -744,18 +767,17 @@ def srp_lsh_topk(
     bits: int = SRP_BITS,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    literal_gate: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket, then exact
     cosine re-ranks. Returns (query_id, neighbor_id, rank, cosine).
-    Invalid vectors are excluded on both sides (:func:`valid_vectors`)."""
+    Invalid vectors are excluded on both sides (:func:`valid_vectors`).
+    Above ``literal_gate`` plan literals (dims * bits) bucketing
+    auto-switches to the Arrow-matmul path (:func:`_srp_side`)."""
     corpus = valid_vectors(corpus, vec)
     queries = valid_vectors(queries, vec)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec)).alias("cv")
-    ).withColumn("bucket", srp_bucket_col(F.col("cv"), dims, bits))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec)).alias("qv")
-    ).withColumn("bucket", srp_bucket_col(F.col("qv"), dims, bits))
+    c = _srp_side(corpus, dims, bits, vec, id_col, "neighbor_id", "cv", literal_gate)
+    q = _srp_side(queries, dims, bits, vec, id_col, "query_id", "qv", literal_gate)
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

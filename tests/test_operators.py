@@ -1013,3 +1013,30 @@ class TestSrpBucketVectorized:
             ).collect()
         }
         assert fast == expr and len(fast) > 0
+
+    def test_srp_topk_vectorized_gate_matches_literal_path(self, spark):
+        """Forcing the Arrow bucket path (literal_gate=0) in the SRP
+        top-k operators must reproduce the literal-expression results
+        exactly on the fixture — single-bucket and multiprobe."""
+        from ctcityscraper_spark.operators.similarity import (
+            srp_lsh_topk,
+            srp_multiprobe_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        for fn, kwargs in (
+            (srp_lsh_topk, {}),
+            (srp_multiprobe_topk, {"probe_bits": 1}),
+        ):
+            lit = sorted(
+                (r.query_id, r.rank, r.neighbor_id)
+                for r in fn(emb, queries, dims=64, k=3, **kwargs).collect()
+            )
+            fast = sorted(
+                (r.query_id, r.rank, r.neighbor_id)
+                for r in fn(
+                    emb, queries, dims=64, k=3, literal_gate=0, **kwargs
+                ).collect()
+            )
+            assert lit == fast and len(lit) > 0
