@@ -117,6 +117,112 @@ def incremental_exact_duplicates(
     )
 
 
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: ``m = -n ln p / (ln 2)^2`` bits (rounded up
+    to a multiple of 32 — the word width below), ``k = (m/n) ln 2``
+    probes, clamped to [1, 16]."""
+    import math
+
+    n = max(n_items, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 31) // 32) * 32
+    k = min(16, max(1, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(fp, m_bits: int, k: int) -> list:
+    """k probe positions via Kirsch-Mitzenmacher double hashing over the
+    md5-based :func:`hash64` pair — cross-engine reproducible. Both
+    halves reduce mod m BEFORE combining, so the sum stays < (k+1)*m and
+    can never overflow a long under ANSI mode at any k."""
+    from ctcityscraper_spark.functions.hashing import hash64
+
+    h1 = hash64(fp, "bloomA") % m_bits
+    h2 = hash64(fp, "bloomB") % m_bits
+    return [(h1 + F.lit(i) * h2) % m_bits for i in range(k)]
+
+
+def build_bloom_index(
+    df: DataFrame, m_bits: int, k: int, text: str = "text"
+) -> DataFrame:
+    """Stored Bloom membership index: (word_idx, word) 32-bit words of one
+    ``m_bits``-bit Bloom filter over the md5 fingerprints of every
+    non-NULL ``text``.
+
+    The "have we already got this document?" primitive for a continuously
+    growing corpus: probing costs a join against ~m/32 rows (≤ a few GB
+    for billions of documents at 1 % fpp) instead of the corpus-sized
+    fingerprint index — :func:`incremental_exact_duplicates` is the exact
+    path, this is the cheap pre-filter in front of it. Build is one
+    explode (k rows/doc) + one bit_or aggregation; probes use the same
+    md5-derived positions, so DuckDB reproduces the filter bit-for-bit
+    (the whole operator is oracle-checkable — no Java Bloom library
+    involved). Words hold 32 bits each so every mask stays positive in
+    both engines' signed-long bit ops.
+    """
+    pos = F.explode(
+        F.array(*_bloom_positions(F.md5(F.col(text)), m_bits, k))
+    ).alias("pos")
+    return (
+        df.filter(F.col(text).isNotNull())
+        .select(pos)
+        .selectExpr(
+            "CAST(pos DIV 32 AS BIGINT) AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    batch: DataFrame,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Flag each batch document against a stored :func:`build_bloom_index`.
+
+    No false negatives (a document whose fingerprint was fed to the build
+    always flags true); false positives at the filter's designed fpp —
+    chase flagged rows with the exact :func:`incremental_exact_duplicates`
+    join when exactness matters. NULL-text documents flag false. The
+    probe explodes k rows per batch doc and left-joins the bloom words on
+    ``word_idx`` — bucket the stored bloom table on word_idx to make that
+    join shuffle-free on the (already tiny) index side.
+    """
+    probes = (
+        batch.filter(F.col(text).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(*_bloom_positions(F.md5(F.col(text)), m_bits, k))
+            ).alias("pos"),
+        )
+        .selectExpr(
+            id_col,
+            "CAST(pos DIV 32 AS BIGINT) AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask",
+        )
+    )
+    flags = (
+        probes.join(bloom, "word_idx", "left")
+        .groupBy(id_col)
+        .agg(
+            F.bool_and(
+                (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")))
+                == F.col("mask")
+            ).alias("_mc")
+        )
+    )
+    return batch.join(flags, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col("_mc"), F.lit(False))
+    ).drop("_mc")
+
+
 def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
     """(id, shingle) inverted-index rows, distinct per doc."""
     return df.select(

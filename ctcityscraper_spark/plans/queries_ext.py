@@ -226,6 +226,86 @@ def q_dedup_incremental_exact(spark, sf_dir):
     )
 
 
+_BLOOM_M, _BLOOM_K = 8192, 5
+
+
+@query(
+    "dedup_bloom_membership",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {hash64_sql('doc_id', 'bloomsplit')} % 5 = 0 AS is_new
+        FROM documents),
+    corpus AS (
+        SELECT md5(text) AS fp FROM split WHERE NOT is_new AND text IS NOT NULL),
+    batch AS (
+        SELECT doc_id, text, md5(text) AS fp FROM split WHERE is_new),
+    cpos AS (
+        SELECT (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
+                + i * ({hash64_sql('fp', 'bloomB')} % {_BLOOM_M})) % {_BLOOM_M} AS pos
+        FROM corpus, range(0, {_BLOOM_K}) t(i)),
+    words AS (
+        SELECT pos // 32 AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+        FROM cpos GROUP BY 1),
+    bpos AS (
+        SELECT doc_id,
+               (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
+                + i * ({hash64_sql('fp', 'bloomB')} % {_BLOOM_M})) % {_BLOOM_M} AS pos
+        FROM batch, range(0, {_BLOOM_K}) t(i)
+        WHERE text IS NOT NULL),
+    hits AS (
+        SELECT doc_id,
+               bool_and((COALESCE(word, 0)
+                         & (1::BIGINT << CAST(pos % 32 AS INT)))
+                        = (1::BIGINT << CAST(pos % 32 AS INT))) AS mc
+        FROM bpos LEFT JOIN words ON pos // 32 = word_idx
+        GROUP BY doc_id)
+    SELECT b.doc_id AS doc_id,
+           COALESCE(h.mc, false) AS might_contain,
+           COALESCE(b.fp IN (SELECT fp FROM corpus), false) AS is_dup
+    FROM batch b LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_bloom_membership(spark, sf_dir):
+    """Stored-Bloom membership pre-filter (operators/dedup.
+    build_bloom_index + bloom_might_contain): a hash-held-out 20% 'new
+    batch' probes an 8192-bit Bloom built over the other 80%'s md5 text
+    fingerprints. Probing joins ~m/32 bloom words instead of the
+    corpus-sized fingerprint index — the cheap front of the exact
+    incremental-dedup path. The filter is pure md5-derived bit math, so
+    DuckDB reproduces it bit-for-bit: might_contain must have NO false
+    negatives (every is_dup row flags true) and false positives only at
+    the designed fpp; the oracle also recomputes exact membership
+    (is_dup) so the comparison pins both."""
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_might_contain,
+        build_bloom_index,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+    bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K)
+    flagged = bloom_might_contain(batch, bloom, _BLOOM_M, _BLOOM_K)
+    corpus_fp = (
+        corpus.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("_cfp"))
+        .distinct()
+    )
+    return (
+        flagged.join(corpus_fp, F.md5(flagged["text"]) == F.col("_cfp"), "left")
+        .select(
+            "doc_id",
+            "might_contain",
+            F.col("_cfp").isNotNull().alias("is_dup"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""

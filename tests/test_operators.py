@@ -1040,3 +1040,54 @@ class TestSrpBucketVectorized:
                 ).collect()
             )
             assert lit == fast and len(lit) > 0
+
+
+class TestBloomMembership:
+    def test_no_false_negatives_and_design_fpp(self, spark):
+        """Every document fed to the build must flag true on probe; unseen
+        documents flag true only at ~the designed false-positive rate."""
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_might_contain,
+            bloom_parameters,
+            build_bloom_index,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        m, k = bloom_parameters(docs.count(), fpp=0.01)
+        bloom = build_bloom_index(docs, m, k)
+        self_probe = bloom_might_contain(docs, bloom, m, k)
+        assert self_probe.filter("NOT might_contain AND text IS NOT NULL").count() == 0
+        unseen = spark.createDataFrame(
+            [(10_000 + i, f"definitely unseen text {i} xyz") for i in range(2000)],
+            "doc_id long, text string",
+        )
+        fp = bloom_might_contain(unseen, bloom, m, k).filter("might_contain").count()
+        assert fp / 2000 < 0.03  # 1% design point, wide margin
+
+    def test_null_text_flags_false_and_empty_build(self, spark):
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_might_contain,
+            build_bloom_index,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        bloom = build_bloom_index(empty, 4096, 5)
+        assert bloom.count() == 0
+        batch = spark.createDataFrame(
+            [(1, "anything"), (2, None)], "doc_id long, text string"
+        )
+        flags = {
+            r.doc_id: r.might_contain
+            for r in bloom_might_contain(batch, bloom, 4096, 5).collect()
+        }
+        # empty bloom: nothing may flag true; NULL text always false
+        assert flags == {1: False, 2: False}
+
+    def test_parameters_sizing(self):
+        from ctcityscraper_spark.operators.dedup import bloom_parameters
+
+        m, k = bloom_parameters(1000, 0.01)
+        assert m % 32 == 0 and 9 * 1000 <= m <= 11 * 1000  # ~9.6 bits/item
+        assert 1 <= k <= 16
+        m0, k0 = bloom_parameters(0, 0.01)
+        assert m0 >= 32 and k0 >= 1
