@@ -166,6 +166,53 @@ class TestExtensionPlans:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_span_idx")
 
+    def test_bloom_words_bucketed_probe_skips_index_shuffle(self, spark, tmp_path):
+        """A stored Bloom word table bucketed on word_idx joins batch
+        probes with NO Exchange on the bloom side — only the small batch
+        probe set re-buckets (same layout contract as the span and IVF
+        stored indexes)."""
+        import re
+
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_might_contain,
+            build_bloom_index,
+        )
+        from ctcityscraper_spark.sources.bucketed import write_bucketed
+
+        docs = spark.createDataFrame(
+            [(i, f"stored corpus document number {i}") for i in range(200)],
+            "doc_id long, text string",
+        )
+        bloom = build_bloom_index(docs, 8192, 5)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                bloom, "t_bloom_words", ["word_idx"], 4, sort=["word_idx"],
+                path=str(tmp_path / "bloom_words"),
+            )
+            batch = spark.createDataFrame(
+                [(900, "stored corpus document number 3"),
+                 (901, "never seen before content")],
+                "doc_id long, text string",
+            )
+            def exchanges(df):
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                return len(re.findall(r"Exchange hashpartitioning", plan))
+
+            bucketed = bloom_might_contain(
+                batch, spark.table("t_bloom_words"), 8192, 5
+            )
+            plain = bloom_might_contain(batch, bloom, 8192, 5)
+            # the bucketed bloom side contributes NO Exchange: strictly
+            # fewer shuffles than the identical plan over the plain frame
+            assert exchanges(bucketed) < exchanges(plain)
+            got = {r.doc_id: r.might_contain for r in bucketed.collect()}
+            assert got[900] is True and got[901] is False
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_bloom_words")
+
     def test_ivf_stored_index_bucketed_probe_skips_index_shuffle(
         self, spark, tmp_path
     ):
