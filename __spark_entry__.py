@@ -82,7 +82,8 @@ DRIVER_PRIORITY = [
 # corpus_boilerplate_segments, corpus_contamination,
 # corpus_mixture_resample, corpus_pii_scrub, corpus_repetition_signals,
 # corpus_sample_k_per_group, corpus_shard_stats, corpus_stratified_sample,
-# multimodal_frame_sample, text_top_bigrams.
+# multimodal_frame_sample, text_top_bigrams — plus round-7's new
+# dedup_bloom_membership.
 
 
 def _ordered(catalog: dict) -> dict:
