@@ -134,11 +134,17 @@ def _bloom_positions(fp, m_bits: int, k: int) -> list:
     """k probe positions via Kirsch-Mitzenmacher double hashing over the
     md5-based :func:`hash64` pair — cross-engine reproducible. Both
     halves reduce mod m BEFORE combining, so the sum stays < (k+1)*m and
-    can never overflow a long under ANSI mode at any k."""
+    can never overflow a long under ANSI mode at any k. The step hash is
+    forced into [1, m-1] (``% (m-1) + 1``): an ``h2 == 0`` would collapse
+    all k probes onto h1, silently degrading that fingerprint to 1-probe
+    fpp (no false negatives either way, but the measured fpp would miss
+    :func:`bloom_parameters`' design point). Any change here must land in
+    lockstep with the DuckDB oracle in plans/queries_ext.py
+    (dedup_bloom_membership) — the filter is bit-for-bit reproducible."""
     from ctcityscraper_spark.functions.hashing import hash64
 
     h1 = hash64(fp, "bloomA") % m_bits
-    h2 = hash64(fp, "bloomB") % m_bits
+    h2 = (hash64(fp, "bloomB") % F.lit(m_bits - 1)) + 1
     return [(h1 + F.lit(i) * h2) % m_bits for i in range(k)]
 
 

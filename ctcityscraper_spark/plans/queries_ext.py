@@ -242,7 +242,7 @@ _BLOOM_M, _BLOOM_K = 8192, 5
         SELECT doc_id, text, md5(text) AS fp FROM split WHERE is_new),
     cpos AS (
         SELECT (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
-                + i * ({hash64_sql('fp', 'bloomB')} % {_BLOOM_M})) % {_BLOOM_M} AS pos
+                + i * (({hash64_sql('fp', 'bloomB')} % {_BLOOM_M - 1}) + 1)) % {_BLOOM_M} AS pos
         FROM corpus, range(0, {_BLOOM_K}) t(i)),
     words AS (
         SELECT pos // 32 AS word_idx,
@@ -251,7 +251,7 @@ _BLOOM_M, _BLOOM_K = 8192, 5
     bpos AS (
         SELECT doc_id,
                (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
-                + i * ({hash64_sql('fp', 'bloomB')} % {_BLOOM_M})) % {_BLOOM_M} AS pos
+                + i * (({hash64_sql('fp', 'bloomB')} % {_BLOOM_M - 1}) + 1)) % {_BLOOM_M} AS pos
         FROM batch, range(0, {_BLOOM_K}) t(i)
         WHERE text IS NOT NULL),
     hits AS (

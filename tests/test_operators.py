@@ -1062,7 +1062,64 @@ class TestBloomMembership:
             "doc_id long, text string",
         )
         fp = bloom_might_contain(unseen, bloom, m, k).filter("might_contain").count()
-        assert fp / 2000 < 0.03  # 1% design point, wide margin
+        # fpp-distribution gate: observed false-positive rate on a fully
+        # disjoint probe corpus must stay within ~2x the 1% design point
+        # (2000 probes; ~4.5 sigma above the binomial mean, so this only
+        # trips if probes systematically collapse — the degenerate-h2 bug)
+        assert fp / 2000 < 0.02
+
+    def test_degenerate_h2_still_probes_k_positions(self, spark):
+        """Kirsch-Mitzenmacher degenerate case: this text's raw step hash
+        is ≡ 0 mod m, which before the [1, m-1] clamp collapsed all k
+        probes onto h1 (1-probe fpp instead of the designed k-probe fpp).
+        With the clamp the single-doc index must set exactly k distinct
+        bits. Brute-forced anchor: md5-hash64('degenerate probe 1932',
+        'bloomB') % 4096 == 0; fixed probes land at 2701 + i*69."""
+        from ctcityscraper_spark.operators.dedup import build_bloom_index
+
+        one = spark.createDataFrame(
+            [(1, "degenerate probe 1932")], "doc_id long, text string"
+        )
+        bloom = build_bloom_index(one, 4096, 5)
+        set_bits = bloom.selectExpr("sum(bit_count(word)) AS n").collect()[0]["n"]
+        assert set_bits == 5
+
+    def test_saturated_bloom_flags_everything(self, spark):
+        """All-ones saturation: a filter whose every word is 0xFFFFFFFF
+        (e.g. badly undersized m) must flag every non-NULL probe true —
+        the degenerate-but-safe direction (no false negatives ever)."""
+        from ctcityscraper_spark.operators.dedup import bloom_might_contain
+
+        m, k = 1024, 5
+        full = spark.range(m // 32).selectExpr(
+            "id AS word_idx", "CAST(4294967295 AS BIGINT) AS word"
+        )
+        batch = spark.createDataFrame(
+            [(1, "never seen"), (2, "also unseen"), (3, None)],
+            "doc_id long, text string",
+        )
+        flags = {
+            r.doc_id: r.might_contain
+            for r in bloom_might_contain(batch, full, m, k).collect()
+        }
+        assert flags == {1: True, 2: True, 3: False}
+
+    def test_empty_batch_probe(self, spark):
+        """Probing an empty batch (first micro-batch of a new source)
+        returns an empty frame with the contract schema, no action errors."""
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_might_contain,
+            build_bloom_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "some corpus doc")], "doc_id long, text string"
+        )
+        bloom = build_bloom_index(corpus, 1024, 3)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        out = bloom_might_contain(empty, bloom, 1024, 3)
+        assert out.columns == ["doc_id", "text", "might_contain"]
+        assert out.count() == 0
 
     def test_null_text_flags_false_and_empty_build(self, spark):
         from ctcityscraper_spark.operators.dedup import (
