@@ -43,8 +43,8 @@ def calibrate(spark, trials: int = 3, rows: int = 256_000_000) -> float:
     for _ in range(trials):
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
-        # bit_xor, not sum: a long sum of 48M hashes overflows under
-        # Spark 4's ANSI mode
+        # bit_xor, not sum: a long sum of `rows` (256M by default)
+        # uniform 64-bit hashes overflows under Spark 4's ANSI mode
         spark.range(0, rows, 1, 32).selectExpr(
             "bit_xor(xxhash64(id, xxhash64(id, 42))) as s"
         ).collect()

@@ -884,11 +884,13 @@ def token_budget_selection(
     100 TB it is still ~1/``bins`` of the corpus (~100 GB), and a single
     global window over it would be one task. Its tie-break key is a
     UNIFORM hash by construction, so a second histogram over the top
-    ``sub_bits`` bits of ``_h`` (arithmetic shift — monotone in the
-    signed ordering, and a doc_id tie can never cross a sub-bin because
-    equal ``_h`` means equal sub-bin) splits it exactly: full sub-bins by
-    filter, and ONLY the straddling sub-bin — ~1/(bins * 2^sub_bits) of
-    the corpus — pays the window. No single-partition sort anywhere at
+    ``sub_bits`` bits of ``_h`` — shift ``60 - sub_bits``, because
+    :func:`hash64` is a 60-bit hash (15 md5 hex chars), NOT 64-bit; a
+    64-based shift would silently expose only ``sub_bits - 4`` bits —
+    splits it exactly (the shift is monotone in ``_h``, and a doc_id tie
+    can never cross a sub-bin because equal ``_h`` means equal sub-bin):
+    full sub-bins by filter, and ONLY the straddling sub-bin —
+    ~1/(bins * 2^sub_bits) of the corpus — pays the window. No single-partition sort anywhere at
     any realistic scale. Documents with a NULL ``text`` have no quality
     score and are never selected. Triggers two Spark actions at call
     time (the bin-sum and sub-bin-sum collects, both over the persisted
@@ -899,8 +901,10 @@ def token_budget_selection(
     from ctcityscraper_spark.operators.text import quality_score_col
 
     if not 1 <= sub_bits <= 32:
-        # JVM shifts are mod-64: sub_bits=0 would silently become a
-        # 0-bit shift (every doc its own sub-bin -> an unbounded collect)
+        # sub_bits=0 would collapse to ONE sub-bin (shift 60 of a 60-bit
+        # hash -> everything 0: the single global window this refinement
+        # exists to avoid); >32 leaves <28 hash bits of within-sub-bin
+        # entropy for no benefit. Refuse both.
         raise ValueError(f"sub_bits must be in [1, 32], got {sub_bits}")
     # persist BEFORE the bin-sum collect: toks embeds the caller's
     # upstream plan and is consumed up to three times (the collect, the
@@ -942,7 +946,11 @@ def token_budget_selection(
         selected = toks.filter(F.col("q_bin").isin(full_bins)).select(*out_cols)
     if boundary is not None:
         part_toks = toks.filter(F.col("q_bin") == boundary)
-        shift = 64 - sub_bits
+        # hash64 is 60-bit (conv of 15 md5 hex chars, always < 2^60): the
+        # sub-bin key is its TOP sub_bits bits, so shift from 60, not 64
+        # (64 - sub_bits exposes only max(0, sub_bits - 4) real bits and
+        # silently degenerates sub_bits <= 4 to a single sub-bin)
+        shift = 60 - sub_bits
         sub = F.shiftright("_h", shift)
         sub_sums = {
             r["_sub"]: r["s"]

@@ -75,6 +75,9 @@ def q_subq_exists_late_shipment(spark, sf_dir):
 
 @query(
     "subq_outer_join_order_counts",
+    headline=True,  # analytic-family bench representative (r7 brief):
+    # outer join w/ join-condition predicate + two chained aggregations —
+    # the subquery/window additions' perf trend line
     oracle="""
     WITH per_cust AS (
         SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -231,6 +231,8 @@ _BLOOM_M, _BLOOM_K = 8192, 5
 
 @query(
     "dedup_bloom_membership",
+    headline=True,  # build + probe cost of the stored-Bloom pre-filter
+    # (one explode+bit_or build, word-join probe) benched round-over-round
     oracle=f"""
     WITH split AS (
         SELECT doc_id, text,

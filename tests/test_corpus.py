@@ -648,9 +648,14 @@ class TestTokenBudgetSubRefinement:
         """All docs share ONE quality bin, so the whole selection rides
         the second-level hash-prefix histogram (full sub-bins by filter +
         one windowed straddling sub-bin). With sub_bits=2 the 4 sub-bins
-        each hold many docs, forcing both the full-sub and straddling-sub
-        paths; the result must still equal the naive global sort, and be
-        identical across sub_bits settings."""
+        (top 2 bits of the 60-BIT hash64 — shift 58, not 62; a 64-based
+        shift would collapse everything into sub-bin 0 and this test
+        would silently stop exercising the full-sub path) each hold many
+        docs, forcing both the full-sub and straddling-sub paths; the
+        result must still equal the naive global sort, and be identical
+        across sub_bits settings. The spread assertion below pins the
+        multi-sub-bin precondition so the path can't silently vanish
+        again."""
         from pyspark.sql import Window
 
         from ctcityscraper_spark.operators.corpus import (
@@ -699,11 +704,23 @@ class TestTokenBudgetSubRefinement:
         )
         assert got == {r.doc_id for r in naive.collect()}
         assert len(got) == 40  # 200 budget / 5 tokens each
+        # precondition pin: the 80 doc hashes really spread over >1 of the
+        # 4 sub-bins at sub_bits=2 (shift 58 of the 60-bit hash), i.e. the
+        # full-sub filter path genuinely fires rather than one sub-bin
+        # swallowing the whole bin as under the old 64-bit-width shift
+        sub_bins = {
+            r.sb
+            for r in docs.select(
+                F.shiftright(hash64(F.col("doc_id"), "budget"), 58).alias("sb")
+            ).collect()
+        }
+        assert len(sub_bins) > 1 and sub_bins <= {0, 1, 2, 3}
 
     def test_sub_bits_out_of_range_raises(self, spark):
-        """JVM shifts are mod-64, so sub_bits=0 would silently become a
-        0-bit shift (every doc its own sub-bin, unbounded driver collect)
-        — the guard must refuse instead."""
+        """sub_bits=0 would collapse the 60-bit hash to ONE sub-bin (the
+        single global window the refinement exists to avoid) and >32
+        leaves too little within-sub-bin entropy — the guard must refuse
+        both ends."""
         from ctcityscraper_spark.operators.corpus import token_budget_selection
 
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
