@@ -35,32 +35,40 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # relational + functions core. Round-7 rotation: 12 six-times-
-    # driver-verified rows rotated OUT (distinct_sort, topk_orders,
-    # join_star_three_way, anti_join_customers_without_orders,
-    # semi_join_parts_in_lineitem, union_by_name, money_roundtrip,
-    # row_hash_content, entity_uuid_identity, top_revenue_orders,
-    # regional_customer_revenue, quantiles_by_status — all still in-repo
-    # oracle-gated every run) to give never-driver-verified queries
-    # external rows.
-    "pricing_summary", "join_agg_by_segment", "conditional_pivot_agg",
-    "json_extract_props",
-    # rotated IN (r7): the reference's literal engine API surface first
+    # Round-8 rotation: the FINAL 14 never-driver-verified catalog queries
+    # rotate IN (completing external verification of all 97); rotated OUT
+    # to make room, all with >=2 green driver rounds and still in-repo
+    # oracle-gated every run: pricing_summary, join_agg_by_segment,
+    # conditional_pivot_agg, json_extract_props, events_tumbling_6h,
+    # events_sliding_1h_30m, text_profile (5-7 rounds each) and the seven
+    # round-6 additions at 2 rounds (corpus_token_budget,
+    # text_vocab_coverage, dedup_incremental_exact, ann_ivf_recall,
+    # ann_pq_recall, dedup_keep_best, corpus_quality_deciles).
+    #
+    # rotated IN (r8): the last never-verified queries, families grouped
+    "ann_int8_topk", "ann_srp_multiprobe_topk", "approx_aggregates_check",
+    "corpus_boilerplate_segments", "corpus_contamination",
+    "corpus_mixture_resample", "corpus_pii_scrub",
+    "corpus_repetition_signals", "corpus_sample_k_per_group",
+    "corpus_shard_stats", "corpus_stratified_sample",
+    "multimodal_frame_sample", "text_top_bigrams",
+    # r7's new operator — probes the h2-clamped Bloom (this round's fix)
+    "dedup_bloom_membership",
+    # rotated IN r7, kept for a second verified round: the reference's
+    # literal engine API surface + decorrelated-subquery shapes + picks
     "engine_scd2_current", "engine_scd2_changed_since",
-    # rotated IN (r7): the four decorrelated-subquery shapes
     "subq_exists_late_shipment", "subq_outer_join_order_counts",
     "subq_rich_inactive_customers", "subq_scalar_avg_quantity",
-    # rotated IN (r7): remaining never-verified priority picks
     "dedup_lsh_recall", "scd2_as_of", "timeseries_gapfill_locf",
     "window_frame_stats", "range_join_surge_windows",
     "text_tfidf_top_terms",
     # SCD2 family
     "scd2_latest_state", "scd2_history_versions", "scd2_changed_since",
     # streaming-shaped event analytics
-    "events_tumbling_6h", "events_sliding_1h_30m", "events_sessionization",
-    "events_cohort_retention", "events_funnel_ordered",
-    # text + dedup extensions
-    "text_profile", "dedup_exact_summary", "dedup_minhash_lsh",
+    "events_sessionization", "events_cohort_retention",
+    "events_funnel_ordered",
+    # dedup extensions
+    "dedup_exact_summary", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_incremental_lsh", "dedup_cascade_confirmed",
     "dedup_groups_connected", "dedup_embedding_blocked",
     "dedup_semdedup_drop_list",
@@ -71,19 +79,9 @@ DRIVER_PRIORITY = [
     # incremental_spans = the batch-vs-stored-index variant)
     "corpus_segment_dedup", "corpus_substring_spans",
     "corpus_cut_spans", "corpus_incremental_spans", "corpus_pack_sequences",
-    # round-6 additions, kept for a second verified round
-    "corpus_token_budget", "text_vocab_coverage",
-    "dedup_incremental_exact", "ann_ivf_recall", "ann_pq_recall",
-    "dedup_keep_best", "corpus_quality_deciles",
 ]
-# Still never driver-verified after this round's window (rotate IN next
-# round, swapping out multi-verified rows): ann_int8_topk,
-# ann_srp_multiprobe_topk, approx_aggregates_check,
-# corpus_boilerplate_segments, corpus_contamination,
-# corpus_mixture_resample, corpus_pii_scrub, corpus_repetition_signals,
-# corpus_sample_k_per_group, corpus_shard_stats, corpus_stratified_sample,
-# multimodal_frame_sample, text_top_bigrams — plus round-7's new
-# dedup_bloom_membership.
+# After this round's window, every one of the 97 catalog queries has held
+# at least one driver-verified CORRECTNESS row (r1-r8).
 
 
 def _ordered(catalog: dict) -> dict:
