@@ -779,6 +779,7 @@ def keep_best_representative(
     node_col: str = "node",
     component_col: str = "component",
     broadcast_max_nodes: int = 8_000_000,
+    window_max_cluster: int = 10_000_000,
 ) -> DataFrame:
     """Drop list keeping the BEST member of each duplicate cluster.
 
@@ -812,9 +813,18 @@ def keep_best_representative(
 
     Skew bound: the window partitions BY COMPONENT, so the largest
     duplicate cluster sizes one partition (~24 B/member — a 10M-member
-    boilerplate cluster is ~240 MB, fine; clusters in the hundreds of
-    millions would need a min_by-aggregation rewrite that trades the
-    window for a second docs join).
+    boilerplate cluster is ~240 MB, fine). Above ``window_max_cluster``
+    members in the largest cluster (one count-groupBy over the
+    checkpointed labels decides), the operator switches to an
+    aggregation rewrite: per-component best member via ``min`` over a
+    sort-key struct (partial map-side combine — a hundreds-of-millions-
+    member boilerplate cluster never sits in one partition) + a second
+    join of the scored members against the per-component winner. The
+    struct key reproduces the window ordering EXACTLY — quality DESC
+    with Spark's NaN-above-numbers, NULL quality last, ties by smallest
+    id — so both paths are row-identical (property-tested against the
+    same Python model; no-single-partition-window plan asserted in
+    tests/test_extension_plans.py).
     """
     q = docs.select(F.col(id_col).alias(node_col), quality.alias("_q"))
     components = components.select(node_col, component_col).localCheckpoint(
@@ -827,6 +837,15 @@ def keep_best_representative(
         else components
     )
     scored = q.join(comp_side, node_col)
+    max_cluster = (
+        components.groupBy(component_col)
+        .agg(F.count("*").alias("_n"))
+        .agg(F.max("_n").alias("_m"))
+        .collect()[0]["_m"]
+        or 0
+    )
+    if max_cluster > window_max_cluster:
+        return _keep_best_aggregate(scored, node_col, component_col)
     w = Window.partitionBy(component_col).orderBy(
         F.col("_q").desc(), F.col(node_col)
     )
@@ -835,4 +854,42 @@ def keep_best_representative(
     )
     return ranked.filter(F.col("rk") > 1).select(
         F.col(node_col).alias("drop_id"), "keep_id"
+    )
+
+
+def _keep_best_aggregate(
+    scored: DataFrame, node_col: str, component_col: str
+) -> DataFrame:
+    """Window-free keep-best: per-component ``min`` of a sort-key struct.
+
+    The struct linearizes the window ordering ``_q DESC NULLS LAST``
+    (Spark ranks NaN ABOVE every number in DESC order) then ``node`` ASC
+    into an ascending lexicographic key:
+
+    - ``_k1``: 0 = NaN quality (best), 1 = real number, 2 = NULL (worst)
+    - ``_k2``: ``-_q`` inside class 1 (negation flips DESC to ASC;
+      constant elsewhere so NaN never poisons the comparison)
+    - ``node``: the tie-break
+
+    ``min(struct)`` aggregates with partial map-side combine, so the
+    largest cluster never occupies a single partition — the scale path
+    for boilerplate clusters with hundreds of millions of members. The
+    winner then joins back against the scored members (both sides hash-
+    partitioned on component; the winner side is one row per component)
+    to emit (drop_id, keep_id)."""
+    k1 = (
+        F.when(F.col("_q").isNull(), F.lit(2))
+        .when(F.isnan("_q"), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    k2 = F.when(k1 == 1, -F.col("_q")).otherwise(F.lit(0.0))
+    best = scored.groupBy(component_col).agg(
+        F.min(F.struct(k1.alias("_k1"), k2.alias("_k2"),
+                       F.col(node_col).alias("_n"))).alias("_best")
+    )
+    keep = best.select(component_col, F.col("_best._n").alias("keep_id"))
+    return (
+        scored.join(keep, component_col)
+        .filter(F.col(node_col) != F.col("keep_id"))
+        .select(F.col(node_col).alias("drop_id"), "keep_id")
     )

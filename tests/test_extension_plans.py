@@ -542,6 +542,45 @@ class TestKeepBestPlan:
             for k, v in saved.items():
                 spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
 
+    def test_mega_cluster_aggregate_path_has_no_window(self, spark):
+        """Above ``window_max_cluster`` the ranking window must disappear
+        from the plan entirely: a window PARTITION BY component sizes one
+        partition with the largest cluster, so a hundreds-of-millions-
+        member boilerplate cluster would land on a single task. The
+        aggregation rewrite (min over a sort-key struct, partial map-side
+        combine + winner join-back) must produce an identical result with
+        NO Window operator anywhere in the physical plan — and the
+        default-path plan for the same input DOES carry one, proving the
+        assertion bites."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import keep_best_representative
+
+        # NaN / NULL / tie rows so the equality check exercises the full
+        # ordering contract, not just the happy path
+        docs = spark.createDataFrame(
+            [(0, 0.5), (1, 0.5), (2, None), (3, float("nan")), (4, 0.9),
+             (5, 0.1), (6, None), (7, 0.9)],
+            "doc_id long, q double",
+        )
+        comps = spark.createDataFrame(
+            [(i, i % 2) for i in range(8)], "node long, component long"
+        )
+        windowed = keep_best_representative(docs, comps, F.col("q"))
+        agg = keep_best_representative(
+            docs, comps, F.col("q"), window_max_cluster=0
+        )
+        plan_w = windowed._jdf.queryExecution().executedPlan().toString()
+        plan_a = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan_w
+        assert "Window" not in plan_a
+        # partial (map-side) aggregation is what keeps the largest cluster
+        # off a single task: both halves of the agg must appear
+        assert "partial_min" in plan_a and "min(" in plan_a
+        assert sorted(map(tuple, windowed.collect())) == sorted(
+            map(tuple, agg.collect())
+        )
+
 
 class TestGlobalRankPlan:
     def test_rank_avoids_global_sort(self, spark):

@@ -393,6 +393,15 @@ class TestKeepBestTotality:
             (r.drop_id, r.keep_id)
             for r in keep_best_representative(docs, comps, F.col("q")).collect()
         }
+        # the mega-cluster aggregation rewrite (window_max_cluster=0 forces
+        # it) must be row-identical on the same arbitrary inputs — the
+        # struct sort key linearizes the exact window ordering
+        got_agg = {
+            (r.drop_id, r.keep_id)
+            for r in keep_best_representative(
+                docs, comps, F.col("q"), window_max_cluster=0
+            ).collect()
+        }
 
         def key(i):
             q = qs[i]
@@ -409,3 +418,4 @@ class TestKeepBestTotality:
             )
             expected |= {(i, members[0]) for i in members[1:]}
         assert got == expected
+        assert got_agg == expected
