@@ -1,0 +1,121 @@
+"""Release contract for operator-persisted artifacts.
+
+Several operators persist reusable artifacts for the life of the session
+(documented in their docstrings): the LSH band index
+(``dedup.minhash_lsh_pairs`` / ``_lsh_band_pairs``), the cascade's shared
+shingle index, ``corpus.token_budget_selection``'s tokenized frame,
+``corpus.global_quality_rank``'s binned frame, and the ``localCheckpoint``s
+backing ``graph.connected_components`` labels and
+``dedup.keep_best_representative``. That is the right default for batch
+jobs — the artifacts amortize across the job and the process exit frees
+them — but a long-lived session composing many pipelines would accumulate
+cached blocks indefinitely (LRU-evictable, never released).
+
+This module makes the lifetime contract *enforceable* without changing any
+operator's signature or behavior:
+
+- Every operator-persisted artifact self-registers here at creation time.
+- :func:`scope` is a context manager that releases everything registered
+  inside its block on exit — wrap one pipeline composition and its
+  artifacts die with it.
+- :func:`release_all` frees every artifact registered so far in the
+  session (e.g. between pipeline phases of a long-lived driver).
+
+Release semantics differ by artifact kind, and the distinction matters:
+
+- **persist-backed** frames (the band/shingle/token/binned indexes)
+  recompute from lineage after release — downstream results stay correct,
+  later actions just pay the rebuild.
+- **checkpoint-backed** frames (CC labels, keep_best's components) have
+  their lineage truncated by ``localCheckpoint``; releasing them frees the
+  blocks but makes any frame still referencing them ONE-SHOT INVALID.
+  Release these only after the results derived from them are materialized
+  (written, collected, or re-checkpointed).
+
+Single-driver-thread assumption, same as :func:`graph.persistent_rdd_ids`
+(true for this engine's call sites); concurrent sessions should not share
+a scope.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class _Artifact:
+    kind: str  # "persist" | "checkpoint"
+    df: DataFrame | None = None  # persist-backed: the persisted frame
+    spark: object = None  # checkpoint-backed: session + RDD ids
+    rdd_ids: set[int] = field(default_factory=set)
+    released: bool = False
+
+    def release(self) -> None:
+        if self.released:
+            return
+        if self.kind == "persist" and self.df is not None:
+            self.df.unpersist()
+        elif self.kind == "checkpoint" and self.spark is not None:
+            from ctcityscraper_spark.operators.graph import unpersist_rdd_ids
+
+            unpersist_rdd_ids(self.spark, self.rdd_ids)
+        self.released = True
+
+
+_TRACKED: list[_Artifact] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """Register a persist-backed artifact (called by operators right after
+    ``.persist()``); returns the frame unchanged."""
+    _TRACKED.append(_Artifact("persist", df=df))
+    return df
+
+
+def _track_checkpoint(spark, rdd_ids: set[int]) -> None:
+    """Register the RDD ids backing a ``localCheckpoint``.
+    ``DataFrame.unpersist`` cannot free these (they live in the
+    SparkContext persistent-RDD map, not the CacheManager), so release
+    goes through :func:`graph.unpersist_rdd_ids`."""
+    if rdd_ids:
+        _TRACKED.append(_Artifact("checkpoint", spark=spark, rdd_ids=set(rdd_ids)))
+
+
+def tracked_count(unreleased_only: bool = True) -> int:
+    """Number of registered artifacts (for tests / introspection)."""
+    return sum(1 for a in _TRACKED if not (unreleased_only and a.released))
+
+
+def release_all() -> None:
+    """Free every artifact registered so far in this session.
+
+    Persist-backed frames recompute from lineage afterwards (results stay
+    correct); checkpoint-backed frames become one-shot invalid — only
+    release after their derived results are materialized."""
+    for a in _TRACKED:
+        a.release()
+    _TRACKED.clear()
+
+
+@contextmanager
+def scope():
+    """Release every operator artifact created inside the block on exit.
+
+    ::
+
+        with artifacts.scope():
+            budgeted = token_budget_selection(docs, budget)
+            budgeted.write.parquet(out)      # materialize INSIDE the scope
+        # band/token/checkpoint blocks created above are now freed
+
+    Scopes nest: an inner scope releases only its own artifacts."""
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        for a in _TRACKED[mark:]:
+            a.release()
+        del _TRACKED[mark:]

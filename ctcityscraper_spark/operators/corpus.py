@@ -919,6 +919,11 @@ def token_budget_selection(
         F.floor(quality_score_col(text) * bins).cast("int").alias("q_bin"),
         hash64(F.col(id_col), seed).alias("_h"),
     ).filter(F.col("q_bin").isNotNull()).persist()
+    # registered for release (artifacts.scope()/release_all()): recomputes
+    # from lineage after release, so the returned plan stays valid
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+
+    _track_persist(toks)
     bin_sums = {
         r["q_bin"]: r["s"]
         for r in toks.groupBy("q_bin").agg(F.sum("n_tokens").alias("s")).collect()
@@ -1061,6 +1066,11 @@ def global_quality_rank(
     # persist (not localCheckpoint): evicted blocks recompute from
     # lineage instead of failing, the right degradation corpus-side.
     binned = df.select(F.col(id_col), qd.alias("_q"), b.alias("_bin")).persist()
+    # registered for release (artifacts.scope()/release_all()): recomputes
+    # from lineage after release, so the returned plan stays valid
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+
+    _track_persist(binned)
     counts = binned.groupBy("_bin").agg(F.count("*").alias("n")).collect()
     ordered = sorted(counts, key=lambda r: (r["_bin"] == -1, -r["_bin"]))
     offs: list[tuple[int, int]] = []

@@ -484,10 +484,16 @@ def _lsh_band_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
     # twice. Cached, the signature pipeline runs once and both sides read
     # the in-memory index (~(8+k/bands·16) bytes/doc·band — far smaller
     # than the corpus; MEMORY_AND_DISK spills rather than recomputes at
-    # 100 TB, and LRU eviction bounds a long session).
+    # 100 TB, and LRU eviction bounds a long session). Registered with
+    # operators.artifacts — release via artifacts.scope()/release_all()
+    # (recomputes from lineage afterwards).
     from pyspark.storagelevel import StorageLevel
 
-    stacked = _band_stack(sig, k, bands).persist(StorageLevel.MEMORY_AND_DISK)
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+
+    stacked = _track_persist(
+        _band_stack(sig, k, bands).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -526,7 +532,13 @@ def cascade_confirmed_pairs(
     """
     sh0 = doc_shingles(df, text, id_col, n)
     if materialize:
+        from ctcityscraper_spark.operators.artifacts import _track_checkpoint
+        from ctcityscraper_spark.operators.graph import persistent_rdd_ids
+
+        spark = df.sparkSession
+        before = persistent_rdd_ids(spark)
         sh0 = sh0.localCheckpoint(eager=True)
+        _track_checkpoint(spark, persistent_rdd_ids(spark) - before)
     cand = _lsh_band_pairs(_minhash_sigs_from_shingles(sh0, k), k, bands)
     return _jaccard_verify_from_shingles(sh0, cand, threshold, df_cap)
 
@@ -826,10 +838,16 @@ def keep_best_representative(
     same Python model; no-single-partition-window plan asserted in
     tests/test_extension_plans.py).
     """
+    from ctcityscraper_spark.operators.artifacts import _track_checkpoint
+    from ctcityscraper_spark.operators.graph import persistent_rdd_ids
+
     q = docs.select(F.col(id_col).alias(node_col), quality.alias("_q"))
+    spark = components.sparkSession
+    before = persistent_rdd_ids(spark)
     components = components.select(node_col, component_col).localCheckpoint(
         eager=True
     )
+    _track_checkpoint(spark, persistent_rdd_ids(spark) - before)
     n_comp = components.count()  # free: materialized by the checkpoint
     comp_side = (
         F.broadcast(components)

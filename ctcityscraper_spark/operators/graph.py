@@ -192,8 +192,14 @@ def connected_components(
     # Free every checkpoint this call created except the one backing the
     # returned labels (RDD ids are monotonic, so that's the max). Without
     # this each invocation leaks one persisted RDD per round — a
-    # long-lived session accumulates blocks and GC pressure.
+    # long-lived session accumulates blocks and GC pressure. The survivor
+    # registers with operators.artifacts so a long-lived session can free
+    # it too (artifacts.scope()/release_all() — one-shot: release only
+    # after the derived results are materialized).
     created = persistent_rdd_ids(spark) - ids_before
     if created:
         unpersist_rdd_ids(spark, created - {max(created)})
+        from ctcityscraper_spark.operators.artifacts import _track_checkpoint
+
+        _track_checkpoint(spark, {max(created)})
     return labels.select("node", "component")
