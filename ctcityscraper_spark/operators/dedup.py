@@ -181,6 +181,32 @@ def build_bloom_index(
     )
 
 
+def update_bloom_index(
+    bloom: DataFrame, new_docs: DataFrame, m_bits: int, k: int,
+    text: str = "text",
+) -> DataFrame:
+    """Merge a new document batch into a stored :func:`build_bloom_index`.
+
+    Bloom filters over the same ``(m_bits, k)`` parameters merge by
+    bitwise OR, so the incremental maintenance step for a continuously
+    growing corpus is exact: ``update_bloom_index(build_bloom_index(A),
+    B)`` is bit-for-bit identical to ``build_bloom_index(A ∪ B)``
+    (OR-associativity; property-tested). Cost is the delta build (one
+    explode + bit_or over the BATCH only — never the corpus) plus a
+    union + bit_or re-aggregation of ≤ 2·m/32 word rows. Rewrite the
+    merged result bucketed on word_idx (sources/bucketed.py) to keep the
+    probe join shuffle-free on the index side; the union discards the
+    stored table's bucketing, so the re-write is where it comes back.
+    No false negative can ever be introduced: words only gain bits.
+    """
+    delta = build_bloom_index(new_docs, m_bits, k, text)
+    return (
+        bloom.unionByName(delta)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
 def bloom_might_contain(
     batch: DataFrame,
     bloom: DataFrame,

@@ -309,6 +309,74 @@ def q_dedup_bloom_membership(spark, sf_dir):
 
 
 @query(
+    "dedup_bloom_update",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {hash64_sql('doc_id', 'bloomsplit')} % 5 AS bucket
+        FROM documents),
+    member AS (
+        SELECT md5(text) AS fp FROM split
+        WHERE bucket NOT IN (0) AND text IS NOT NULL),
+    batch AS (
+        SELECT doc_id, text, md5(text) AS fp FROM split WHERE bucket = 0),
+    cpos AS (
+        SELECT (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
+                + i * (({hash64_sql('fp', 'bloomB')} % {_BLOOM_M - 1}) + 1)) % {_BLOOM_M} AS pos
+        FROM member, range(0, {_BLOOM_K}) t(i)),
+    words AS (
+        SELECT pos // 32 AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+        FROM cpos GROUP BY 1),
+    bpos AS (
+        SELECT doc_id,
+               (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
+                + i * (({hash64_sql('fp', 'bloomB')} % {_BLOOM_M - 1}) + 1)) % {_BLOOM_M} AS pos
+        FROM batch, range(0, {_BLOOM_K}) t(i)
+        WHERE text IS NOT NULL),
+    hits AS (
+        SELECT doc_id,
+               bool_and((COALESCE(word, 0)
+                         & (1::BIGINT << CAST(pos % 32 AS INT)))
+                        = (1::BIGINT << CAST(pos % 32 AS INT))) AS mc
+        FROM bpos LEFT JOIN words ON pos // 32 = word_idx
+        GROUP BY doc_id)
+    SELECT b.doc_id AS doc_id,
+           COALESCE(h.mc, false) AS might_contain
+    FROM batch b LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_bloom_update(spark, sf_dir):
+    """Incremental Bloom maintenance (operators/dedup.update_bloom_index):
+    the filter is built over a 60% base corpus, a 20% delta batch is
+    MERGED in (bit_or of word tables), and the remaining 20% probes the
+    merged filter. The oracle builds the filter over base+delta in ONE
+    pass — a value-hash match therefore proves the two-step merge is
+    bit-for-bit identical to a fresh build (OR-associativity), which is
+    what makes per-batch index maintenance exact on a growing corpus."""
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_might_contain,
+        build_bloom_index,
+        update_bloom_index,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    bucket = hash64(F.col("doc_id"), "bloomsplit") % 5
+    base = docs.filter(bucket >= 2)
+    delta = docs.filter(bucket == 1)
+    probe = docs.filter(bucket == 0)
+    bloom = build_bloom_index(base, _BLOOM_M, _BLOOM_K)
+    merged = update_bloom_index(bloom, delta, _BLOOM_M, _BLOOM_K)
+    return (
+        bloom_might_contain(probe, merged, _BLOOM_M, _BLOOM_K)
+        .select("doc_id", "might_contain")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh0 AS (

@@ -1140,6 +1140,44 @@ class TestBloomMembership:
         # empty bloom: nothing may flag true; NULL text always false
         assert flags == {1: False, 2: False}
 
+    def test_update_merge_equals_fresh_build(self, spark):
+        """Incremental maintenance is EXACT: merging a delta batch into a
+        stored index (bit_or of word tables) must be bit-for-bit identical
+        to building over the union — OR-associativity, the property that
+        makes per-batch updates safe on a growing corpus. Probing the
+        merged filter with the delta docs must also flag all true (no
+        false negative can be introduced by a merge)."""
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_might_contain,
+            build_bloom_index,
+            update_bloom_index,
+        )
+
+        m, k = 2048, 4
+        a = spark.createDataFrame(
+            [(i, f"base doc {i}") for i in range(40)], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(100 + i, f"delta doc {i}") for i in range(15)]
+            + [(200, None)],  # NULL text in the delta contributes nothing
+            "doc_id long, text string",
+        )
+        merged = {
+            r.word_idx: r.word
+            for r in update_bloom_index(build_bloom_index(a, m, k), b, m, k).collect()
+        }
+        fresh = {
+            r.word_idx: r.word
+            for r in build_bloom_index(a.unionByName(b), m, k).collect()
+        }
+        assert merged == fresh and len(merged) > 0
+        flags = bloom_might_contain(
+            b.filter("text IS NOT NULL"),
+            update_bloom_index(build_bloom_index(a, m, k), b, m, k),
+            m, k,
+        )
+        assert flags.filter("NOT might_contain").count() == 0
+
     def test_parameters_sizing(self):
         from ctcityscraper_spark.operators.dedup import bloom_parameters
 
