@@ -260,6 +260,66 @@ def tfidf_top_terms(
     )
 
 
+def unigram_surprisal(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document quantized unigram surprisal — the CCNet-style LM
+    quality signal (rank documents by how "surprising" their tokens are
+    under a language model trained on the corpus itself), made
+    transcendental-free so it is bit-portable across engines.
+
+    CCNet (reference recipe for crawl filtering) buckets documents by
+    KenLM perplexity: boilerplate scores low, rare-token-heavy text (both
+    high-value fresh content AND noise) scores high. The honest
+    reproducible core of that signal is unigram cross-entropy
+    ``Σ c_dt · log2(T / c_t) / n_d`` — but ``log2`` is not bit-portable
+    between Spark's JVM Math and DuckDB's libm (module determinism rule:
+    no transcendentals across the oracle boundary). So the per-token
+    surprisal is QUANTIZED to its integer bit-width::
+
+        s(t) = length(bin(T div c_t)) = floor(log2(T div c_t)) + 1
+
+    computed entirely in integer/string space (``bin`` exists with
+    identical semantics in both engines). ``mean_surprisal`` is then one
+    exact integer division per document — hash-exact cross-engine, and
+    monotone in token rarity, which is all the downstream bucketing
+    (quality gates, curriculum staging) consumes.
+
+    Shuffles: one groupBy on term for the corpus counts (map-side
+    partial), one on (doc, term), one broadcast of the scalar total, one
+    per-doc aggregation — aggregation-shaped, nothing quadratic, no
+    Python boundary. Documents with zero nonempty tokens emit no row
+    (same contract as :func:`vocab_coverage`).
+
+    Returns (doc_id, n_tokens, sum_bits, mean_surprisal).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("term")
+    ).filter(F.col("term") != "")
+    term_counts = toks.groupBy("term").agg(F.count("*").alias("c_t"))
+    total = term_counts.agg(F.sum("c_t").alias("t_total"))
+    per_doc_term = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("c_dt")
+    )
+    scored = (
+        per_doc_term.join(term_counts, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "s_bits",
+            F.length(F.bin(F.expr("t_total DIV c_t"))).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_dt").alias("n_tokens"),
+        F.sum(F.col("c_dt") * F.col("s_bits")).alias("sum_bits"),
+        (
+            F.sum(F.col("c_dt") * F.col("s_bits")) / F.sum("c_dt")
+        ).alias("mean_surprisal"),
+    )
+
+
 def vocab_coverage(
     df,
     vocab_size: int = 1000,

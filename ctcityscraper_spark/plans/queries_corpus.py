@@ -35,6 +35,7 @@ from ctcityscraper_spark.functions.hashing import hash64
 from ctcityscraper_spark.operators.text import (
     quality_score_sql,
     tfidf_top_terms,
+    unigram_surprisal,
     vocab_coverage,
 )
 from ctcityscraper_spark.plans.queries import query
@@ -565,6 +566,47 @@ def q_text_tfidf_top_terms(spark, sf_dir):
         tfidf_top_terms(docs, k=3)
         .repartition(1)
         .sortWithinPartitions("doc_id", "rank")
+    )
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    tc AS (
+        SELECT term, count(*) AS c_t FROM toks
+        WHERE term != '' GROUP BY term),
+    tot AS (SELECT SUM(c_t)::BIGINT AS t_total FROM tc),
+    dt AS (
+        SELECT doc_id, term, count(*) AS c_dt FROM toks
+        WHERE term != '' GROUP BY doc_id, term),
+    scored AS (
+        SELECT doc_id, c_dt,
+               length(bin(t_total // c_t))::BIGINT AS s_bits
+        FROM dt JOIN tc USING (term) CROSS JOIN tot)
+    SELECT doc_id,
+           SUM(c_dt)::BIGINT AS n_tokens,
+           SUM(c_dt * s_bits)::BIGINT AS sum_bits,
+           SUM(c_dt * s_bits) / SUM(c_dt) AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_text_unigram_surprisal(spark, sf_dir):
+    """CCNet-style LM quality signal, transcendental-free: per-document
+    mean QUANTIZED unigram surprisal (integer bit-width of the inverse
+    token probability, length(bin(T div c_t)) — exact in both engines;
+    operators/text.unigram_surprisal). Aggregation-shaped: term-count
+    groupBy + (doc, term) groupBy + broadcast scalar total + per-doc agg;
+    the mean is one exact integer division. Boilerplate scores low,
+    rare-token-heavy documents high — the bucketing input for CCNet-style
+    head/middle/tail corpus splits."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        unigram_surprisal(docs)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -889,3 +889,37 @@ class TestSinglePassUpstream:
         out = token_budget_selection(df, budget_tokens=150)
         out.collect()
         assert acc.value == 120, f"upstream ran {acc.value / 120:.1f}x"
+
+
+class TestUnigramSurprisal:
+    def test_hand_computed_fixture(self, spark):
+        """Token counts a=3, b=1, c=1 -> T=5; s(a)=len(bin(5//3))=1,
+        s(b)=s(c)=len(bin(5))=3. NULL/empty-text docs emit no row."""
+        from ctcityscraper_spark.operators.text import unigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c"), (3, None), (4, "   ")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.sum_bits, r.mean_surprisal)
+            for r in unigram_surprisal(docs).collect()
+        }
+        assert got == {
+            1: (3, 2 * 1 + 3, (2 * 1 + 3) / 3),
+            2: (2, 1 + 3, 2.0),
+        }
+
+    def test_boilerplate_scores_below_rare_text(self, spark):
+        """The CCNet-direction sanity check: a document repeating the
+        corpus-dominant token must score strictly below one made of
+        singleton tokens."""
+        from ctcityscraper_spark.operators.text import unigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(i, "common " * 20) for i in range(10)]
+            + [(99, "zeta omicron quixotic")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.mean_surprisal for r in unigram_surprisal(docs).collect()}
+        assert got[99] > got[0]
