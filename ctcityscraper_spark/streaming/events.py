@@ -243,6 +243,7 @@ def compact_incremental_zone(
     bucket_keys: list[str] | None = None,
     buckets: int = 8,
     sort: list[str] | None = None,
+    transform=None,
 ) -> bool:
     """Rewrite all data for batches < ``upto`` into one consolidated epoch.
 
@@ -259,6 +260,14 @@ def compact_incremental_zone(
     deleted only AFTER the new epoch committed — a replay that re-runs the
     compaction simply overwrites the same epoch. Returns True if an epoch
     was (re)written.
+
+    ``transform`` (optional, DataFrame -> DataFrame) is applied to the
+    unioned zone before the epoch is written — for zones whose rows MERGE
+    rather than concatenate (e.g. Bloom word tables re-aggregating with
+    bit_or), so epochs stay bounded by the merged size instead of growing
+    with total batch count. It must be idempotent over already-transformed
+    rows (a merge re-applied to merged rows is a no-op) because a later
+    epoch reads an earlier one as input.
     """
     from ctcityscraper_spark.sources.bucketed import write_bucketed
 
@@ -271,6 +280,8 @@ def compact_incremental_zone(
         full = read_incremental_zone(spark, base, upto, table_prefix)
         if full is None:
             return False
+        if transform is not None:
+            full = transform(full)
         path = f"{base}/compacted/upto={upto}"
         if bucket_keys and table_prefix:
             write_bucketed(
@@ -414,6 +425,127 @@ def streaming_incremental_spans(
                 index_dir,
                 batch_id,
             )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom_words(
+    spark: SparkSession,
+    words_dir: str,
+    before_batch: int = 2**62,
+    table_prefix: str | None = None,
+) -> DataFrame | None:
+    """The merged Bloom word table for batches strictly before
+    ``before_batch``: per-batch delta word partitions (and/or the newest
+    compacted epoch) bit_or-merged into one (word_idx, word) frame —
+    exactly :func:`operators.dedup.update_bloom_index`'s merge, applied
+    across every delta at once (OR-associativity makes any grouping
+    equivalent to a fresh build). None when nothing is written yet. On a
+    freshly-compacted zone (epoch bucketed on word_idx, empty tail) the
+    merge groupBy is shuffle-free on the epoch side."""
+    from pyspark.sql import functions as SF
+
+    words = read_incremental_zone(spark, words_dir, before_batch, table_prefix)
+    if words is None:
+        return None
+    return (
+        words.select("word_idx", "word")
+        .groupBy("word_idx")
+        .agg(SF.bit_or("word").alias("word"))
+    )
+
+
+def streaming_bloom_membership(
+    stream: DataFrame,
+    words_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    m_bits: int,
+    k: int,
+    compact_every: int | None = None,
+    compact_buckets: int = 8,
+    compact_table_prefix: str | None = None,
+):
+    """Continuously-maintained Bloom membership filter over a doc stream.
+
+    The streaming twin of ``build_bloom_index`` + ``update_bloom_index``
+    (operators/dedup.py): every micro-batch (1) probes its documents
+    against the filter state accumulated by all batches STRICTLY before it
+    (no false negatives vs everything previously ingested; fpp at the
+    filter's design point) — flags land in ``flags_dir/batch_id=N`` as
+    (doc_id, might_contain) — and then (2) appends its own delta word
+    table to ``words_dir/batch_id=N``, extending the filter for later
+    batches. Chase flagged rows with the exact incremental join when
+    exactness matters (same contract as the batch operator).
+
+    Exactly-once exactly like :func:`streaming_incremental_spans`: the
+    checkpoint skips completed batches, every write is a
+    ``batch_id=N`` overwrite (replay rewrites its own partitions), and the
+    probe reads only strictly-before batches so a replayed batch never
+    sees its own half-written delta. Per-batch write cost is ≤ m/32 word
+    rows (bytes, not corpus-sized); with ``compact_every=N`` the word zone
+    periodically re-aggregates into ONE epoch of ≤ m/32 rows bucketed on
+    word_idx (``transform=bit_or`` merge — epochs stay filter-sized
+    forever, and the next probes' merge groupBy is shuffle-free on the
+    epoch side). Returns the StreamingQuery handle; caller stops it.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as SF
+
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_might_contain,
+        build_bloom_index,
+    )
+
+    tbl_prefix = compact_table_prefix or (
+        "bloom_words_" + hashlib.md5(words_dir.encode()).hexdigest()[:8]
+    )
+
+    def _merge(df: DataFrame) -> DataFrame:
+        return (
+            df.select("word_idx", "word")
+            .groupBy("word_idx")
+            .agg(SF.bit_or("word").alias("word"))
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, words_dir)
+            if not epochs or epochs[-1][0] < batch_id:
+                compact_incremental_zone(
+                    spark, words_dir, batch_id, table_prefix=tbl_prefix,
+                    bucket_keys=["word_idx"], buckets=compact_buckets,
+                    sort=["word_idx"], transform=_merge,
+                )
+        batch_df = batch_df.persist()
+        try:
+            bloom = read_bloom_words(spark, words_dir, batch_id, tbl_prefix)
+            if bloom is None:
+                # first batch: nothing ingested before it, nothing can flag
+                flags = batch_df.select(
+                    "doc_id", SF.lit(False).alias("might_contain")
+                )
+            else:
+                flags = bloom_might_contain(
+                    batch_df, bloom, m_bits, k
+                ).select("doc_id", "might_contain")
+            flags.write.mode("overwrite").parquet(
+                f"{flags_dir}/batch_id={batch_id}"
+            )
+            build_bloom_index(batch_df, m_bits, k).write.mode(
+                "overwrite"
+            ).parquet(f"{words_dir}/batch_id={batch_id}")
         finally:
             batch_df.unpersist()
 

@@ -809,3 +809,109 @@ class TestStreaming:
         out = tmp_store.scan("props_stream")
         assert out.count() == 2
         assert {"scraped_at", "row_hash"} <= set(out.columns)
+
+
+class TestStreamingBloom:
+    def test_streaming_bloom_membership_grows_filter(self, spark, tmp_path):
+        """4 single-doc-ish batches with compact_every=2: each batch probes
+        the filter built by batches strictly before it (dups of earlier
+        batches flag true, same-batch and fresh docs flag false), the word
+        zone bit_or-merges to EXACTLY a fresh build over everything
+        ingested, compaction re-aggregates the epoch to <= m/32 word rows,
+        and checkpoint replay reprocesses nothing."""
+        import time as _time
+
+        from ctcityscraper_spark.operators.dedup import build_bloom_index
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_bloom_words,
+            stream_from_directory,
+            streaming_bloom_membership,
+        )
+
+        m, k = 2048, 4
+        schema = "doc_id long, text string"
+        src = tmp_path / "incoming"
+        batches = [
+            [(1, "alpha text one")],
+            [(2, "beta text two"), (3, "alpha text one")],     # 3 dups b0
+            [(4, "beta text two"), (5, "gamma fresh content")],  # 4 dups b1
+            [(6, "gamma fresh content"), (7, "delta novel words")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)  # file-source ordering is by modification time
+
+        kwargs = dict(
+            words_dir=str(tmp_path / "words"),
+            flags_dir=str(tmp_path / "flags"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            m_bits=m,
+            k=k,
+            compact_every=2,
+            compact_buckets=4,
+            compact_table_prefix="t_bloom_words",
+        )
+        try:
+            q = streaming_bloom_membership(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q.awaitTermination(180)
+
+            flags = {
+                r.doc_id: r.might_contain
+                for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+            }
+            # strictly-before contract: 3, 4, 6 duplicate EARLIER batches
+            # (true); everything else — including within-batch structure —
+            # flags false; no false positive at m=2048/k=4 over 5 texts
+            assert flags == {
+                1: False, 2: False, 3: True, 4: True,
+                5: False, 6: True, 7: False,
+            }
+
+            # the merged word zone IS a fresh build over all ingested docs
+            # (OR-associativity end-to-end across deltas + epoch)
+            merged = {
+                r.word_idx: r.word
+                for r in read_bloom_words(
+                    spark, kwargs["words_dir"],
+                    table_prefix="t_bloom_words",
+                ).collect()
+            }
+            every_doc = spark.createDataFrame(
+                [r for rows in batches for r in rows], schema
+            )
+            fresh = {
+                r.word_idx: r.word
+                for r in build_bloom_index(every_doc, m, k).collect()
+            }
+            assert merged == fresh and len(merged) > 0
+
+            # compaction: one committed epoch (upto=2), re-aggregated to at
+            # most m/32 word rows despite covering two batches
+            assert [mm for mm, _ in _compacted_epochs(spark, kwargs["words_dir"])] == [2]
+            epoch = spark.table("t_bloom_words_upto_2")
+            assert epoch.count() <= m // 32
+            assert epoch.count() == epoch.select("word_idx").distinct().count()
+
+            # checkpoint replay: nothing reprocessed
+            q2 = streaming_bloom_membership(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q2.awaitTermination(180)
+            assert spark.read.parquet(str(tmp_path / "flags")).count() == 7
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bloom_words_upto_2")
