@@ -59,6 +59,20 @@ class TestExtensionPlans:
         plan = plan_of(spark, "text_vocab_coverage")
         assert "TakeOrderedAndProject" in plan
 
+    def test_surprisal_is_aggregation_shaped(self, spark):
+        """unigram_surprisal must stay aggregation-shaped: partial
+        (map-side) aggregation on the term counts, the scalar corpus
+        total BROADCAST into the scored join (never a shuffle to attach
+        one number), no window, no cartesian, no Python boundary."""
+        plan = plan_of(spark, "text_unigram_surprisal")
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # the scalar-total attach is the ONLY nested-loop join allowed
+        # (1-row build side); a cartesian of real tables is not
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs"])
     def test_band_join_is_real_join(self, spark, name):
         plan = plan_of(spark, name)
