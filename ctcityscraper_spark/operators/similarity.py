@@ -1127,3 +1127,127 @@ def _nest_shape(obj) -> list[int]:
             break
         obj = obj[0]
     return shape
+
+
+def int8_gram_matrix(
+    df: DataFrame, dims: int, vec: str = "embedding"
+) -> DataFrame:
+    """Exact integer Gram (scatter) matrix of the int8-quantized corpus.
+
+    The training primitive for PCA whitening / OPQ-style rotations over
+    billions of embeddings: ``G[j, l] = Σ_rows q_j · q_l`` with
+    ``q = int8_quantize_col(v)``. Quantizing FIRST (via the exact same
+    expression the int8 ANN path uses, so no numpy-rounding divergence)
+    makes the whole aggregation pure integer math — exact,
+    order-independent, DuckDB-reproducible (catalog query
+    ``ann_int8_gram_matrix`` hash-matches) — where a float covariance
+    would be association-order-dependent and unhashable.
+
+    Scale shape: per Arrow batch, one numpy ``Qᵀ·Q`` matmul collapses the
+    batch into a d×d int64 partial (d² longs, independent of row count),
+    accumulated once per PARTITION; the final groupBy sums
+    ~(partitions × d²) partial rows — never the n×d² exploded rows of the
+    naive SQL shape (10^15 rows at 1B×1024-dim; here each partition ships
+    ~8 MB at 1024-dim). Overflow bound: |g| ≤ 127²·n ≈ 1.6e13 at n=1e9 —
+    comfortably inside int64. Invalid vectors are excluded (standard
+    embedding-operator entry contract). Returns (j, l, g) — all d²
+    entries 0-based when the corpus is non-empty, an empty frame when it
+    is empty.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    quant = valid_vectors(df, vec).select(
+        int8_quantize_col(F.col(vec)).alias("qv")
+    )
+    jj, ll = np.meshgrid(np.arange(dims), np.arange(dims), indexing="ij")
+    j_flat, l_flat = jj.ravel(), ll.ravel()
+
+    def run(it):
+        total = np.zeros((dims, dims), dtype=np.int64)
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+            total += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"j": j_flat, "l": l_flat, "g": total.ravel()}
+            )
+
+    schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("l", IntegerType()),
+            StructField("g", LongType()),
+        ]
+    )
+    return (
+        quant.mapInPandas(run, schema)
+        .groupBy("j", "l")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def pca_components(gram_rows, dims: int, k: int):
+    """Top-``k`` principal directions from an :func:`int8_gram_matrix`.
+
+    Driver-side eigendecomposition of the d×d integer Gram matrix
+    (``gram_rows``: collected (j, l, g) rows or the DataFrame itself —
+    d² values, BOUNDED, never corpus-sized; the corpus-sized work already
+    happened in the distributed Gram pass). Returns (components,
+    eigenvalues): ``components`` is a k×d list of unit-norm rows ordered
+    by descending eigenvalue, sign-canonicalized so the largest-|weight|
+    coordinate is positive (eigh's sign is otherwise arbitrary — this
+    keeps runs reproducible). Use with :func:`pca_project_col` for
+    SemDeDup/IVF preprocessing or PQ-friendly decorrelation.
+    """
+    import numpy as np
+
+    if hasattr(gram_rows, "collect"):
+        gram_rows = gram_rows.collect()
+    mat = np.zeros((dims, dims), dtype=np.float64)
+    for r in gram_rows:
+        mat[r["j"], r["l"]] = r["g"]
+    vals, vecs = np.linalg.eigh(mat)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(vals[i]) for i in order]
+
+
+def pca_project_col(vec, components):
+    """Project a double-array column onto literal PCA ``components``
+    (k×d from :func:`pca_components`) → k-dim double array.
+
+    Literal-expression path (k·d plan literals) — same trade-off as
+    :func:`srp_bucket_col`: fine for the k·d ≤ a-few-thousand configs
+    used for SemDeDup/IVF preprocessing; for large k·d use the
+    :func:`srp_bucket_vectorized`-style Arrow matmul pattern instead.
+    Left-to-right fold per component, deterministic.
+    """
+    v = _as_double(vec)
+    outs = []
+    for comp in components:
+        w = F.array(*[F.lit(float(x)) for x in comp])
+        outs.append(
+            F.aggregate(
+                F.zip_with(v, w, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*outs)

@@ -459,3 +459,33 @@ def q_ann_int8_topk(spark, sf_dir):
     return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "ann_int8_gram_matrix",
+    oracle=f"""
+    WITH q AS (SELECT {_int8_sql('embedding', 64)} AS qv
+               FROM {EMB_VALID} embeddings)
+    SELECT j::INTEGER AS j, l::INTEGER AS l,
+           SUM(qv[j + 1] * qv[l + 1])::BIGINT AS g
+    FROM q, range(0, 64) tj(j), range(0, 64) tl(l)
+    GROUP BY 1, 2 ORDER BY j, l
+    """,
+)
+def q_ann_int8_gram_matrix(spark, sf_dir):
+    """Exact integer Gram matrix of the int8-quantized embedding corpus
+    (operators/similarity.int8_gram_matrix) — the PCA-whitening / OPQ
+    rotation training primitive. Spark collapses each Arrow batch with
+    one numpy Q^T·Q matmul into a d^2 int64 partial and sums partials
+    (shuffle ~partitions x d^2 rows); the oracle takes the naive n x d^2
+    exploded shape — a value-hash match proves the matmul path is exact.
+    Integer quantization first makes the whole thing association-order-
+    independent (a float covariance could never hash-match)."""
+    from ctcityscraper_spark.operators.similarity import int8_gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        int8_gram_matrix(emb, dims=64)
+        .repartition(1)
+        .sortWithinPartitions("j", "l")
+    )

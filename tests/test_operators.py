@@ -1186,3 +1186,81 @@ class TestBloomMembership:
         assert 1 <= k <= 16
         m0, k0 = bloom_parameters(0, 0.01)
         assert m0 >= 32 and k0 >= 1
+
+
+class TestGramPca:
+    def test_gram_matches_numpy_and_symmetry(self, spark):
+        import numpy as np
+
+        from ctcityscraper_spark.operators.similarity import int8_gram_matrix
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(50, 8).astype(np.float64)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {(r.j, r.l): r.g for r in int8_gram_matrix(df, dims=8).collect()}
+        # reference: same quantization rule (round-half-up like Spark's
+        # ROUND), exact integer accumulation — float32 ingest first, since
+        # the table column is array<float>
+        q = []
+        for v in vecs.astype(np.float32).astype(np.float64):
+            m = np.abs(v).max()
+            q.append(np.floor(v * 127.0 / m + 0.5) if m > 0 else np.zeros(8))
+        qm = np.array(q, dtype=np.int64)
+        ref = qm.T @ qm
+        assert len(got) == 64
+        for (j, l), g in got.items():
+            assert g == ref[j, l]
+            assert g == got[(l, j)]  # symmetric
+
+    def test_empty_corpus_empty_gram(self, spark):
+        from ctcityscraper_spark.operators.similarity import int8_gram_matrix
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert int8_gram_matrix(empty, dims=8).count() == 0
+
+    def test_pca_recovers_planted_direction(self, spark):
+        import numpy as np
+
+        from ctcityscraper_spark.operators.similarity import (
+            int8_gram_matrix,
+            pca_components,
+            pca_project_col,
+        )
+
+        rng = np.random.RandomState(11)
+        direction = np.array([3.0, 1.0, 0.0, 0.0, 0.0, 0.0, -2.0, 1.0])
+        direction /= np.linalg.norm(direction)
+        data = (
+            rng.randn(300, 1) * 10.0 @ direction[None, :]
+            + rng.randn(300, 8) * 0.3
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+            "vec_id long, embedding array<float>",
+        )
+        comps, eigs = pca_components(int8_gram_matrix(df, dims=8), dims=8, k=3)
+        assert len(comps) == 3 and len(comps[0]) == 8
+        assert eigs[0] >= eigs[1] >= eigs[2] > 0
+        # dominant component aligns with the planted direction
+        assert abs(float(np.dot(comps[0], direction))) > 0.95
+        # components are orthonormal
+        c = np.array(comps)
+        assert np.allclose(c @ c.T, np.eye(3), atol=1e-8)
+        # sign canonicalization: largest-|weight| coordinate positive
+        for row in comps:
+            assert row[int(np.argmax(np.abs(row)))] > 0
+        # projection expression matches numpy within float-fold tolerance
+        import pyspark.sql.functions as SF
+
+        proj = {
+            r.vec_id: r.p
+            for r in df.select(
+                "vec_id", pca_project_col(SF.col("embedding"), comps).alias("p")
+            ).collect()
+        }
+        ref = data.astype(np.float32).astype(np.float64) @ c.T
+        for i in range(0, 300, 37):
+            assert np.allclose(proj[i], ref[i], rtol=1e-6, atol=1e-6)
