@@ -81,10 +81,10 @@ DRIVER_PRIORITY = [
     "corpus_cut_spans", "corpus_incremental_spans", "corpus_pack_sequences",
 ]
 # After this round's window, every one of the 97 pre-r8 catalog queries
-# has held at least one driver-verified CORRECTNESS row (r1-r8). The two
-# NEW r8 queries (dedup_bloom_update, text_unigram_surprisal) sit outside
-# the 50-row window this round — in-repo + adversarial oracle-gated now,
-# rotate them IN next round.
+# has held at least one driver-verified CORRECTNESS row (r1-r8). The
+# three NEW r8 queries (dedup_bloom_update, text_unigram_surprisal,
+# ann_int8_gram_matrix) sit outside the 50-row window this round —
+# in-repo + adversarial oracle-gated now, rotate them IN next round.
 
 
 def _ordered(catalog: dict) -> dict:
