@@ -419,3 +419,99 @@ class TestKeepBestTotality:
             expected |= {(i, members[0]) for i in members[1:]}
         assert got == expected
         assert got_agg == expected
+
+
+class TestBloomMergeProperty:
+    """update_bloom_index over ARBITRARY corpus partitions must equal a
+    fresh build over the union bit-for-bit (OR-associativity is the
+    contract that makes per-batch maintenance exact), and probing the
+    merged filter with any ingested doc must never flag false."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.one_of(st.none(), printable), min_size=1, max_size=12
+        ),
+        split=st.integers(min_value=0, max_value=12),
+    )
+    def test_merge_equals_fresh_and_no_false_negatives(
+        self, spark, texts, split
+    ):
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_might_contain,
+            build_bloom_index,
+            update_bloom_index,
+        )
+
+        m, k = 1024, 3
+        rows = [(i, t) for i, t in enumerate(texts)]
+        split = min(split, len(rows))
+        a = spark.createDataFrame(rows[:split], "doc_id long, text string") \
+            if rows[:split] else spark.createDataFrame([], "doc_id long, text string")
+        b = spark.createDataFrame(rows[split:], "doc_id long, text string") \
+            if rows[split:] else spark.createDataFrame([], "doc_id long, text string")
+        al = spark.createDataFrame(rows, "doc_id long, text string")
+        merged = {
+            (r.word_idx, r.word)
+            for r in update_bloom_index(build_bloom_index(a, m, k), b, m, k).collect()
+        }
+        fresh = {
+            (r.word_idx, r.word)
+            for r in build_bloom_index(al, m, k).collect()
+        }
+        assert merged == fresh
+        flags = bloom_might_contain(
+            al, update_bloom_index(build_bloom_index(a, m, k), b, m, k), m, k
+        )
+        assert flags.filter("NOT might_contain AND text IS NOT NULL").count() == 0
+
+
+class TestSurprisalProperty:
+    """unigram_surprisal over ARBITRARY corpora must equal the Python
+    model exactly: integer bit-math end-to-end, so no tolerance."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.one_of(
+                st.none(),
+                st.text(alphabet="abc \t", min_size=0, max_size=25),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_matches_python_model(self, spark, texts):
+        from collections import Counter
+
+        from ctcityscraper_spark.operators.text import unigram_surprisal
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.sum_bits, r.mean_surprisal)
+            for r in unigram_surprisal(df).collect()
+        }
+
+        def toks(t):
+            # split(trim(t), '\s+') semantics: trim, then whitespace split;
+            # empty string -> [''] which the operator filters out
+            return [x for x in (t.strip().split() if t else []) if x != ""]
+
+        counts = Counter()
+        for t in texts:
+            counts.update(toks(t))
+        total = sum(counts.values())
+        expected = {}
+        for i, t in enumerate(texts):
+            tk = toks(t)
+            if not tk:
+                continue
+            sum_bits = sum((total // counts[w]).bit_length() for w in tk)
+            expected[i] = (len(tk), sum_bits, sum_bits / len(tk))
+        assert got == expected
