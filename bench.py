@@ -53,6 +53,28 @@ def calibrate(spark, trials: int = 3, rows: int = 256_000_000) -> float:
     return round(best, 4)
 
 
+def calibrate_shuffle(spark, trials: int = 3, rows: int = 32_000_000) -> float:
+    """Secondary calibration: a fixed SHUFFLE-shaped job (hash groupBy of
+    ``rows`` longs into 100k keys). The pure-CPU calibration above prices
+    raw compute but not the exchange/serialization path, and the two move
+    independently across boots (r8: a boot 12 % faster on the CPU job
+    showed ~+7 % on calibration-normalized totals for UNTOUCHED queries —
+    normalization sensitivity, not regression). This field gives future
+    rounds the second axis to separate those cases; it does NOT change
+    the existing normalized metrics, which stay defined against the CPU
+    job for cross-round continuity."""
+    best = None
+    for _ in range(trials):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        spark.range(0, rows, 1, 32).selectExpr("id % 100003 AS k").groupBy(
+            "k"
+        ).count().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 def time_query(spark, fn, sf_dir: str, max_trials: int = 3) -> tuple[float | None, str | None]:
     """Best-of-2 cold trials (3 when the first two disagree badly); returns
     (best_seconds | None, error | None). A single local[32] run is
@@ -105,7 +127,13 @@ def run_headline(spark, sf_dir: str, queries) -> tuple[dict, dict]:
     return timings, errors
 
 
-def build_output(timings: dict, errors: dict, sf, calibration_sec: float | None = None) -> dict:
+def build_output(
+    timings: dict,
+    errors: dict,
+    sf,
+    calibration_sec: float | None = None,
+    calibration_shuffle_sec: float | None = None,
+) -> dict:
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -126,6 +154,10 @@ def build_output(timings: dict, errors: dict, sf, calibration_sec: float | None 
         out["queries_normalized"] = {
             k: round(v / calibration_sec, 4) for k, v in timings.items()
         }
+    if calibration_shuffle_sec:
+        # second normalization axis (shuffle/exchange path) — recorded,
+        # not used in the normalized metrics, so trends stay continuous
+        out["calibration_shuffle_sec"] = calibration_shuffle_sec
     if errors:
         # the total is NOT round-comparable when any query errored out —
         # flag it rather than letting a smaller sum read as a speedup
@@ -161,6 +193,7 @@ def main() -> None:
     # calibrate AFTER warmup, BEFORE the queries: one fixed CPU job that
     # prices this boot's hardware so cross-round numbers stay comparable
     calibration_sec = calibrate(spark)
+    calibration_shuffle_sec = calibrate_shuffle(spark)
 
     timings, errors = run_headline(spark, sf_dir, QUERIES)
 
@@ -200,7 +233,13 @@ def main() -> None:
     if ingest_runs:
         timings["ingest_load_2000"] = round(min(ingest_runs), 4)
 
-    print(json.dumps(build_output(timings, errors, sf, calibration_sec)))
+    print(
+        json.dumps(
+            build_output(
+                timings, errors, sf, calibration_sec, calibration_shuffle_sec
+            )
+        )
+    )
 
 
 if __name__ == "__main__":

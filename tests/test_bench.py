@@ -94,3 +94,16 @@ class TestCalibration:
         assert "calibration_sec" not in out
         assert "queries_normalized" not in out
         assert "value_normalized" not in out
+
+    def test_shuffle_calibration_field_recorded_not_normalizing(self, spark):
+        from bench import calibrate_shuffle
+
+        c = calibrate_shuffle(spark, trials=1, rows=100_000)
+        assert isinstance(c, float) and c > 0
+        out = build_output(
+            {"a": 2.0}, {}, sf=0.1, calibration_sec=2.0,
+            calibration_shuffle_sec=c,
+        )
+        assert out["calibration_shuffle_sec"] == c
+        # the existing normalized metrics stay defined against the CPU job
+        assert out["value_normalized"] == 1.0
