@@ -362,3 +362,95 @@ def vocab_coverage(
             / F.count("*")
         ).alias("oov_frac"),
     )
+
+
+def count_min_sketch(
+    df,
+    text: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms",
+):
+    """Count-Min sketch of the corpus token stream — bounded-state
+    frequency estimation when the vocabulary itself is too big to hold.
+
+    At 100 TB the raw term table has billions of distinct keys; a full
+    groupBy materializes all of them just to find the hot ones. The CMS
+    keeps ``depth × width`` integer cells regardless of vocabulary size:
+    each token increments one cell per row r at column
+    ``hash64(token, seed+r) % width``. Estimates are one-sided
+    (``estimate >= true count``, with overestimate probability shrinking
+    exponentially in ``depth``) — the right primitive for hot-token /
+    hot-shingle guards like the Jaccard ``df_cap``, stop-list mining, or
+    boilerplate detection, where false positives only cost a little
+    pruning. Pure integer hashing + counting, so DuckDB reproduces the
+    sketch bit-for-bit (catalog query ``text_cms_heavy_hitters``).
+
+    Shuffles: the explode emits ``depth`` rows per token but the groupBy
+    partially aggregates map-side into ≤ depth·width cells per partition
+    — the shuffle carries ~partitions × depth × width rows, never the
+    token stream. Returns (r, c, n) cell rows (only touched cells).
+    """
+    from ctcityscraper_spark.functions.hashing import hash64
+
+    toks = df.select(F.explode(tokens_col(text)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash64(F.col("term"), f"{seed}{r}") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("cell"))
+        .select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    items,
+    sketch,
+    term_col: str = "term",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms",
+):
+    """Point-estimate counts for ``items`` against a :func:`count_min_sketch`.
+
+    The classic min-over-rows lookup: join each item's ``depth`` cell
+    coordinates against the sketch and take the minimum cell count —
+    absent cells read 0 (an item never inserted estimates 0 unless every
+    one of its cells collides). ``width``/``depth``/``seed`` must match
+    the build. The sketch side is ≤ depth·width rows — broadcast-sized at
+    any corpus scale. Returns ``items`` + (estimate).
+    """
+    from ctcityscraper_spark.functions.hashing import hash64
+
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash64(F.col(term_col), f"{seed}{r}") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = items.select("*", F.explode(coords).alias("cell")).select(
+        "*", F.col("cell.r").alias("_r"), F.col("cell.c").alias("_c")
+    ).drop("cell")
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("_r") == sketch["r"]) & (F.col("_c") == sketch["c"]),
+        "left",
+    )
+    group_cols = [c for c in items.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.min(F.coalesce(sketch["n"], F.lit(0))).alias("estimate"))
+    )

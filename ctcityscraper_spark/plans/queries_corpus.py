@@ -610,6 +610,69 @@ def q_text_unigram_surprisal(spark, sf_dir):
     )
 
 
+_CMS_W, _CMS_D = 1024, 4
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT {r} AS r, {hash64_sql('term', f'cms{r}')} % {_CMS_W} AS c, term "
+    "FROM t"
+    for r in range(_CMS_D)
+)
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({TOKS}) AS term FROM documents),
+    t AS (SELECT term FROM toks WHERE term != ''),
+    cells AS ({_CMS_CELLS}),
+    sketch AS (
+        SELECT r, c, COUNT(*)::BIGINT AS n FROM cells GROUP BY r, c),
+    top AS (
+        SELECT term, COUNT(*)::BIGINT AS true_count FROM t GROUP BY term
+        ORDER BY true_count DESC, term LIMIT 10),
+    probes AS (
+        SELECT top.term, top.true_count, p.r,
+               ('0x' || substring(md5('cms' || p.r || top.term), 1, 15))::BIGINT
+                   % {_CMS_W} AS c
+        FROM top, range(0, {_CMS_D}) p(r))
+    SELECT pr.term AS term, pr.true_count AS true_count,
+           MIN(COALESCE(s.n, 0))::BIGINT AS estimate
+    FROM probes pr LEFT JOIN sketch s ON pr.r = s.r AND pr.c = s.c
+    GROUP BY 1, 2 ORDER BY true_count DESC, term
+    """,
+)
+def q_text_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy-hitter audit (operators/text.count_min_sketch
+    + cms_estimate): the depth x width integer sketch is built over the
+    whole token stream (bounded state — the 100 TB alternative to a
+    billion-key vocabulary groupBy), then the exact top-10 tokens probe it.
+    Pure hash64 + integer counting, so DuckDB rebuilds the sketch
+    bit-for-bit; the comparison pins BOTH the cell contents and the CMS
+    one-sided-error contract (estimate >= true_count always — also
+    asserted directly in tests)."""
+    from ctcityscraper_spark.operators.text import (
+        cms_estimate,
+        count_min_sketch,
+        tokens_col,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    sketch = count_min_sketch(docs, width=_CMS_W, depth=_CMS_D)
+    top = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "term")
+        .limit(10)
+    )
+    return (
+        cms_estimate(top, sketch, width=_CMS_W, depth=_CMS_D)
+        .repartition(1)
+        .sortWithinPartitions(F.col("true_count").desc(), "term")
+    )
+
+
 _BUDGET_TOKENS = 40_000
 _BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
 

@@ -923,3 +923,80 @@ class TestUnigramSurprisal:
         )
         got = {r.doc_id: r.mean_surprisal for r in unigram_surprisal(docs).collect()}
         assert got[99] > got[0]
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_and_exact_when_wide(self, spark):
+        """CMS contract: estimate >= true count for EVERY term (one-sided),
+        and with width >> vocabulary (no collisions possible to force) a
+        narrow corpus estimates exactly."""
+        from ctcityscraper_spark.operators.text import (
+            cms_estimate,
+            count_min_sketch,
+            tokens_col,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 7} w{i % 3} common") for i in range(60)],
+            "doc_id long, text string",
+        )
+        truth = (
+            docs.select(F.explode(tokens_col("text")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").alias("true_count"))
+        )
+        for width in (8, 4096):
+            sketch = count_min_sketch(docs, width=width, depth=3)
+            est = {
+                r.term: (r.true_count, r.estimate)
+                for r in cms_estimate(
+                    truth, sketch, width=width, depth=3
+                ).collect()
+            }
+            assert len(est) == 8  # w0..w6 (w0..w2 also hit by i%3), 'common'
+            for term, (true_n, e) in est.items():
+                assert e >= true_n, f"{term}: CMS must never underestimate"
+            if width == 4096:
+                # 9 terms x depth 3 in 4096 columns: collisions would need
+                # a hash64 birthday miracle — estimates are exact
+                assert all(e == t for t, e in est.values())
+
+    def test_absent_term_estimates_zero_and_sketch_bounded(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a a d")], "doc_id long, text string"
+        )
+        w, d = 1024, 4
+        sketch = count_min_sketch(docs, width=w, depth=d)
+        assert sketch.count() <= w * d
+        probe = spark.createDataFrame(
+            [("never-seen-token",)], "term string"
+        )
+        est = cms_estimate(probe, sketch, width=w, depth=d).collect()
+        assert est[0].estimate == 0
+
+    def test_estimate_joins_broadcast_sketch(self, spark):
+        """The sketch side is <= depth*width rows at ANY corpus size — the
+        estimate join must broadcast it, never shuffle the probe stream."""
+        from ctcityscraper_spark.operators.text import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x y z")], "doc_id long, text string"
+        )
+        sketch = count_min_sketch(docs)
+        probe = spark.createDataFrame([("x",)], "term string")
+        plan = (
+            cms_estimate(probe, sketch)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
