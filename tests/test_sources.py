@@ -915,3 +915,87 @@ class TestStreamingBloom:
             assert spark.read.parquet(str(tmp_path / "flags")).count() == 7
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bloom_words_upto_2")
+
+    def test_streaming_bloom_multi_epoch_chain(self, spark, tmp_path):
+        """compact_every=2 over 6 batches: word epochs fire at 2 and 4,
+        the second ABSORBING the first plus tail — which exercises the
+        transform-idempotence requirement (bit_or re-applied to
+        already-merged rows must be a no-op). Final layout holds only
+        upto=4 plus the [4, 6) tail; the merged filter still equals a
+        fresh build over all six batches and stays <= m/32 rows."""
+        import pathlib
+        import time as _time
+
+        from ctcityscraper_spark.operators.dedup import build_bloom_index
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_bloom_words,
+            stream_from_directory,
+            streaming_bloom_membership,
+        )
+
+        m, k = 1024, 3
+        schema = "doc_id long, text string"
+        src = tmp_path / "incoming"
+        batches = [
+            [(i, f"epoch chain doc number {i} payload")] for i in range(6)
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+        kwargs = dict(
+            words_dir=str(tmp_path / "words"),
+            flags_dir=str(tmp_path / "flags"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            m_bits=m,
+            k=k,
+            compact_every=2,
+            compact_buckets=4,
+            compact_table_prefix="t_bloom_chain",
+        )
+        try:
+            q = streaming_bloom_membership(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q.awaitTermination(180)
+
+            # only the newest epoch survives, plus the [4, 6) tail
+            assert [mm for mm, _ in _compacted_epochs(spark, kwargs["words_dir"])] == [4]
+            tail = sorted(
+                p.name for p in pathlib.Path(kwargs["words_dir"]).glob("batch_id=*")
+            )
+            assert tail == ["batch_id=4", "batch_id=5"]
+            assert not spark.catalog.tableExists("t_bloom_chain_upto_2")
+            epoch = spark.table("t_bloom_chain_upto_4")
+            assert epoch.count() <= m // 32
+            # the chained merge (epoch-absorbs-epoch) still equals a fresh
+            # build over everything — transform idempotence held
+            merged = {
+                (r.word_idx, r.word)
+                for r in read_bloom_words(
+                    spark, kwargs["words_dir"], table_prefix="t_bloom_chain"
+                ).collect()
+            }
+            every_doc = spark.createDataFrame(
+                [r for rows in batches for r in rows], schema
+            )
+            fresh = {
+                (r.word_idx, r.word)
+                for r in build_bloom_index(every_doc, m, k).collect()
+            }
+            assert merged == fresh
+            # all six batches produced a flags partition; no dups flagged
+            flags = spark.read.parquet(str(tmp_path / "flags"))
+            assert flags.count() == 6
+            assert flags.filter("might_contain").count() == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bloom_chain_upto_2")
+            spark.sql("DROP TABLE IF EXISTS t_bloom_chain_upto_4")
