@@ -130,6 +130,16 @@ def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+# Position-derivation version for STORED Bloom word tables. v2 (round 8)
+# clamps the Kirsch-Mitzenmacher step hash into [1, m-1]; v1 indexes
+# (plain `% m` step) place bits at different positions for essentially
+# every fingerprint, so probing a v1 word table with v2 code LOSES the
+# no-false-negative guarantee. Stored indexes built before v2 must be
+# rebuilt (build is one explode + bit_or — cheap); persist this constant
+# alongside any word table whose lifetime crosses code versions.
+BLOOM_FORMAT_VERSION = 2
+
+
 def _bloom_positions(fp, m_bits: int, k: int) -> list:
     """k probe positions via Kirsch-Mitzenmacher double hashing over the
     md5-based :func:`hash64` pair — cross-engine reproducible. Both
@@ -140,9 +150,16 @@ def _bloom_positions(fp, m_bits: int, k: int) -> list:
     fpp (no false negatives either way, but the measured fpp would miss
     :func:`bloom_parameters`' design point). Any change here must land in
     lockstep with the DuckDB oracle in plans/queries_ext.py
-    (dedup_bloom_membership) — the filter is bit-for-bit reproducible."""
+    (dedup_bloom_membership) AND bump :data:`BLOOM_FORMAT_VERSION` —
+    stored word tables are position-dependent, so a silent change breaks
+    the no-false-negative guarantee against existing indexes."""
     from ctcityscraper_spark.functions.hashing import hash64
 
+    if m_bits < 2:
+        # m_bits=1 would make the step clamp a modulo-by-zero (ANSI mode
+        # fails the job at action time with an opaque DIVIDE_BY_ZERO);
+        # a 1-bit filter is useless anyway — refuse loudly at build time
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
     h1 = hash64(fp, "bloomA") % m_bits
     h2 = (hash64(fp, "bloomB") % F.lit(m_bits - 1)) + 1
     return [(h1 + F.lit(i) * h2) % m_bits for i in range(k)]
@@ -181,6 +198,23 @@ def build_bloom_index(
     )
 
 
+def merge_bloom_words(words: DataFrame) -> DataFrame:
+    """bit_or-merge a (word_idx, word) frame (any mix of full filters,
+    per-batch deltas, or partially-merged epochs over the SAME
+    ``(m_bits, k)``) into one word per index. THE single definition of
+    the Bloom merge — :func:`update_bloom_index`, the streaming sink's
+    compaction transform, and ``streaming.events.read_bloom_words`` all
+    call this, so the merge ≡ fresh-build property (OR-associativity)
+    can't silently desynchronize between the batch and streaming paths.
+    Idempotent over already-merged rows (required by the compaction
+    ``transform`` contract)."""
+    return (
+        words.select("word_idx", "word")
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
 def update_bloom_index(
     bloom: DataFrame, new_docs: DataFrame, m_bits: int, k: int,
     text: str = "text",
@@ -200,11 +234,7 @@ def update_bloom_index(
     No false negative can ever be introduced: words only gain bits.
     """
     delta = build_bloom_index(new_docs, m_bits, k, text)
-    return (
-        bloom.unionByName(delta)
-        .groupBy("word_idx")
-        .agg(F.bit_or("word").alias("word"))
-    )
+    return merge_bloom_words(bloom.unionByName(delta))
 
 
 def bloom_might_contain(
@@ -817,7 +847,7 @@ def keep_best_representative(
     node_col: str = "node",
     component_col: str = "component",
     broadcast_max_nodes: int = 8_000_000,
-    window_max_cluster: int = 10_000_000,
+    window_max_cluster: int | None = 10_000_000,
 ) -> DataFrame:
     """Drop list keeping the BEST member of each duplicate cluster.
 
@@ -862,7 +892,10 @@ def keep_best_representative(
     with Spark's NaN-above-numbers, NULL quality last, ties by smallest
     id — so both paths are row-identical (property-tested against the
     same Python model; no-single-partition-window plan asserted in
-    tests/test_extension_plans.py).
+    tests/test_extension_plans.py). ``window_max_cluster=None`` skips
+    the size probe (its one extra action) and always windows — for
+    callers that KNOW clusters are small, e.g. tight per-batch loops;
+    ``0`` forces the aggregate path, also probe-free.
     """
     from ctcityscraper_spark.operators.artifacts import _track_checkpoint
     from ctcityscraper_spark.operators.graph import persistent_rdd_ids
@@ -881,15 +914,23 @@ def keep_best_representative(
         else components
     )
     scored = q.join(comp_side, node_col)
-    max_cluster = (
-        components.groupBy(component_col)
-        .agg(F.count("*").alias("_n"))
-        .agg(F.max("_n").alias("_m"))
-        .collect()[0]["_m"]
-        or 0
-    )
-    if max_cluster > window_max_cluster:
+    # window_max_cluster=None opts out of the size probe entirely (one
+    # groupBy+max action over the checkpointed labels) for callers that
+    # KNOW their clusters are small — e.g. tight per-batch loops — and
+    # always takes the window path; 0 forces the aggregate path with no
+    # probe either. Only a positive threshold pays the probe.
+    if window_max_cluster is not None and window_max_cluster <= 0:
         return _keep_best_aggregate(scored, node_col, component_col)
+    if window_max_cluster is not None:
+        max_cluster = (
+            components.groupBy(component_col)
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .collect()[0]["_m"]
+            or 0
+        )
+        if max_cluster > window_max_cluster:
+            return _keep_best_aggregate(scored, node_col, component_col)
     w = Window.partitionBy(component_col).orderBy(
         F.col("_q").desc(), F.col(node_col)
     )

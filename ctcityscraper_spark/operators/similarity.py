@@ -1175,6 +1175,18 @@ def int8_gram_matrix(
         for pdf in it:
             if not len(pdf):
                 continue
+            lens = pdf["qv"].map(len)
+            if (lens != dims).any():
+                # fail with a CLEAR message instead of an opaque numpy
+                # broadcast/inhomogeneous-list error mid-job: valid_vectors
+                # screens NULL/NaN/zero-norm but not length, and a ragged
+                # or mis-declared corpus would otherwise crash deep inside
+                # the matmul
+                bad = sorted(set(lens[lens != dims].tolist()))[:5]
+                raise ValueError(
+                    f"int8_gram_matrix(dims={dims}) got vectors of "
+                    f"length(s) {bad} — dims must match the embedding width"
+                )
             q = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
             total += q.T @ q
             seen = True

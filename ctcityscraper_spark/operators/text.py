@@ -364,6 +364,18 @@ def vocab_coverage(
     )
 
 
+def _cms_cell_cols(term_col, width: int, depth: int, seed: str):
+    """The depth (row, column-expression) cell coordinates for one term —
+    THE single definition shared by :func:`count_min_sketch` and
+    :func:`cms_estimate`. If build and probe ever derived coordinates
+    independently, a drift in seed format or modulus would make estimates
+    silently wrong (possibly BELOW the true count, breaking the one-sided
+    contract) — so both go through here."""
+    from ctcityscraper_spark.functions.hashing import hash64
+
+    return [(r, hash64(term_col, f"{seed}{r}") % width) for r in range(depth)]
+
+
 def count_min_sketch(
     df,
     text: str = "text",
@@ -391,18 +403,13 @@ def count_min_sketch(
     — the shuffle carries ~partitions × depth × width rows, never the
     token stream. Returns (r, c, n) cell rows (only touched cells).
     """
-    from ctcityscraper_spark.functions.hashing import hash64
-
     toks = df.select(F.explode(tokens_col(text)).alias("term")).filter(
         F.col("term") != ""
     )
     cells = F.array(
         *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (hash64(F.col("term"), f"{seed}{r}") % width).alias("c"),
-            )
-            for r in range(depth)
+            F.struct(F.lit(r).alias("r"), c.alias("c"))
+            for r, c in _cms_cell_cols(F.col("term"), width, depth, seed)
         ]
     )
     return (
@@ -423,34 +430,30 @@ def cms_estimate(
 ):
     """Point-estimate counts for ``items`` against a :func:`count_min_sketch`.
 
-    The classic min-over-rows lookup: join each item's ``depth`` cell
-    coordinates against the sketch and take the minimum cell count —
-    absent cells read 0 (an item never inserted estimates 0 unless every
-    one of its cells collides). ``width``/``depth``/``seed`` must match
-    the build. The sketch side is ≤ depth·width rows — broadcast-sized at
-    any corpus scale. Returns ``items`` + (estimate).
+    The classic min-over-rows lookup, implemented as ``depth`` broadcast
+    joins (one per sketch row, each against a ≤ width-row slice) + a
+    ``least(...)`` — so the output has EXACTLY one row per input row:
+    duplicate item rows each keep their own estimate, nothing is
+    collapsed, and no grouping touches the caller's columns. Absent cells
+    read 0 (an item never inserted estimates 0 unless every one of its
+    cells collides). ``width``/``depth``/``seed`` must match the build
+    (both derive coordinates from :func:`_cms_cell_cols`). Returns
+    ``items`` + (estimate).
     """
-    from ctcityscraper_spark.functions.hashing import hash64
-
-    coords = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (hash64(F.col(term_col), f"{seed}{r}") % width).alias("c"),
-            )
-            for r in range(depth)
-        ]
-    )
-    probes = items.select("*", F.explode(coords).alias("cell")).select(
-        "*", F.col("cell.r").alias("_r"), F.col("cell.c").alias("_c")
-    ).drop("cell")
-    joined = probes.join(
-        F.broadcast(sketch),
-        (F.col("_r") == sketch["r"]) & (F.col("_c") == sketch["c"]),
-        "left",
-    )
-    group_cols = [c for c in items.columns]
-    return (
-        joined.groupBy(*group_cols)
-        .agg(F.min(F.coalesce(sketch["n"], F.lit(0))).alias("estimate"))
-    )
+    reserved = {f"__cms_c{r}" for r in range(depth)} | {
+        f"__cms_n{r}" for r in range(depth)
+    } | {"estimate"}
+    clash = reserved & set(items.columns)
+    if clash:
+        raise ValueError(f"items carries reserved column name(s): {sorted(clash)}")
+    out = items
+    ests = []
+    for r, coord in _cms_cell_cols(F.col(term_col), width, depth, seed):
+        skr = sketch.filter(F.col("r") == r).select(
+            F.col("c").alias(f"__cms_c{r}"), F.col("n").alias(f"__cms_n{r}")
+        )
+        out = out.join(
+            F.broadcast(skr), coord == F.col(f"__cms_c{r}"), "left"
+        )
+        ests.append(F.coalesce(F.col(f"__cms_n{r}"), F.lit(0)))
+    return out.select(*items.columns, F.least(*ests).alias("estimate"))

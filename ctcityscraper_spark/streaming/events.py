@@ -450,16 +450,12 @@ def read_bloom_words(
     equivalent to a fresh build). None when nothing is written yet. On a
     freshly-compacted zone (epoch bucketed on word_idx, empty tail) the
     merge groupBy is shuffle-free on the epoch side."""
-    from pyspark.sql import functions as SF
+    from ctcityscraper_spark.operators.dedup import merge_bloom_words
 
     words = read_incremental_zone(spark, words_dir, before_batch, table_prefix)
     if words is None:
         return None
-    return (
-        words.select("word_idx", "word")
-        .groupBy("word_idx")
-        .agg(SF.bit_or("word").alias("word"))
-    )
+    return merge_bloom_words(words)
 
 
 def streaming_bloom_membership(
@@ -503,18 +499,12 @@ def streaming_bloom_membership(
     from ctcityscraper_spark.operators.dedup import (
         bloom_might_contain,
         build_bloom_index,
+        merge_bloom_words,
     )
 
     tbl_prefix = compact_table_prefix or (
         "bloom_words_" + hashlib.md5(words_dir.encode()).hexdigest()[:8]
     )
-
-    def _merge(df: DataFrame) -> DataFrame:
-        return (
-            df.select("word_idx", "word")
-            .groupBy("word_idx")
-            .agg(SF.bit_or("word").alias("word"))
-        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -526,7 +516,7 @@ def streaming_bloom_membership(
                 compact_incremental_zone(
                     spark, words_dir, batch_id, table_prefix=tbl_prefix,
                     bucket_keys=["word_idx"], buckets=compact_buckets,
-                    sort=["word_idx"], transform=_merge,
+                    sort=["word_idx"], transform=merge_bloom_words,
                 )
         batch_df = batch_df.persist()
         try:

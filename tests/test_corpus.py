@@ -1000,3 +1000,37 @@ class TestCountMinSketch:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_duplicate_item_rows_each_keep_an_estimate(self, spark):
+        """Row-preservation contract: probing with duplicate rows must
+        return one estimate row PER input row (the depth-way join path —
+        a groupBy over item columns would silently collapse them)."""
+        from ctcityscraper_spark.operators.text import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b")], "doc_id long, text string"
+        )
+        sketch = count_min_sketch(docs)
+        probe = spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "term string"
+        )
+        rows = cms_estimate(probe, sketch).collect()
+        assert sorted((r.term, r.estimate) for r in rows) == [
+            ("a", 3), ("a", 3), ("b", 1)
+        ]
+
+    def test_reserved_column_clash_raises(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        sketch = count_min_sketch(docs)
+        bad = spark.createDataFrame([("x", 1)], "term string, estimate int")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="reserved"):
+            cms_estimate(bad, sketch)

@@ -610,3 +610,27 @@ class TestGlobalRankPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" not in plan.lower()
         assert "BroadcastHashJoin" in plan
+
+    def test_window_max_cluster_none_skips_probe_and_windows(self, spark):
+        """window_max_cluster=None must take the window path with no size
+        probe (callers in tight loops opt out of the extra action) and
+        produce identical results."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import keep_best_representative
+
+        docs = spark.createDataFrame(
+            [(i, float(i % 3)) for i in range(12)], "doc_id long, q double"
+        )
+        comps = spark.createDataFrame(
+            [(i, i // 4 * 4) for i in range(12)], "node long, component long"
+        )
+        probed = keep_best_representative(docs, comps, F.col("q"))
+        unprobed = keep_best_representative(
+            docs, comps, F.col("q"), window_max_cluster=None
+        )
+        plan = unprobed._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert sorted(map(tuple, probed.collect())) == sorted(
+            map(tuple, unprobed.collect())
+        )

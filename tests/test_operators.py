@@ -1264,3 +1264,12 @@ class TestGramPca:
         ref = data.astype(np.float32).astype(np.float64) @ c.T
         for i in range(0, 300, 37):
             assert np.allclose(proj[i], ref[i], rtol=1e-6, atol=1e-6)
+
+    def test_dims_mismatch_fails_fast_with_clear_error(self, spark):
+        from ctcityscraper_spark.operators.similarity import int8_gram_matrix
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="dims must match"):
+            int8_gram_matrix(df, dims=8).collect()
