@@ -53,15 +53,35 @@ class ParquetStore:
         )
 
     # ------------------------------------------------------------------ scans
-    def scan(self, table: str, merge_schema: bool = True) -> DataFrame:
+    def scan(
+        self,
+        table: str,
+        merge_schema: bool = True,
+        tolerate_corrupt: bool = False,
+    ) -> DataFrame:
         """Universal table scan (reference S1/S2).
 
         ``mergeSchema`` on by default because schema drift across session
         files is an expected state (reference database.py:275).
+
+        ``tolerate_corrupt`` sets the per-read ``ignoreCorruptFiles``
+        option: a 100 TB lake accumulated over months of ingest WILL
+        contain the occasional truncated/bit-rotted file (killed writer,
+        storage fault), and the default fail-fast read aborts the whole
+        job on the first bad footer. With the flag, corrupt files are
+        skipped and the scan returns every readable row — the right
+        posture for analytical sweeps over historical data; keep the
+        default for correctness-critical reads (dedup state, SCD2
+        current) where silently missing rows would corrupt results. The
+        option is per-DataFrameReader, so it never leaks into other
+        reads the way the session-wide
+        ``spark.sql.files.ignoreCorruptFiles`` conf would.
         """
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        if tolerate_corrupt:
+            reader = reader.option("ignoreCorruptFiles", "true")
         return reader.parquet(str(self.table_path(table)))
 
     def existing_hashes(self, table: str) -> DataFrame:

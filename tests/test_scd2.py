@@ -251,3 +251,40 @@ class TestCompaction:
         assert df.count() == 2
         assert {"uuid", "x", "y", "scraped_at", "row_hash"} <= set(df.columns)
         assert len(tmp_store.list_files("t")) == 1
+
+
+class TestCorruptFileTolerance:
+    def test_tolerate_corrupt_skips_bad_file_default_fails(self, tmp_store):
+        """A 100 TB lake accumulated over months WILL contain the
+        occasional truncated file (killed writer, storage fault).
+        scan(tolerate_corrupt=True) must return every readable row; the
+        default must stay fail-fast so correctness-critical reads (dedup
+        state, SCD2 current) never silently lose rows."""
+        write_versions(
+            tmp_store,
+            [
+                (T0, [{"uuid": "u1", "pid": 1, "v": 1.0}]),
+                (T0 + dt.timedelta(days=1), [{"uuid": "u2", "pid": 2, "v": 2.0}]),
+            ],
+        )
+        files = sorted(tmp_store.table_path("properties").glob("*.parquet"))
+        assert len(files) >= 2
+        # truncate a ROW-BEARING file mid-body (writes also emit empty
+        # part files — the largest file is a real one): bad magic footer.
+        # Also drop Hadoop's local-FS .crc sidecar for it — otherwise the
+        # checksum layer fails the read before the parquet layer ever
+        # sees the file (real object stores have no such sidecar; the
+        # parquet footer is what ignoreCorruptFiles actually guards)
+        victim = max(files, key=lambda p: p.stat().st_size)
+        data = victim.read_bytes()
+        victim.write_bytes(data[: max(8, len(data) // 3)])
+        crc = victim.parent / f".{victim.name}.crc"
+        if crc.exists():
+            crc.unlink()
+
+        good = tmp_store.scan("properties", tolerate_corrupt=True)
+        rows = good.collect()
+        assert len(rows) == 1  # every readable row, none from the bad file
+
+        with pytest.raises(Exception):
+            tmp_store.scan("properties").collect()
