@@ -457,3 +457,18 @@ def cms_estimate(
         )
         ests.append(F.coalesce(F.col(f"__cms_n{r}"), F.lit(0)))
     return out.select(*items.columns, F.least(*ests).alias("estimate"))
+
+
+def merge_cms_cells(cells):
+    """Sum-merge (r, c, n) Count-Min cell frames (any mix of full
+    sketches, per-batch deltas, or partially-merged epochs built with the
+    SAME (width, depth, seed)). Counts are additive, so the merge is
+    EXACTLY a fresh build over the union — the CMS analogue of
+    ``dedup.merge_bloom_words``, and the single definition shared by the
+    batch path and the streaming sink's compaction ``transform``
+    (idempotent over already-merged rows, as that contract requires)."""
+    return (
+        cells.select("r", "c", "n")
+        .groupBy("r", "c")
+        .agg(F.sum("n").alias("n"))
+    )

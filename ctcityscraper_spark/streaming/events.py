@@ -545,3 +545,84 @@ def streaming_bloom_membership(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_cms_cells(
+    spark: SparkSession,
+    cells_dir: str,
+    before_batch: int = 2**62,
+    table_prefix: str | None = None,
+) -> DataFrame | None:
+    """The merged Count-Min sketch for batches strictly before
+    ``before_batch``: per-batch delta cell partitions (and/or the newest
+    compacted epoch) sum-merged into one (r, c, n) frame — count
+    additivity makes any grouping equal to a fresh build over everything
+    ingested. None when nothing is written yet."""
+    from ctcityscraper_spark.operators.text import merge_cms_cells
+
+    cells = read_incremental_zone(spark, cells_dir, before_batch, table_prefix)
+    if cells is None:
+        return None
+    return merge_cms_cells(cells)
+
+
+def streaming_cms(
+    stream: DataFrame,
+    cells_dir: str,
+    checkpoint_dir: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms",
+    compact_every: int | None = None,
+    compact_buckets: int = 4,
+    compact_table_prefix: str | None = None,
+):
+    """Continuously-maintained Count-Min sketch over a document stream —
+    the streaming twin of ``text.count_min_sketch`` and the second
+    instance of the delta-zone recipe (``streaming_bloom_membership`` is
+    the bit_or instance; this one merges by SUM, showing the compaction
+    ``transform`` generalizes to any associative merge).
+
+    Every micro-batch appends its own ≤ depth·width-row delta sketch to
+    ``cells_dir/batch_id=N`` (exactly-once: per-batch overwrite + the
+    streaming checkpoint). Read the live sketch at any time with
+    :func:`read_cms_cells` and probe it with ``text.cms_estimate`` — the
+    merged state equals a fresh build over everything ingested, exactly.
+    With ``compact_every=N`` cell epochs re-aggregate (sum transform) to
+    ≤ depth·width rows bucketed on (r, c), so stored state stays
+    sketch-sized at any stream length. Returns the StreamingQuery
+    handle; caller stops it.
+    """
+    import hashlib
+
+    from ctcityscraper_spark.operators.text import (
+        count_min_sketch,
+        merge_cms_cells,
+    )
+
+    tbl_prefix = compact_table_prefix or (
+        "cms_cells_" + hashlib.md5(cells_dir.encode()).hexdigest()[:8]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, cells_dir)
+            if not epochs or epochs[-1][0] < batch_id:
+                compact_incremental_zone(
+                    spark, cells_dir, batch_id, table_prefix=tbl_prefix,
+                    bucket_keys=["r", "c"], buckets=compact_buckets,
+                    sort=["r", "c"], transform=merge_cms_cells,
+                )
+        count_min_sketch(
+            batch_df, width=width, depth=depth, seed=seed
+        ).write.mode("overwrite").parquet(f"{cells_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -999,3 +999,106 @@ class TestStreamingBloom:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bloom_chain_upto_2")
             spark.sql("DROP TABLE IF EXISTS t_bloom_chain_upto_4")
+
+
+class TestStreamingCms:
+    def test_streaming_cms_merged_equals_fresh_build(self, spark, tmp_path):
+        """4 batches with compact_every=2: the sum-merged cell zone must
+        equal a fresh count_min_sketch over all ingested docs EXACTLY
+        (count additivity), the epoch re-aggregates to <= depth*width
+        rows, estimates through the merged sketch keep the one-sided
+        contract, and checkpoint replay reprocesses nothing."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.text import (
+            cms_estimate,
+            count_min_sketch,
+            tokens_col,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_cms_cells,
+            stream_from_directory,
+            streaming_cms,
+        )
+
+        w, d = 256, 3
+        schema = "doc_id long, text string"
+        src = tmp_path / "incoming"
+        batches = [
+            [(1, "hot hot hot cold")],
+            [(2, "hot warm warm")],
+            [(3, "hot cold mild")],
+            [(4, "hot hot mild rare")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+        kwargs = dict(
+            cells_dir=str(tmp_path / "cells"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            width=w,
+            depth=d,
+            compact_every=2,
+            compact_table_prefix="t_cms_cells",
+        )
+        try:
+            q = streaming_cms(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q.awaitTermination(180)
+
+            merged = read_cms_cells(
+                spark, kwargs["cells_dir"], table_prefix="t_cms_cells"
+            )
+            all_docs = spark.createDataFrame(
+                [r for rows in batches for r in rows], schema
+            )
+            fresh = {
+                (r.r, r.c): r.n
+                for r in count_min_sketch(all_docs, width=w, depth=d).collect()
+            }
+            got = {(r.r, r.c): r.n for r in merged.collect()}
+            assert got == fresh and len(got) > 0
+
+            assert [m for m, _ in _compacted_epochs(spark, kwargs["cells_dir"])] == [2]
+            assert spark.table("t_cms_cells_upto_2").count() <= w * d
+
+            # estimates through the merged sketch: one-sided vs true counts
+            truth = (
+                all_docs.select(F.explode(tokens_col("text")).alias("term"))
+                .groupBy("term")
+                .agg(F.count("*").alias("true_count"))
+            )
+            est = cms_estimate(truth, merged, width=w, depth=d)
+            assert est.filter("estimate < true_count").count() == 0
+
+            # checkpoint replay: nothing reprocessed
+            q2 = streaming_cms(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q2.awaitTermination(180)
+            got2 = {
+                (r.r, r.c): r.n
+                for r in read_cms_cells(
+                    spark, kwargs["cells_dir"], table_prefix="t_cms_cells"
+                ).collect()
+            }
+            assert got2 == fresh
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_cms_cells_upto_2")
