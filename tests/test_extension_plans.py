@@ -38,6 +38,12 @@ BUCKETED_QUERIES = [
     "dedup_groups_connected",
     "dedup_incremental_lsh",
     "dedup_keep_best",
+    # round-8 additions: bloom probe joins on word_idx, CMS estimates via
+    # per-row broadcast equi-joins, gram is mapInPandas + groupBy
+    "dedup_bloom_membership",
+    "dedup_bloom_update",
+    "text_cms_heavy_hitters",
+    "ann_int8_gram_matrix",
 ]
 
 
