@@ -82,10 +82,10 @@ DRIVER_PRIORITY = [
 ]
 # After this round's window, every one of the 97 pre-r8 catalog queries
 # has held at least one driver-verified CORRECTNESS row (r1-r8). The
-# four NEW r8 queries (dedup_bloom_update, text_unigram_surprisal,
-# ann_int8_gram_matrix, text_cms_heavy_hitters) sit outside the 50-row
-# window this round — in-repo + adversarial oracle-gated now, rotate
-# them IN next round.
+# five NEW r8 queries (dedup_bloom_update, dedup_bloom_chase,
+# text_unigram_surprisal, ann_int8_gram_matrix, text_cms_heavy_hitters)
+# sit outside the 50-row window this round — in-repo + adversarial
+# oracle-gated now (both scale factors), rotate them IN next round.
 
 
 def _ordered(catalog: dict) -> dict:

@@ -285,6 +285,63 @@ def bloom_might_contain(
     ).drop("_mc")
 
 
+def bloom_chased_duplicates(
+    batch: DataFrame,
+    corpus_fingerprints: DataFrame,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production two-tier incremental exact dedup: Bloom pre-filter,
+    exact chase for FLAGGED rows only.
+
+    Every batch document probes the stored :func:`build_bloom_index`
+    words (~m/32 rows); only the flagged subset — true duplicates plus
+    the filter's designed fpp — joins the corpus-sized fingerprint
+    index. At 25B docs that turns "every batch row joins a 25B-row
+    index" into "a few-GB word probe for everyone + an index join for
+    ~1 % of the batch". No false negatives end-to-end: the chase uses
+    the SAME fingerprint definition as the bloom build (raw
+    ``md5(text)`` — ``corpus_fingerprints`` must carry it in a
+    ``fingerprint`` column; a different definition, e.g. the normalized
+    :func:`fingerprint_col`, would let a true duplicate flag false and
+    make ``is_dup AND NOT might_contain`` possible, breaking the whole
+    point of the pre-filter). Returns (doc_id, might_contain, is_dup);
+    ``is_dup`` implies ``might_contain`` by construction. NULL-text
+    rows flag false/false.
+    """
+    flagged = bloom_might_contain(
+        batch, bloom, m_bits, k, text=text, id_col=id_col
+    ).select(F.col(id_col).alias("doc_id"), F.col(text).alias("_t"),
+             "might_contain")
+    hits = (
+        corpus_fingerprints.select("fingerprint")
+        .join(
+            flagged.filter(F.col("might_contain"))
+            .select(F.md5(F.col("_t")).alias("fingerprint"))
+            .distinct(),
+            "fingerprint",
+            "left_semi",
+        )
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        flagged.join(
+            hits,
+            F.md5(flagged["_t"]) == hits["fingerprint"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "might_contain",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
     """(id, shingle) inverted-index rows, distinct per doc."""
     return df.select(

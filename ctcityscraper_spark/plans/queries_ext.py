@@ -377,6 +377,76 @@ def q_dedup_bloom_update(spark, sf_dir):
 
 
 @query(
+    "dedup_bloom_chase",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {hash64_sql('doc_id', 'bloomsplit')} % 5 = 0 AS is_new
+        FROM documents),
+    corpus AS (
+        SELECT md5(text) AS fp FROM split WHERE NOT is_new AND text IS NOT NULL),
+    batch AS (
+        SELECT doc_id, text, md5(text) AS fp FROM split WHERE is_new),
+    cpos AS (
+        SELECT (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
+                + i * (({hash64_sql('fp', 'bloomB')} % {_BLOOM_M - 1}) + 1)) % {_BLOOM_M} AS pos
+        FROM corpus, range(0, {_BLOOM_K}) t(i)),
+    words AS (
+        SELECT pos // 32 AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+        FROM cpos GROUP BY 1),
+    bpos AS (
+        SELECT doc_id,
+               (({hash64_sql('fp', 'bloomA')} % {_BLOOM_M})
+                + i * (({hash64_sql('fp', 'bloomB')} % {_BLOOM_M - 1}) + 1)) % {_BLOOM_M} AS pos
+        FROM batch, range(0, {_BLOOM_K}) t(i)
+        WHERE text IS NOT NULL),
+    hits AS (
+        SELECT doc_id,
+               bool_and((COALESCE(word, 0)
+                         & (1::BIGINT << CAST(pos % 32 AS INT)))
+                        = (1::BIGINT << CAST(pos % 32 AS INT))) AS mc
+        FROM bpos LEFT JOIN words ON pos // 32 = word_idx
+        GROUP BY doc_id)
+    SELECT b.doc_id AS doc_id,
+           COALESCE(h.mc, false) AS might_contain,
+           (COALESCE(h.mc, false)
+            AND COALESCE(b.fp IN (SELECT fp FROM corpus), false)) AS is_dup
+    FROM batch b LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_bloom_chase(spark, sf_dir):
+    """The composed two-tier incremental dedup flow
+    (operators/dedup.bloom_chased_duplicates): every batch doc probes the
+    stored Bloom words; ONLY flagged docs (true dups + designed fpp) join
+    the corpus-sized fingerprint index for the exact verdict. The oracle
+    computes might_contain AND exact membership independently and ANDs
+    them — a hash match proves the chase loses nothing (is_dup implies
+    might_contain: no false negatives end-to-end, because chase and
+    filter share one fingerprint definition)."""
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_chased_duplicates,
+        build_bloom_index,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+    bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K)
+    corpus_fp = (
+        corpus.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    return (
+        bloom_chased_duplicates(batch, corpus_fp, bloom, _BLOOM_M, _BLOOM_K)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh0 AS (

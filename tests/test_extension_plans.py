@@ -42,6 +42,7 @@ BUCKETED_QUERIES = [
     # per-row broadcast equi-joins, gram is mapInPandas + groupBy
     "dedup_bloom_membership",
     "dedup_bloom_update",
+    "dedup_bloom_chase",
     "text_cms_heavy_hitters",
     "ann_int8_gram_matrix",
 ]

@@ -1273,3 +1273,33 @@ class TestGramPca:
         )
         with pytest.raises(Exception, match="dims must match"):
             int8_gram_matrix(df, dims=8).collect()
+
+    def test_chase_invariant_and_planted_dup(self, spark):
+        """bloom_chased_duplicates: is_dup implies might_contain (the
+        chase shares the bloom's raw-md5 fingerprint, so no false
+        negatives end-to-end); the planted duplicate is found, fresh and
+        NULL-text docs are clean."""
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_chased_duplicates,
+            build_bloom_index,
+        )
+
+        m, k = 2048, 4
+        corpus = spark.createDataFrame(
+            [(i, f"corpus doc {i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "corpus doc 7"), (101, "completely fresh"), (102, None)],
+            "doc_id long, text string",
+        )
+        bloom = build_bloom_index(corpus, m, k)
+        fps = corpus.select(F.md5("text").alias("fingerprint")).distinct()
+        got = {
+            r.doc_id: (r.might_contain, r.is_dup)
+            for r in bloom_chased_duplicates(batch, fps, bloom, m, k).collect()
+        }
+        assert got[100] == (True, True)
+        assert got[101][1] is False and got[102] == (False, False)
+        for mc, dup in got.values():
+            assert not dup or mc  # is_dup => might_contain
