@@ -1707,9 +1707,9 @@ def q_ann_pq_recall(spark, sf_dir):
                md5(text || frame_idx::VARCHAR) AS frame_md5
         FROM sampled)
     SELECT doc_id, frame_idx, frame_md5,
-           list_transform(range(1, 9),
-               i -> (('0x' || substr(frame_md5, i, 1))::BIGINT - 8) / 8.0
-           ) AS feature
+           array_to_string(list_transform(range(1, 9),
+               i -> (('0x' || substr(frame_md5, i, 1))::BIGINT - 8)::VARCHAR
+           ), ',') AS feature_sig
     FROM hashed ORDER BY doc_id, frame_idx
     """,
 )
@@ -1719,7 +1719,15 @@ def q_multimodal_frame_sample(spark, sf_dir):
     Arrow-batched mapInPandas (operators/multimodal.sample_frames). The
     deterministic fake decoder derives frames from payload md5 so the
     oracle replays the identical math; a real ffmpeg decoder drops in via
-    the same FrameDecoder contract."""
+    the same FrameDecoder contract.
+
+    The catalog row serializes the 8-dim feature to ``feature_sig`` — the
+    raw integer nibble scores (md5 hex digit − 8, i.e. feature×8, exact)
+    joined with commas — because external comparison harnesses
+    canonicalize via pandas sort and can't hash array cells; the
+    array<float> API stays on :func:`sample_frames` itself. Both engines
+    derive the string from ``frame_md5`` with the same per-digit math, so
+    the comparison is still integer-exact."""
     from ctcityscraper_spark.operators.multimodal import (
         deterministic_fake_frame_decoder,
         sample_frames,
@@ -1727,8 +1735,18 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    frames = sample_frames(payload, deterministic_fake_frame_decoder, every=2)
     return (
-        sample_frames(payload, deterministic_fake_frame_decoder, every=2)
+        frames.select(
+            "doc_id",
+            "frame_idx",
+            "frame_md5",
+            F.expr(
+                "concat_ws(',', transform(sequence(1, 8), i -> "
+                "cast(cast(conv(substring(frame_md5, i, 1), 16, 10) as int)"
+                " - 8 as string)))"
+            ).alias("feature_sig"),
+        )
         .repartition(1)
         .sortWithinPartitions("doc_id", "frame_idx")
     )
