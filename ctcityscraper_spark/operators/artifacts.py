@@ -39,6 +39,7 @@ a scope.
 
 from __future__ import annotations
 
+import weakref
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -48,7 +49,12 @@ from pyspark.sql import DataFrame
 @dataclass
 class _Artifact:
     kind: str  # "persist" | "checkpoint"
-    df: DataFrame | None = None  # persist-backed: the persisted frame
+    # persist-backed: the Python DataFrame is held WEAKLY (the registry
+    # must not keep caller-dropped frames alive for the session) plus a
+    # strong reference to its small JVM handle, through which unpersist
+    # still works after the Python wrapper is garbage-collected
+    df_ref: object = None
+    jdf: object = None
     spark: object = None  # checkpoint-backed: session + RDD ids
     rdd_ids: set[int] = field(default_factory=set)
     released: bool = False
@@ -56,8 +62,12 @@ class _Artifact:
     def release(self) -> None:
         if self.released:
             return
-        if self.kind == "persist" and self.df is not None:
-            self.df.unpersist()
+        if self.kind == "persist":
+            df = self.df_ref() if self.df_ref is not None else None
+            if df is not None:
+                df.unpersist()
+            elif self.jdf is not None:
+                self.jdf.unpersist(False)
         elif self.kind == "checkpoint" and self.spark is not None:
             from ctcityscraper_spark.operators.graph import unpersist_rdd_ids
 
@@ -66,12 +76,27 @@ class _Artifact:
 
 
 _TRACKED: list[_Artifact] = []
+# open scope() start-indexes into _TRACKED; pruning is suspended while any
+# scope is active because scopes release-and-delete by index range
+_SCOPE_MARKS: list[int] = []
+
+
+def _append(artifact: _Artifact) -> None:
+    """Register an artifact, opportunistically dropping already-released
+    entries first so a long-lived session that never calls scope()/
+    release_all() doesn't accumulate dead entries (each holds a strong
+    DataFrame reference) for its whole lifetime. Pruning shifts list
+    indexes, so it is skipped while a scope() is open — scopes prune
+    their own range on exit anyway."""
+    if not _SCOPE_MARKS and any(a.released for a in _TRACKED):
+        _TRACKED[:] = [a for a in _TRACKED if not a.released]
+    _TRACKED.append(artifact)
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
     """Register a persist-backed artifact (called by operators right after
     ``.persist()``); returns the frame unchanged."""
-    _TRACKED.append(_Artifact("persist", df=df))
+    _append(_Artifact("persist", df_ref=weakref.ref(df), jdf=df._jdf))
     return df
 
 
@@ -81,7 +106,7 @@ def _track_checkpoint(spark, rdd_ids: set[int]) -> None:
     SparkContext persistent-RDD map, not the CacheManager), so release
     goes through :func:`graph.unpersist_rdd_ids`."""
     if rdd_ids:
-        _TRACKED.append(_Artifact("checkpoint", spark=spark, rdd_ids=set(rdd_ids)))
+        _append(_Artifact("checkpoint", spark=spark, rdd_ids=set(rdd_ids)))
 
 
 def tracked_count(unreleased_only: bool = True) -> int:
@@ -113,9 +138,11 @@ def scope():
 
     Scopes nest: an inner scope releases only its own artifacts."""
     mark = len(_TRACKED)
+    _SCOPE_MARKS.append(mark)
     try:
         yield
     finally:
+        _SCOPE_MARKS.pop()
         for a in _TRACKED[mark:]:
             a.release()
         del _TRACKED[mark:]

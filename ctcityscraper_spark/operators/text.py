@@ -364,6 +364,15 @@ def vocab_coverage(
     )
 
 
+# Coordinate-derivation version for STORED Count-Min cell zones: bump
+# whenever _cms_cell_cols' hash/seed/modulus derivation changes — a sketch
+# probed under a different derivation estimates garbage (possibly below
+# the true count, breaking the one-sided contract). Stamped next to
+# persisted cell zones by streaming.events (ensure_zone_meta) alongside
+# (width, depth, seed), and validated on every read.
+CMS_FORMAT_VERSION = 1
+
+
 def _cms_cell_cols(term_col, width: int, depth: int, seed: str):
     """The depth (row, column-expression) cell coordinates for one term —
     THE single definition shared by :func:`count_min_sketch` and
@@ -440,6 +449,8 @@ def cms_estimate(
     (both derive coordinates from :func:`_cms_cell_cols`). Returns
     ``items`` + (estimate).
     """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
     reserved = {f"__cms_c{r}" for r in range(depth)} | {
         f"__cms_n{r}" for r in range(depth)
     } | {"estimate"}
@@ -456,7 +467,10 @@ def cms_estimate(
             F.broadcast(skr), coord == F.col(f"__cms_c{r}"), "left"
         )
         ests.append(F.coalesce(F.col(f"__cms_n{r}"), F.lit(0)))
-    return out.select(*items.columns, F.least(*ests).alias("estimate"))
+    # F.least requires >= 2 columns; a depth-1 sketch is legitimate (one
+    # row, pure single-hash counting) and its estimate IS the single cell
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
+    return out.select(*items.columns, est.alias("estimate"))
 
 
 def merge_cms_cells(cells):

@@ -196,6 +196,107 @@ def _epoch_table(table_prefix: str, upto: int) -> str:
     return f"{table_prefix}_upto_{upto}"
 
 
+# -- stored-zone format metadata --------------------------------------------
+#
+# A persisted sketch zone (Bloom words, CMS cells) is only meaningful under
+# the exact parameters + position-derivation version that built it: probing
+# a v1 Bloom word table with v2 code silently loses the no-false-negative
+# guarantee, and a CMS read back under a different (width, depth, seed)
+# estimates garbage. The marker file records that contract next to the data
+# so a resumed stream or a new session fails LOUDLY instead.
+
+ZONE_META_FILE = "_zone_meta.json"
+
+
+def read_zone_meta(spark: SparkSession, base: str) -> dict | None:
+    """The zone's ``_zone_meta.json`` contents, or None if absent."""
+    import json
+
+    fs, path_cls = _hadoop_fs(spark, base)
+    p = path_cls(f"{base}/{ZONE_META_FILE}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return json.loads(bytes(data).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _zone_has_data(spark: SparkSession, base: str) -> bool:
+    return bool(
+        _list_batch_dirs(spark, base, 2**62) or _compacted_epochs(spark, base)
+    )
+
+
+def ensure_zone_meta(
+    spark: SparkSession, base: str, expected: dict, rebuild_hint: str
+) -> None:
+    """Stamp or validate a zone's format metadata.
+
+    - No marker, no data: fresh zone — write the marker.
+    - No marker, data present: an unversioned (pre-stamping) stored zone —
+      its rows may have been built under a different position derivation,
+      which is undetectable after the fact; refuse with the rebuild hint.
+    - Marker present: every field must match ``expected`` exactly;
+      mismatch (format version bump, different m_bits/k/width/depth/seed)
+      refuses with the rebuild hint.
+
+    Idempotent and cheap (one driver-side stat + tiny file); sinks call it
+    every micro-batch so a stream resumed under changed parameters dies on
+    its first batch, not after silently corrupting the zone.
+    """
+    import json
+
+    existing = read_zone_meta(spark, base)
+    if existing is None:
+        if _zone_has_data(spark, base):
+            raise ValueError(
+                f"stored zone {base} has data but no {ZONE_META_FILE} — it "
+                "predates format stamping and its row positions cannot be "
+                f"trusted under the current code. {rebuild_hint}"
+            )
+        fs, path_cls = _hadoop_fs(spark, base)
+        fs.mkdirs(path_cls(base))
+        out = fs.create(path_cls(f"{base}/{ZONE_META_FILE}"), True)
+        try:
+            out.write(json.dumps(expected, sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
+    elif existing != expected:
+        raise ValueError(
+            f"stored zone {base} was written under {existing} but the "
+            f"current code expects {expected}. {rebuild_hint}"
+        )
+
+
+def check_zone_meta(
+    spark: SparkSession, base: str, expected: dict, rebuild_hint: str
+) -> None:
+    """Read-side validation: like :func:`ensure_zone_meta` but never
+    writes — an empty/absent zone passes (the reader returns None anyway),
+    a data-bearing zone must carry a matching marker."""
+    existing = read_zone_meta(spark, base)
+    if existing is None:
+        if _zone_has_data(spark, base):
+            raise ValueError(
+                f"stored zone {base} has data but no {ZONE_META_FILE} — "
+                f"unversioned stored state. {rebuild_hint}"
+            )
+        return
+    if existing != expected:
+        raise ValueError(
+            f"stored zone {base} was written under {existing} but this "
+            f"reader expects {expected}. {rebuild_hint}"
+        )
+
+
 def read_incremental_zone(
     spark: SparkSession,
     base: str,
@@ -383,7 +484,10 @@ def streaming_incremental_spans(
         spark = batch_df.sparkSession
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             epochs = _compacted_epochs(spark, index_dir)
-            if not epochs or epochs[-1][0] < batch_id:
+            # <=: on replay after a crash between epoch commit and delta
+            # cleanup, still call compact — it skips the rewrite and
+            # finishes the pending stale-dir cleanup
+            if not epochs or epochs[-1][0] <= batch_id:
                 compact_incremental_zone(
                     spark, index_dir, batch_id, table_prefix=idx_prefix,
                     bucket_keys=["win_h"], buckets=compact_buckets,
@@ -436,11 +540,26 @@ def streaming_incremental_spans(
     )
 
 
+def _bloom_zone_meta(m_bits: int, k: int) -> dict:
+    from ctcityscraper_spark.operators.dedup import BLOOM_FORMAT_VERSION
+
+    return {"kind": "bloom_words", "format_version": BLOOM_FORMAT_VERSION,
+            "m_bits": m_bits, "k": k}
+
+
+_BLOOM_REBUILD_HINT = (
+    "Rebuild the word zone from the corpus (build_bloom_index is one "
+    "explode + bit_or) or restart the stream with a fresh words_dir."
+)
+
+
 def read_bloom_words(
     spark: SparkSession,
     words_dir: str,
     before_batch: int = 2**62,
     table_prefix: str | None = None,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame | None:
     """The merged Bloom word table for batches strictly before
     ``before_batch``: per-batch delta word partitions (and/or the newest
@@ -449,9 +568,32 @@ def read_bloom_words(
     across every delta at once (OR-associativity makes any grouping
     equivalent to a fresh build). None when nothing is written yet. On a
     freshly-compacted zone (epoch bucketed on word_idx, empty tail) the
-    merge groupBy is shuffle-free on the epoch side."""
+    merge groupBy is shuffle-free on the epoch side.
+
+    Pass ``m_bits``/``k`` to validate the zone's stored format marker
+    (position-derivation version + parameters) before trusting the words;
+    without them only the format version is checked. A data-bearing zone
+    with no marker (pre-stamping) or a mismatched marker raises — probing
+    a word table built under a different position derivation silently
+    loses the no-false-negative guarantee (dedup.BLOOM_FORMAT_VERSION)."""
     from ctcityscraper_spark.operators.dedup import merge_bloom_words
 
+    existing = read_zone_meta(spark, words_dir)
+    if m_bits is not None and k is not None:
+        check_zone_meta(
+            spark, words_dir, _bloom_zone_meta(m_bits, k), _BLOOM_REBUILD_HINT
+        )
+    elif existing is not None:
+        check_zone_meta(
+            spark, words_dir,
+            _bloom_zone_meta(existing.get("m_bits"), existing.get("k")),
+            _BLOOM_REBUILD_HINT,
+        )
+    elif _zone_has_data(spark, words_dir):
+        raise ValueError(
+            f"stored zone {words_dir} has data but no {ZONE_META_FILE} — "
+            f"unversioned stored state. {_BLOOM_REBUILD_HINT}"
+        )
     words = read_incremental_zone(spark, words_dir, before_batch, table_prefix)
     if words is None:
         return None
@@ -510,9 +652,20 @@ def streaming_bloom_membership(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # stamp the format marker on the first batch; every later batch
+        # (and a stream resumed under changed m_bits/k or a bumped
+        # BLOOM_FORMAT_VERSION) validates against it and fails loudly
+        # instead of silently mixing incompatible word positions
+        ensure_zone_meta(
+            spark, words_dir, _bloom_zone_meta(m_bits, k), _BLOOM_REBUILD_HINT
+        )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             epochs = _compacted_epochs(spark, words_dir)
-            if not epochs or epochs[-1][0] < batch_id:
+            # <=: on replay after a crash between epoch commit and delta
+            # cleanup, an epoch for exactly batch_id already exists —
+            # still call compact (it skips the rewrite and finishes the
+            # pending stale-dir cleanup)
+            if not epochs or epochs[-1][0] <= batch_id:
                 compact_incremental_zone(
                     spark, words_dir, batch_id, table_prefix=tbl_prefix,
                     bucket_keys=["word_idx"], buckets=compact_buckets,
@@ -547,19 +700,58 @@ def streaming_bloom_membership(
     )
 
 
+def _cms_zone_meta(width: int, depth: int, seed: str) -> dict:
+    from ctcityscraper_spark.operators.text import CMS_FORMAT_VERSION
+
+    return {"kind": "cms_cells", "format_version": CMS_FORMAT_VERSION,
+            "width": width, "depth": depth, "seed": seed}
+
+
+_CMS_REBUILD_HINT = (
+    "Rebuild the sketch from the corpus (count_min_sketch) or restart the "
+    "stream with a fresh cells_dir."
+)
+
+
 def read_cms_cells(
     spark: SparkSession,
     cells_dir: str,
     before_batch: int = 2**62,
     table_prefix: str | None = None,
+    width: int | None = None,
+    depth: int | None = None,
+    seed: str = "cms",
 ) -> DataFrame | None:
     """The merged Count-Min sketch for batches strictly before
     ``before_batch``: per-batch delta cell partitions (and/or the newest
     compacted epoch) sum-merged into one (r, c, n) frame — count
     additivity makes any grouping equal to a fresh build over everything
-    ingested. None when nothing is written yet."""
+    ingested. None when nothing is written yet.
+
+    Pass ``width``/``depth``/``seed`` to validate the zone's stored
+    format marker before probing — a sketch read back under different
+    hash parameters estimates garbage; without them only the marker's
+    self-consistency (format version) is checked."""
     from ctcityscraper_spark.operators.text import merge_cms_cells
 
+    existing = read_zone_meta(spark, cells_dir)
+    if width is not None and depth is not None:
+        check_zone_meta(
+            spark, cells_dir, _cms_zone_meta(width, depth, seed),
+            _CMS_REBUILD_HINT,
+        )
+    elif existing is not None:
+        check_zone_meta(
+            spark, cells_dir,
+            _cms_zone_meta(existing.get("width"), existing.get("depth"),
+                           existing.get("seed")),
+            _CMS_REBUILD_HINT,
+        )
+    elif _zone_has_data(spark, cells_dir):
+        raise ValueError(
+            f"stored zone {cells_dir} has data but no {ZONE_META_FILE} — "
+            f"unversioned stored state. {_CMS_REBUILD_HINT}"
+        )
     cells = read_incremental_zone(spark, cells_dir, before_batch, table_prefix)
     if cells is None:
         return None
@@ -608,9 +800,16 @@ def streaming_cms(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # stamp-or-validate the (width, depth, seed, version) contract —
+        # see streaming_bloom_membership
+        ensure_zone_meta(
+            spark, cells_dir, _cms_zone_meta(width, depth, seed),
+            _CMS_REBUILD_HINT,
+        )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             epochs = _compacted_epochs(spark, cells_dir)
-            if not epochs or epochs[-1][0] < batch_id:
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
                 compact_incremental_zone(
                     spark, cells_dir, batch_id, table_prefix=tbl_prefix,
                     bucket_keys=["r", "c"], buckets=compact_buckets,

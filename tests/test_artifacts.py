@@ -142,3 +142,52 @@ class TestScopeSemantics:
         assert artifacts.tracked_count() == 0
         # double release is a safe no-op
         artifacts.release_all()
+
+
+class TestRegistryHygiene:
+    def test_released_entries_pruned_on_next_append(self, spark):
+        """A long-lived session that never scopes must not accumulate dead
+        registry entries: appending a new artifact drops already-released
+        ones (r8 ADVICE — the registry held strong references for the
+        whole session)."""
+        from ctcityscraper_spark.operators.corpus import token_budget_selection
+
+        artifacts.release_all()
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "c d e")], "doc_id long, text string"
+        )
+        token_budget_selection(docs, 3).collect()
+        n = artifacts.tracked_count(unreleased_only=False)
+        assert n > 0
+        for a in artifacts._TRACKED:
+            a.release()
+        assert artifacts.tracked_count() == 0
+        assert artifacts.tracked_count(unreleased_only=False) == n
+        # next registration prunes the dead entries
+        token_budget_selection(docs, 4).collect()
+        assert (
+            artifacts.tracked_count(unreleased_only=False)
+            == artifacts.tracked_count()
+        )
+        artifacts.release_all()
+
+    def test_release_works_after_caller_drops_frame(self, spark):
+        """The registry holds the Python DataFrame weakly; release must
+        still free the cached blocks through the JVM handle after the
+        caller's last reference is garbage-collected."""
+        import gc
+
+        from ctcityscraper_spark.operators.corpus import token_budget_selection
+
+        artifacts.release_all()
+        before_ids = _storage_rdd_ids(spark)
+        docs = spark.createDataFrame(
+            [(i, "p q r s") for i in range(10)], "doc_id long, text string"
+        )
+        out = token_budget_selection(docs, 6)
+        out.collect()
+        assert _storage_rdd_ids(spark) - before_ids
+        del out, docs
+        gc.collect()
+        artifacts.release_all()
+        assert not (_storage_rdd_ids(spark) - before_ids)

@@ -1034,3 +1034,36 @@ class TestCountMinSketch:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="reserved"):
             cms_estimate(bad, sketch)
+
+
+class TestCmsDepthEdges:
+    def test_depth_one_sketch_estimates(self, spark):
+        """depth=1 is a legitimate single-hash sketch: cms_estimate must
+        return the single cell (F.least needs >= 2 args — r8 ADVICE), and
+        the one-sided contract still holds."""
+        from ctcityscraper_spark.operators.text import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+        )
+        sketch = count_min_sketch(docs, width=4096, depth=1)
+        probe = spark.createDataFrame([("a",), ("b",), ("zzz",)], "term string")
+        got = {
+            r.term: r.estimate
+            for r in cms_estimate(probe, sketch, width=4096, depth=1).collect()
+        }
+        assert got["a"] >= 2 and got["b"] >= 2 and got["zzz"] >= 0
+        # width >> vocab: no collisions, exact
+        assert got == {"a": 2, "b": 2, "zzz": 0}
+
+    def test_depth_zero_refused(self, spark):
+        from ctcityscraper_spark.operators.text import cms_estimate
+
+        probe = spark.createDataFrame([("a",)], "term string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="depth"):
+            cms_estimate(probe, probe, depth=0)

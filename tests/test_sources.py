@@ -1102,3 +1102,140 @@ class TestStreamingCms:
             assert got2 == fresh
         finally:
             spark.sql("DROP TABLE IF EXISTS t_cms_cells_upto_2")
+
+
+class TestZoneFormatMeta:
+    """Stored sketch zones carry a format marker (_zone_meta.json): the
+    position/coordinate derivation version + build parameters. Resuming or
+    reading under a different contract must fail loudly — probing a Bloom
+    word table built under another derivation silently loses the
+    no-false-negative guarantee (dedup.BLOOM_FORMAT_VERSION docstring)."""
+
+    def test_stamp_validate_roundtrip_and_mismatch(self, spark, tmp_path):
+        from ctcityscraper_spark.streaming.events import (
+            ensure_zone_meta,
+            read_zone_meta,
+        )
+
+        base = str(tmp_path / "zone")
+        meta = {"kind": "bloom_words", "format_version": 2, "m_bits": 1024, "k": 3}
+        ensure_zone_meta(spark, base, meta, "rebuild")
+        assert read_zone_meta(spark, base) == meta
+        # idempotent re-stamp
+        ensure_zone_meta(spark, base, meta, "rebuild")
+        # resumed under different parameters -> loud failure
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="rebuild"):
+            ensure_zone_meta(spark, base, {**meta, "m_bits": 2048}, "rebuild")
+        with _pytest.raises(ValueError, match="rebuild"):
+            ensure_zone_meta(spark, base, {**meta, "format_version": 3}, "rebuild")
+
+    def test_unversioned_data_zone_refused(self, spark, tmp_path):
+        """A zone with data but no marker predates stamping — its word
+        positions cannot be trusted; both stamp and read paths refuse."""
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.dedup import build_bloom_index
+        from ctcityscraper_spark.streaming.events import (
+            check_zone_meta,
+            ensure_zone_meta,
+            read_bloom_words,
+        )
+
+        base = str(tmp_path / "words")
+        docs = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        build_bloom_index(docs, 1024, 3).write.parquet(base + "/batch_id=0")
+        with _pytest.raises(ValueError, match="no _zone_meta.json"):
+            ensure_zone_meta(spark, base, {"format_version": 2}, "rebuild")
+        with _pytest.raises(ValueError, match="unversioned"):
+            check_zone_meta(spark, base, {"format_version": 2}, "rebuild")
+        with _pytest.raises(ValueError, match="unversioned"):
+            read_bloom_words(spark, base)
+
+    def test_read_bloom_words_validates_params(self, spark, tmp_path):
+        from ctcityscraper_spark.operators.dedup import (
+            BLOOM_FORMAT_VERSION,
+            build_bloom_index,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            ensure_zone_meta,
+            read_bloom_words,
+        )
+
+        m, k = 1024, 3
+        base = str(tmp_path / "words")
+        docs = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        meta = {"kind": "bloom_words", "format_version": BLOOM_FORMAT_VERSION,
+                "m_bits": m, "k": k}
+        ensure_zone_meta(spark, base, meta, "rebuild")
+        build_bloom_index(docs, m, k).write.parquet(base + "/batch_id=0")
+        # matching parameters: reads fine, equals a fresh build
+        got = {
+            (r.word_idx, r.word)
+            for r in read_bloom_words(spark, base, m_bits=m, k=k).collect()
+        }
+        fresh = {
+            (r.word_idx, r.word)
+            for r in build_bloom_index(docs, m, k).collect()
+        }
+        assert got == fresh
+        # no params: marker self-check passes (format version current)
+        assert read_bloom_words(spark, base) is not None
+        # wrong m_bits: refuse
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="rebuild|Rebuild"):
+            read_bloom_words(spark, base, m_bits=2048, k=k)
+
+    def test_read_bloom_words_refuses_stale_format_version(self, spark, tmp_path):
+        """A marker stamped by older code (format_version 1 — pre-h2-clamp
+        positions) must refuse even a parameterless read."""
+        import json
+
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.dedup import build_bloom_index
+        from ctcityscraper_spark.streaming.events import read_bloom_words
+
+        base = tmp_path / "words"
+        base.mkdir()
+        (base / "_zone_meta.json").write_text(json.dumps(
+            {"kind": "bloom_words", "format_version": 1, "m_bits": 1024, "k": 3}
+        ))
+        docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+        build_bloom_index(docs, 1024, 3).write.parquet(str(base / "batch_id=0"))
+        with _pytest.raises(ValueError, match="expects"):
+            read_bloom_words(spark, str(base))
+        with _pytest.raises(ValueError, match="expects"):
+            read_bloom_words(spark, str(base), m_bits=1024, k=3)
+
+    def test_cms_zone_meta_validated(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.text import (
+            CMS_FORMAT_VERSION,
+            count_min_sketch,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            ensure_zone_meta,
+            read_cms_cells,
+        )
+
+        base = str(tmp_path / "cells")
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "c")], "doc_id long, text string"
+        )
+        meta = {"kind": "cms_cells", "format_version": CMS_FORMAT_VERSION,
+                "width": 512, "depth": 2, "seed": "cms"}
+        ensure_zone_meta(spark, base, meta, "rebuild")
+        count_min_sketch(docs, width=512, depth=2).write.parquet(
+            base + "/batch_id=0"
+        )
+        assert read_cms_cells(spark, base, width=512, depth=2) is not None
+        with _pytest.raises(ValueError, match="rebuild|Rebuild"):
+            read_cms_cells(spark, base, width=1024, depth=2)
