@@ -352,6 +352,21 @@ def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: i
 JACCARD_DF_CAP = 1000  # max document frequency for a shingle to stay indexed
 
 
+def _drop_hot(
+    rows: DataFrame, term_col: str, cap: int | None, sketched: bool
+) -> DataFrame:
+    """Shared df_cap guard: anti-join out terms above the cap. The hot
+    list is exact in both modes (text.hot_terms — the sketched mode is
+    the CMS-pre-filtered chase) and tiny by construction, so it
+    broadcasts. None disables."""
+    from ctcityscraper_spark.operators.text import hot_terms
+
+    if cap is None:
+        return rows
+    hot = hot_terms(rows, term_col, cap, sketched=sketched)
+    return rows.join(F.broadcast(hot), term_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
@@ -359,6 +374,7 @@ def ngram_jaccard_pairs(
     n: int = SHINGLE_N,
     threshold: float = 0.6,
     df_cap: int | None = JACCARD_DF_CAP,
+    df_cap_sketched: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -372,16 +388,13 @@ def ngram_jaccard_pairs(
     cap carry no dedup signal and are dropped from the index BEFORE sizes
     and intersections (Jaccard is over the informative-shingle universe);
     the drop list is tiny by construction, so it broadcasts. None disables.
+    ``df_cap_sketched`` computes the SAME drop list through the Count-Min
+    two-tier (text.hot_terms: sketch pre-pass + exact chase of flagged
+    rows) so the full distinct-shingle table never shuffles — row-
+    identical output, the scale path when the shingle universe is huge.
     """
     sh = doc_shingles(df, text, id_col, n)
-    if df_cap is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df_count"))
-            .filter(F.col("df_count") > df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _drop_hot(sh, "shingle", df_cap, df_cap_sketched)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -409,6 +422,7 @@ def winnow_pairs(
     window: int | None = None,
     min_shared: int = 3,
     df_cap: int | None = JACCARD_DF_CAP,
+    df_cap_sketched: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints.
 
@@ -431,14 +445,7 @@ def winnow_pairs(
     fps = winnow_fingerprints(
         df, text, id_col, k or WINNOW_K, window or WINNOW_WINDOW
     )
-    if df_cap is not None:
-        hot = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("df_count"))
-            .filter(F.col("df_count") > df_cap)
-            .select("fp")
-        )
-        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    fps = _drop_hot(fps, "fp", df_cap, df_cap_sketched)
     a = fps.alias("a")
     b = fps.alias("b")
     return (
@@ -457,6 +464,7 @@ def jaccard_verify_pairs(
     n: int = SHINGLE_N,
     threshold: float = 0.6,
     df_cap: int | None = JACCARD_DF_CAP,
+    df_cap_sketched: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a GIVEN candidate pair list only.
 
@@ -471,7 +479,9 @@ def jaccard_verify_pairs(
     jaccard value the all-pairs operator would.
     """
     sh = doc_shingles(df, text, id_col, n)
-    return _jaccard_verify_from_shingles(sh, candidates, threshold, df_cap)
+    return _jaccard_verify_from_shingles(
+        sh, candidates, threshold, df_cap, df_cap_sketched
+    )
 
 
 def _jaccard_verify_from_shingles(
@@ -479,16 +489,9 @@ def _jaccard_verify_from_shingles(
     candidates: DataFrame,
     threshold: float,
     df_cap: int | None,
+    df_cap_sketched: bool = False,
 ) -> DataFrame:
-    sh = sh0
-    if df_cap is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df_count"))
-            .filter(F.col("df_count") > df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _drop_hot(sh0, "shingle", df_cap, df_cap_sketched)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     pairs = candidates.select("doc_a", "doc_b")
     inter = (

@@ -1241,6 +1241,77 @@ def pca_components(gram_rows, dims: int, k: int):
     return comps, [float(vals[i]) for i in order]
 
 
+def pca_rotated_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    pca_k: int | None = None,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end PCA-preprocessed IVF: train components on the corpus's
+    :func:`int8_gram_matrix`, :func:`pca_project_col` corpus + queries
+    into PCA space, then run the expression-only IVF
+    (:func:`hash_pick_centroids` + :func:`ivf_flat_topk`) over the
+    projected vectors.
+
+    With ``pca_k == dims`` (default) the projection is a full-rank
+    orthonormal rotation — cosines and L2 distances are preserved
+    exactly (up to float rounding), so recall matches unprojected IVF
+    while the coordinates decorrelate (the OPQ-style preprocessing step
+    for PQ, and the standard whitening front-end for IVF). With
+    ``pca_k < dims`` it is lossy dimensionality reduction: candidate
+    selection and re-rank both run in the projected space — recall then
+    depends on the spectrum (near-isotropic corpora lose recall fast;
+    low-rank corpora keep it; tests pin both regimes on the synthetic
+    fixture).
+
+    Scale shape: training is the Gram pass (shuffle bounded at
+    partitions × d², never n × d²) + a d×d driver-side eigh; projection
+    is a scan-stage literal-expression map. The projected frames are
+    persisted (and registered with ``operators.artifacts`` for release)
+    — NOT an optimization but a required plan barrier: inlining a
+    k·d-literal projection into every one of ``n_lists`` centroid
+    distance folds multiplies the expression tree ~n_lists·k·d× and
+    stalls codegen at full rank. At 100 TB the projected corpus would be
+    a STORED artifact (written bucketed on list_id like
+    :func:`build_ivf_index`); the in-session persist is the
+    single-job equivalent.
+    """
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+
+    pca_k = dims if pca_k is None else pca_k
+    comps, _ = pca_components(int8_gram_matrix(corpus, dims, vec), dims, pca_k)
+    pc = _track_persist(
+        valid_vectors(corpus, vec)
+        .select(
+            F.col(id_col),
+            pca_project_col(F.col(vec), comps).alias("__pemb"),
+        )
+        .persist()
+    )
+    pq = _track_persist(
+        valid_vectors(queries, vec)
+        .select(
+            F.col(id_col),
+            pca_project_col(F.col(vec), comps).alias("__pemb"),
+        )
+        .persist()
+    )
+    ctrs = hash_pick_centroids(pc, n_lists, vec="__pemb", id_col=id_col)
+    if not ctrs:
+        raise ValueError(
+            "pca_rotated_ivf_topk: corpus has no valid vectors to pick "
+            "centroids from"
+        )
+    return ivf_flat_topk(
+        pc, pq, ctrs, k=k, n_probe=n_probe, vec="__pemb", id_col=id_col
+    )
+
+
 def pca_project_col(vec, components):
     """Project a double-array column onto literal PCA ``components``
     (k×d from :func:`pca_components`) → k-dim double array.

@@ -415,17 +415,88 @@ def count_min_sketch(
     toks = df.select(F.explode(tokens_col(text)).alias("term")).filter(
         F.col("term") != ""
     )
+    return count_min_sketch_terms(toks, "term", width=width, depth=depth, seed=seed)
+
+
+def count_min_sketch_terms(
+    terms,
+    term_col: str = "term",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms",
+):
+    """:func:`count_min_sketch` over a PRE-EXPLODED term stream — the
+    entry point for sketching anything that is already one-row-per-
+    occurrence (shingle inverted-index rows, winnow fingerprints, join
+    keys), not just tokenized text. Same cell derivation
+    (:func:`_cms_cell_cols`), same (r, c, n) output, same scale shape
+    (map-side partials cap the shuffle at partitions × depth × width).
+    NULL terms are excluded (they carry no frequency signal and would
+    hash as a single hot key)."""
     cells = F.array(
         *[
             F.struct(F.lit(r).alias("r"), c.alias("c"))
-            for r, c in _cms_cell_cols(F.col("term"), width, depth, seed)
+            for r, c in _cms_cell_cols(F.col(term_col), width, depth, seed)
         ]
     )
     return (
-        toks.select(F.explode(cells).alias("cell"))
+        terms.filter(F.col(term_col).isNotNull())
+        .select(F.explode(cells).alias("cell"))
         .select("cell.r", "cell.c")
         .groupBy("r", "c")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def hot_terms(
+    rows,
+    term_col: str,
+    cap: int,
+    sketched: bool = False,
+    width: int = 1 << 16,
+    depth: int = 4,
+    seed: str = "dfcap",
+):
+    """Terms occurring more than ``cap`` times in ``rows`` — the hot-key
+    drop list behind every ``df_cap`` guard (Jaccard / winnowing inverted
+    indexes). Returns a 1-column frame of hot terms; EXACT in both modes.
+
+    ``sketched=False``: one groupBy over the full stream — the shuffle
+    carries every distinct term (billions of shingles at 100 TB) just to
+    find the handful of hot ones.
+
+    ``sketched=True``: the two-tier shape (the Count-Min analogue of
+    ``dedup.bloom_chased_duplicates``): a CMS pre-pass (shuffle bounded
+    at partitions × depth × width) flags possibly-hot terms via the
+    one-sided estimate (``estimate >= true`` ⇒ every truly-hot term IS
+    flagged), then an exact count over ONLY the flagged rows confirms —
+    collisions cost extra chased rows, never a wrong list. The result is
+    row-identical to the exact mode (property-tested, including under a
+    deliberately collision-heavy narrow sketch), so callers can switch on
+    scale without a semantics change. Trade-off: the stream is consumed
+    twice (sketch + chase) — wins when re-scanning the source is cheaper
+    than shuffling the full distinct-term table, i.e. whenever the term
+    universe is large and the hot tail is small (the 100 TB shape).
+    """
+    if not sketched:
+        return (
+            rows.groupBy(term_col)
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") > cap)
+            .select(term_col)
+        )
+    stream = rows.select(F.col(term_col).alias("term"))
+    sketch = count_min_sketch_terms(
+        stream, "term", width=width, depth=depth, seed=seed
+    )
+    flagged = cms_estimate(
+        stream, sketch, term_col="term", width=width, depth=depth, seed=seed
+    ).filter(F.col("estimate") > cap)
+    return (
+        flagged.groupBy("term")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") > cap)
+        .select(F.col("term").alias(term_col))
     )
 
 

@@ -479,6 +479,50 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=5, threshold=0.6).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
+@query(
+    "dedup_jaccard_cms_capped",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT doc_id, unnest({shingle_sql(5)}) AS shingle FROM documents
+    ), sh AS (
+        SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 2)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_jaccard_cms_capped(spark, sf_dir):
+    """The Count-Min-guarded df_cap path (text.hot_terms sketched=True,
+    the use case count_min_sketch was built for): the hot-shingle drop
+    list comes from a CMS pre-pass (shuffle bounded at partitions ×
+    depth × width) + an exact chase of flagged rows only — the full
+    distinct-shingle table never shuffles. The two-tier list is EXACT
+    (one-sided estimates flag every truly-hot shingle; the chase rejects
+    collision noise), so the ORACLE IS THE PLAIN EXACT-CAP SQL — the
+    cross-engine hash-match is itself the proof that sketch + chase ≡
+    exact groupBy. Cap 2 bites on this corpus (74 df-3 shingles drop);
+    threshold 0.3 keeps surviving pairs."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        ngram_jaccard_pairs(
+            docs, n=5, threshold=0.3, df_cap=2, df_cap_sketched=True
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
 def winnow_fps_sql(k: int, window: int, where: str = "") -> str:
     """DuckDB twin of operators.text.winnow_fps_col, exploded to (doc_id, fp)."""
     gh = f"('0x' || substring(md5('winnow' || substring(c, i, {k})), 1, 15))::BIGINT"
@@ -1248,6 +1292,51 @@ def q_ann_ivf_recall(spark, sf_dir):
             "n_approx",
             "n_hits",
             (F.col("n_hits") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )
+
+
+@query("ann_pca_ivf_recall", oracle=None)
+def q_ann_pca_ivf_recall(spark, sf_dir):
+    """PCA trained and APPLIED end-to-end (operators/similarity.
+    int8_gram_matrix -> pca_components -> pca_project_col ->
+    pca_rotated_ivf_topk): full-rank-rotate the corpus into PCA space,
+    run hash-picked IVF (n_probe=2 of n_lists=8) over the projected
+    vectors, and report recall@5 against the exact ORIGINAL-space top-5
+    next to the unprojected baseline's recall on the same corpus — a
+    rotation is an isometry, so recall_pca == recall_plain is the
+    invariant (pinned in tests/test_operators.py TestPcaIvf, along with
+    the lossy pca_k < dims regime).
+
+    No oracle SQL: the component training is a driver-side
+    eigendecomposition (numpy.linalg.eigh) of the integer Gram matrix —
+    the Gram pass itself IS oracle-verified (ann_int8_gram_matrix
+    hash-matches DuckDB), but an eigensolver is not expressible in ANSI
+    SQL, so the driver records the weaker rows-only check for this
+    composition and the recall invariants are enforced in-repo."""
+    from ctcityscraper_spark.operators.similarity import pca_rotated_ivf_topk
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    qs = emb.filter(F.col("vec_id") < 10)
+    approx = pca_rotated_ivf_topk(
+        emb, qs, EMB_DIMS, k=5, n_lists=8, n_probe=2
+    ).select("query_id", "neighbor_id")
+    plain = ivf_flat_topk(
+        emb, qs, hash_pick_centroids(emb, 8), k=5, n_probe=2
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    hits_pca = exact.join(approx, ["query_id", "neighbor_id"])
+    hits_plain = exact.join(plain, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits_pca.agg(F.count("*").alias("n_hits_pca")))
+        .crossJoin(hits_plain.agg(F.count("*").alias("n_hits_plain")))
+        .select(
+            "n_exact",
+            "n_hits_pca",
+            "n_hits_plain",
+            (F.col("n_hits_pca") / F.col("n_exact")).alias("recall_pca"),
+            (F.col("n_hits_plain") / F.col("n_exact")).alias("recall_plain"),
         )
     )
 

@@ -1303,3 +1303,181 @@ class TestGramPca:
         assert got[101][1] is False and got[102] == (False, False)
         for mc, dup in got.values():
             assert not dup or mc  # is_dup => might_contain
+
+
+class TestPcaIvf:
+    """pca_rotated_ivf_topk: PCA trained on the int8 Gram matrix, applied
+    via pca_project_col, composed with hash-picked IVF — the end-to-end
+    path the catalog query ann_pca_ivf_recall exercises (no oracle SQL
+    there: eigh is driver-side; the recall invariants live HERE)."""
+
+    def _recall(self, rows, exact):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(q, set()) & n) for q, n in exact.items())
+        return hits / sum(len(n) for n in exact.values())
+
+    def test_full_rank_rotation_preserves_recall(self, spark):
+        """A full-rank PCA projection is an orthonormal rotation —
+        cosine and L2 are isometric under it, so IVF over the rotated
+        corpus must reach the SAME recall as unprojected IVF with the
+        same (hash-picked) centroid policy and n_probe."""
+        from ctcityscraper_spark.operators.similarity import (
+            hash_pick_centroids,
+            ivf_flat_topk,
+            pca_rotated_ivf_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact: dict = {}
+        for r in cosine_topk(emb, queries, k=5).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        r_pca = self._recall(
+            pca_rotated_ivf_topk(
+                emb, queries, 64, k=5, n_lists=8, n_probe=2
+            ).collect(),
+            exact,
+        )
+        r_plain = self._recall(
+            ivf_flat_topk(
+                emb, queries, hash_pick_centroids(emb, 8), k=5, n_probe=2
+            ).collect(),
+            exact,
+        )
+        assert r_pca >= r_plain, f"rotation lost recall: {r_pca} < {r_plain}"
+
+    def test_reduced_rank_keeps_recall_floor(self, spark):
+        """pca_k=32 on the near-isotropic synthetic corpus: lossy, but
+        candidate selection must stay far better than chance (floor well
+        below the measured 0.34 so spectrum jitter can't flake it)."""
+        from ctcityscraper_spark.operators.similarity import (
+            pca_rotated_ivf_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact: dict = {}
+        for r in cosine_topk(emb, queries, k=5).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        r32 = self._recall(
+            pca_rotated_ivf_topk(
+                emb, queries, 64, k=5, n_lists=8, n_probe=2, pca_k=32
+            ).collect(),
+            exact,
+        )
+        assert r32 >= 0.15, r32
+
+    def test_components_orthonormal_and_ordered(self, spark):
+        """pca_components must return unit-norm, mutually-orthogonal rows
+        ordered by descending eigenvalue (eigh gives an orthonormal basis;
+        the sign canonicalization must not break it)."""
+        import numpy as np
+
+        from ctcityscraper_spark.operators.similarity import (
+            int8_gram_matrix,
+            pca_components,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        comps, evals = pca_components(int8_gram_matrix(emb, 64), 64, 16)
+        C = np.array(comps)
+        assert C.shape == (16, 64)
+        assert np.abs(C @ C.T - np.eye(16)).max() < 1e-8
+        assert all(a >= b for a, b in zip(evals, evals[1:]))
+        assert evals[0] > 0
+
+    def test_empty_corpus_refused(self, spark):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import (
+            pca_rotated_ivf_topk,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="no valid vectors"):
+            pca_rotated_ivf_topk(empty, empty, 64).collect()
+
+    def test_catalog_query_single_row_invariant(self, spark):
+        """ann_pca_ivf_recall (rows-only at the driver) returns one row
+        with the rotation invariant recall_pca == recall_plain and sane
+        bounds — the in-repo functional gate for the no-oracle entry."""
+        from ctcityscraper_spark.plans.queries import query_catalog
+
+        row = query_catalog()["ann_pca_ivf_recall"](spark, SF).collect()
+        assert len(row) == 1
+        r = row[0]
+        assert r.n_exact > 0
+        assert 0.0 <= r.recall_pca <= 1.0 and 0.0 <= r.recall_plain <= 1.0
+        assert r.recall_pca >= r.recall_plain
+
+
+class TestSketchedDfCap:
+    """df_cap_sketched=True must be a pure plan substitution: identical
+    rows out of ngram_jaccard_pairs / winnow_pairs / jaccard_verify_pairs,
+    with the hot list produced by the CMS two-tier instead of the full
+    distinct-term shuffle (the scale path; text.hot_terms)."""
+
+    def test_jaccard_pairs_identical(self, spark):
+        docs = load_table(spark, SF, "documents")
+        plain = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, n=5, threshold=0.3, df_cap=2).collect())
+        )
+        sk = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    docs, n=5, threshold=0.3, df_cap=2, df_cap_sketched=True
+                ).collect(),
+            )
+        )
+        assert plain == sk and len(plain) > 0
+
+    def test_winnow_pairs_identical(self, spark):
+        from ctcityscraper_spark.operators.dedup import winnow_pairs
+
+        docs = load_table(spark, SF, "documents")
+        plain = sorted(
+            map(tuple, winnow_pairs(docs, min_shared=2, df_cap=3).collect())
+        )
+        sk = sorted(
+            map(
+                tuple,
+                winnow_pairs(
+                    docs, min_shared=2, df_cap=3, df_cap_sketched=True
+                ).collect(),
+            )
+        )
+        assert plain == sk
+
+    def test_verify_pairs_identical_on_boilerplate(self, spark):
+        """The adversarial case df_cap exists for: many docs sharing one
+        boilerplate shingle. The sketched cap must drop it exactly like
+        the exact cap does, pair values unchanged."""
+        from ctcityscraper_spark.operators.dedup import jaccard_verify_pairs
+
+        rows = [(i, f"unique words here {i} " + "the same boiler plate line")
+                for i in range(30)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cand = spark.createDataFrame(
+            [(0, 1), (2, 3)], "doc_a long, doc_b long"
+        )
+        # cap=10: every boilerplate shingle (df=30) drops, the candidate
+        # pairs lose their whole intersection -> no rows in EITHER mode
+        plain = sorted(map(tuple, jaccard_verify_pairs(
+            docs, cand, n=5, threshold=0.0, df_cap=10).collect()))
+        sk = sorted(map(tuple, jaccard_verify_pairs(
+            docs, cand, n=5, threshold=0.0, df_cap=10, df_cap_sketched=True
+        ).collect()))
+        assert plain == sk == []
+        # cap=40: nothing drops, both pairs score identically in both modes
+        plain40 = sorted(map(tuple, jaccard_verify_pairs(
+            docs, cand, n=5, threshold=0.0, df_cap=40).collect()))
+        sk40 = sorted(map(tuple, jaccard_verify_pairs(
+            docs, cand, n=5, threshold=0.0, df_cap=40, df_cap_sketched=True
+        ).collect()))
+        assert plain40 == sk40 and len(plain40) == 2
+        assert all(j > 0 for _, _, j in plain40)

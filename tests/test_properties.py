@@ -515,3 +515,46 @@ class TestSurprisalProperty:
             sum_bits = sum((total // counts[w]).bit_length() for w in tk)
             expected[i] = (len(tk), sum_bits, sum_bits / len(tk))
         assert got == expected
+
+
+class TestHotTermsProperty:
+    """text.hot_terms sketched mode (CMS pre-pass + exact chase) must be
+    ROW-IDENTICAL to the exact groupBy for ANY term multiset and cap —
+    even under a deliberately collision-heavy narrow sketch, where the
+    one-sided estimate flags extra candidates but the exact chase must
+    reject every below-cap term (never drops one) while the one-sided
+    bound guarantees no above-cap term escapes the flag stage."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        counts=st.lists(
+            st.integers(min_value=1, max_value=9), min_size=1, max_size=10
+        ),
+        cap=st.integers(min_value=1, max_value=6),
+    )
+    def test_sketched_equals_exact(self, spark, counts, cap):
+        from ctcityscraper_spark.operators.text import hot_terms
+
+        rows = [
+            (f"term_{i}",) for i, c in enumerate(counts) for _ in range(c)
+        ]
+        df = spark.createDataFrame(rows, "shingle string")
+        exact = {
+            r.shingle for r in hot_terms(df, "shingle", cap).collect()
+        }
+        expected = {
+            f"term_{i}" for i, c in enumerate(counts) if c > cap
+        }
+        assert exact == expected
+        # collision-heavy sketch: width 8, depth 1 — nearly every term
+        # shares a cell, so the flag stage overestimates wildly; the
+        # chase must still land on the exact list
+        sketched = {
+            r.shingle
+            for r in hot_terms(
+                df, "shingle", cap, sketched=True, width=8, depth=1
+            ).collect()
+        }
+        assert sketched == expected
