@@ -378,6 +378,10 @@ def q_dedup_bloom_update(spark, sf_dir):
 
 @query(
     "dedup_bloom_chase",
+    headline=True,  # the composed two-tier production dedup (r8 VERDICT
+    # item 4): benched round-over-round so the Bloom pre-filter's win
+    # over the plain corpus-index join stays demonstrated (SCALE.md
+    # carries the bloom-vs-no-bloom delta at 10x)
     oracle=f"""
     WITH split AS (
         SELECT doc_id, text,

@@ -369,6 +369,16 @@ def compact_incremental_zone(
     with total batch count. It must be idempotent over already-transformed
     rows (a merge re-applied to merged rows is a no-op) because a later
     epoch reads an earlier one as input.
+
+    Driver-lifetime note (why epochs are NOT operators.artifacts-
+    registered): an epoch is _SUCCESS-gated parquet on disk, not a cached
+    frame — nothing here calls persist()/localCheckpoint(), so a
+    long-lived streaming driver accumulates no cached blocks from
+    compaction (the per-batch ``batch_df.persist`` in the sinks is
+    unpersisted in ``finally``; tests assert zero storage blocks after a
+    full run). The only long-lived driver state is ONE catalog-table
+    entry per zone: each compaction drops the older epoch's table right
+    after deleting its files, so registrations don't accumulate either.
     """
     from ctcityscraper_spark.sources.bucketed import write_bucketed
 

@@ -1239,3 +1239,67 @@ class TestZoneFormatMeta:
         assert read_cms_cells(spark, base, width=512, depth=2) is not None
         with _pytest.raises(ValueError, match="rebuild|Rebuild"):
             read_cms_cells(spark, base, width=1024, depth=2)
+
+
+class TestStreamingDriverState:
+    def test_no_cached_blocks_or_stale_tables_after_run(self, spark, tmp_path):
+        """The streaming sinks must leave ZERO driver-lifetime cached
+        state behind: epochs are _SUCCESS-gated files (never persisted
+        frames, hence not operators.artifacts-registered — see
+        compact_incremental_zone's driver-lifetime note), per-batch
+        persists are unpersisted in finally, and each compaction drops
+        the older epoch's catalog table — so a long-lived streaming
+        driver holds at most one table registration per zone and no
+        storage blocks."""
+        import time as _time
+
+        from ctcityscraper_spark.streaming.events import (
+            stream_from_directory,
+            streaming_bloom_membership,
+        )
+
+        def storage_ids():
+            return {
+                i.id()
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            }
+
+        before = storage_ids()
+        schema = "doc_id long, text string"
+        src = tmp_path / "incoming"
+        batches = [[(i, f"driver state doc {i}")] for i in range(5)]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+        try:
+            q = streaming_bloom_membership(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                words_dir=str(tmp_path / "words"),
+                flags_dir=str(tmp_path / "flags"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                m_bits=1024,
+                k=3,
+                compact_every=2,
+                compact_buckets=2,
+                compact_table_prefix="t_drv_state",
+            )
+            q.awaitTermination(180)
+            # no cached blocks survive the run
+            assert storage_ids() - before == set()
+            # exactly one zone table registration remains (the newest
+            # epoch); the absorbed one was dropped at compaction time
+            live = [
+                t.name
+                for t in spark.catalog.listTables()
+                if t.name.startswith("t_drv_state")
+            ]
+            assert live == ["t_drv_state_upto_4"], live
+        finally:
+            for t in ("t_drv_state_upto_2", "t_drv_state_upto_4"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
