@@ -1251,6 +1251,7 @@ def pca_rotated_ivf_topk(
     pca_k: int | None = None,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    literal_gate: int | None = None,
 ) -> DataFrame:
     """End-to-end PCA-preprocessed IVF: train components on the corpus's
     :func:`int8_gram_matrix`, :func:`pca_project_col` corpus + queries
@@ -1271,7 +1272,12 @@ def pca_rotated_ivf_topk(
 
     Scale shape: training is the Gram pass (shuffle bounded at
     partitions × d², never n × d²) + a d×d driver-side eigh; projection
-    is a scan-stage literal-expression map. The projected frames are
+    is a scan-stage map — the plan-literal expression while
+    ``pca_k·dims ≤ literal_gate`` (default :data:`PCA_LITERAL_GATE`,
+    bit-exact, deterministic fold), the :func:`pca_project_vectorized`
+    Arrow matmul above it (a 1024→256 projection is 262k literals —
+    out of codegen entirely — while the matmul is one broadcast of the
+    k×d matrix). The projected frames are
     persisted (and registered with ``operators.artifacts`` for release)
     — NOT an optimization but a required plan barrier: inlining a
     k·d-literal projection into every one of ``n_lists`` centroid
@@ -1285,22 +1291,20 @@ def pca_rotated_ivf_topk(
 
     pca_k = dims if pca_k is None else pca_k
     comps, _ = pca_components(int8_gram_matrix(corpus, dims, vec), dims, pca_k)
-    pc = _track_persist(
-        valid_vectors(corpus, vec)
-        .select(
-            F.col(id_col),
-            pca_project_col(F.col(vec), comps).alias("__pemb"),
+    gate = PCA_LITERAL_GATE if literal_gate is None else literal_gate
+
+    def _project(df):
+        if pca_k * dims <= gate:
+            return valid_vectors(df, vec).select(
+                F.col(id_col),
+                pca_project_col(F.col(vec), comps).alias("__pemb"),
+            )
+        return pca_project_vectorized(
+            df, comps, vec=vec, id_col=id_col, out_col="__pemb"
         )
-        .persist()
-    )
-    pq = _track_persist(
-        valid_vectors(queries, vec)
-        .select(
-            F.col(id_col),
-            pca_project_col(F.col(vec), comps).alias("__pemb"),
-        )
-        .persist()
-    )
+
+    pc = _track_persist(_project(corpus).persist())
+    pq = _track_persist(_project(queries).persist())
     ctrs = hash_pick_centroids(pc, n_lists, vec="__pemb", id_col=id_col)
     if not ctrs:
         raise ValueError(
@@ -1318,9 +1322,10 @@ def pca_project_col(vec, components):
 
     Literal-expression path (k·d plan literals) — same trade-off as
     :func:`srp_bucket_col`: fine for the k·d ≤ a-few-thousand configs
-    used for SemDeDup/IVF preprocessing; for large k·d use the
-    :func:`srp_bucket_vectorized`-style Arrow matmul pattern instead.
-    Left-to-right fold per component, deterministic.
+    used for SemDeDup/IVF preprocessing; above that use
+    :func:`pca_project_vectorized` (the Arrow matmul twin —
+    :func:`pca_rotated_ivf_topk` auto-switches on the same literal gate
+    as the SRP family). Left-to-right fold per component, deterministic.
     """
     v = _as_double(vec)
     outs = []
@@ -1334,3 +1339,90 @@ def pca_project_col(vec, components):
             )
         )
     return F.array(*outs)
+
+
+# PCA's own literal gate sits far below SRP_LITERAL_GATE: an SRP bucket
+# must stay plan-literal up to 4096 literals because its bit-exact
+# left-to-right fold is oracle-matched, but a PCA projection feeds only
+# approximate consumers (IVF lists, SemDeDup blocks) — and measured on
+# the r9 VM, a 4096-literal projection costs ~7 s of plan/codegen while
+# the Arrow matmul is ~0 marginal (8.8 s → 3.0 s end-to-end on the
+# 64-dim catalog config, flat at 10× rows). Keep literal only where the
+# plan is cheap anyway and the deterministic fold is free.
+PCA_LITERAL_GATE = 1024
+
+
+def pca_project_vectorized(
+    df: DataFrame,
+    components,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "__pemb",
+) -> DataFrame:
+    """Arrow-matmul twin of :func:`pca_project_col` for large ``k·d``.
+
+    The literal path embeds k·d double literals in the plan; measured on
+    the r9 VM, a full-rank 64×64 projection (4,096 literals per side)
+    alone costs ~7 s of analysis/codegen before a single row moves — and
+    a production 1024→256 projection (262k literals) falls out of
+    whole-stage codegen entirely. This computes the same projection with
+    one numpy ``rows × dᵀ`` matmul per Arrow batch against the identical
+    components matrix (broadcast once, never in the plan). Returns
+    (id_col, out_col double-array) rows from one scan.
+
+    Caveat (same as :func:`srp_bucket_vectorized`): matmul sums pairwise
+    while the expression folds left-to-right, so coordinates can differ
+    by float-association noise (~1e-12 relative) — irrelevant for ANN
+    candidate generation / SemDeDup blocking, but use the literal path
+    where bit-exact oracle parity matters. Rows failing
+    :func:`valid_vectors` are excluded (standard embedding-operator
+    entry contract; the literal path composes with the same filter in
+    :func:`pca_rotated_ivf_topk`, so the gate switches implementation,
+    never row membership).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    comps = np.asarray(components, dtype=np.float64)
+    if comps.ndim != 2:
+        raise ValueError(
+            "pca_project_vectorized: components must be a k×d matrix "
+            f"(got shape {comps.shape})"
+        )
+    dims = comps.shape[1]
+    cleaned = valid_vectors(df, vec)
+    sc = cleaned.sparkSession.sparkContext
+    b_comps = sc.broadcast(comps)
+
+    def run(batches):
+        cm = b_comps.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf[vec].map(len)
+            if (lens != dims).any():
+                bad = sorted(set(lens[lens != dims].tolist()))[:5]
+                raise ValueError(
+                    f"pca_project_vectorized(d={dims}) got vectors of "
+                    f"length(s) {bad} — components' d must match the "
+                    "embedding width"
+                )
+            mat = np.asarray(pdf[vec].tolist(), dtype=np.float64)
+            proj = mat @ cm.T  # rows × k
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: [list(r) for r in proj]}
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, cleaned.schema[id_col].dataType, True),
+            StructField(out_col, ArrayType(DoubleType()), True),
+        ]
+    )
+    return cleaned.select(id_col, vec).mapInPandas(run, schema)

@@ -1414,6 +1414,84 @@ class TestPcaIvf:
         assert 0.0 <= r.recall_pca <= 1.0 and 0.0 <= r.recall_plain <= 1.0
         assert r.recall_pca >= r.recall_plain
 
+    def test_vectorized_projection_matches_literal(self, spark):
+        """pca_project_vectorized is the Arrow-matmul twin of the literal
+        expression: same row membership (valid_vectors contract on both
+        sides), coordinates equal to float-association noise."""
+        import numpy as np
+
+        from ctcityscraper_spark.operators.similarity import (
+            int8_gram_matrix,
+            pca_components,
+            pca_project_col,
+            pca_project_vectorized,
+            valid_vectors,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        comps, _ = pca_components(int8_gram_matrix(emb, 64), 64, 16)
+        lit = {
+            r.vec_id: r.p
+            for r in valid_vectors(emb, "embedding")
+            .select(
+                "vec_id",
+                pca_project_col(F.col("embedding"), comps).alias("p"),
+            )
+            .collect()
+        }
+        vec = {
+            r.vec_id: r.p
+            for r in pca_project_vectorized(
+                emb, comps, out_col="p"
+            ).collect()
+        }
+        assert lit.keys() == vec.keys() and lit
+        for vid in lit:
+            np.testing.assert_allclose(lit[vid], vec[vid], rtol=1e-9)
+
+    def test_gated_path_end_to_end_identical(self, spark):
+        """Both sides of the literal gate through the full
+        pca_rotated_ivf_topk must return the same neighbor sets at
+        64-dim (the default is the Arrow path — 64·64 > PCA_LITERAL_GATE
+        — forced here against an explicit always-literal gate): the gate
+        switches implementation, never semantics."""
+        from ctcityscraper_spark.operators.similarity import (
+            pca_rotated_ivf_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        lit = {
+            (r.query_id, r.neighbor_id)
+            for r in pca_rotated_ivf_topk(
+                emb, queries, 64, k=5, n_lists=8, n_probe=2,
+                literal_gate=1 << 30,
+            ).collect()
+        }
+        vec = {
+            (r.query_id, r.neighbor_id)
+            for r in pca_rotated_ivf_topk(
+                emb, queries, 64, k=5, n_lists=8, n_probe=2,
+                literal_gate=0,
+            ).collect()
+        }
+        assert lit == vec and lit
+
+    def test_vectorized_refuses_ragged(self, spark):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import (
+            pca_project_vectorized,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, [1.0] * 7)],
+            "vec_id long, embedding array<double>",
+        )
+        comps = [[1.0 if i == j else 0.0 for i in range(8)] for j in range(3)]
+        with _pytest.raises(Exception, match="length"):
+            pca_project_vectorized(df, comps).collect()
+
 
 class TestSketchedDfCap:
     """df_cap_sketched=True must be a pure plan substitution: identical
