@@ -1492,6 +1492,37 @@ class TestPcaIvf:
         with _pytest.raises(Exception, match="length"):
             pca_project_vectorized(df, comps).collect()
 
+    def test_components_persist_as_sidecar(self, spark, tmp_path):
+        """The train-once / project-many flow: components persist through
+        the same validated atomic JSON sidecars the IVF centroids and PQ
+        codebooks use (save_vectors_json with kind='pca_components'), and
+        a projection from the LOADED model is bit-identical to one from
+        the in-session model — the stored-model twin of the stored-index
+        contract."""
+        from ctcityscraper_spark.operators.similarity import (
+            int8_gram_matrix,
+            load_vectors_json,
+            pca_components,
+            pca_project_vectorized,
+            save_vectors_json,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        comps, _ = pca_components(int8_gram_matrix(emb, 64), 64, 8)
+        path = tmp_path / "pca_components.json"
+        save_vectors_json(comps, path, "pca_components")
+        loaded = load_vectors_json(path, "pca_components")
+        assert loaded == comps  # floats survive the JSON round-trip exactly
+        fresh = {
+            r.vec_id: r.p
+            for r in pca_project_vectorized(emb, comps, out_col="p").collect()
+        }
+        stored = {
+            r.vec_id: r.p
+            for r in pca_project_vectorized(emb, loaded, out_col="p").collect()
+        }
+        assert fresh == stored and fresh
+
 
 class TestSketchedDfCap:
     """df_cap_sketched=True must be a pure plan substitution: identical
