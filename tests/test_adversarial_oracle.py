@@ -353,3 +353,59 @@ def test_empty_embeddings_and_empty_queries(spark):
     assert cosine_topk_vectorized(empty, full).count() == 0
     assert srp_lsh_topk(full, empty, dims=EMB_DIMS).count() == 0
     assert semdedup_drop_list(empty, dims=EMB_DIMS).count() == 0
+
+
+def test_pca_path_on_hostile_vectors(spark):
+    """The PCA pipeline under the standard hostile-embeddings contract:
+    NULL / NaN / zero-norm vectors are excluded by valid_vectors on BOTH
+    the Gram (training) and projection (apply) sides, an empty query set
+    yields an empty result, and an all-invalid corpus raises the clear
+    no-valid-vectors error instead of a numpy crash (ann_pca_ivf_recall
+    has no DuckDB oracle — this is its hostile-input functional gate)."""
+    import math
+
+    import pytest as _pytest
+
+    from ctcityscraper_spark.operators.similarity import (
+        pca_project_vectorized,
+        pca_rotated_ivf_topk,
+    )
+
+    good = spark.read.parquet(f"{SRC_SF_DIR}/embeddings.parquet").limit(50)
+    hostile = spark.createDataFrame(
+        [
+            (9001, None, 0),
+            (9002, [float("nan")] * EMB_DIMS, 0),
+            (9003, [0.0] * EMB_DIMS, 0),
+            (None, [1.0] * EMB_DIMS, 0),
+        ],
+        EMB_SCHEMA,
+    )
+    corpus = good.unionByName(hostile)
+    queries = corpus.filter(F.col("vec_id") < 10)
+    rows = pca_rotated_ivf_topk(
+        corpus, queries, EMB_DIMS, k=5, n_lists=4, n_probe=2
+    ).collect()
+    ids = {r.neighbor_id for r in rows} | {r.query_id for r in rows}
+    assert rows and not ids & {9001, 9002, 9003, None}
+    assert all(math.isfinite(r.cosine) for r in rows)
+    # empty query side: empty result, not an error
+    none_q = corpus.filter(F.col("vec_id") < -1)
+    assert (
+        pca_rotated_ivf_topk(corpus, none_q, EMB_DIMS, n_lists=4).count()
+        == 0
+    )
+    # projection alone also screens hostile rows
+    comps = [
+        [1.0 if i == j else 0.0 for i in range(EMB_DIMS)] for j in range(4)
+    ]
+    proj = pca_project_vectorized(hostile, comps)
+    assert proj.count() == 1  # only the NULL-id row has a valid vector
+    # all-invalid corpus: the clear contract error, not a numpy crash
+    with _pytest.raises(ValueError, match="no valid vectors"):
+        pca_rotated_ivf_topk(
+            hostile.filter(F.col("vec_id").isNotNull()),
+            none_q,
+            EMB_DIMS,
+            n_lists=4,
+        ).collect()

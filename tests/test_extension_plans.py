@@ -45,6 +45,12 @@ BUCKETED_QUERIES = [
     "dedup_bloom_chase",
     "text_cms_heavy_hitters",
     "ann_int8_gram_matrix",
+    # round-9: the CMS-guarded df_cap variant must keep the inverted
+    # index's equi-join shape (the sketch pre-pass is groupBy-shaped, the
+    # chase is a broadcast semi-join). ann_pca_ivf_recall is excluded by
+    # design: like the other recall audits it crossJoins three 1-row
+    # aggregates to emit a single summary row.
+    "dedup_jaccard_cms_capped",
 ]
 
 
