@@ -84,11 +84,13 @@ DRIVER_PRIORITY = [
     "corpus_segment_dedup", "corpus_substring_spans",
     "corpus_pack_sequences",
 ]
-# With this window green, every one of the 104 catalog queries has held
-# at least one driver-verified CORRECTNESS row: 97 pre-r8 across r1-r8,
-# the five r8 additions + multimodal_frame_sample + the two r9
-# compositions in r9. The 54 outside the window remain in-repo +
-# adversarial oracle-gated every run at both scale factors.
+# With this window green, every catalog query that existed when the
+# window was set has held at least one driver-verified CORRECTNESS row:
+# 97 pre-r8 across r1-r8, the five r8 additions + multimodal_frame_sample
+# + the two r9 compositions in r9. ann_gram_update (added later in r9)
+# sits outside the window — in-repo + adversarial oracle-gated now (both
+# scale factors), rotate it IN at r10. Everything outside the window
+# remains in-repo + adversarial oracle-gated every run.
 
 
 def _ordered(catalog: dict) -> dict:

@@ -1202,11 +1202,51 @@ def int8_gram_matrix(
             StructField("g", LongType()),
         ]
     )
+    return merge_gram_rows(quant.mapInPandas(run, schema))
+
+
+# Stored-gram-zone format contract (see dedup.BLOOM_FORMAT_VERSION for the
+# pattern): (j, l, g) rows of int8-quantized partial sums. Bump on any
+# change to int8_quantize_col's rounding or the row layout — summing
+# partials produced under different quantization silently corrupts the
+# trained components.
+GRAM_FORMAT_VERSION = 1
+
+
+def merge_gram_rows(rows: DataFrame) -> DataFrame:
+    """SUM-merge (j, l, g) Gram frames (any mix of full matrices,
+    per-batch deltas, per-partition partials, or partially-merged epochs
+    over the SAME dims and quantization) into one row per (j, l). THE
+    single definition of the Gram merge — :func:`int8_gram_matrix`'s
+    partial-sum tail, :func:`update_gram_matrix`, and the streaming
+    sink's compaction transform all call this, so the merge ≡ fresh-build
+    property (sum-associativity) can't silently desynchronize between
+    the batch and streaming paths. Idempotent over already-merged rows
+    (required by the compaction ``transform`` contract)."""
     return (
-        quant.mapInPandas(run, schema)
-        .groupBy("j", "l")
-        .agg(F.sum("g").alias("g"))
+        rows.select("j", "l", "g").groupBy("j", "l").agg(F.sum("g").alias("g"))
     )
+
+
+def update_gram_matrix(
+    gram: DataFrame, new_vectors: DataFrame, dims: int, vec: str = "embedding"
+) -> DataFrame:
+    """Merge a new embedding batch into a stored :func:`int8_gram_matrix`.
+
+    The Gram matrix is a sum of per-row outer products, so the
+    incremental maintenance step for a continuously growing corpus is
+    exact: ``update_gram_matrix(int8_gram_matrix(A), B)`` is
+    value-identical to ``int8_gram_matrix(A ∪ B)`` (sum-associativity of
+    integer partials; property-tested, and the catalog query
+    ``ann_gram_update`` hash-matches the one-pass DuckDB oracle). Cost is
+    the delta's Gram pass (partitions × d² partial rows over the BATCH
+    only — never the corpus) plus a re-aggregation of ≤ 2·d² rows.
+    Retrain components with :func:`pca_components` on the merged result —
+    the PCA trainer state for 1B-vector corpora is maintained per-batch
+    without ever rescanning history. Overflow headroom is the same int64
+    bound as the fresh build (|g| ≤ 127²·n)."""
+    delta = int8_gram_matrix(new_vectors, dims, vec)
+    return merge_gram_rows(gram.unionByName(delta))
 
 
 def pca_components(gram_rows, dims: int, k: int):

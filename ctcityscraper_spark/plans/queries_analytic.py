@@ -489,3 +489,42 @@ def q_ann_int8_gram_matrix(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("j", "l")
     )
+
+
+@query(
+    "ann_gram_update",
+    oracle=f"""
+    WITH q AS (SELECT {_int8_sql('embedding', 64)} AS qv
+               FROM {EMB_VALID} embeddings)
+    SELECT j::INTEGER AS j, l::INTEGER AS l,
+           SUM(qv[j + 1] * qv[l + 1])::BIGINT AS g
+    FROM q, range(0, 64) tj(j), range(0, 64) tl(l)
+    GROUP BY 1, 2 ORDER BY j, l
+    """,
+)
+def q_ann_gram_update(spark, sf_dir):
+    """Incremental PCA-trainer maintenance (operators/similarity.
+    update_gram_matrix): the Gram matrix is built over an 80% base
+    corpus, then a 20% delta batch is MERGED in (sum re-aggregation of
+    ≤ 2·d² rows — the batch pays its own Gram pass, never the corpus's).
+    The oracle is DELIBERATELY the one-pass fresh build over the whole
+    corpus: a value-hash match proves update_gram_matrix(gram(base),
+    delta) ≡ int8_gram_matrix(base ∪ delta) exactly (sum-associativity
+    of the integer partials), which is what makes per-batch trainer-state
+    maintenance exact on a growing corpus — the same contract shape as
+    dedup_bloom_update's OR-merge."""
+    from ctcityscraper_spark.functions.hashing import hash64
+    from ctcityscraper_spark.operators.similarity import (
+        int8_gram_matrix,
+        update_gram_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = hash64(F.col("vec_id"), "gramsplit") % 5
+    base = emb.filter(bucket != 0)
+    delta = emb.filter(bucket == 0)
+    return (
+        update_gram_matrix(int8_gram_matrix(base, dims=64), delta, dims=64)
+        .repartition(1)
+        .sortWithinPartitions("j", "l")
+    )

@@ -835,3 +835,126 @@ def streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _gram_zone_meta(dims: int) -> dict:
+    from ctcityscraper_spark.operators.similarity import GRAM_FORMAT_VERSION
+
+    return {"kind": "gram_rows", "format_version": GRAM_FORMAT_VERSION,
+            "dims": dims}
+
+
+_GRAM_REBUILD_HINT = (
+    "Rebuild the Gram zone from the corpus (int8_gram_matrix) or restart "
+    "the stream with a fresh gram_dir."
+)
+
+
+def read_gram_rows(
+    spark: SparkSession,
+    gram_dir: str,
+    before_batch: int = 2**62,
+    table_prefix: str | None = None,
+    dims: int | None = None,
+) -> DataFrame | None:
+    """The merged int8 Gram matrix for batches strictly before
+    ``before_batch``: per-batch delta (j, l, g) partitions (and/or the
+    newest compacted epoch) sum-merged into one row per (j, l) — exactly
+    :func:`operators.similarity.update_gram_matrix`'s merge applied
+    across every delta at once (sum-associativity of the integer
+    partials makes any grouping equal to a fresh build over everything
+    ingested). None when nothing is written yet. Feed the result
+    straight to ``similarity.pca_components`` to retrain the rotation
+    on the live corpus.
+
+    Pass ``dims`` to validate the zone's stored format marker before
+    trusting the rows — summing partials produced under a different
+    quantization or width silently corrupts the trained components;
+    without it only the format version is checked."""
+    from ctcityscraper_spark.operators.similarity import merge_gram_rows
+
+    existing = read_zone_meta(spark, gram_dir)
+    if dims is not None:
+        check_zone_meta(
+            spark, gram_dir, _gram_zone_meta(dims), _GRAM_REBUILD_HINT
+        )
+    elif existing is not None:
+        check_zone_meta(
+            spark, gram_dir, _gram_zone_meta(existing.get("dims")),
+            _GRAM_REBUILD_HINT,
+        )
+    elif _zone_has_data(spark, gram_dir):
+        raise ValueError(
+            f"stored zone {gram_dir} has data but no {ZONE_META_FILE} — "
+            f"unversioned stored state. {_GRAM_REBUILD_HINT}"
+        )
+    rows = read_incremental_zone(spark, gram_dir, before_batch, table_prefix)
+    if rows is None:
+        return None
+    return merge_gram_rows(rows)
+
+
+def streaming_gram(
+    stream: DataFrame,
+    gram_dir: str,
+    checkpoint_dir: str,
+    dims: int,
+    vec: str = "embedding",
+    compact_every: int | None = None,
+    compact_buckets: int = 4,
+    compact_table_prefix: str | None = None,
+):
+    """Continuously-maintained int8 Gram matrix over an embedding stream —
+    the PCA trainer state kept warm per micro-batch, and the third
+    instance of the delta-zone recipe (bit_or for Bloom words, SUM for
+    CMS cells and for these Gram partials — the compaction ``transform``
+    is :func:`operators.similarity.merge_gram_rows`, the same single
+    merge definition the batch path uses).
+
+    Every micro-batch appends its own ≤ d²-row delta matrix to
+    ``gram_dir/batch_id=N`` (exactly-once: per-batch overwrite + the
+    streaming checkpoint). Read the live matrix at any time with
+    :func:`read_gram_rows` and retrain with ``similarity.pca_components``
+    — the merged state equals a fresh ``int8_gram_matrix`` over
+    everything ingested, exactly (integer partials, no float-association
+    caveat). With ``compact_every=N`` epochs re-aggregate to ≤ d² rows
+    bucketed on (j, l), so stored state stays d²-sized at any stream
+    length. Returns the StreamingQuery handle; caller stops it.
+    """
+    import hashlib
+
+    from ctcityscraper_spark.operators.similarity import (
+        int8_gram_matrix,
+        merge_gram_rows,
+    )
+
+    tbl_prefix = compact_table_prefix or (
+        "gram_rows_" + hashlib.md5(gram_dir.encode()).hexdigest()[:8]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(
+            spark, gram_dir, _gram_zone_meta(dims), _GRAM_REBUILD_HINT
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, gram_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, gram_dir, batch_id, table_prefix=tbl_prefix,
+                    bucket_keys=["j", "l"], buckets=compact_buckets,
+                    sort=["j", "l"], transform=merge_gram_rows,
+                )
+        int8_gram_matrix(batch_df, dims, vec).write.mode(
+            "overwrite"
+        ).parquet(f"{gram_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

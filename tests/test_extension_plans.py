@@ -51,6 +51,9 @@ BUCKETED_QUERIES = [
     # design: like the other recall audits it crossJoins three 1-row
     # aggregates to emit a single summary row.
     "dedup_jaccard_cms_capped",
+    # incremental Gram maintenance: two mapInPandas passes + one sum
+    # groupBy over <= 2*d^2 rows — no join anywhere
+    "ann_gram_update",
 ]
 
 

@@ -1188,6 +1188,50 @@ class TestBloomMembership:
         assert m0 >= 32 and k0 >= 1
 
 
+class TestGramUpdate:
+    def test_update_merge_equals_fresh_build(self, spark):
+        """Incremental PCA-trainer maintenance is EXACT: merging a delta
+        batch's Gram into a stored matrix (sum of integer partials) must
+        be value-identical to building over the union — the SUM-merge
+        analogue of the Bloom OR-merge property. Chained updates (A then
+        B then C) must equal the one-pass build too (associativity), and
+        hostile rows in the delta (NULL / zero-norm vectors) contribute
+        nothing."""
+        from ctcityscraper_spark.operators.similarity import (
+            int8_gram_matrix,
+            update_gram_matrix,
+        )
+
+        dims = 6
+        schema = "vec_id long, embedding array<double>"
+        a = spark.createDataFrame(
+            [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(dims)])
+             for i in range(25)],
+            schema,
+        )
+        b = spark.createDataFrame(
+            [(100 + i, [float((i * 5 + d) % 9 - 4) for d in range(dims)])
+             for i in range(10)]
+            + [(200, None), (201, [0.0] * dims)],  # contribute nothing
+            schema,
+        )
+        c = spark.createDataFrame(
+            [(300, [1.5] * dims), (301, [-2.5] * dims)], schema
+        )
+        fresh = {
+            (r.j, r.l): r.g
+            for r in int8_gram_matrix(
+                a.unionByName(b).unionByName(c), dims
+            ).collect()
+        }
+        once = update_gram_matrix(int8_gram_matrix(a, dims), b, dims)
+        chained = {
+            (r.j, r.l): r.g
+            for r in update_gram_matrix(once, c, dims).collect()
+        }
+        assert chained == fresh and len(fresh) == dims * dims
+
+
 class TestGramPca:
     def test_gram_matches_numpy_and_symmetry(self, spark):
         import numpy as np

@@ -1104,6 +1104,112 @@ class TestStreamingCms:
             spark.sql("DROP TABLE IF EXISTS t_cms_cells_upto_2")
 
 
+class TestStreamingGram:
+    def test_streaming_gram_merged_equals_fresh_build(self, spark, tmp_path):
+        """4 embedding batches with compact_every=2: the sum-merged Gram
+        zone must equal a fresh int8_gram_matrix over all ingested
+        vectors EXACTLY (integer-partial additivity), the epoch
+        re-aggregates to <= d^2 rows, pca_components trains off the live
+        zone, a dims-mismatched read refuses with the rebuild hint, and
+        checkpoint replay reprocesses nothing."""
+        import time as _time
+
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import (
+            int8_gram_matrix,
+            pca_components,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_gram_rows,
+            stream_from_directory,
+            streaming_gram,
+        )
+
+        dims = 4
+        schema = "vec_id long, embedding array<double>"
+        src = tmp_path / "incoming"
+        batches = [
+            [(1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 0.0, -1.0, 0.5])],
+            [(3, [0.1, 0.2, 0.3, 0.4])],
+            [(4, [-1.0, -2.0, 1.0, 2.0]), (5, [5.0, 4.0, 3.0, 2.0])],
+            [(6, [1.0, 1.0, 1.0, 1.0])],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+        kwargs = dict(
+            gram_dir=str(tmp_path / "gram"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            dims=dims,
+            compact_every=2,
+            compact_table_prefix="t_gram_rows",
+        )
+        try:
+            q = streaming_gram(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q.awaitTermination(180)
+
+            merged = read_gram_rows(
+                spark, kwargs["gram_dir"], table_prefix="t_gram_rows",
+                dims=dims,
+            )
+            all_vecs = spark.createDataFrame(
+                [r for rows in batches for r in rows], schema
+            )
+            fresh = {
+                (r.j, r.l): r.g
+                for r in int8_gram_matrix(all_vecs, dims).collect()
+            }
+            got = {(r.j, r.l): r.g for r in merged.collect()}
+            assert got == fresh and len(got) == dims * dims
+
+            assert [m for m, _ in _compacted_epochs(spark, kwargs["gram_dir"])] == [2]
+            assert spark.table("t_gram_rows_upto_2").count() <= dims * dims
+
+            # the trainer consumes the live zone directly
+            comps, evals = pca_components(merged, dims, 2)
+            assert len(comps) == 2 and len(comps[0]) == dims
+            assert evals[0] >= evals[1]
+
+            # dims-mismatched read refuses with the rebuild hint
+            with _pytest.raises(ValueError, match="[Rr]ebuild"):
+                read_gram_rows(
+                    spark, kwargs["gram_dir"], table_prefix="t_gram_rows",
+                    dims=8,
+                )
+
+            # checkpoint replay: nothing reprocessed
+            q2 = streaming_gram(
+                stream_from_directory(
+                    spark, str(src),
+                    spark.createDataFrame(batches[0], schema).schema,
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q2.awaitTermination(180)
+            got2 = {
+                (r.j, r.l): r.g
+                for r in read_gram_rows(
+                    spark, kwargs["gram_dir"], table_prefix="t_gram_rows",
+                ).collect()
+            }
+            assert got2 == fresh
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_gram_rows_upto_2")
+
+
 class TestZoneFormatMeta:
     """Stored sketch zones carry a format marker (_zone_meta.json): the
     position/coordinate derivation version + build parameters. Resuming or
