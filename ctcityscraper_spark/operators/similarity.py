@@ -467,6 +467,115 @@ def build_ivf_index(
     return indexed, centroids
 
 
+def assign_ivf_lists(
+    vectors: DataFrame,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(neighbor_id, cv, list_id) rows for ``vectors`` under FIXED
+    ``centroids`` — per-row argmin-L2 with the same numpy distance the
+    :func:`ivf_probe_topk` probe computes (one broadcast of the
+    n_lists×d matrix, one Arrow pass; ties break to the lowest list_id
+    via argmin's first-minimum rule, deterministically). This is the
+    assignment half of :func:`build_ivf_index` with the k-means training
+    factored out, which is exactly what incremental maintenance needs:
+    assignment is per-row, so ``assign(A ∪ B, c)`` is trivially
+    ``assign(A, c) ∪ assign(B, c)`` and a delta batch never touches the
+    stored index to get its lists. Invalid vectors and NULL ids are
+    excluded (standard embedding-operator entry contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    ctrs = np.asarray(centroids, dtype=np.float64)
+    if ctrs.ndim != 2:
+        raise ValueError(
+            f"assign_ivf_lists: centroids must be n_lists×d (got shape {ctrs.shape})"
+        )
+    dims = ctrs.shape[1]
+    cleaned = valid_vectors(vectors, vec).filter(F.col(id_col).isNotNull())
+    sc = cleaned.sparkSession.sparkContext
+    b_ctrs = sc.broadcast(ctrs)
+
+    def run(batches):
+        cm = b_ctrs.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf[vec].map(len)
+            if (lens != dims).any():
+                bad = sorted(set(lens[lens != dims].tolist()))[:5]
+                raise ValueError(
+                    f"assign_ivf_lists(d={dims}) got vectors of length(s) "
+                    f"{bad} — centroid width must match the embedding width"
+                )
+            mat = np.asarray(pdf[vec].tolist(), dtype=np.float64)
+            # ||v - c||^2 for all centroids at once; argmin row-wise
+            d2 = (
+                (mat**2).sum(axis=1, keepdims=True)
+                - 2.0 * (mat @ cm.T)
+                + (cm**2).sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "cv": [list(r) for r in mat],
+                    "list_id": np.argmin(d2, axis=1).astype("int32"),
+                }
+            )
+
+    return cleaned.select(id_col, vec).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField(
+                    "neighbor_id", cleaned.schema[id_col].dataType, True
+                ),
+                StructField("cv", ArrayType(DoubleType()), True),
+                StructField("list_id", IntegerType(), True),
+            ]
+        ),
+    )
+
+
+def update_ivf_index(
+    indexed: DataFrame,
+    new_vectors: DataFrame,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append a new vector batch to a stored :func:`build_ivf_index`
+    under the index's FIXED centroids.
+
+    The delta pays only its own :func:`assign_ivf_lists` pass (one Arrow
+    argmin against the broadcast centroid matrix — never a scan of the
+    stored index), and because assignment is per-row the merged index is
+    row-identical to assigning the union in one shot (tested; and the
+    catalog query ``ann_ivf_update`` probes the merged index at FULL
+    probe against the exact-cosine oracle, proving no vector is lost or
+    duplicated by maintenance). Rewrite the result bucketed on
+    ``list_id`` (sources/bucketed.py) to keep probe joins shuffle-free
+    on the index side — the union discards the stored table's bucketing.
+
+    Drift caveat: centroids stay fixed, so a delta distribution that
+    wanders from the training corpus skews list sizes and recall-per-
+    probe. Monitor ``groupBy("list_id").count()`` imbalance and retrain
+    (:func:`build_ivf_index`) when the max/mean ratio degrades — the
+    retrain is the same one-off batch job as the original build.
+    """
+    return indexed.unionByName(
+        assign_ivf_lists(new_vectors, centroids, vec=vec, id_col=id_col)
+    )
+
+
 def ivf_probe_topk(
     indexed: DataFrame,
     centroids: list,

@@ -1186,6 +1186,54 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).repartition(1).sortWithinPartitions("query_id", "rank")
 
 
+@query(
+    "ann_ivf_update",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {EMB_VALID} embeddings
+               WHERE vec_id >= 10 AND vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM {EMB_VALID} embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   {fold_dot_sql('qv', 'cv', EMB_DIMS)}
+                     / ({fold_norm_sql('qv', EMB_DIMS)} * {fold_norm_sql('cv', EMB_DIMS)}) AS cosine
+            FROM q, c WHERE query_id != neighbor_id
+         )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_update(spark, sf_dir):
+    """Incremental IVF maintenance (operators/similarity.update_ivf_index):
+    the index is built (k-means) over an 80% base corpus, a 20% delta
+    batch is APPENDED under the frozen centroids (assign_ivf_lists — the
+    delta pays one Arrow argmin pass, never a stored-index scan), and the
+    merged index is probed at FULL probe (n_probe == n_lists, which
+    ivf_probe_topk documents as exact). The oracle is the exact cosine
+    top-5 over the whole corpus — a value-hash match therefore proves
+    maintenance lost no vector and duplicated none (either would change
+    the top-k), independent of where k-means placed the centroids. The
+    partial-probe merged ≡ one-shot-assigned equivalence is pinned in
+    tests (TestIvfAnn)."""
+    from ctcityscraper_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        update_ivf_index,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    bucket = hash64(F.col("vec_id"), "ivfsplit") % 5
+    indexed, centroids = build_ivf_index(emb.filter(bucket != 0), n_lists=8)
+    merged = update_ivf_index(indexed, emb.filter(bucket == 0), centroids)
+    qs = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    return (
+        ivf_probe_topk(merged, centroids, qs, k=5, n_probe=8)
+        .repartition(1)
+        .sortWithinPartitions("query_id", "rank")
+    )
+
+
 def _exact_ann_cte(dims: int, topk: int = 5, nq: int = 10) -> str:
     """CTE ``ex``: exact cosine top-k pairs for queries vec_id < nq."""
     cos = (

@@ -54,6 +54,9 @@ BUCKETED_QUERIES = [
     # incremental Gram maintenance: two mapInPandas passes + one sum
     # groupBy over <= 2*d^2 rows — no join anywhere
     "ann_gram_update",
+    # incremental IVF maintenance: delta assignment is an Arrow argmin
+    # map; the probe is the standard equi-join on list_id
+    "ann_ivf_update",
 ]
 
 

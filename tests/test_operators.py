@@ -261,6 +261,57 @@ class TestIvfAnn:
         )
         assert stored == inline and len(stored) > 0
 
+    def test_incremental_update_equals_one_shot_assignment(self, spark):
+        """update_ivf_index appends a delta under the frozen centroids:
+        the merged index must be row-identical to assigning the union in
+        one shot (per-row assignment), PARTIAL-probe results through it
+        must match the one-shot index too, and hostile delta rows
+        (NULL id / NULL / zero-norm vectors) contribute nothing."""
+        from ctcityscraper_spark.operators.similarity import (
+            assign_ivf_lists,
+            build_ivf_index,
+            ivf_probe_topk,
+            update_ivf_index,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        bucket = F.abs(F.hash("vec_id")) % 5
+        base, delta = emb.filter(bucket != 0), emb.filter(bucket == 0)
+        indexed, ctrs = build_ivf_index(base, n_lists=8)
+        hostile = spark.createDataFrame(
+            [(None, [1.0] * 64, 0), (9001, None, 0), (9002, [0.0] * 64, 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        merged = update_ivf_index(
+            indexed, delta.unionByName(hostile), ctrs
+        )
+        one_shot = assign_ivf_lists(emb, ctrs)
+        assert sorted(
+            (r.neighbor_id, r.list_id) for r in merged.collect()
+        ) == sorted((r.neighbor_id, r.list_id) for r in one_shot.collect())
+
+        queries = emb.filter(F.col("vec_id") < 10)
+        probe_merged = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_probe_topk(merged, ctrs, queries, k=3, n_probe=2).collect()
+        )
+        probe_one_shot = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_probe_topk(one_shot, ctrs, queries, k=3, n_probe=2).collect()
+        )
+        assert probe_merged == probe_one_shot and probe_merged
+
+    def test_assign_refuses_bad_shapes(self, spark):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import assign_ivf_lists
+
+        emb = load_table(spark, SF, "embeddings")
+        with _pytest.raises(ValueError, match="n_lists"):
+            assign_ivf_lists(emb, [1.0, 2.0])
+        with _pytest.raises(Exception, match="length"):
+            assign_ivf_lists(emb, [[1.0] * 32] * 4).collect()
+
 
 class TestAsofJoin:
     def test_matches_most_recent_prior(self, spark):
