@@ -557,3 +557,209 @@ def merge_cms_cells(cells):
         .groupBy("r", "c")
         .agg(F.sum("n").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+# The third mergeable sketch family: Bloom answers membership, Count-Min
+# answers frequency, KMV answers CARDINALITY — "how many distinct
+# tokens/shingles/keys does this corpus hold" without materializing the
+# distinct-key table (billions of rows at 100 TB). The sketch is simply the
+# k smallest DISTINCT hash64 values of the stream: bounded at k rows, and
+# min-k-of-distinct is associative + idempotent, so per-partition partials,
+# per-batch deltas, and stored epochs all merge into EXACTLY the fresh-build
+# sketch (unlike HLL there is no float register math — pure integer top-k —
+# which is what makes the DuckDB oracle hash-exact).
+#
+# Estimator (Bar-Yossef et al., "Counting distinct elements in a data
+# stream"): with h uniform on [0, 2^60) (functions/hashing.hash64), the
+# k-th smallest distinct hash R estimates n ≈ (k-1) / (R / 2^60). When the
+# stream holds fewer than k distinct values the sketch IS the distinct set
+# and the count is exact. Both branches are reproducible cross-engine: the
+# cast of the 60-bit integer R to double and the single IEEE division round
+# identically in Spark and DuckDB.
+
+# Bump when the hash derivation or row layout of persisted KMV zones
+# changes — a stored sketch probed under different (k, seed) estimates
+# garbage. Stamped next to persisted hash zones by streaming.events
+# (ensure_zone_meta) and validated on every read.
+KMV_FORMAT_VERSION = 1
+
+
+def kmv_sketch_terms(
+    terms: DataFrame,
+    term_col: str = "term",
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """KMV sketch of a pre-exploded term stream: the k smallest distinct
+    ``hash64(term, seed)`` values, as a ≤ k-row (h) frame.
+
+    Scale shape: a naive ``distinct().orderBy().limit(k)`` shuffles the
+    FULL distinct-key table just to throw away all but k rows. Instead an
+    Arrow ``mapInPandas`` pass keeps each partition's k smallest distinct
+    hashes locally (bounded memory: the carried state never exceeds k
+    values), so the only shuffle input is ≤ partitions × k rows, which
+    :func:`merge_kmv` reduces to the global top-k. Min-k-of-distinct is
+    insensitive to partitioning, so the result is bit-identical to the
+    naive plan — the DuckDB oracle (``SELECT DISTINCT … ORDER BY h LIMIT
+    k``) reproduces it exactly. NULL terms are excluded (they carry no
+    cardinality signal)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hashed = (
+        terms.filter(F.col(term_col).isNotNull())
+        .select(hash64(F.col(term_col), seed).alias("h"))
+    )
+
+    def _local_kmin(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            vals = pdf["h"].to_numpy()
+            best = vals if best is None else np.concatenate([best, vals])
+            best = np.unique(best)  # sorted distinct
+            if best.size > k:
+                best = best[:k]
+        if best is not None and best.size:
+            yield pd.DataFrame({"h": best})
+
+    return merge_kmv(hashed.mapInPandas(_local_kmin, "h long"), k)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    text: str = "text",
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """:func:`kmv_sketch_terms` over the whitespace token stream of a
+    document frame — distinct-vocabulary estimation without the
+    billion-key vocabulary groupBy."""
+    toks = df.select(F.explode(tokens_col(text)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return kmv_sketch_terms(toks, "term", k=k, seed=seed)
+
+
+def merge_kmv(frames: DataFrame, k: int) -> DataFrame:
+    """Merge (h) KMV frames built with the SAME (k, seed): distinct union,
+    keep the k smallest. Any mix of full sketches, per-partition partials,
+    per-batch deltas, or stored epochs — min-k-of-distinct is associative
+    and idempotent, so the merge EQUALS a fresh build over the union (the
+    KMV analogue of ``merge_bloom_words`` / ``merge_cms_cells``, and the
+    single definition shared by the batch path and the streaming sink's
+    compaction ``transform``). Inputs are ≤ k rows each, so the
+    distinct + ordered-limit here runs over ≤ frames × k rows — never the
+    raw stream."""
+    return frames.select("h").distinct().orderBy("h").limit(k)
+
+
+def update_kmv_sketch(
+    stored: DataFrame,
+    batch_terms: DataFrame,
+    term_col: str = "term",
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Incremental maintenance: fold one new batch into a stored KMV
+    sketch — build the batch's own ≤ k-row delta, then
+    :func:`merge_kmv`. Delta-sized: the stored corpus contributes its k
+    rows, never its raw stream, so per-batch upkeep costs O(batch) +
+    O(k log k) regardless of corpus size. Exact: merged state ≡ a fresh
+    build over everything ingested (associativity — property-tested on
+    arbitrary splits)."""
+    delta = kmv_sketch_terms(batch_terms, term_col, k=k, seed=seed)
+    return merge_kmv(stored.unionByName(delta), k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a ≤ k-row KMV sketch: one row with
+    ``n_kept`` (sketch size), ``kth_h`` (largest kept hash) and
+    ``distinct_est``. When the sketch holds fewer than k hashes it IS the
+    distinct set (estimate exact); otherwise the classic
+    ``(k-1) / (kth_h / 2^60)``. All driver-free: one aggregate over ≤ k
+    rows. Cross-engine exact — (k-1)·2^60 has ≤ 53 significant bits for
+    any practical k, and the int→double cast + IEEE division round
+    identically in Spark and DuckDB."""
+    agg = sketch.agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_h")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("kth_h").cast("double")
+    )
+    return agg.select("n_kept", "kth_h", est.alias("distinct_est"))
+
+
+def kmv_sketch_by(
+    df: DataFrame,
+    keys: list[str],
+    term_col: str = "term",
+    k: int = 64,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketches: for each distinct ``keys`` tuple, the k
+    smallest distinct ``hash64(term, seed)`` values — (keys…, h) rows,
+    ≤ k per group. The bounded-shuffle alternative to per-group
+    COUNT(DISTINCT): that shuffle carries every distinct (group, term)
+    pair, this one carries ≤ partitions × groups × k rows (each partition
+    emits at most k per group via the same Arrow local-top-k kernel as
+    :func:`kmv_sketch_terms`), and the final per-group top-k window runs
+    over those bounded partials — keyed by group, never a single-partition
+    window."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    in_schema = dict(zip(df.schema.names, df.schema.fields))
+    key_schema = ", ".join(
+        f"{n} {in_schema[n].dataType.simpleString()}" for n in keys
+    )
+    hashed = (
+        df.filter(F.col(term_col).isNotNull())
+        .select(*keys, hash64(F.col(term_col), seed).alias("h"))
+    )
+
+    def _local_kmin_by(batches):
+        import pandas as pd
+
+        state = None
+        for pdf in batches:
+            cur = pdf.drop_duplicates()
+            both = cur if state is None else pd.concat([state, cur])
+            both = both.drop_duplicates().sort_values([*keys, "h"])
+            state = both.groupby(list(keys), sort=False).head(k)
+        if state is not None and len(state):
+            yield state
+
+    partial = hashed.mapInPandas(_local_kmin_by, f"{key_schema}, h long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        partial.distinct()
+        .withColumn("__kmv_rn", F.row_number().over(w))
+        .filter(F.col("__kmv_rn") <= k)
+        .drop("__kmv_rn")
+    )
+
+
+def kmv_estimate_by(sketches: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Per-group :func:`kmv_estimate` over :func:`kmv_sketch_by` output:
+    one row per group with (keys…, n_kept, kth_h, distinct_est). One
+    aggregation over ≤ groups × k rows."""
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("kth_h").cast("double")
+    )
+    return (
+        sketches.groupBy(*keys)
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_h"))
+        .select(*keys, "n_kept", "kth_h", est.alias("distinct_est"))
+    )

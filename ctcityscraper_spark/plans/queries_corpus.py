@@ -39,7 +39,7 @@ from ctcityscraper_spark.operators.text import (
     vocab_coverage,
 )
 from ctcityscraper_spark.plans.queries import query
-from ctcityscraper_spark.plans.queries_ext import TOKS, hash64_sql
+from ctcityscraper_spark.plans.queries_ext import TOKS, hash64_sql, shingle_sql
 from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
 
 W = SEGMENT_WIDTH
@@ -832,3 +832,143 @@ def q_corpus_quality_deciles(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# =========================================================================
+# KMV distinct-count sketches (operators/text.kmv_*) — the cardinality
+# member of the mergeable-sketch triad (Bloom = membership, Count-Min =
+# frequency, KMV = distinct count). Pure integer top-k of hash64 values,
+# so DuckDB rebuilds every sketch bit-for-bit and the single estimate
+# division rounds identically (IEEE double) in both engines.
+# =========================================================================
+
+_KMV_K = 256  # global sketch size
+_KMV_KG = 64  # per-group sketch size
+_KMV_POW60 = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+@query(
+    "text_kmv_distinct_shingles",
+    oracle=f"""
+    WITH sh AS (SELECT unnest({shingle_sql(3)}) AS term FROM documents),
+    t AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM sh),
+    sk AS (SELECT h FROM t ORDER BY h LIMIT {_KMV_K}),
+    agg AS (SELECT COUNT(*)::BIGINT AS n_kept, MAX(h) AS kth_h FROM sk),
+    tru AS (SELECT COUNT(*)::BIGINT AS true_distinct FROM t)
+    SELECT n_kept, kth_h,
+           CASE WHEN n_kept < {_KMV_K} THEN n_kept::DOUBLE
+                ELSE {_KMV_K - 1}.0 * {_KMV_POW60} / kth_h::DOUBLE
+           END AS distinct_est,
+           true_distinct
+    FROM agg, tru
+    """,
+)
+def q_text_kmv_distinct_shingles(spark, sf_dir):
+    """KMV cardinality sketch over the trigram-shingle universe
+    (operators/text.kmv_sketch_terms + kmv_estimate): the k smallest
+    distinct hash64 values estimate how many distinct shingles the corpus
+    holds — the number that sizes every inverted shingle index — without
+    the billion-key distinct shuffle (the Arrow local-top-k pass bounds
+    the shuffle at partitions x k rows). The oracle rebuilds the sketch
+    with DISTINCT + ORDER BY + LIMIT and the true count audits the
+    estimate; the value-hash match pins sketch contents AND the
+    cross-engine-exact estimator arithmetic."""
+    from ctcityscraper_spark.operators.dedup import shingles_col
+    from ctcityscraper_spark.operators.text import kmv_estimate, kmv_sketch_terms
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    sh = docs.select(F.explode(shingles_col("text", 3)).alias("term"))
+    est = kmv_estimate(kmv_sketch_terms(sh, "term", k=_KMV_K), _KMV_K)
+    true = sh.agg(F.countDistinct("term").alias("true_distinct"))
+    # 1-row x 1-row summary join (the recall-audit shape — excluded from
+    # the no-cartesian gate by design, like ann_pca_ivf_recall)
+    return est.crossJoin(true)
+
+
+@query(
+    "text_kmv_lang_cardinality",
+    oracle=f"""
+    WITH sh AS (SELECT lang, unnest({shingle_sql(3)}) AS term FROM documents),
+    t AS (SELECT DISTINCT lang, {hash64_sql('term', 'kmv')} AS h FROM sh),
+    r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM t),
+    sk AS (SELECT lang, h FROM r WHERE rn <= {_KMV_KG}),
+    agg AS (SELECT lang, COUNT(*)::BIGINT AS n_kept, MAX(h) AS kth_h
+            FROM sk GROUP BY lang),
+    tru AS (SELECT lang, COUNT(DISTINCT term)::BIGINT AS true_distinct
+            FROM sh GROUP BY lang)
+    SELECT a.lang AS lang, n_kept, kth_h,
+           CASE WHEN n_kept < {_KMV_KG} THEN n_kept::DOUBLE
+                ELSE {_KMV_KG - 1}.0 * {_KMV_POW60} / kth_h::DOUBLE
+           END AS distinct_est,
+           true_distinct
+    FROM agg a JOIN tru USING (lang)
+    ORDER BY lang
+    """,
+)
+def q_text_kmv_lang_cardinality(spark, sf_dir):
+    """Per-language shingle cardinality via per-group KMV sketches
+    (operators/text.kmv_sketch_by + kmv_estimate_by) — the bounded-shuffle
+    alternative to per-group COUNT(DISTINCT): the shuffle carries
+    <= partitions x groups x k partial rows instead of every distinct
+    (lang, shingle) pair, and the per-group top-k window runs over those
+    bounded partials, keyed by lang (never single-partition). The exact
+    per-lang distinct count rides along as the audit column."""
+    from ctcityscraper_spark.operators.dedup import shingles_col
+    from ctcityscraper_spark.operators.text import kmv_estimate_by, kmv_sketch_by
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    sh = docs.select("lang", F.explode(shingles_col("text", 3)).alias("term"))
+    est = kmv_estimate_by(
+        kmv_sketch_by(sh, ["lang"], "term", k=_KMV_KG), ["lang"], _KMV_KG
+    )
+    true = sh.groupBy("lang").agg(
+        F.countDistinct("term").alias("true_distinct")
+    )
+    return (
+        est.join(true, "lang")
+        .select("lang", "n_kept", "kth_h", "distinct_est", "true_distinct")
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )
+
+
+@query(
+    "text_kmv_update",
+    oracle=f"""
+    WITH sh AS (SELECT unnest({shingle_sql(3)}) AS term FROM documents),
+    t AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM sh),
+    sk AS (SELECT h FROM t ORDER BY h LIMIT {_KMV_K}),
+    agg AS (SELECT COUNT(*)::BIGINT AS n_kept, MAX(h) AS kth_h FROM sk)
+    SELECT n_kept, kth_h,
+           CASE WHEN n_kept < {_KMV_K} THEN n_kept::DOUBLE
+                ELSE {_KMV_K - 1}.0 * {_KMV_POW60} / kth_h::DOUBLE
+           END AS distinct_est
+    FROM agg
+    """,
+)
+def q_text_kmv_update(spark, sf_dir):
+    """Incremental KMV maintenance (operators/text.update_kmv_sketch): the
+    sketch is built over an 80% base corpus, then a 20% delta batch is
+    folded in (batch's own <= k-row delta, merge_kmv over <= 2k rows —
+    delta-sized upkeep regardless of corpus size). The oracle builds the
+    sketch over base+delta in ONE pass — a value-hash match therefore
+    proves merged state is bit-for-bit a fresh build (min-k-of-distinct
+    associativity), the property that makes per-batch cardinality
+    maintenance exact on a growing corpus."""
+    from ctcityscraper_spark.operators.dedup import shingles_col
+    from ctcityscraper_spark.operators.text import (
+        kmv_estimate,
+        kmv_sketch_terms,
+        update_kmv_sketch,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    bucket = hash64(F.col("doc_id"), "kmvsplit") % 5
+    base = docs.filter(bucket != 0)
+    batch = docs.filter(bucket == 0)
+    shingle = lambda d: d.select(F.explode(shingles_col("text", 3)).alias("term"))
+    stored = kmv_sketch_terms(shingle(base), "term", k=_KMV_K)
+    merged = update_kmv_sketch(stored, shingle(batch), "term", k=_KMV_K)
+    return kmv_estimate(merged, _KMV_K)

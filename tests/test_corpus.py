@@ -1067,3 +1067,134 @@ class TestCmsDepthEdges:
 
         with _pytest.raises(ValueError, match="depth"):
             cms_estimate(probe, probe, depth=0)
+
+
+class TestKmvSketch:
+    def test_exact_below_k_and_estimator_above(self, spark):
+        """Below k distinct values the sketch IS the distinct set and the
+        estimate is exact; above k the classic (k-1)/(kth/2^60) estimator
+        lands within a loose band of the truth on a deterministic corpus."""
+        from ctcityscraper_spark.operators.text import (
+            kmv_estimate,
+            kmv_sketch_terms,
+        )
+
+        small = spark.createDataFrame(
+            [(f"t{i % 5}",) for i in range(40)], "term string"
+        )
+        r = kmv_estimate(kmv_sketch_terms(small, "term", k=16), 16).collect()[0]
+        assert (r.n_kept, r.distinct_est) == (5, 5.0)
+
+        big = spark.createDataFrame(
+            [(f"term-{i}",) for i in range(5000)], "term string"
+        )
+        r = kmv_estimate(kmv_sketch_terms(big, "term", k=64), 64).collect()[0]
+        assert r.n_kept == 64
+        assert 0.5 * 5000 < r.distinct_est < 2.0 * 5000
+
+    def test_sketch_bounded_and_duplicates_nulls_ignored(self, spark):
+        from ctcityscraper_spark.operators.text import kmv_sketch_terms
+
+        terms = spark.createDataFrame(
+            [("a",), ("a",), (None,), ("b",), ("b",)], "term string"
+        )
+        sk = kmv_sketch_terms(terms, "term", k=10).collect()
+        assert len(sk) == 2  # distinct non-null terms only
+        assert len({r.h for r in sk}) == 2
+
+    def test_empty_stream_estimates_zero(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            kmv_estimate,
+            kmv_sketch_terms,
+        )
+
+        empty = spark.createDataFrame([], "term string")
+        r = kmv_estimate(kmv_sketch_terms(empty, "term", k=8), 8).collect()[0]
+        assert (r.n_kept, r.kth_h, r.distinct_est) == (0, None, 0.0)
+
+    def test_partition_insensitive(self, spark):
+        """Min-k-of-distinct must not depend on how the stream is split
+        across partitions (the local Arrow top-k + global merge must be
+        bit-identical to a single-partition build)."""
+        from ctcityscraper_spark.operators.text import kmv_sketch_terms
+
+        rows = [(f"x{i % 300}",) for i in range(2000)]
+        one = spark.createDataFrame(rows, "term string").coalesce(1)
+        many = spark.createDataFrame(rows, "term string").repartition(16)
+        a = sorted(r.h for r in kmv_sketch_terms(one, "term", k=32).collect())
+        b = sorted(r.h for r in kmv_sketch_terms(many, "term", k=32).collect())
+        assert a == b and len(a) == 32
+
+    def test_k_must_be_positive(self, spark):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.text import (
+            kmv_sketch_by,
+            kmv_sketch_terms,
+        )
+
+        t = spark.createDataFrame([("a",)], "term string")
+        with _pytest.raises(ValueError, match="k must be"):
+            kmv_sketch_terms(t, "term", k=0)
+        g = spark.createDataFrame([("g", "a")], "grp string, term string")
+        with _pytest.raises(ValueError, match="k must be"):
+            kmv_sketch_by(g, ["grp"], "term", k=0)
+
+
+class TestKmvPerGroup:
+    def test_matches_independent_per_group_builds(self, spark):
+        """kmv_sketch_by must equal running kmv_sketch_terms separately on
+        each group's stream (same k, same seed)."""
+        from ctcityscraper_spark.operators.text import (
+            kmv_sketch_by,
+            kmv_sketch_terms,
+        )
+
+        rows = [(f"g{i % 3}", f"t{i % 40}-{i % 7}") for i in range(600)]
+        df = spark.createDataFrame(rows, "grp string, term string")
+        k = 8
+        got = {}
+        for r in kmv_sketch_by(df, ["grp"], "term", k=k).collect():
+            got.setdefault(r.grp, []).append(r.h)
+        for g in ("g0", "g1", "g2"):
+            solo = spark.createDataFrame(
+                [(t,) for gg, t in rows if gg == g], "term string"
+            )
+            want = sorted(
+                r.h for r in kmv_sketch_terms(solo, "term", k=k).collect()
+            )
+            assert sorted(got[g]) == want, g
+
+    def test_estimate_by_exact_small_groups(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            kmv_estimate_by,
+            kmv_sketch_by,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "z")], "grp string, term string"
+        )
+        got = {
+            r.grp: (r.n_kept, r.distinct_est)
+            for r in kmv_estimate_by(
+                kmv_sketch_by(df, ["grp"], "term", k=16), ["grp"], 16
+            ).collect()
+        }
+        assert got == {"a": (2, 2.0), "b": (1, 1.0)}
+
+    def test_group_window_is_keyed_not_single_partition(self, spark):
+        """The final per-group top-k window must partition by the group
+        keys — a plan with an empty window partitioning would funnel every
+        partial through one task."""
+        from ctcityscraper_spark.operators.text import kmv_sketch_by
+
+        df = spark.createDataFrame(
+            [("g", "t")], "grp string, term string"
+        )
+        plan = (
+            kmv_sketch_by(df, ["grp"], "term", k=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partitionBy=[]" not in plan.replace(" ", "")

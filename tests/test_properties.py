@@ -558,3 +558,61 @@ class TestHotTermsProperty:
             ).collect()
         }
         assert sketched == expected
+
+
+class TestKmvProperty:
+    """KMV invariants over ARBITRARY term streams: (1) the sketch equals
+    the Python model exactly (k smallest distinct md5-prefix hashes — no
+    tolerance, pure integer top-k), and (2) update_kmv_sketch over any
+    split equals a fresh build over the union (min-k-of-distinct
+    associativity — the contract that makes per-batch cardinality
+    maintenance exact)."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        terms=st.lists(
+            st.one_of(st.none(), printable), min_size=1, max_size=20
+        ),
+        split=st.integers(min_value=0, max_value=20),
+        k=st.integers(min_value=1, max_value=6),
+    )
+    def test_matches_python_model_and_merge_equals_fresh(
+        self, spark, terms, split, k
+    ):
+        import hashlib
+
+        from ctcityscraper_spark.operators.text import (
+            kmv_sketch_terms,
+            update_kmv_sketch,
+        )
+
+        def model(ts):
+            hs = {
+                int(hashlib.md5(("kmv" + t).encode()).hexdigest()[:15], 16)
+                for t in ts
+                if t is not None
+            }
+            return sorted(hs)[:k]
+
+        rows = [(t,) for t in terms]
+        mk = lambda rs: (
+            spark.createDataFrame(rs, "term string")
+            if rs
+            else spark.createDataFrame([], "term string")
+        )
+        fresh = sorted(
+            r.h for r in kmv_sketch_terms(mk(rows), "term", k=k).collect()
+        )
+        assert fresh == model(terms)
+
+        split = min(split, len(rows))
+        stored = kmv_sketch_terms(mk(rows[:split]), "term", k=k)
+        merged = sorted(
+            r.h
+            for r in update_kmv_sketch(
+                stored, mk(rows[split:]), "term", k=k
+            ).collect()
+        )
+        assert merged == fresh
