@@ -958,3 +958,113 @@ def streaming_gram(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _kmv_zone_meta(k: int, seed: str) -> dict:
+    from ctcityscraper_spark.operators.text import KMV_FORMAT_VERSION
+
+    return {"kind": "kmv_hashes", "format_version": KMV_FORMAT_VERSION,
+            "k": k, "seed": seed}
+
+
+_KMV_REBUILD_HINT = (
+    "Rebuild the sketch from the corpus (kmv_sketch) or restart the "
+    "stream with a fresh hashes_dir."
+)
+
+
+def read_kmv_hashes(
+    spark: SparkSession,
+    hashes_dir: str,
+    before_batch: int = 2**62,
+    k: int | None = None,
+    seed: str | None = None,
+) -> DataFrame | None:
+    """The merged KMV sketch for batches strictly before ``before_batch``:
+    per-batch delta (h) partitions (and/or the newest compacted epoch)
+    merged by ``text.merge_kmv`` — min-k-of-distinct associativity makes
+    any grouping equal to a fresh build over everything ingested, exactly.
+    None when nothing is written yet. Feed the result to
+    ``text.kmv_estimate`` for the live distinct count.
+
+    Pass ``k``/``seed`` to validate the zone's stored format marker before
+    trusting the rows — hashes kept under a different seed or truncated to
+    a different k estimate garbage; without them the marker's own k is
+    used (only the format version is pinned)."""
+    from ctcityscraper_spark.operators.text import merge_kmv
+
+    existing = read_zone_meta(spark, hashes_dir)
+    if k is not None and seed is not None:
+        check_zone_meta(
+            spark, hashes_dir, _kmv_zone_meta(k, seed), _KMV_REBUILD_HINT
+        )
+    elif existing is not None:
+        check_zone_meta(
+            spark, hashes_dir,
+            _kmv_zone_meta(existing.get("k"), existing.get("seed")),
+            _KMV_REBUILD_HINT,
+        )
+        k = existing.get("k")
+    elif _zone_has_data(spark, hashes_dir):
+        raise ValueError(
+            f"stored zone {hashes_dir} has data but no {ZONE_META_FILE} — "
+            f"unversioned stored state. {_KMV_REBUILD_HINT}"
+        )
+    rows = read_incremental_zone(spark, hashes_dir, before_batch)
+    if rows is None:
+        return None
+    return merge_kmv(rows, k)
+
+
+def streaming_kmv(
+    stream: DataFrame,
+    hashes_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    seed: str = "kmv",
+    text: str = "text",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained KMV distinct-count sketch over a document
+    stream — the third instance of the delta-zone recipe
+    (``streaming_bloom_membership`` merges by bit_or, ``streaming_cms`` by
+    SUM; this one by min-k-of-distinct, showing the compaction
+    ``transform`` generalizes to any associative + idempotent merge).
+
+    Every micro-batch appends its own ≤ k-row delta sketch to
+    ``hashes_dir/batch_id=N`` (exactly-once: per-batch overwrite + the
+    streaming checkpoint). Read the live sketch at any time with
+    :func:`read_kmv_hashes` and estimate with ``text.kmv_estimate`` — the
+    merged state equals a fresh build over everything ingested, exactly.
+    With ``compact_every=N`` hash epochs re-merge to ≤ k rows, so stored
+    state stays sketch-sized at any stream length (no bucketing: a ≤
+    k-row zone is broadcast-sized by construction, so no probe join ever
+    needs a co-located layout). Returns the StreamingQuery handle; caller
+    stops it."""
+    from ctcityscraper_spark.operators.text import kmv_sketch, merge_kmv
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(
+            spark, hashes_dir, _kmv_zone_meta(k, seed), _KMV_REBUILD_HINT
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, hashes_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, hashes_dir, batch_id,
+                    transform=lambda df: merge_kmv(df, k),
+                )
+        kmv_sketch(batch_df, text=text, k=k, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(f"{hashes_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

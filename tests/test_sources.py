@@ -1409,3 +1409,92 @@ class TestStreamingDriverState:
         finally:
             for t in ("t_drv_state_upto_2", "t_drv_state_upto_4"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestStreamingKmv:
+    def test_streaming_kmv_merged_equals_fresh_build(self, spark, tmp_path):
+        """4 batches with compact_every=2: the min-k-merged hash zone must
+        equal a fresh kmv_sketch over all ingested docs EXACTLY
+        (min-k-of-distinct associativity), the epoch re-merges to <= k
+        rows, the estimate through the merged sketch is exact below k,
+        a (k, seed)-mismatched read refuses with the rebuild hint, and
+        checkpoint replay reprocesses nothing."""
+        import time as _time
+
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.text import kmv_estimate, kmv_sketch
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_kmv_hashes,
+            stream_from_directory,
+            streaming_kmv,
+        )
+
+        k = 8
+        schema = "doc_id long, text string"
+        src = tmp_path / "incoming"
+        batches = [
+            [(1, "alpha beta gamma")],
+            [(2, "beta delta")],
+            [(3, "epsilon zeta alpha")],
+            [(4, "eta theta iota kappa")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+        kwargs = dict(
+            hashes_dir=str(tmp_path / "hashes"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            k=k,
+            compact_every=2,
+        )
+        q = streaming_kmv(
+            stream_from_directory(
+                spark, str(src),
+                spark.createDataFrame(batches[0], schema).schema,
+                max_files_per_trigger=1,
+            ),
+            **kwargs,
+        )
+        q.awaitTermination(180)
+
+        merged = read_kmv_hashes(spark, kwargs["hashes_dir"])
+        all_docs = spark.createDataFrame(
+            [r for rows in batches for r in rows], schema
+        )
+        fresh = sorted(r.h for r in kmv_sketch(all_docs, k=k).collect())
+        got = sorted(r.h for r in merged.collect())
+        assert got == fresh and 0 < len(got) <= k
+
+        # compaction happened and the epoch stayed sketch-sized
+        epochs = _compacted_epochs(spark, kwargs["hashes_dir"])
+        assert [m for m, _ in epochs] == [2]
+        assert spark.read.parquet(epochs[0][1]).count() <= k
+
+        # 10 distinct tokens ingested but k=8: estimator branch
+        est = kmv_estimate(read_kmv_hashes(spark, kwargs["hashes_dir"]), k)
+        r = est.collect()[0]
+        assert r.n_kept == k and r.distinct_est > 0
+
+        # (k, seed) contract: a mismatched read refuses
+        with _pytest.raises(ValueError, match="kmv_sketch"):
+            read_kmv_hashes(spark, kwargs["hashes_dir"], k=99, seed="kmv")
+
+        # checkpoint replay: nothing reprocessed
+        q2 = streaming_kmv(
+            stream_from_directory(
+                spark, str(src),
+                spark.createDataFrame(batches[0], schema).schema,
+                max_files_per_trigger=1,
+            ),
+            **kwargs,
+        )
+        q2.awaitTermination(180)
+        got2 = sorted(
+            r.h for r in read_kmv_hashes(spark, kwargs["hashes_dir"]).collect()
+        )
+        assert got2 == fresh
