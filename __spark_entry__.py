@@ -88,10 +88,10 @@ DRIVER_PRIORITY = [
 # window was set has held at least one driver-verified CORRECTNESS row:
 # 97 pre-r8 across r1-r8, the five r8 additions + multimodal_frame_sample
 # + the two r9 compositions in r9. ann_gram_update, ann_ivf_update and
-# the three KMV queries (text_kmv_distinct_shingles,
-# text_kmv_lang_cardinality, text_kmv_update — all added later in r9)
-# sit outside the window — in-repo + adversarial oracle-gated now (both
-# scale factors), rotate all five IN at r10.
+# the four KMV queries (text_kmv_distinct_shingles,
+# text_kmv_lang_cardinality, text_kmv_update, text_kmv_overlap — all
+# added later in r9) sit outside the window — in-repo + adversarial
+# oracle-gated now (both scale factors), rotate all six IN at r10.
 # Everything outside the window remains in-repo + adversarial
 # oracle-gated every run.
 

@@ -763,3 +763,72 @@ def kmv_estimate_by(sketches: DataFrame, keys: list[str], k: int) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_h"))
         .select(*keys, "n_kept", "kth_h", est.alias("distinct_est"))
     )
+
+
+def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """Theta-sketch-style set-operation estimates from two KMV sketches
+    built with the SAME (k, seed): one row with ``n_inter`` / ``n_union``
+    (candidate hashes below theta), ``theta``, ``inter_est`` /
+    ``union_est`` (distinct-count estimates for A∩B / A∪B) and
+    ``jaccard_est`` — the 100 TB contamination question ("how many
+    distinct shingles do train and test share") answered from two ≤ k-row
+    sketches instead of a distinct-key join of both corpora.
+
+    Theta is each sketch's inclusion threshold — its k-th smallest hash
+    when full, 2^60 (everything) when the sketch holds the whole distinct
+    set — and the shared theta is the min of the two: below it BOTH
+    sketches are complete samples of their sets, so candidate counts are
+    exact counts over a uniform 2^-60·theta sample and estimates divide
+    by the sampled fraction. When neither sketch is full theta = 2^60,
+    the fraction is 1.0 and every output is EXACT. All integer set ops +
+    one IEEE division, so DuckDB reproduces every field bit-for-bit.
+
+    Shape: two ≤ k-row inputs — the join, union and aggregates all run on
+    sketch-sized data (the 1-row theta frame broadcasts); nothing here
+    ever touches a corpus."""
+    pow60 = 1 << 60
+    th_a = sk_a.agg(
+        F.count("*").alias("na"), F.max("h").alias("ma")
+    ).select(
+        F.when(F.col("na") < k, F.lit(pow60))
+        .otherwise(F.col("ma"))
+        .alias("theta_a")
+    )
+    th_b = sk_b.agg(
+        F.count("*").alias("nb"), F.max("h").alias("mb")
+    ).select(
+        F.when(F.col("nb") < k, F.lit(pow60))
+        .otherwise(F.col("mb"))
+        .alias("theta_b")
+    )
+    theta = th_a.crossJoin(th_b).select(
+        F.least("theta_a", "theta_b").alias("theta")
+    )
+    inter = sk_a.select("h").join(sk_b.select("h"), "h", "inner")
+    union = sk_a.select("h").unionByName(sk_b.select("h")).distinct()
+    n_inter = (
+        inter.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    n_union = (
+        union.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_union"))
+    )
+    frac = F.col("theta").cast("double") / F.lit(float(pow60))
+    jac = F.when(F.col("n_union") == 0, F.lit(0.0)).otherwise(
+        F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+    )
+    return (
+        n_inter.crossJoin(n_union)
+        .crossJoin(theta)
+        .select(
+            "n_inter",
+            "n_union",
+            "theta",
+            (F.col("n_inter").cast("double") / frac).alias("inter_est"),
+            (F.col("n_union").cast("double") / frac).alias("union_est"),
+            jac.alias("jaccard_est"),
+        )
+    )

@@ -972,3 +972,77 @@ def q_text_kmv_update(spark, sf_dir):
     stored = kmv_sketch_terms(shingle(base), "term", k=_KMV_K)
     merged = update_kmv_sketch(stored, shingle(batch), "term", k=_KMV_K)
     return kmv_estimate(merged, _KMV_K)
+
+
+@query(
+    "text_kmv_overlap",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {hash64_sql('doc_id', 'kmvovl')} % 5 = 0 AS is_test
+        FROM documents),
+    ta AS (SELECT DISTINCT term FROM (
+               SELECT unnest({shingle_sql(3)}) AS term FROM split
+               WHERE NOT is_test)),
+    tb AS (SELECT DISTINCT term FROM (
+               SELECT unnest({shingle_sql(3)}) AS term FROM split
+               WHERE is_test)),
+    ha AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM ta),
+    hb AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM tb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    tha AS (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN 1152921504606846976 ELSE MAX(h) END AS theta_a
+            FROM ska),
+    thb AS (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN 1152921504606846976 ELSE MAX(h) END AS theta_b
+            FROM skb),
+    th AS (SELECT least(theta_a, theta_b) AS theta FROM tha, thb),
+    inter AS (SELECT h FROM ska INTERSECT SELECT h FROM skb),
+    uni AS (SELECT h FROM ska UNION SELECT h FROM skb),
+    ni AS (SELECT COUNT(*)::BIGINT AS n_inter FROM inter, th
+           WHERE h < theta),
+    nu AS (SELECT COUNT(*)::BIGINT AS n_union FROM uni, th
+           WHERE h < theta),
+    tru AS (SELECT COUNT(*)::BIGINT AS true_inter
+            FROM ta JOIN tb USING (term))
+    SELECT n_inter, n_union, theta,
+           n_inter::DOUBLE / (theta::DOUBLE / {_KMV_POW60}) AS inter_est,
+           n_union::DOUBLE / (theta::DOUBLE / {_KMV_POW60}) AS union_est,
+           CASE WHEN n_union = 0 THEN 0.0
+                ELSE n_inter::DOUBLE / n_union::DOUBLE END AS jaccard_est,
+           true_inter
+    FROM ni, nu, th, tru
+    """,
+)
+def q_text_kmv_overlap(spark, sf_dir):
+    """Theta-style KMV set operations (operators/text.kmv_overlap): the
+    corpus splits 80/20 into train/test by doc hash, each side's
+    trigram-shingle universe is KMV-sketched, and the shared-shingle
+    cardinality + Jaccard are estimated from the two <= k-row sketches
+    below the shared theta threshold — the contamination-scale question
+    answered without a distinct-key join of both corpora (sketch-sized
+    work only; at 100 TB that join carries ~10^11 keys). Below-theta
+    candidate counts are exact integers and the sampled-fraction
+    division is IEEE-identical cross-engine; the exact intersection
+    count rides along as the audit column."""
+    from ctcityscraper_spark.operators.dedup import shingles_col
+    from ctcityscraper_spark.operators.text import kmv_overlap, kmv_sketch_terms
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_test = hash64(F.col("doc_id"), "kmvovl") % 5 == 0
+    sh = lambda d: d.select(F.explode(shingles_col("text", 3)).alias("term"))
+    train, test = docs.filter(~is_test), docs.filter(is_test)
+    out = kmv_overlap(
+        kmv_sketch_terms(sh(train), "term", k=_KMV_K),
+        kmv_sketch_terms(sh(test), "term", k=_KMV_K),
+        _KMV_K,
+    )
+    true = (
+        sh(train).select("term").distinct()
+        .join(sh(test).select("term").distinct(), "term")
+        .agg(F.count("*").alias("true_inter"))
+    )
+    # 1-row x 1-row audit join (recall-audit shape, outside the
+    # no-cartesian gate like the other summary-row queries)
+    return out.crossJoin(true)

@@ -1198,3 +1198,69 @@ class TestKmvPerGroup:
             .toString()
         )
         assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+class TestKmvOverlap:
+    def test_exact_when_both_below_k(self, spark):
+        """Neither sketch full -> theta = 2^60, fraction 1.0: every output
+        is the exact set-operation count."""
+        from ctcityscraper_spark.operators.text import (
+            kmv_overlap,
+            kmv_sketch_terms,
+        )
+
+        a = spark.createDataFrame([("x",), ("y",), ("z",)], "term string")
+        b = spark.createDataFrame([("y",), ("z",), ("w",)], "term string")
+        r = kmv_overlap(
+            kmv_sketch_terms(a, "term", k=16),
+            kmv_sketch_terms(b, "term", k=16),
+            16,
+        ).collect()[0]
+        assert (r.n_inter, r.n_union, r.theta) == (2, 4, 1 << 60)
+        assert (r.inter_est, r.union_est, r.jaccard_est) == (2.0, 4.0, 0.5)
+
+    def test_estimator_band_above_k(self, spark):
+        """Full sketches: estimates land within a loose band of the true
+        set sizes on a deterministic 50%-overlap corpus."""
+        from ctcityscraper_spark.operators.text import (
+            kmv_overlap,
+            kmv_sketch_terms,
+        )
+
+        a = spark.createDataFrame(
+            [(f"t{i}",) for i in range(2000)], "term string"
+        )
+        b = spark.createDataFrame(
+            [(f"t{i}",) for i in range(1000, 3000)], "term string"
+        )
+        r = kmv_overlap(
+            kmv_sketch_terms(a, "term", k=128),
+            kmv_sketch_terms(b, "term", k=128),
+            128,
+        ).collect()[0]
+        assert r.theta < (1 << 60)
+        assert 0.4 * 1000 < r.inter_est < 2.5 * 1000
+        assert 0.5 * 3000 < r.union_est < 2.0 * 3000
+        assert 0.1 < r.jaccard_est < 0.7  # true 1000/3000
+
+    def test_empty_and_disjoint(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            kmv_overlap,
+            kmv_sketch_terms,
+        )
+
+        empty = spark.createDataFrame([], "term string")
+        a = spark.createDataFrame([("x",)], "term string")
+        r = kmv_overlap(
+            kmv_sketch_terms(empty, "term", k=8),
+            kmv_sketch_terms(empty, "term", k=8),
+            8,
+        ).collect()[0]
+        assert (r.n_inter, r.n_union, r.jaccard_est) == (0, 0, 0.0)
+        b = spark.createDataFrame([("q",)], "term string")
+        r = kmv_overlap(
+            kmv_sketch_terms(a, "term", k=8),
+            kmv_sketch_terms(b, "term", k=8),
+            8,
+        ).collect()[0]
+        assert (r.n_inter, r.n_union, r.inter_est) == (0, 2, 0.0)
