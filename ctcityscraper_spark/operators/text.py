@@ -732,7 +732,10 @@ def kmv_sketch_by(
             cur = pdf.drop_duplicates()
             both = cur if state is None else pd.concat([state, cur])
             both = both.drop_duplicates().sort_values([*keys, "h"])
-            state = both.groupby(list(keys), sort=False).head(k)
+            # dropna=False: a NULL group key is a real group (the window
+            # merge below keeps it; dropping it here would silently lose
+            # the group's sketch)
+            state = both.groupby(list(keys), sort=False, dropna=False).head(k)
         if state is not None and len(state):
             yield state
 

@@ -1264,3 +1264,22 @@ class TestKmvOverlap:
             8,
         ).collect()[0]
         assert (r.n_inter, r.n_union, r.inter_est) == (0, 2, 0.0)
+
+
+class TestKmvNullGroup:
+    def test_null_group_key_keeps_its_sketch(self, spark):
+        """A NULL group key is a real group: kmv_sketch_by must emit its
+        sketch rows (pandas groupby would silently drop NaN keys without
+        dropna=False), matching what the keyed window merge keeps."""
+        from ctcityscraper_spark.operators.text import kmv_sketch_by
+
+        df = spark.createDataFrame(
+            [("g", "a"), (None, "b"), (None, "c")],
+            "grp string, term string",
+        )
+        rows = kmv_sketch_by(df, ["grp"], "term", k=8).collect()
+        by_grp = {}
+        for r in rows:
+            by_grp.setdefault(r.grp, []).append(r.h)
+        assert len(by_grp.get(None, [])) == 2
+        assert len(by_grp.get("g", [])) == 1
