@@ -57,6 +57,12 @@ BUCKETED_QUERIES = [
     # incremental IVF maintenance: delta assignment is an Arrow argmin
     # map; the probe is the standard equi-join on list_id
     "ann_ivf_update",
+    # KMV: per-lang estimate joins two 5-row aggregates on lang; the
+    # incremental update is union + distinct + ordered-limit (no join).
+    # The three summary-row KMV queries (distinct_shingles, update,
+    # overlap) end in 1-row audit crossJoins and are excluded by design
+    # like the other recall audits.
+    "text_kmv_lang_cardinality",
 ]
 
 
@@ -653,3 +659,51 @@ class TestGlobalRankPlan:
         assert sorted(map(tuple, probed.collect())) == sorted(
             map(tuple, unprobed.collect())
         )
+
+
+class TestKmvPlans:
+    def test_global_sketch_shuffles_only_partials(self, spark):
+        """kmv_sketch_terms must plan as MapInPandas (local top-k, <= k
+        rows out per partition) -> ONE exchange of the partials ->
+        TakeOrderedAndProject. A second exchange, or an exchange feeding
+        the Python stage, would mean the raw term stream shuffles."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import shingles_col
+        from ctcityscraper_spark.operators.text import kmv_sketch_terms
+        from ctcityscraper_spark.plans.tables import load_table
+
+        docs = load_table(spark, SF, "documents")
+        sh = docs.select(F.explode(shingles_col("text", 3)).alias("term"))
+        plan = (
+            kmv_sketch_terms(sh, "term", k=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Exchange") == 1
+
+    def test_group_sketch_uses_window_group_limit(self, spark):
+        """kmv_sketch_by's merge must keep Spark's WindowGroupLimit top-k
+        pushdown (partial before the group exchange, final after) — losing
+        it would buffer every partial per group in the window."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import shingles_col
+        from ctcityscraper_spark.operators.text import kmv_sketch_by
+        from ctcityscraper_spark.plans.tables import load_table
+
+        docs = load_table(spark, SF, "documents")
+        sh = docs.select(
+            "lang", F.explode(shingles_col("text", 3)).alias("term")
+        )
+        plan = (
+            kmv_sketch_by(sh, ["lang"], "term", k=16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan
+        assert plan.count("WindowGroupLimit") == 2  # Partial + Final
