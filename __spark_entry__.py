@@ -35,65 +35,63 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # Round-9 rotation. Rotated OUT, all with >=2 green driver rounds and
-    # still in-repo oracle-gated every run: the twelve r7-kept rows
-    # (engine_scd2_current, engine_scd2_changed_since,
-    # subq_exists_late_shipment, subq_outer_join_order_counts,
-    # subq_rich_inactive_customers, subq_scalar_avg_quantity,
-    # dedup_lsh_recall, scd2_as_of, timeseries_gapfill_locf,
-    # window_frame_stats, range_join_surge_windows, text_tfidf_top_terms)
-    # plus nine long-standing family reps (dedup_exact_summary,
-    # dedup_incremental_lsh, dedup_cascade_confirmed,
-    # dedup_embedding_blocked, ann_pq_adc_topk, corpus_cut_spans,
-    # corpus_incremental_spans, events_cohort_retention,
-    # events_funnel_ordered).
+    # Round-10 rotation. Rotated OUT, all with >=2 green driver rounds and
+    # still in-repo oracle-gated every run: the thirteen
+    # kept-for-a-second-round r8 rows (ann_int8_topk,
+    # ann_srp_multiprobe_topk, approx_aggregates_check,
+    # corpus_boilerplate_segments, corpus_contamination,
+    # corpus_mixture_resample, corpus_pii_scrub, corpus_repetition_signals,
+    # corpus_sample_k_per_group, corpus_shard_stats,
+    # corpus_stratified_sample, text_top_bigrams, dedup_bloom_membership)
+    # and the fourteen relational-core rows brought back in r9
+    # (pricing_summary, join_agg_by_segment, conditional_pivot_agg,
+    # json_extract_props, events_tumbling_6h, events_sliding_1h_30m,
+    # text_profile, corpus_token_budget, text_vocab_coverage,
+    # dedup_incremental_exact, ann_ivf_recall, ann_pq_recall,
+    # dedup_keep_best, corpus_quality_deciles), each now at 3-8 green
+    # rounds.
     #
-    # rotated IN: never-driver-verified — the five r8 additions ...
+    # Rotated IN: the six late-r9 additions that have never held a driver
+    # row (all green in the r9 in-repo sf0.01 gate) ...
+    "ann_gram_update", "ann_ivf_update",
+    "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
+    "text_kmv_update", "text_kmv_overlap",
+    # ... the r10 additions (quantile-sketch family, PQ incremental
+    # maintenance, the composed corpus-prep DAG) ...
+    "text_quantile_sketch", "text_quantile_update",
+    "text_quantile_by_source", "ann_pq_update", "corpus_e2e_prep",
+    # ... and ann_pca_ivf_recall KEPT: its r9 row was rows-only
+    # (no_oracle); r10 attaches a real oracle (components persisted as a
+    # sidecar the SQL reads), so this round's row is its first hash-match
+    "ann_pca_ivf_recall",
+    # kept for a second verified round (first green row was r9)
     "dedup_bloom_update", "dedup_bloom_chase", "text_unigram_surprisal",
     "ann_int8_gram_matrix", "text_cms_heavy_hitters",
-    # ... the two NEW r9 compositions (ann_pca_ivf_recall has no oracle
-    # SQL — driver-side eigensolver — so the driver records the weaker
-    # rows-only check; its recall invariant is pinned in-repo) ...
-    "ann_pca_ivf_recall", "dedup_jaccard_cms_capped",
-    # ... and the one query whose only driver attempt ERRORED (r8
-    # harness canonicalizer vs array column; feature is now a scalar
-    # nibble-score string — this row restores 102/102 verified-ever)
-    "multimodal_frame_sample",
-    # kept for a second verified round (first green row was r8)
-    "ann_int8_topk", "ann_srp_multiprobe_topk", "approx_aggregates_check",
-    "corpus_boilerplate_segments", "corpus_contamination",
-    "corpus_mixture_resample", "corpus_pii_scrub",
-    "corpus_repetition_signals", "corpus_sample_k_per_group",
-    "corpus_shard_stats", "corpus_stratified_sample", "text_top_bigrams",
-    "dedup_bloom_membership",
-    # back IN after one round out (rotated out in r8 with 2-7 green
-    # rounds): the relational/engine core + its family picks
-    "pricing_summary", "join_agg_by_segment", "conditional_pivot_agg",
-    "json_extract_props", "events_tumbling_6h", "events_sliding_1h_30m",
-    "text_profile", "corpus_token_budget", "text_vocab_coverage",
-    "dedup_incremental_exact", "ann_ivf_recall", "ann_pq_recall",
-    "dedup_keep_best", "corpus_quality_deciles",
+    "dedup_jaccard_cms_capped", "multimodal_frame_sample",
+    # back IN after one round out (rotated out in r9 with 2+ green
+    # rounds): the subquery/engine/asof/range/window analytic core
+    "engine_scd2_current", "engine_scd2_changed_since",
+    "subq_exists_late_shipment", "subq_outer_join_order_counts",
+    "subq_rich_inactive_customers", "subq_scalar_avg_quantity",
+    "dedup_lsh_recall", "scd2_as_of", "timeseries_gapfill_locf",
+    "window_frame_stats", "range_join_surge_windows",
+    "text_tfidf_top_terms",
+    "dedup_exact_summary", "dedup_incremental_lsh",
+    "dedup_cascade_confirmed", "dedup_embedding_blocked",
     # standing family representatives (SCD2 / events / dedup / ANN /
     # corpus) so every family holds a fresh row each round
-    "scd2_latest_state", "scd2_history_versions", "scd2_changed_since",
+    "scd2_latest_state", "scd2_history_versions",
     "events_sessionization",
-    "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_groups_connected",
-    "dedup_semdedup_drop_list",
-    "ann_cosine_topk_vectorized", "ann_srp_lsh_topk", "ann_ivf_topk",
-    "ann_pq_rerank_topk",
+    "dedup_minhash_lsh", "dedup_groups_connected",
+    "ann_cosine_topk_vectorized", "ann_ivf_topk", "ann_pq_rerank_topk",
     "corpus_segment_dedup", "corpus_substring_spans",
     "corpus_pack_sequences",
 ]
-# With this window green, every catalog query that existed when the
-# window was set has held at least one driver-verified CORRECTNESS row:
-# 97 pre-r8 across r1-r8, the five r8 additions + multimodal_frame_sample
-# + the two r9 compositions in r9. ann_gram_update, ann_ivf_update and
-# the four KMV queries (text_kmv_distinct_shingles,
-# text_kmv_lang_cardinality, text_kmv_update, text_kmv_overlap — all
-# added later in r9) sit outside the window — in-repo + adversarial
-# oracle-gated now (both scale factors), rotate all six IN at r10.
-# Everything outside the window remains in-repo + adversarial
-# oracle-gated every run.
+# With this window green, every catalog query ever added holds at least
+# one driver-verified CORRECTNESS row: 103 across r1-r9, the six late-r9
+# additions + the five r10 additions + ann_pca_ivf_recall's first
+# hash-verified row in r10. Everything outside the window remains
+# in-repo + adversarial oracle-gated every run.
 
 
 def _ordered(catalog: dict) -> dict:
