@@ -1401,9 +1401,14 @@ def pca_rotated_ivf_topk(
     vec: str = "embedding",
     id_col: str = "vec_id",
     literal_gate: int | None = None,
+    components: list | None = None,
 ) -> DataFrame:
     """End-to-end PCA-preprocessed IVF: train components on the corpus's
-    :func:`int8_gram_matrix`, :func:`pca_project_col` corpus + queries
+    :func:`int8_gram_matrix` (or take pretrained ``components`` — the
+    stored-artifact workflow: train once, persist the k×d floats with
+    :func:`save_vectors_json`, query many times; the oracle-gated catalog
+    query persists them precisely so DuckDB can replay the projection
+    from the sidecar), :func:`pca_project_col` corpus + queries
     into PCA space, then run the expression-only IVF
     (:func:`hash_pick_centroids` + :func:`ivf_flat_topk`) over the
     projected vectors.
@@ -1439,7 +1444,18 @@ def pca_rotated_ivf_topk(
     from ctcityscraper_spark.operators.artifacts import _track_persist
 
     pca_k = dims if pca_k is None else pca_k
-    comps, _ = pca_components(int8_gram_matrix(corpus, dims, vec), dims, pca_k)
+    if components is not None:
+        comps = components
+        if len(comps) != pca_k or (comps and len(comps[0]) != dims):
+            raise ValueError(
+                f"pca_rotated_ivf_topk: components shape "
+                f"{_nest_shape(list(comps))} does not match "
+                f"(pca_k={pca_k}, dims={dims})"
+            )
+    else:
+        comps, _ = pca_components(
+            int8_gram_matrix(corpus, dims, vec), dims, pca_k
+        )
     gate = PCA_LITERAL_GATE if literal_gate is None else literal_gate
 
     def _project(df):

@@ -22,6 +22,8 @@ TakeOrderedAndProject, no sampling).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from ctcityscraper_spark.functions.hashing import hash64, row_hash_col
@@ -1348,7 +1350,143 @@ def q_ann_ivf_recall(spark, sf_dir):
     )
 
 
-@query("ann_pca_ivf_recall", oracle=None)
+# Sidecar the ann_pca_ivf_recall query persists its trained components
+# to (operators/similarity.save_vectors_json, kind='pca_components') and
+# the DuckDB oracle reads back with read_json. The eigensolver output
+# becomes DATA, so everything downstream of it — projection, hash-picked
+# IVF, recall arithmetic — is SQL-verifiable; only the eigh call itself
+# stays outside the oracle (its isometry invariant is pinned in
+# tests/test_operators.py TestPcaIvf). The gate runs the Spark query
+# BEFORE the oracle (plans/compare.py run_gate, mirroring the driver),
+# so the sidecar the SQL reads is always the one this run just trained.
+# json.dumps writes shortest-round-trip float reprs and DuckDB's JSON
+# reader parses correctly-rounded doubles, so the floats survive the
+# trip bit-for-bit.
+_PCA_SIDECAR = str(
+    Path(__file__).resolve().parents[2]
+    / "spark-warehouse"
+    / "pca_components_ann_recall.json"
+)
+
+
+def _pca_ivf_recall_oracle(
+    dims: int, n_lists: int = 8, n_probe: int = 2, topk: int = 5
+) -> str:
+    """DuckDB twin of q_ann_pca_ivf_recall: replay projection -> IVF ->
+    recall from the persisted components, next to the plain-space IVF
+    baseline (the _ivf_recall_oracle CTE chain) and the exact top-k."""
+    pl2 = (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        f"t -> (p.pemb[t]::DOUBLE - cv[t]::DOUBLE)"
+        f" * (p.pemb[t]::DOUBLE - cv[t]::DOUBLE)), (x, y) -> x + y)"
+    )
+    pcos = (
+        f"{fold_dot_sql('q.pemb', 'c.pemb', dims)}"
+        f" / ({fold_norm_sql('q.pemb', dims)}"
+        f" * {fold_norm_sql('c.pemb', dims)})"
+    )
+    l2 = (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        f"t -> (e.embedding[t]::DOUBLE - cv[t]::DOUBLE)"
+        f" * (e.embedding[t]::DOUBLE - cv[t]::DOUBLE)), (x, y) -> x + y)"
+    )
+    cos = (
+        f"{fold_dot_sql('q.embedding', 'c.embedding', dims)}"
+        f" / ({fold_norm_sql('q.embedding', dims)}"
+        f" * {fold_norm_sql('c.embedding', dims)})"
+    )
+    return f"""
+    WITH comp AS (
+        SELECT i - 1 AS comp_idx, (data[i])::DOUBLE[] AS w
+        FROM (SELECT data FROM read_json('{_PCA_SIDECAR}')),
+             (SELECT unnest(range(1, {dims + 1})) AS i)),
+    proj AS (
+        SELECT e.vec_id,
+               list({fold_dot_sql('e.embedding', 'w', dims)}
+                    ORDER BY comp_idx) AS pemb
+        FROM {EMB_VALID} e CROSS JOIN comp GROUP BY e.vec_id),
+    pctr AS (
+        SELECT rn - 1 AS list_id, pemb AS cv FROM (
+            SELECT pemb, ROW_NUMBER() OVER (
+                ORDER BY {hash64_sql('vec_id', 'ivfctr')}, vec_id) AS rn
+            FROM proj) WHERE rn <= {n_lists}),
+    pad AS (
+        SELECT p.vec_id, pctr.list_id, {pl2} AS d
+        FROM proj p CROSS JOIN pctr),
+    passign AS (
+        SELECT vec_id AS neighbor_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM pad)
+        WHERE rn = 1),
+    pprobe AS (
+        SELECT vec_id AS query_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM pad WHERE vec_id < 10)
+        WHERE rn <= {n_probe}),
+    pcand AS (
+        SELECT pr.query_id, a.neighbor_id
+        FROM pprobe pr JOIN passign a USING (list_id)
+        WHERE pr.query_id != a.neighbor_id),
+    psc AS (
+        SELECT pcand.query_id, pcand.neighbor_id, {pcos} AS cosine
+        FROM pcand
+        JOIN proj q ON q.vec_id = pcand.query_id
+        JOIN proj c ON c.vec_id = pcand.neighbor_id),
+    pcak AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank FROM psc)
+        WHERE rank <= {topk}),
+    ctr AS (
+        SELECT rn - 1 AS list_id, cv FROM (
+            SELECT embedding AS cv, ROW_NUMBER() OVER (
+                ORDER BY {hash64_sql('vec_id', 'ivfctr')}, vec_id) AS rn
+            FROM {EMB_VALID} embeddings) WHERE rn <= {n_lists}),
+    ad AS (
+        SELECT e.vec_id, ctr.list_id, {l2} AS d
+        FROM {EMB_VALID} e CROSS JOIN ctr),
+    assign AS (
+        SELECT vec_id AS neighbor_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM ad)
+        WHERE rn = 1),
+    probe AS (
+        SELECT vec_id AS query_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, list_id) AS rn
+            FROM ad WHERE vec_id < 10)
+        WHERE rn <= {n_probe}),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probe p JOIN assign a USING (list_id)
+        WHERE p.query_id != a.neighbor_id),
+    sc AS (
+        SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+        FROM cand
+        JOIN {EMB_VALID} q ON q.vec_id = cand.query_id
+        JOIN {EMB_VALID} c ON c.vec_id = cand.neighbor_id),
+    ivfk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+        WHERE rank <= {topk}),
+    {_exact_ann_cte(dims, topk)}
+    SELECT n_exact, n_hits_pca, n_hits_plain,
+           n_hits_pca / n_exact AS recall_pca,
+           n_hits_plain / n_exact AS recall_plain
+    FROM (SELECT
+        (SELECT count(*) FROM ex) AS n_exact,
+        (SELECT count(*) FROM ex e JOIN pcak a
+           ON e.query_id = a.query_id
+          AND e.neighbor_id = a.neighbor_id) AS n_hits_pca,
+        (SELECT count(*) FROM ex e JOIN ivfk a
+           ON e.query_id = a.query_id
+          AND e.neighbor_id = a.neighbor_id) AS n_hits_plain)
+    """
+
+
+@query("ann_pca_ivf_recall", oracle=_pca_ivf_recall_oracle(EMB_DIMS))
 def q_ann_pca_ivf_recall(spark, sf_dir):
     """PCA trained and APPLIED end-to-end (operators/similarity.
     int8_gram_matrix -> pca_components -> pca_project_col ->
@@ -1360,18 +1498,36 @@ def q_ann_pca_ivf_recall(spark, sf_dir):
     invariant (pinned in tests/test_operators.py TestPcaIvf, along with
     the lossy pca_k < dims regime).
 
-    No oracle SQL: the component training is a driver-side
-    eigendecomposition (numpy.linalg.eigh) of the integer Gram matrix —
-    the Gram pass itself IS oracle-verified (ann_int8_gram_matrix
-    hash-matches DuckDB), but an eigensolver is not expressible in ANSI
-    SQL, so the driver records the weaker rows-only check for this
-    composition and the recall invariants are enforced in-repo."""
-    from ctcityscraper_spark.operators.similarity import pca_rotated_ivf_topk
+    Oracle construction (r9 VERDICT item 2): the eigensolver output
+    becomes DATA — the trained components are persisted to a JSON
+    sidecar (save_vectors_json) and the DuckDB SQL reads them back and
+    replays projection (the same left-to-right folds; the query forces
+    pca_project_col's literal-expression path via literal_gate so the
+    fold order is oracle-exact) -> hash-picked IVF -> recall. Only the
+    eigh call itself stays outside the hash match."""
+    from ctcityscraper_spark.operators.similarity import (
+        int8_gram_matrix,
+        pca_components,
+        pca_rotated_ivf_topk,
+        save_vectors_json,
+    )
 
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    comps, _ = pca_components(
+        int8_gram_matrix(emb, EMB_DIMS), EMB_DIMS, EMB_DIMS
+    )
+    Path(_PCA_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
+    save_vectors_json(comps, _PCA_SIDECAR, kind="pca_components")
     qs = emb.filter(F.col("vec_id") < 10)
     approx = pca_rotated_ivf_topk(
-        emb, qs, EMB_DIMS, k=5, n_lists=8, n_probe=2
+        emb,
+        qs,
+        EMB_DIMS,
+        k=5,
+        n_lists=8,
+        n_probe=2,
+        components=comps,
+        literal_gate=EMB_DIMS * EMB_DIMS,
     ).select("query_id", "neighbor_id")
     plain = ivf_flat_topk(
         emb, qs, hash_pick_centroids(emb, 8), k=5, n_probe=2
