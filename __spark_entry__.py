@@ -56,10 +56,6 @@ DRIVER_PRIORITY = [
     "ann_gram_update", "ann_ivf_update",
     "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
     "text_kmv_update", "text_kmv_overlap",
-    # ... the r10 additions (quantile-sketch family, PQ incremental
-    # maintenance, the composed corpus-prep DAG) ...
-    "text_quantile_sketch", "text_quantile_update",
-    "text_quantile_by_source", "ann_pq_update", "corpus_e2e_prep",
     # ... and ann_pca_ivf_recall KEPT: its r9 row was rows-only
     # (no_oracle); r10 attaches a real oracle (components persisted as a
     # sidecar the SQL reads), so this round's row is its first hash-match
@@ -87,15 +83,26 @@ DRIVER_PRIORITY = [
     "corpus_segment_dedup", "corpus_substring_spans",
     "corpus_pack_sequences",
 ]
-# With this window green, every catalog query ever added holds at least
-# one driver-verified CORRECTNESS row: 103 across r1-r9, the six late-r9
-# additions + the five r10 additions + ann_pca_ivf_recall's first
-# hash-verified row in r10. Everything outside the window remains
-# in-repo + adversarial oracle-gated every run.
+# Verification record (matches CORRECTNESS_r01–r10): all 110 catalog
+# queries at r10 HEAD hold >= 1 driver-verified green row — 104 across
+# r1–r9 plus the six late-r9 additions verified in r10, where
+# ann_pca_ivf_recall also got its first hash-match (its r9 row was
+# rows-only). Names added to DRIVER_PRIORITY must exist in the catalog
+# at commit time — _ordered raises on unknown names so a typo (or a
+# planned-but-unbuilt query) cannot silently fall out of the window.
+# Everything outside the window remains in-repo + adversarial
+# oracle-gated every run.
 
 
 def _ordered(catalog: dict) -> dict:
-    head = {n: catalog[n] for n in DRIVER_PRIORITY if n in catalog}
+    unknown = [n for n in DRIVER_PRIORITY if n not in catalog]
+    if unknown:
+        raise KeyError(
+            f"DRIVER_PRIORITY names not in the catalog: {unknown} — "
+            "implement the query or remove the name (silent drops would "
+            "falsify the driver-window verification record)"
+        )
+    head = {n: catalog[n] for n in DRIVER_PRIORITY}
     return head | {n: v for n, v in catalog.items() if n not in head}
 
 

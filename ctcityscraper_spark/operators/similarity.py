@@ -1176,20 +1176,23 @@ def pq_rerank_topk(
 # human-auditable next to the parquet/bucketed index tables.
 
 
-def save_vectors_json(obj: list, path, kind: str) -> None:
+def save_vectors_json(obj: list, path, kind: str, extra: dict | None = None) -> None:
     """Persist an IVF centroid list (kind='ivf_centroids', n_lists x dims)
     or a PQ codebook (kind='pq_codebook', M x K x sub_dim) as a JSON
     sidecar with its shape recorded for load-time validation. Atomic
     (write tmp + fsync + rename + dir fsync) so neither a crashed writer
     NOR a post-rename power loss leaves a torn/empty sidecar for
     concurrent probe jobs — rename alone only orders the metadata, not
-    the data blocks."""
+    the data blocks. ``extra`` merges additional scalar payload fields
+    (e.g. a corpus fingerprint so a reader can detect a stale sidecar
+    loudly instead of consuming plausible-but-wrong artifacts); reserved
+    keys (kind/shape/data) cannot be overridden."""
     import json
     import os
     from pathlib import Path
 
     p = Path(path)
-    payload = {"kind": kind, "shape": _nest_shape(obj), "data": obj}
+    payload = {**(extra or {}), "kind": kind, "shape": _nest_shape(obj), "data": obj}
     tmp = p.with_suffix(p.suffix + ".tmp")
     with open(tmp, "w") as f:
         f.write(json.dumps(payload))
@@ -1446,11 +1449,16 @@ def pca_rotated_ivf_topk(
     pca_k = dims if pca_k is None else pca_k
     if components is not None:
         comps = components
-        if len(comps) != pca_k or (comps and len(comps[0]) != dims):
+        # every row checked, not just the first — a ragged matrix would
+        # otherwise pass here and die inside pca_project_col with an
+        # opaque wrong-length-literal error
+        if _nest_shape(list(comps)) != [pca_k, dims] or any(
+            len(row) != dims for row in comps
+        ):
             raise ValueError(
                 f"pca_rotated_ivf_topk: components shape "
                 f"{_nest_shape(list(comps))} does not match "
-                f"(pca_k={pca_k}, dims={dims})"
+                f"(pca_k={pca_k}, dims={dims}) or is ragged"
             )
     else:
         comps, _ = pca_components(

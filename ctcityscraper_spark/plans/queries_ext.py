@@ -50,6 +50,7 @@ from ctcityscraper_spark.operators.similarity import (
     probe_masks,
     srp_lsh_topk,
     srp_multiprobe_topk,
+    valid_vectors,
 )
 from ctcityscraper_spark.operators.text import (
     fingerprint_col,
@@ -1362,6 +1363,15 @@ def q_ann_ivf_recall(spark, sf_dir):
 # json.dumps writes shortest-round-trip float reprs and DuckDB's JSON
 # reader parses correctly-rounded doubles, so the floats survive the
 # trip bit-for-bit.
+#
+# Staleness guard: the path is one fixed location shared by every
+# sf_dir, so a concurrent gate at another sf (or an oracle-only replay)
+# could read components trained on a DIFFERENT corpus and produce
+# plausible-but-wrong reference values. The payload therefore carries a
+# corpus fingerprint (valid-row count + sum(vec_id)) and the oracle's
+# final SELECT is gated on it matching the corpus the SQL is actually
+# reading — a stale sidecar yields 0 oracle rows (a loud row-count
+# mismatch), never a silent match.
 _PCA_SIDECAR = str(
     Path(__file__).resolve().parents[2]
     / "spark-warehouse"
@@ -1483,6 +1493,12 @@ def _pca_ivf_recall_oracle(
         (SELECT count(*) FROM ex e JOIN ivfk a
            ON e.query_id = a.query_id
           AND e.neighbor_id = a.neighbor_id) AS n_hits_plain)
+    WHERE EXISTS (
+        SELECT 1
+        FROM read_json('{_PCA_SIDECAR}') sj,
+             (SELECT count(*) AS n, sum(vec_id) AS s
+              FROM {EMB_VALID} embeddings) cur
+        WHERE sj.fingerprint_n = cur.n AND sj.fingerprint_s = cur.s)
     """
 
 
@@ -1516,8 +1532,21 @@ def q_ann_pca_ivf_recall(spark, sf_dir):
     comps, _ = pca_components(
         int8_gram_matrix(emb, EMB_DIMS), EMB_DIMS, EMB_DIMS
     )
+    # corpus fingerprint rides in the sidecar; the oracle's final SELECT
+    # asserts it against the corpus the SQL reads, so a stale sidecar
+    # (another sf's gate, an oracle-only replay) fails loudly with 0 rows
+    fp = (
+        valid_vectors(emb)
+        .agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"))
+        .collect()[0]
+    )
     Path(_PCA_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
-    save_vectors_json(comps, _PCA_SIDECAR, kind="pca_components")
+    save_vectors_json(
+        comps,
+        _PCA_SIDECAR,
+        kind="pca_components",
+        extra={"fingerprint_n": int(fp.n), "fingerprint_s": int(fp.s)},
+    )
     qs = emb.filter(F.col("vec_id") < 10)
     approx = pca_rotated_ivf_topk(
         emb,

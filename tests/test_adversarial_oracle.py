@@ -360,8 +360,9 @@ def test_pca_path_on_hostile_vectors(spark):
     NULL / NaN / zero-norm vectors are excluded by valid_vectors on BOTH
     the Gram (training) and projection (apply) sides, an empty query set
     yields an empty result, and an all-invalid corpus raises the clear
-    no-valid-vectors error instead of a numpy crash (ann_pca_ivf_recall
-    has no DuckDB oracle — this is its hostile-input functional gate)."""
+    no-valid-vectors error instead of a numpy crash (ann_pca_ivf_recall's
+    sidecar-backed oracle covers only valid-corpus replay — this is its
+    hostile-input functional gate)."""
     import math
 
     import pytest as _pytest
@@ -409,3 +410,33 @@ def test_pca_path_on_hostile_vectors(spark):
             EMB_DIMS,
             n_lists=4,
         ).collect()
+
+
+def test_pca_sidecar_staleness_guard(spark):
+    """A stale PCA sidecar must fail LOUDLY: the oracle's final SELECT is
+    gated on the persisted corpus fingerprint matching the corpus the SQL
+    reads, so components trained on a different corpus (another sf's
+    gate, an oracle-only replay) yield 0 oracle rows — a row-count
+    mismatch — never a silent plausible-but-wrong hash match."""
+    import json
+
+    from ctcityscraper_spark.plans import queries_ext
+    from ctcityscraper_spark.plans.queries import QUERIES
+
+    q = QUERIES["ann_pca_ivf_recall"]
+    # run the Spark query first (the gate order): writes a fresh sidecar
+    assert q.fn(spark, SRC_SF_DIR).count() == 1
+    con = duckdb_connection(SRC_SF_DIR)
+    try:
+        assert len(con.execute(q.oracle).fetchall()) == 1
+        path = queries_ext._PCA_SIDECAR
+        payload = json.loads(open(path).read())
+        original = dict(payload)
+        payload["fingerprint_n"] = int(payload["fingerprint_n"]) + 1
+        open(path, "w").write(json.dumps(payload))
+        try:
+            assert con.execute(q.oracle).fetchall() == []
+        finally:
+            open(path, "w").write(json.dumps(original))
+    finally:
+        con.close()

@@ -1403,8 +1403,10 @@ class TestGramPca:
 class TestPcaIvf:
     """pca_rotated_ivf_topk: PCA trained on the int8 Gram matrix, applied
     via pca_project_col, composed with hash-picked IVF — the end-to-end
-    path the catalog query ann_pca_ivf_recall exercises (no oracle SQL
-    there: eigh is driver-side; the recall invariants live HERE)."""
+    path the catalog query ann_pca_ivf_recall exercises. Since r10 that
+    query IS hash-oracled (components persist to a JSON sidecar the
+    DuckDB SQL replays); only the eigh call itself stays outside the
+    match, so its isometry/recall invariants still live HERE."""
 
     def _recall(self, rows, exact):
         got = {}
@@ -1497,9 +1499,10 @@ class TestPcaIvf:
             pca_rotated_ivf_topk(empty, empty, 64).collect()
 
     def test_catalog_query_single_row_invariant(self, spark):
-        """ann_pca_ivf_recall (rows-only at the driver) returns one row
-        with the rotation invariant recall_pca == recall_plain and sane
-        bounds — the in-repo functional gate for the no-oracle entry."""
+        """ann_pca_ivf_recall returns one row with the rotation invariant
+        recall_pca == recall_plain and sane bounds — the eigensolver-side
+        functional gate complementing the sidecar-backed DuckDB oracle
+        (which hash-matches everything downstream of eigh)."""
         from ctcityscraper_spark.plans.queries import query_catalog
 
         row = query_catalog()["ann_pca_ivf_recall"](spark, SF).collect()
