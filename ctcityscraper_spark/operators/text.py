@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ctcityscraper_spark.functions.hashing import hash64
 
@@ -834,4 +835,237 @@ def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
             (F.col("n_union").cast("double") / frac).alias("union_est"),
             jac.alias("jaccard_est"),
         )
+    )
+
+
+# ---------------------------------------------------------------- quantile
+#
+# Bounded-state quantile sketch — the FOURTH mergeable-sketch family
+# (Bloom = membership / bit_or, Count-Min = frequency / SUM, KMV =
+# cardinality / min-k-of-distinct, this = distribution / min-k-BY-HASH
+# carrying values). The sketch is the k rows whose hash64(row_id, seed)
+# is smallest, each carrying its value: a deterministic simple random
+# sample without replacement (the hash is uniform on [0, 2^60), so
+# bottom-k-by-hash IS uniform sampling — the KMV trick, keyed on ROW
+# identity instead of value identity so duplicated values keep their
+# true frequency weight). Min-k-by-hash is associative + idempotent
+# (row ids are globally unique, so the same row contributes the same
+# (h, val) pair wherever it appears), which gives the standard family
+# contract for free: per-partition partials, per-batch deltas, and
+# stored epochs all merge into EXACTLY the fresh-build sketch.
+#
+# Estimator: with the sample sorted by (val, h), the p-th percentile is
+# the value at rank ceil(p·n/100) = (p·n + 99) // 100 — a pure-integer
+# rank rule (no float multiply, no interpolation), so DuckDB reproduces
+# every estimate bit-for-bit and a corpus with ≤ k valid rows gets its
+# EXACT deterministic-rank percentiles (the sample is then the whole
+# dataset). Unlike t-digest/KLL there is no float register math to
+# diverge cross-engine — accuracy is the classic sample-quantile bound
+# (±O(1/√k) in rank), the right trade for an oracle-exact monitor.
+
+# Bump when the hash derivation or row layout of persisted quantile
+# zones changes — a stored sample probed under a different (k, seed)
+# estimates garbage. Stamped next to persisted sample zones by
+# streaming.events (ensure_zone_meta) and validated on every read.
+QUANTILE_FORMAT_VERSION = 1
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str = "val",
+    id_col: str = "doc_id",
+    k: int = 256,
+    seed: str = "qsk",
+) -> DataFrame:
+    """Quantile sketch of (id, value) rows: the k rows with the smallest
+    distinct ``hash64(id, seed)``, carrying their values — a ≤ k-row
+    (h, val) frame that is a deterministic uniform sample.
+
+    Scale shape (same as :func:`kmv_sketch_terms`): a naive
+    ``orderBy(hash).limit(k)`` range-shuffles the full corpus to throw
+    away all but k rows. Instead an Arrow ``mapInPandas`` pass keeps
+    each partition's k smallest locally (bounded memory: carried state
+    never exceeds k rows), so the only shuffle input is
+    ≤ partitions × k rows, reduced by :func:`merge_quantile_sketches`.
+    Min-k-by-hash is insensitive to partitioning, so the result is
+    bit-identical to the naive plan — the DuckDB oracle
+    (``ORDER BY h, val LIMIT k``) reproduces it exactly. NULL ids, NULL
+    values and NaN values are excluded (NaN would poison the value
+    ordering differently per engine; a NULL id has no stable identity
+    to sample by)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    val = F.col(value_col).cast("double")
+    hashed = (
+        df.filter(
+            F.col(id_col).isNotNull() & val.isNotNull() & ~F.isnan(val)
+        )
+        .select(hash64(F.col(id_col), seed).alias("h"), val.alias("val"))
+    )
+
+    def _local_kmin(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pdf.drop_duplicates()
+            both = cur if best is None else pd.concat([best, cur])
+            best = both.drop_duplicates().sort_values(["h", "val"]).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return merge_quantile_sketches(
+        hashed.mapInPandas(_local_kmin, "h long, val double"), k
+    )
+
+
+def merge_quantile_sketches(frames: DataFrame, k: int) -> DataFrame:
+    """Merge (h, val) quantile sketches built with the SAME (k, seed):
+    distinct union, keep the k smallest by (h, val). Any mix of full
+    sketches, per-partition partials, per-batch deltas, or stored epochs
+    — min-k-by-hash over globally-unique row ids is associative and
+    idempotent, so the merge EQUALS a fresh build over the union (the
+    quantile analogue of ``merge_kmv``, and the single definition shared
+    by the batch path and the streaming sink's compaction transform).
+    Inputs are ≤ k rows each, so this runs over ≤ frames × k rows —
+    never the raw stream."""
+    return frames.select("h", "val").distinct().orderBy("h", "val").limit(k)
+
+
+def update_quantile_sketch(
+    stored: DataFrame,
+    batch: DataFrame,
+    value_col: str = "val",
+    id_col: str = "doc_id",
+    k: int = 256,
+    seed: str = "qsk",
+) -> DataFrame:
+    """Incremental maintenance: fold one new batch into a stored quantile
+    sketch — build the batch's own ≤ k-row delta, then
+    :func:`merge_quantile_sketches` over ≤ 2k rows. Delta-sized: the
+    stored corpus contributes its k sample rows, never its raw stream,
+    so per-batch upkeep costs O(batch) + O(k log k) regardless of corpus
+    size. Exact: merged state ≡ a fresh build over everything ingested
+    (associativity — property-tested on arbitrary splits). Row ids must
+    be unique across batches (the same id re-ingested contributes its
+    original (h, val) pair once — idempotent replay, but a MUTATED value
+    under a reused id would sample both versions; version the id if
+    values mutate)."""
+    delta = quantile_sketch(batch, value_col, id_col, k=k, seed=seed)
+    return merge_quantile_sketches(stored.unionByName(delta), k)
+
+
+def quantile_estimate(
+    sketch: DataFrame, percentiles: tuple = (25, 50, 75, 90, 99)
+) -> DataFrame:
+    """Percentile estimates from a ≤ k-row quantile sketch: one row per
+    requested integer percentile with (pct, n_kept, est) where ``est``
+    is the sample value at rank ``(pct·n_kept + 99) // 100`` under the
+    total order (val, h). Pure integer rank arithmetic — cross-engine
+    exact, no interpolation. All sketch-sized: one ≤ k-row window + a
+    broadcast nested-loop join against the ≤ |percentiles|-row literal
+    frame (the single-partition window is deliberate — the input is
+    ≤ k rows by construction)."""
+    for p in percentiles:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(
+                f"percentiles must be integers in [1, 100], got {p!r}"
+            )
+    w = Window.orderBy("val", "h")
+    s = (
+        sketch.select("h", "val")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_kept", F.count("*").over(Window.partitionBy()))
+    )
+    spark = sketch.sparkSession
+    ps = spark.createDataFrame([(int(p),) for p in percentiles], "pct int")
+    target = F.expr("(pct * n_kept + 99) div 100")
+    return (
+        s.join(F.broadcast(ps), F.col("rn") == target)
+        .select("pct", "n_kept", F.col("val").alias("est"))
+    )
+
+
+def quantile_sketch_by(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "val",
+    id_col: str = "doc_id",
+    k: int = 64,
+    seed: str = "qsk",
+) -> DataFrame:
+    """Per-group quantile sketches: for each distinct ``keys`` tuple, the
+    k rows with the smallest ``hash64(id, seed)`` carrying their values —
+    (keys…, h, val) rows, ≤ k per group. The bounded-shuffle alternative
+    to per-group exact percentiles: that needs a full shuffle of every
+    (group, value) pair plus a per-group sort, this one carries
+    ≤ partitions × groups × k rows (each partition emits at most k per
+    group via the same local-bottom-k kernel) and the final per-group
+    top-k window runs over those bounded partials — keyed by group,
+    never single-partition. NULL group keys are real groups (kept, like
+    :func:`kmv_sketch_by`)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    in_schema = dict(zip(df.schema.names, df.schema.fields))
+    key_schema = ", ".join(
+        f"{n} {in_schema[n].dataType.simpleString()}" for n in keys
+    )
+    val = F.col(value_col).cast("double")
+    hashed = (
+        df.filter(
+            F.col(id_col).isNotNull() & val.isNotNull() & ~F.isnan(val)
+        )
+        .select(*keys, hash64(F.col(id_col), seed).alias("h"), val.alias("val"))
+    )
+
+    def _local_kmin_by(batches):
+        import pandas as pd
+
+        state = None
+        for pdf in batches:
+            cur = pdf.drop_duplicates()
+            both = cur if state is None else pd.concat([state, cur])
+            both = both.drop_duplicates().sort_values([*keys, "h", "val"])
+            # dropna=False: a NULL group key is a real group
+            state = both.groupby(list(keys), sort=False, dropna=False).head(k)
+        if state is not None and len(state):
+            yield state
+
+    partial = hashed.mapInPandas(
+        _local_kmin_by, f"{key_schema}, h long, val double"
+    )
+    w = Window.partitionBy(*keys).orderBy("h", "val")
+    return (
+        partial.distinct()
+        .withColumn("__q_rn", F.row_number().over(w))
+        .filter(F.col("__q_rn") <= k)
+        .drop("__q_rn")
+    )
+
+
+def quantile_estimate_by(
+    sketches: DataFrame,
+    keys: list[str],
+    percentiles: tuple = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Per-group :func:`quantile_estimate` over :func:`quantile_sketch_by`
+    output: one row per (group, percentile) with (keys…, pct, n_kept,
+    est). Group-keyed windows over ≤ groups × k rows + the broadcast
+    percentile-literal join — never a corpus-sized shuffle."""
+    for p in percentiles:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(
+                f"percentiles must be integers in [1, 100], got {p!r}"
+            )
+    w = Window.partitionBy(*keys).orderBy("val", "h")
+    s = (
+        sketches.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_kept", F.count("*").over(Window.partitionBy(*keys)))
+    )
+    spark = sketches.sparkSession
+    ps = spark.createDataFrame([(int(p),) for p in percentiles], "pct int")
+    target = F.expr("(pct * n_kept + 99) div 100")
+    return (
+        s.join(F.broadcast(ps), F.col("rn") == target)
+        .select(*keys, "pct", "n_kept", F.col("val").alias("est"))
     )

@@ -1046,3 +1046,181 @@ def q_text_kmv_overlap(spark, sf_dir):
     # 1-row x 1-row audit join (recall-audit shape, outside the
     # no-cartesian gate like the other summary-row queries)
     return out.crossJoin(true)
+
+
+# =========================================================================
+# Quantile sketches (operators/text.quantile_*) — the FOURTH mergeable-
+# sketch family (Bloom = membership, Count-Min = frequency, KMV =
+# cardinality, quantile = distribution). Bottom-k-by-hash64 row sampling
+# carrying values; the percentile estimator is a pure-integer rank rule
+# ((p·n + 99) // 100 over the (val, h) total order), so DuckDB rebuilds
+# every sample bit-for-bit and every estimate matches exactly.
+# =========================================================================
+
+_QSK_K = 256  # global sample size
+_QSK_KG = 64  # per-group sample size
+_QSK_PCTS = "[25, 50, 75, 90, 99]"
+
+_QSK_VALS = f"""
+    v AS (SELECT doc_id, ({quality_score_sql('text')})::DOUBLE AS val
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    hv AS (SELECT {hash64_sql('doc_id', 'qsk')} AS h, val FROM v
+           WHERE val IS NOT NULL AND NOT isnan(val))
+"""
+
+
+@query(
+    "text_quantile_sketch",
+    oracle=f"""
+    WITH {_QSK_VALS},
+    sk AS (SELECT h, val FROM hv ORDER BY h, val LIMIT {_QSK_K}),
+    s AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val, h) AS rn,
+                 COUNT(*) OVER () AS n_kept FROM sk),
+    ps AS (SELECT unnest({_QSK_PCTS})::INT AS pct),
+    est AS (SELECT pct, n_kept, val AS est FROM ps JOIN s
+            ON rn = (pct * n_kept + 99) // 100),
+    t AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val, h) AS rn,
+                 COUNT(*) OVER () AS n FROM hv),
+    tru AS (SELECT pct, val AS true_est FROM ps JOIN t
+            ON rn = (pct * n + 99) // 100)
+    SELECT e.pct AS pct, n_kept, est, true_est
+    FROM est e JOIN tru USING (pct) ORDER BY pct
+    """,
+)
+def q_text_quantile_sketch(spark, sf_dir):
+    """Quality-score percentile monitoring from a bounded-state sample
+    (operators/text.quantile_sketch + quantile_estimate): the k rows
+    with the smallest hash64(doc_id) carry their quality scores — a
+    deterministic uniform sample whose rank-selected percentiles
+    estimate the corpus distribution without quantiles_by_status's
+    exact full shuffle (the Arrow local-bottom-k pass bounds the
+    shuffle at partitions x k rows). The oracle rebuilds the sample
+    with ORDER BY h LIMIT k and the exact same-rank-rule percentile
+    over the FULL corpus rides along as the audit column — the
+    value-hash match pins sample contents AND the pure-integer
+    estimator arithmetic."""
+    from ctcityscraper_spark.operators.text import (
+        quality_score_col,
+        quantile_estimate,
+        quantile_sketch,
+    )
+    from pyspark.sql.window import Window
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    v = docs.select("doc_id", quality_score_col("text").alias("val"))
+    est = quantile_estimate(quantile_sketch(v, "val", "doc_id", k=_QSK_K))
+    # exact same-rank-rule percentiles over the full corpus: the audit
+    # leg (single-partition window — gate-time cost only, like the
+    # true_distinct audit columns of the KMV family; the production
+    # path at 100 TB is the sketch above)
+    val = F.col("val").cast("double")
+    hv = v.filter(
+        F.col("doc_id").isNotNull() & val.isNotNull() & ~F.isnan(val)
+    ).select(hash64(F.col("doc_id"), "qsk").alias("h"), val.alias("val"))
+    t = (
+        hv.withColumn("rn", F.row_number().over(Window.orderBy("val", "h")))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+    ps = spark.createDataFrame([(p,) for p in (25, 50, 75, 90, 99)], "pct int")
+    tru = t.join(
+        F.broadcast(ps), F.col("rn") == F.expr("(pct * n + 99) div 100")
+    ).select("pct", F.col("val").alias("true_est"))
+    return (
+        est.join(tru, "pct")
+        .select("pct", "n_kept", "est", "true_est")
+        .repartition(1)
+        .sortWithinPartitions("pct")
+    )
+
+
+@query(
+    "text_quantile_update",
+    oracle=f"""
+    WITH {_QSK_VALS},
+    sk AS (SELECT h, val FROM hv ORDER BY h, val LIMIT {_QSK_K}),
+    s AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val, h) AS rn,
+                 COUNT(*) OVER () AS n_kept FROM sk),
+    ps AS (SELECT unnest({_QSK_PCTS})::INT AS pct)
+    SELECT pct, n_kept, val AS est FROM ps JOIN s
+    ON rn = (pct * n_kept + 99) // 100
+    ORDER BY pct
+    """,
+)
+def q_text_quantile_update(spark, sf_dir):
+    """Incremental quantile-sample maintenance
+    (operators/text.update_quantile_sketch): the sample is built over an
+    80% base corpus, then a 20% delta batch is folded in (the batch's
+    own <= k-row delta, merge over <= 2k rows — delta-sized upkeep
+    regardless of corpus size). The oracle builds the sample over
+    base+delta in ONE pass — a value-hash match therefore proves merged
+    state is bit-for-bit a fresh build (min-k-by-hash associativity),
+    the property that makes per-batch percentile monitoring exact on a
+    growing corpus."""
+    from ctcityscraper_spark.operators.text import (
+        quality_score_col,
+        quantile_estimate,
+        quantile_sketch,
+        update_quantile_sketch,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    v = docs.select("doc_id", quality_score_col("text").alias("val"))
+    bucket = hash64(F.col("doc_id"), "qsksplit") % 5
+    stored = quantile_sketch(v.filter(bucket != 0), "val", "doc_id", k=_QSK_K)
+    merged = update_quantile_sketch(
+        stored, v.filter(bucket == 0), "val", "doc_id", k=_QSK_K
+    )
+    return (
+        quantile_estimate(merged)
+        .repartition(1)
+        .sortWithinPartitions("pct")
+    )
+
+
+@query(
+    "text_quantile_by_source",
+    oracle=f"""
+    WITH v AS (SELECT doc_id, source,
+                      ({quality_score_sql('text')})::DOUBLE AS val
+               FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    hv AS (SELECT source, {hash64_sql('doc_id', 'qsk')} AS h, val FROM v
+           WHERE val IS NOT NULL AND NOT isnan(val)),
+    r AS (SELECT source, h, val,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, val) AS krn
+          FROM hv),
+    sk AS (SELECT source, h, val FROM r WHERE krn <= {_QSK_KG}),
+    s AS (SELECT source, val,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY val, h) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n_kept FROM sk),
+    ps AS (SELECT unnest({_QSK_PCTS})::INT AS pct)
+    SELECT source, pct, n_kept, val AS est FROM ps JOIN s
+    ON rn = (pct * n_kept + 99) // 100
+    ORDER BY source, pct
+    """,
+)
+def q_text_quantile_by_source(spark, sf_dir):
+    """Per-source quality-score percentiles via per-group quantile
+    sketches (operators/text.quantile_sketch_by + quantile_estimate_by)
+    — the bounded-shuffle alternative to per-group exact percentiles:
+    the shuffle carries <= partitions x groups x k sample rows instead
+    of every (source, score) pair, and both the sample-truncation and
+    rank-selection windows are keyed by source (never
+    single-partition). NULL sources are real groups (kept in both
+    engines). The per-source mixture-policy input at 100 TB: which
+    crawl sources are dragging the quality floor."""
+    from ctcityscraper_spark.operators.text import (
+        quality_score_col,
+        quantile_estimate_by,
+        quantile_sketch_by,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    v = docs.select("source", "doc_id", quality_score_col("text").alias("val"))
+    sk = quantile_sketch_by(v, ["source"], "val", "doc_id", k=_QSK_KG)
+    return (
+        quantile_estimate_by(sk, ["source"])
+        .repartition(1)
+        .sortWithinPartitions("source", "pct")
+    )

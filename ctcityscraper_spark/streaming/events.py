@@ -1068,3 +1068,129 @@ def streaming_kmv(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _quantile_zone_meta(k: int, seed: str, value_col: str) -> dict:
+    from ctcityscraper_spark.operators.text import QUANTILE_FORMAT_VERSION
+
+    return {"kind": "quantile_sample",
+            "format_version": QUANTILE_FORMAT_VERSION,
+            "k": k, "seed": seed, "value_col": value_col}
+
+
+_QUANTILE_REBUILD_HINT = (
+    "Rebuild the sample from the corpus (quantile_sketch) or restart the "
+    "stream with a fresh sample_dir."
+)
+
+
+def read_quantile_sample(
+    spark: SparkSession,
+    sample_dir: str,
+    before_batch: int = 2**62,
+    k: int | None = None,
+    seed: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame | None:
+    """The merged quantile sample for batches strictly before
+    ``before_batch``: per-batch delta (h, val) partitions (and/or the
+    newest compacted epoch) merged by ``text.merge_quantile_sketches``
+    — min-k-by-hash associativity makes any grouping equal to a fresh
+    build over everything ingested, exactly. None when nothing is
+    written yet. Feed the result to ``text.quantile_estimate`` for live
+    percentiles.
+
+    Pass ``k``/``seed``/``value_col`` to validate the zone's stored
+    format marker before trusting the rows — samples kept under a
+    different seed, truncated to a different k, or drawn from a
+    different value column estimate garbage; without them the marker's
+    own fields are used (only the format version is pinned)."""
+    from ctcityscraper_spark.operators.text import merge_quantile_sketches
+
+    existing = read_zone_meta(spark, sample_dir)
+    if k is not None and seed is not None and value_col is not None:
+        check_zone_meta(
+            spark, sample_dir, _quantile_zone_meta(k, seed, value_col),
+            _QUANTILE_REBUILD_HINT,
+        )
+    elif existing is not None:
+        check_zone_meta(
+            spark, sample_dir,
+            _quantile_zone_meta(
+                existing.get("k"), existing.get("seed"),
+                existing.get("value_col"),
+            ),
+            _QUANTILE_REBUILD_HINT,
+        )
+        k = existing.get("k")
+    elif _zone_has_data(spark, sample_dir):
+        raise ValueError(
+            f"stored zone {sample_dir} has data but no {ZONE_META_FILE} — "
+            f"unversioned stored state. {_QUANTILE_REBUILD_HINT}"
+        )
+    rows = read_incremental_zone(spark, sample_dir, before_batch)
+    if rows is None:
+        return None
+    return merge_quantile_sketches(rows, k)
+
+
+def streaming_quantile(
+    stream: DataFrame,
+    sample_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    seed: str = "qsk",
+    value_col: str = "val",
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained quantile sample over a document stream —
+    the FOURTH instance of the delta-zone recipe
+    (``streaming_bloom_membership`` merges by bit_or, ``streaming_cms``
+    by SUM, ``streaming_kmv`` by min-k-of-distinct; this one by
+    min-k-by-hash carrying values, the distribution member of the
+    mergeable-sketch family).
+
+    Every micro-batch appends its own ≤ k-row delta sample to
+    ``sample_dir/batch_id=N`` (exactly-once: per-batch overwrite + the
+    streaming checkpoint). Read the live sample at any time with
+    :func:`read_quantile_sample` and estimate with
+    ``text.quantile_estimate`` — the merged state equals a fresh build
+    over everything ingested, exactly (row ids must be unique across
+    the stream; replays of the same id are idempotent). With
+    ``compact_every=N`` sample epochs re-merge to ≤ k rows, so stored
+    state stays sketch-sized at any stream length (a ≤ k-row zone is
+    broadcast-sized by construction — no probe join ever needs a
+    co-located layout). Returns the StreamingQuery handle; caller
+    stops it."""
+    from ctcityscraper_spark.operators.text import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(
+            spark, sample_dir, _quantile_zone_meta(k, seed, value_col),
+            _QUANTILE_REBUILD_HINT,
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, sample_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, sample_dir, batch_id,
+                    transform=lambda df: merge_quantile_sketches(df, k),
+                )
+        quantile_sketch(
+            batch_df, value_col, id_col, k=k, seed=seed
+        ).write.mode("overwrite").parquet(f"{sample_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1688,3 +1688,60 @@ class TestSketchedDfCap:
         ).collect()))
         assert plain40 == sk40 and len(plain40) == 2
         assert all(j > 0 for _, _, j in plain40)
+
+
+class TestQuantileSketch:
+    """Contract edges of the quantile-sample family (the distribution
+    member of the mergeable-sketch set); the cross-engine exactness and
+    merge==fresh invariants live in tests/test_properties.py and the
+    catalog oracle gate."""
+
+    def test_validation_errors(self, spark):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.text import (
+            quantile_estimate,
+            quantile_sketch,
+        )
+
+        df = spark.createDataFrame([(1, 0.5)], "doc_id long, val double")
+        with _pytest.raises(ValueError, match="k must be"):
+            quantile_sketch(df, "val", "doc_id", k=0)
+        sk = quantile_sketch(df, "val", "doc_id", k=4)
+        with _pytest.raises(ValueError, match="percentiles"):
+            quantile_estimate(sk, percentiles=(0,))
+        with _pytest.raises(ValueError, match="percentiles"):
+            quantile_estimate(sk, percentiles=(50.5,))
+
+    def test_null_group_is_kept_per_group(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            quantile_estimate_by,
+            quantile_sketch_by,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.1, "a"), (2, 0.2, "a"), (3, 0.9, None), (4, 0.7, None)],
+            "doc_id long, val double, grp string",
+        )
+        sk = quantile_sketch_by(df, ["grp"], "val", "doc_id", k=8)
+        est = quantile_estimate_by(sk, ["grp"], percentiles=(50,))
+        got = {r.grp: (r.n_kept, r.est) for r in est.collect()}
+        assert got["a"] == (2, 0.1)
+        assert got[None] == (2, 0.7)
+
+    def test_exact_below_k_and_duplicate_values_weighted(self, spark):
+        """Duplicated values keep their frequency weight (row-identity
+        sampling, not value-identity): a corpus of 9x0.0 + 1x1.0 with
+        n <= k medians to 0.0 — a distinct-value sketch would say 0.5."""
+        from ctcityscraper_spark.operators.text import (
+            quantile_estimate,
+            quantile_sketch,
+        )
+
+        rows = [(i, 0.0) for i in range(9)] + [(9, 1.0)]
+        sk = quantile_sketch(
+            spark.createDataFrame(rows, "doc_id long, val double"),
+            "val", "doc_id", k=64,
+        )
+        est = {r.pct: r.est for r in quantile_estimate(sk).collect()}
+        assert est[50] == 0.0 and est[99] == 1.0

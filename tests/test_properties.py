@@ -616,3 +616,83 @@ class TestKmvProperty:
             ).collect()
         )
         assert merged == fresh
+
+
+class TestQuantileSketchProperty:
+    """Quantile-sample invariants over ARBITRARY (id, value) streams:
+    (1) the sketch equals the Python model exactly (k smallest
+    md5-prefix row hashes carrying their values — no tolerance),
+    (2) update_quantile_sketch over any split equals a fresh build over
+    the union (min-k-by-hash associativity — the contract that makes
+    per-batch percentile maintenance exact), and (3) the estimator is
+    the pure-integer rank rule over the sorted sample."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e6, max_value=1e6),
+            ),
+            min_size=1, max_size=20,
+        ),
+        split=st.integers(min_value=0, max_value=20),
+        k=st.integers(min_value=1, max_value=6),
+    )
+    def test_matches_python_model_and_merge_equals_fresh(
+        self, spark, vals, split, k
+    ):
+        import hashlib
+
+        from ctcityscraper_spark.operators.text import (
+            quantile_estimate,
+            quantile_sketch,
+            update_quantile_sketch,
+        )
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+
+        def model(rs):
+            pairs = sorted(
+                (
+                    int(hashlib.md5(f"qsk{i}".encode()).hexdigest()[:15], 16),
+                    float(v),
+                )
+                for i, v in rs
+                if v is not None
+            )
+            return pairs[:k]
+
+        mk = lambda rs: spark.createDataFrame(
+            rs, "doc_id long, val double"
+        ) if rs else spark.createDataFrame([], "doc_id long, val double")
+        fresh_df = quantile_sketch(mk(rows), "val", "doc_id", k=k)
+        fresh = sorted((r.h, r.val) for r in fresh_df.collect())
+        assert fresh == model(rows)
+
+        split = min(split, len(rows))
+        stored = quantile_sketch(mk(rows[:split]), "val", "doc_id", k=k)
+        merged = sorted(
+            (r.h, r.val)
+            for r in update_quantile_sketch(
+                stored, mk(rows[split:]), "val", "doc_id", k=k
+            ).collect()
+        )
+        assert merged == fresh
+
+        # estimator: pure-integer rank rule over the (val, h) order
+        sample = sorted(((v, h) for h, v in fresh))
+        n = len(sample)
+        got = {
+            r.pct: (r.n_kept, r.est)
+            for r in quantile_estimate(fresh_df).collect()
+        }
+        if n == 0:
+            assert got == {}
+        else:
+            for p in (25, 50, 75, 90, 99):
+                want = sample[(p * n + 99) // 100 - 1][0]
+                assert got[p] == (n, want)

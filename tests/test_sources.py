@@ -1498,3 +1498,111 @@ class TestStreamingKmv:
             r.h for r in read_kmv_hashes(spark, kwargs["hashes_dir"]).collect()
         )
         assert got2 == fresh
+
+
+class TestStreamingQuantile:
+    def test_streaming_quantile_merged_equals_fresh_build(self, spark, tmp_path):
+        """4 batches with compact_every=2: the min-k-by-hash-merged sample
+        zone must equal a fresh quantile_sketch over all ingested rows
+        EXACTLY (associativity over unique row ids), the epoch re-merges
+        to <= k rows, percentile estimates through the merged sample use
+        the pure-integer rank rule, a mismatched (k, seed, value_col)
+        read refuses with the rebuild hint, and checkpoint replay
+        reprocesses nothing."""
+        import time as _time
+
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.text import (
+            quantile_estimate,
+            quantile_sketch,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_quantile_sample,
+            stream_from_directory,
+            streaming_quantile,
+        )
+
+        k = 8
+        schema = "doc_id long, val double"
+        src = tmp_path / "incoming"
+        batches = [
+            [(1, 0.1), (2, 0.9)],
+            [(3, 0.5), (4, 0.7)],
+            [(5, 0.3), (6, 0.2)],
+            [(7, 0.8), (8, 0.4), (9, 0.6), (10, 1.0)],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+        kwargs = dict(
+            sample_dir=str(tmp_path / "sample"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            k=k,
+            compact_every=2,
+        )
+        q = streaming_quantile(
+            stream_from_directory(
+                spark, str(src),
+                spark.createDataFrame(batches[0], schema).schema,
+                max_files_per_trigger=1,
+            ),
+            **kwargs,
+        )
+        q.awaitTermination(180)
+
+        merged = read_quantile_sample(spark, kwargs["sample_dir"])
+        all_rows = spark.createDataFrame(
+            [r for rows in batches for r in rows], schema
+        )
+        fresh = sorted(
+            (r.h, r.val)
+            for r in quantile_sketch(all_rows, "val", "doc_id", k=k).collect()
+        )
+        got = sorted((r.h, r.val) for r in merged.collect())
+        assert got == fresh and 0 < len(got) <= k
+
+        # compaction happened and the epoch stayed sketch-sized
+        epochs = _compacted_epochs(spark, kwargs["sample_dir"])
+        assert [m for m, _ in epochs] == [2]
+        assert spark.read.parquet(epochs[0][1]).count() <= k
+
+        # 10 rows ingested but k=8: the sample truncated; estimator
+        # follows the integer rank rule over the (val, h) order
+        est = {
+            r.pct: (r.n_kept, r.est)
+            for r in quantile_estimate(
+                read_quantile_sample(spark, kwargs["sample_dir"])
+            ).collect()
+        }
+        sample = sorted((v, h) for h, v in got)
+        n = len(sample)
+        assert n == k
+        for p in (25, 50, 75, 90, 99):
+            assert est[p] == (n, sample[(p * n + 99) // 100 - 1][0])
+
+        # (k, seed, value_col) contract: a mismatched read refuses
+        with _pytest.raises(ValueError, match="quantile_sketch"):
+            read_quantile_sample(
+                spark, kwargs["sample_dir"], k=99, seed="qsk", value_col="val"
+            )
+
+        # checkpoint replay: nothing reprocessed
+        q2 = streaming_quantile(
+            stream_from_directory(
+                spark, str(src),
+                spark.createDataFrame(batches[0], schema).schema,
+                max_files_per_trigger=1,
+            ),
+            **kwargs,
+        )
+        q2.awaitTermination(180)
+        got2 = sorted(
+            (r.h, r.val)
+            for r in read_quantile_sample(spark, kwargs["sample_dir"]).collect()
+        )
+        assert got2 == fresh
