@@ -56,10 +56,11 @@ DRIVER_PRIORITY = [
     "ann_gram_update", "ann_ivf_update",
     "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
     "text_kmv_update", "text_kmv_overlap",
-    # ... the r11 additions (quantile-sketch family — implemented and
-    # in-repo oracle-gated in the same commit that adds these names) ...
+    # ... the r11 additions (quantile-sketch family, PQ incremental
+    # maintenance — each implemented and in-repo oracle-gated in the
+    # same commit that adds its name) ...
     "text_quantile_sketch", "text_quantile_update",
-    "text_quantile_by_source",
+    "text_quantile_by_source", "ann_pq_update",
     # ... and ann_pca_ivf_recall KEPT: its r9 row was rows-only
     # (no_oracle); r10 attaches a real oracle (components persisted as a
     # sidecar the SQL reads), so this round's row is its first hash-match

@@ -1061,6 +1061,96 @@ def pq_adc_table_col(vec, codebook: list):
     )
 
 
+def pq_encode_corpus(
+    corpus: DataFrame,
+    codebook: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(neighbor_id, codes) rows for ``corpus`` under a FIXED codebook —
+    the stored-artifact half of the PQ index (write it as parquet next to
+    the :func:`save_vectors_json` codebook sidecar; at the default config
+    codes are 4 B/vector, a 64× compression of float32). Encoding is
+    per-row (:func:`pq_encode_col` scan-stage expressions), so
+    ``encode(A ∪ B) ≡ encode(A) ∪ encode(B)`` — exactly what incremental
+    maintenance needs: a delta batch never touches the stored codes to
+    get its own. Invalid vectors are excluded (:func:`valid_vectors`)."""
+    return valid_vectors(corpus, vec).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_col(_as_double(F.col(vec)), codebook).alias("codes"),
+    )
+
+
+def update_pq_codes(
+    stored_codes: DataFrame,
+    new_vectors: DataFrame,
+    codebook: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append a new vector batch to a stored :func:`pq_encode_corpus`
+    table under the index's FROZEN codebook — the PQ analogue of
+    :func:`update_ivf_index`, completing the delta-maintenance matrix
+    (Bloom / CMS / KMV / quantile / Gram / IVF / PQ).
+
+    The delta pays only its own scan-stage encode (argmin-L2 against the
+    codebook literals — never a stored-codes scan), and because encoding
+    is per-row the merged table is row-identical to encoding the union
+    in one shot (the catalog query ``ann_pq_update`` scores the merged
+    codes against the fresh-one-pass-encode oracle, proving maintenance
+    lost no vector and re-coded none).
+
+    Drift caveat (same as IVF): codebooks stay frozen, so a delta
+    distribution that wanders from the training corpus degrades ADC
+    quantization error and recall. Monitor reconstruction error on a
+    delta sample and retrain (:func:`pq_train_codebooks`) when it
+    degrades — retraining re-encodes the corpus, the same one-off batch
+    job as the original build."""
+    return stored_codes.unionByName(
+        pq_encode_corpus(new_vectors, codebook, vec=vec, id_col=id_col)
+    )
+
+
+def pq_adc_topk_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: list,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC inner-product over a PRE-ENCODED (neighbor_id, codes)
+    table — the query half of the stored-PQ-index workflow
+    (:func:`pq_encode_corpus` / :func:`update_pq_codes` build and
+    maintain the table; this probes it). Semantics and output match
+    :func:`pq_adc_topk` exactly; the scan reads only codes, and queries
+    broadcast with their per-query ADC lookup tables."""
+    queries = valid_vectors(queries, vec)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        pq_adc_table_col(_as_double(F.col(vec)), codebook).alias("tabs"),
+    )
+    scored = codes.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("tabs"), F.col("codes"), lambda tb, cd: F.get(tb, cd)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1080,37 +1170,14 @@ def pq_adc_topk(
     their lookup tables. The join is the deliberate full compressed scan —
     compose with IVF/SRP bucketing to cut candidates first, keeping this
     scoring on the survivors. Invalid vectors are excluded on both sides
-    (:func:`valid_vectors`).
+    (:func:`valid_vectors`). Inline-encode convenience over
+    :func:`pq_encode_corpus` + :func:`pq_adc_topk_codes` — use those
+    directly for the stored-index workflow.
     """
     cb = codebook if codebook is not None else pq_codebook(dims, n_sub, n_codes)
-    corpus = valid_vectors(corpus, vec)
-    queries = valid_vectors(queries, vec)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_encode_col(_as_double(F.col(vec)), cb).alias("codes"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        pq_adc_table_col(_as_double(F.col(vec)), cb).alias("tabs"),
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.aggregate(
-            F.zip_with(F.col("tabs"), F.col("codes"), lambda tb, cd: F.get(tb, cd)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
+    return pq_adc_topk_codes(
+        pq_encode_corpus(corpus, cb, vec=vec, id_col=id_col),
+        queries, cb, k=k, vec=vec, id_col=id_col,
     )
 
 

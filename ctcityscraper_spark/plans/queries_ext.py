@@ -1860,10 +1860,14 @@ def q_dedup_lsh_recall(spark, sf_dir):
     )
 
 
-def _pq_common_sql(dims: int, n_sub: int, k: int) -> str:
+def _pq_common_sql(
+    dims: int, n_sub: int, k: int, q_pred: str = "vec_id < 10"
+) -> str:
     """Shared CTE chain: literal codebook VALUES -> per-subspace codes
     (argmin-L2, ties to smallest j = Spark's array_position-of-min) and
-    per-query ADC tables, every float a left-to-right list_reduce fold."""
+    per-query ADC tables, every float a left-to-right list_reduce fold.
+    ``q_pred`` selects the query rows (the corpus side is always the
+    full valid-embedding table)."""
     cb = pq_codebook(dims, n_sub, k)
     s = dims // n_sub
     rows = ",\n        ".join(
@@ -1895,7 +1899,7 @@ def _pq_common_sql(dims: int, n_sub: int, k: int) -> str:
         SELECT vec_id, s2.m, j,
                list_reduce(list_transform(range(1, {s + 1}),
                    i -> sv[i]::DOUBLE * cw[i]), (x, y) -> x + y) AS t
-        FROM subs s2 JOIN cb ON s2.m = cb.m WHERE vec_id < 10),
+        FROM subs s2 JOIN cb ON s2.m = cb.m WHERE {q_pred}),
     qt1 AS (SELECT vec_id, m, list(t ORDER BY j) AS tl FROM qtab GROUP BY vec_id, m),
     qtabs AS (SELECT vec_id AS query_id, list(tl ORDER BY m) AS tabs FROM qt1 GROUP BY vec_id),
     scored AS (
@@ -1968,6 +1972,50 @@ def q_ann_pq_rerank_topk(spark, sf_dir):
         pq_rerank_topk(
             emb, emb.filter(F.col("vec_id") < 10), dims=EMB_DIMS, k=5, shortlist=50
         )
+        .repartition(1)
+        .sortWithinPartitions("query_id", "rank")
+    )
+
+
+@query(
+    "ann_pq_update",
+    oracle=f"""
+    WITH {_pq_common_sql(EMB_DIMS, 8, 16, q_pred="vec_id >= 10 AND vec_id < 20")}
+    SELECT query_id, neighbor_id, rank, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_ann_pq_update(spark, sf_dir):
+    """Incremental PQ code maintenance (operators/similarity.
+    update_pq_codes — the PQ analogue of update_ivf_index, completing
+    the delta-path matrix Bloom/CMS/KMV/quantile/Gram/IVF/PQ): the
+    stored codes table is built (pq_encode_corpus) over an 80% base
+    corpus, a 20% delta batch is APPENDED under the FROZEN codebook
+    (the delta pays one scan-stage encode — never a stored-codes scan),
+    and the merged table is ADC-scored (pq_adc_topk_codes). The oracle
+    encodes base+delta in ONE pass — a value-hash match therefore
+    proves maintenance lost no vector and re-coded none (either would
+    change the compressed top-k). Deterministic codebook keeps both
+    engines bit-identical (pq_train_codebooks is the production
+    trainer; frozen-codebook drift caveat documented on the
+    operator)."""
+    from ctcityscraper_spark.operators.similarity import (
+        pq_adc_topk_codes,
+        pq_encode_corpus,
+        update_pq_codes,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    cb = pq_codebook(EMB_DIMS, 8, 16)
+    bucket = hash64(F.col("vec_id"), "pqsplit") % 5
+    stored = pq_encode_corpus(emb.filter(bucket != 0), cb)
+    merged = update_pq_codes(stored, emb.filter(bucket == 0), cb)
+    qs = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    return (
+        pq_adc_topk_codes(merged, qs, cb, k=5)
         .repartition(1)
         .sortWithinPartitions("query_id", "rank")
     )

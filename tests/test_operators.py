@@ -1745,3 +1745,45 @@ class TestQuantileSketch:
         )
         est = {r.pct: r.est for r in quantile_estimate(sk).collect()}
         assert est[50] == 0.0 and est[99] == 1.0
+
+
+class TestPqUpdate:
+    def test_incremental_codes_equal_one_shot_encode(self, spark):
+        """update_pq_codes appends a delta encoded under the frozen
+        codebook: the merged codes table must be row-identical to
+        encoding the union in one shot (per-row encoding), ADC top-k
+        through it must match the one-shot table, and hostile delta
+        rows (NULL / NaN / zero-norm vectors) contribute nothing."""
+        from ctcityscraper_spark.operators.similarity import (
+            pq_adc_topk_codes,
+            pq_codebook,
+            pq_encode_corpus,
+            update_pq_codes,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        cb = pq_codebook(64, 8, 16)
+        bucket = F.abs(F.hash("vec_id")) % 4
+        base, delta = emb.filter(bucket != 0), emb.filter(bucket == 0)
+        hostile = spark.createDataFrame(
+            [
+                (9001, None, 0),
+                (9002, [0.0] * 64, 0),
+                (9003, [float("nan")] + [1.0] * 63, 0),
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        merged = update_pq_codes(
+            pq_encode_corpus(base, cb), delta.unionByName(hostile), cb
+        )
+        one_shot = pq_encode_corpus(emb, cb)
+        assert sorted(
+            (r.neighbor_id, tuple(r.codes)) for r in merged.collect()
+        ) == sorted((r.neighbor_id, tuple(r.codes)) for r in one_shot.collect())
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        probe = lambda codes: sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.score)
+            for r in pq_adc_topk_codes(codes, queries, cb, k=3).collect()
+        )
+        assert probe(merged) == probe(one_shot) and probe(merged)
