@@ -57,10 +57,10 @@ DRIVER_PRIORITY = [
     "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
     "text_kmv_update", "text_kmv_overlap",
     # ... the r11 additions (quantile-sketch family, PQ incremental
-    # maintenance — each implemented and in-repo oracle-gated in the
-    # same commit that adds its name) ...
+    # maintenance, the composed corpus-prep DAG — each implemented and
+    # in-repo oracle-gated in the same commit that adds its name) ...
     "text_quantile_sketch", "text_quantile_update",
-    "text_quantile_by_source", "ann_pq_update",
+    "text_quantile_by_source", "ann_pq_update", "corpus_e2e_prep",
     # ... and ann_pca_ivf_recall KEPT: its r9 row was rows-only
     # (no_oracle); r10 attaches a real oracle (components persisted as a
     # sidecar the SQL reads), so this round's row is its first hash-match

@@ -1224,3 +1224,217 @@ def q_text_quantile_by_source(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("source", "pct")
     )
+
+
+# =========================================================================
+# corpus_e2e_prep — the composed nightly pretraining-prep DAG: boilerplate
+# removal -> bloom-chased exact dedup -> contamination gate (with a KMV-
+# overlap residual audit) -> sequence packing, as ONE oracle-gated plan.
+# Every stage is an already-oracle-gated operator; composing them in one
+# query regression-guards the stage INTERFACES against each other (a
+# change in any stage shifts every downstream pack offset and the hash
+# match catches it).
+# =========================================================================
+
+_E2E_CLEAN_SH8 = shingle_sql(8, "clean_text")
+_E2E_CLEAN_SH3 = shingle_sql(3, "clean_text")
+
+
+@query(
+    "corpus_e2e_prep",
+    oracle=f"""
+    WITH {_SEGS},
+    hot AS (SELECT segment FROM segs GROUP BY segment
+            HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+    rb AS (
+        SELECT s.doc_id AS doc_id,
+               coalesce(string_agg(s.segment, ' ' ORDER BY pos)
+                        FILTER (WHERE h.segment IS NULL), '') AS clean_text
+        FROM segs s LEFT JOIN hot h USING (segment)
+        GROUP BY s.doc_id),
+    spl AS (SELECT doc_id, clean_text,
+                   {hash64_sql('doc_id', 'e2esplit')} % 5 = 0 AS is_new
+            FROM rb),
+    corp AS (SELECT doc_id, clean_text, md5(clean_text) AS fp
+             FROM spl WHERE NOT is_new),
+    bat AS (SELECT doc_id, clean_text, md5(clean_text) AS fp
+            FROM spl WHERE is_new),
+    dups AS (SELECT doc_id FROM bat WHERE fp IN (SELECT fp FROM corp)),
+    kept AS (SELECT doc_id, clean_text FROM corp
+             UNION ALL
+             SELECT doc_id, clean_text FROM bat b
+             WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = b.doc_id)),
+    ksh0 AS (SELECT doc_id, unnest({_E2E_CLEAN_SH8}) AS shingle FROM kept),
+    ksh AS (SELECT * FROM ksh0 WHERE shingle IN (
+                SELECT shingle FROM ksh0 GROUP BY shingle
+                HAVING count(*) <= 1000)),
+    kfl AS (SELECT doc_id, shingle,
+                   {hash64_sql('doc_id', 'split')} % 10 = 0 AS is_test
+            FROM ksh),
+    contam AS (SELECT DISTINCT b.doc_id
+               FROM kfl a JOIN kfl b ON a.shingle = b.shingle
+               WHERE a.is_test AND NOT b.is_test),
+    trainf AS (SELECT doc_id, clean_text FROM kept k
+               WHERE {hash64_sql('doc_id', 'split')} % 10 != 0
+                 AND NOT EXISTS (SELECT 1 FROM contam c
+                                 WHERE c.doc_id = k.doc_id)),
+    testd AS (SELECT doc_id, clean_text FROM kept
+              WHERE {hash64_sql('doc_id', 'split')} % 10 = 0),
+    ta AS (SELECT DISTINCT term FROM (
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM trainf)),
+    tb AS (SELECT DISTINCT term FROM (
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM testd)),
+    ha AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM ta),
+    hb AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM tb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    tha AS (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN 1152921504606846976 ELSE MAX(h) END AS theta_a
+            FROM ska),
+    thb AS (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN 1152921504606846976 ELSE MAX(h) END AS theta_b
+            FROM skb),
+    th AS (SELECT least(theta_a, theta_b) AS theta FROM tha, thb),
+    ints AS (SELECT h FROM ska INTERSECT SELECT h FROM skb),
+    uni AS (SELECT h FROM ska UNION SELECT h FROM skb),
+    ni AS (SELECT COUNT(*)::BIGINT AS n_inter FROM ints, th WHERE h < theta),
+    nu AS (SELECT COUNT(*)::BIGINT AS n_union FROM uni, th WHERE h < theta),
+    audit AS (
+        SELECT n_inter::DOUBLE / (theta::DOUBLE / {_KMV_POW60})
+                   AS resid_inter_est,
+               CASE WHEN n_union = 0 THEN 0.0
+                    ELSE n_inter::DOUBLE / n_union::DOUBLE
+               END AS resid_jaccard_est
+        FROM ni, nu, th),
+    cnts AS (
+        SELECT (SELECT count(*) FROM rb) AS n_docs_in,
+               (SELECT count(*) FROM dups) AS n_dup_dropped,
+               (SELECT count(*) FROM testd) AS n_test_held_out,
+               (SELECT count(*) FROM contam) AS n_contam_dropped),
+    ptoks AS (
+        SELECT doc_id,
+               ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
+               len(regexp_extract_all(clean_text,
+                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+        FROM trainf),
+    spans AS (
+        SELECT doc_id, shard_id, n_tok,
+               (SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS end_off
+        FROM ptoks WHERE n_tok > 0),
+    sp AS (SELECT *, end_off - n_tok AS start_off FROM spans),
+    expl AS (
+        SELECT shard_id, doc_id, start_off, end_off,
+               unnest(range(start_off // 512, (end_off - 1) // 512 + 1)) AS pack_id
+        FROM sp)
+    SELECT shard_id, pack_id, doc_id,
+           GREATEST(start_off, pack_id * 512) - pack_id * 512 AS offset_in_pack,
+           LEAST(end_off, (pack_id + 1) * 512)
+               - GREATEST(start_off, pack_id * 512) AS n_tokens,
+           n_docs_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
+           resid_inter_est, resid_jaccard_est
+    FROM expl, cnts, audit
+    ORDER BY shard_id, pack_id, doc_id
+    """,
+)
+def q_corpus_e2e_prep(spark, sf_dir):
+    """The composed nightly pretraining-prep DAG as ONE plan — the query
+    a real user schedules, regression-guarding the stage interfaces
+    against each other:
+
+    1. remove_boilerplate — CCNet-style cross-document segment dedup.
+    2. Bloom-chased exact dedup (build_bloom_index +
+       bloom_chased_duplicates over the cleaned text): the 20%
+       hash-split "tonight's batch" probes the 80% corpus's stored
+       Bloom words; only flagged docs chase the fingerprint index. The
+       oracle's dedup leg is plain exact membership — identical output
+       BY THE no-false-negative CONTRACT (is_dup = might_contain AND
+       exact, and exact implies might_contain), so a Bloom bug that
+       dropped a true duplicate would hash-mismatch here even though
+       the SQL never rebuilds the filter (the filter arithmetic itself
+       is pinned bit-for-bit by dedup_bloom_chase).
+    3. Contamination gate (contamination_pairs over the cleaned
+       survivors): the hash-held-out test split's 8-gram matches mark
+       train docs as contaminated; the training stream drops BOTH the
+       test docs and the contaminated train docs. The KMV-overlap
+       residual audit (kmv_overlap of train-vs-test trigram-shingle
+       sketches — the text_kmv_overlap instrument) rides on every
+       output row as resid_inter_est / resid_jaccard_est: the number a
+       monitoring job alerts on when residual leakage grows.
+    4. pack_sequences — the surviving train docs packed into fixed
+       512-token sequences per hash shard.
+
+    Output: the loader's pack-assignment table with the stage-attrition
+    audit columns (n_docs_in / n_dup_dropped / n_test_held_out /
+    n_contam_dropped) and the residual-overlap estimates attached via
+    1-row broadcast audit joins (BNLJ with 1-row build sides — the
+    allowed summary shape; the plan gate pins no CartesianProduct and
+    hash-join shapes for every real join). Scale: each stage keeps its
+    own documented shape — broadcast hot-segment anti-flag, ~m/32-row
+    Bloom word probe + chase on the flagged ~1%, df-capped inverted
+    8-gram index join, sketch-sized KMV legs, per-shard packing
+    windows — composing them adds no new shuffle beyond the stages'
+    own."""
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_chased_duplicates,
+        build_bloom_index,
+        shingles_col,
+    )
+    from ctcityscraper_spark.operators.text import kmv_overlap, kmv_sketch_terms
+    from ctcityscraper_spark.plans.queries_ext import _BLOOM_K, _BLOOM_M
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    rb = remove_boilerplate(docs).select("doc_id", "clean_text")
+    rb = _track_persist(rb.persist())
+
+    # stage 2: two-tier incremental exact dedup of the 20% batch against
+    # the 80% corpus
+    is_new = hash64(F.col("doc_id"), "e2esplit") % 5 == 0
+    corpus, batch = rb.filter(~is_new), rb.filter(is_new)
+    bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K, text="clean_text")
+    corpus_fp = corpus.select(
+        F.md5("clean_text").alias("fingerprint")
+    ).distinct()
+    verdicts = bloom_chased_duplicates(
+        batch, corpus_fp, bloom, _BLOOM_M, _BLOOM_K, text="clean_text"
+    )
+    dup_ids = verdicts.filter(F.col("is_dup")).select("doc_id")
+    kept = corpus.unionByName(batch.join(dup_ids, "doc_id", "left_anti"))
+    kept = _track_persist(kept.persist())
+
+    # stage 3: contamination gate + KMV residual audit
+    is_test = hash64(F.col("doc_id"), "split") % 10 == 0
+    contam = (
+        contamination_pairs(kept, text="clean_text")
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    train_f = kept.filter(~is_test).join(contam, "doc_id", "left_anti")
+    train_f = _track_persist(train_f.persist())
+    test_d = kept.filter(is_test)
+    sh3 = lambda d: d.select(
+        F.explode(shingles_col("clean_text", 3)).alias("term")
+    )
+    resid = kmv_overlap(
+        kmv_sketch_terms(sh3(train_f), "term", k=_KMV_K),
+        kmv_sketch_terms(sh3(test_d), "term", k=_KMV_K),
+        _KMV_K,
+    ).select(
+        F.col("inter_est").alias("resid_inter_est"),
+        F.col("jaccard_est").alias("resid_jaccard_est"),
+    )
+    cnts = (
+        rb.agg(F.count("*").alias("n_docs_in"))
+        .crossJoin(dup_ids.agg(F.count("*").alias("n_dup_dropped")))
+        .crossJoin(test_d.agg(F.count("*").alias("n_test_held_out")))
+        .crossJoin(contam.agg(F.count("*").alias("n_contam_dropped")))
+    )
+
+    # stage 4: pack the surviving training stream
+    packs = pack_sequences(train_f, text="clean_text")
+    return (
+        packs.crossJoin(F.broadcast(cnts.crossJoin(resid)))
+        .repartition(1)
+        .sortWithinPartitions("shard_id", "pack_id", "doc_id")
+    )

@@ -84,11 +84,12 @@ EMB_VALID = "(SELECT * FROM embeddings WHERE " + VALID_EMB_PRED + ")"
 TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
-def shingle_sql(n: int) -> str:
-    """DuckDB twin of operators.dedup.shingles_col."""
+def shingle_sql(n: int, col: str = "text") -> str:
+    """DuckDB twin of operators.dedup.shingles_col over column ``col``."""
+    toks = f"regexp_split_to_array(trim({col}), '\\s+')"
     return (
-        f"list_distinct(list_transform(range(0, greatest(len({TOKS}) - {n - 1}, 0)), "
-        f"i -> array_to_string(list_slice({TOKS}, i + 1, i + {n}), ' ')))"
+        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')))"
     )
 
 

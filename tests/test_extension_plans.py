@@ -707,3 +707,20 @@ class TestKmvPlans:
         )
         assert "MapInPandas" in plan
         assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+
+
+class TestE2ePrepPlan:
+    def test_e2e_prep_no_cartesian_and_real_joins_are_hash_joins(self, spark):
+        """corpus_e2e_prep composes four stages; its physical plan must
+        keep every real join hash-shaped: no CartesianProduct anywhere,
+        and every BroadcastNestedLoopJoin in the plan is one of the
+        1-row audit/summary attaches (counts + KMV overlap columns) —
+        the allowed summary shape, same as unigram_surprisal's scalar
+        attach. The stage-internal joins (hot-segment anti-flag, Bloom
+        word probe, fingerprint chase, contamination inverted index,
+        pack windows) must all plan as broadcast/sort-merge hash
+        joins."""
+        plan = plan_of(spark, "corpus_e2e_prep")
+        assert "CartesianProduct" not in plan
+        # hash joins present for the real stage joins
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
