@@ -75,6 +75,23 @@ def calibrate_shuffle(spark, trials: int = 3, rows: int = 32_000_000) -> float:
     return round(best, 4)
 
 
+# The query set of the PREVIOUS round's BENCH_r{N}.json (update at round
+# close when the headline set changes). build_output emits a
+# ``comparable_subtotal`` over exactly this set — raw and normalized —
+# so BENCH_rN vs BENCH_rN-1 is one field-to-field read instead of hand
+# adjudication of which queries both rounds share and how calibration
+# moved between boots.
+PRIOR_ROUND = "r10"
+PRIOR_ROUND_QUERY_SET = [
+    "ann_cosine_topk_vectorized", "corpus_segment_dedup",
+    "corpus_substring_spans", "dedup_bloom_chase",
+    "dedup_bloom_membership", "dedup_groups_connected",
+    "dedup_minhash_lsh", "events_tumbling_6h", "ingest_load_2000",
+    "join_agg_by_segment", "pricing_summary", "scd2_latest_state",
+    "subq_outer_join_order_counts", "top_revenue_orders",
+]
+
+
 def time_query(spark, fn, sf_dir: str, max_trials: int = 3) -> tuple[float | None, str | None]:
     """Best-of-2 cold trials (3 when the first two disagree badly); returns
     (best_seconds | None, error | None). A single local[32] run is
@@ -158,6 +175,20 @@ def build_output(
         # second normalization axis (shuffle/exchange path) — recorded,
         # not used in the normalized metrics, so trends stay continuous
         out["calibration_shuffle_sec"] = calibration_shuffle_sec
+    # round-over-round comparable subtotal: the sum over EXACTLY the
+    # prior round's query set, only when every one of them completed —
+    # the one-field answer to "did shared code get faster or slower"
+    prior = {n: timings[n] for n in PRIOR_ROUND_QUERY_SET if n in timings}
+    if len(prior) == len(PRIOR_ROUND_QUERY_SET):
+        out["comparable_subtotal"] = {
+            "vs_round": PRIOR_ROUND,
+            "n_queries": len(prior),
+            "value": round(sum(prior.values()), 4),
+        }
+        if calibration_sec:
+            out["comparable_subtotal"]["value_normalized"] = round(
+                sum(prior.values()) / calibration_sec, 4
+            )
     if errors:
         # the total is NOT round-comparable when any query errored out —
         # flag it rather than letting a smaller sum read as a speedup

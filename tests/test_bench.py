@@ -107,3 +107,28 @@ class TestCalibration:
         assert out["calibration_shuffle_sec"] == c
         # the existing normalized metrics stay defined against the CPU job
         assert out["value_normalized"] == 1.0
+
+
+class TestComparableSubtotal:
+    def test_emitted_only_when_prior_set_complete(self):
+        from bench import PRIOR_ROUND, PRIOR_ROUND_QUERY_SET
+
+        full = {n: 1.0 for n in PRIOR_ROUND_QUERY_SET}
+        out = build_output(
+            {**full, "brand_new_query": 9.0}, {}, sf=0.1, calibration_sec=2.0
+        )
+        sub = out["comparable_subtotal"]
+        assert sub["vs_round"] == PRIOR_ROUND
+        assert sub["n_queries"] == len(PRIOR_ROUND_QUERY_SET)
+        # the new query's 9.0 must NOT leak into the subtotal
+        assert sub["value"] == float(len(PRIOR_ROUND_QUERY_SET))
+        assert sub["value_normalized"] == len(PRIOR_ROUND_QUERY_SET) / 2.0
+
+    def test_absent_when_a_prior_query_is_missing(self):
+        from bench import PRIOR_ROUND_QUERY_SET
+
+        partial = {n: 1.0 for n in PRIOR_ROUND_QUERY_SET[:-1]}
+        out = build_output(partial, {}, sf=0.1, calibration_sec=2.0)
+        # a subtotal over FEWER queries than the prior set must never
+        # read as a round-over-round speedup — omit it entirely
+        assert "comparable_subtotal" not in out
