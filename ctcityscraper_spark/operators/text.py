@@ -789,8 +789,18 @@ def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
 
     Shape: two ≤ k-row inputs — the join, union and aggregates all run on
     sketch-sized data (the 1-row theta frame broadcasts); nothing here
-    ever touches a corpus."""
+    ever touches a corpus. The inputs are persisted FIRST (registered
+    with operators.artifacts for release): each sketch feeds the theta
+    aggregate, the intersection, and the union — five subplan reuses
+    total — and when the input is a full build pipeline rather than a
+    stored ≤ k-row table, un-persisted reuse re-executes the corpus
+    sketch pass per reference (measured 82 s → 7 s on the composed
+    corpus_e2e_prep query at sf0.1)."""
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+
     pow60 = 1 << 60
+    sk_a = _track_persist(sk_a.select("h").persist())
+    sk_b = _track_persist(sk_b.select("h").persist())
     th_a = sk_a.agg(
         F.count("*").alias("na"), F.max("h").alias("ma")
     ).select(

@@ -1399,16 +1399,23 @@ def q_corpus_e2e_prep(spark, sf_dir):
     verdicts = bloom_chased_duplicates(
         batch, corpus_fp, bloom, _BLOOM_M, _BLOOM_K, text="clean_text"
     )
-    dup_ids = verdicts.filter(F.col("is_dup")).select("doc_id")
+    # dup_ids feeds both the anti-join and the attrition counts; without
+    # the persist each reuse re-runs the whole bloom-probe + chase
+    dup_ids = _track_persist(
+        verdicts.filter(F.col("is_dup")).select("doc_id").persist()
+    )
     kept = corpus.unionByName(batch.join(dup_ids, "doc_id", "left_anti"))
     kept = _track_persist(kept.persist())
 
     # stage 3: contamination gate + KMV residual audit
     is_test = hash64(F.col("doc_id"), "split") % 10 == 0
-    contam = (
+    # contam feeds the anti-join AND the attrition counts — persist the
+    # tiny id list so the inverted-index join runs once
+    contam = _track_persist(
         contamination_pairs(kept, text="clean_text")
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
+        .persist()
     )
     train_f = kept.filter(~is_test).join(contam, "doc_id", "left_anti")
     train_f = _track_persist(train_f.persist())
