@@ -63,6 +63,17 @@ from ctcityscraper_spark.operators.text import (
 from ctcityscraper_spark.plans.queries import query
 from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
 
+
+def _persist(df):
+    """Persist + register a frame that the enclosing query references in
+    two or more subplans (recall audits join a result AND count it):
+    without this each reference re-executes the frame's whole upstream
+    pipeline — the kmv_overlap lesson (82 s → 7 s), applied to the
+    audit-query shape."""
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+
+    return _track_persist(df.persist())
+
 EMB_DIMS = 64
 
 # SQL twin of operators.similarity.valid_vector_cond — the usable-vector
@@ -1334,10 +1345,12 @@ def q_ann_ivf_recall(spark, sf_dir):
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
     qs = emb.filter(F.col("vec_id") < 10)
     ctrs = hash_pick_centroids(emb, 8)
-    approx = ivf_flat_topk(emb, qs, ctrs, k=5, n_probe=2).select(
-        "query_id", "neighbor_id"
+    approx = _persist(
+        ivf_flat_topk(emb, qs, ctrs, k=5, n_probe=2).select(
+            "query_id", "neighbor_id"
+        )
     )
-    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    exact = _persist(cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id"))
     hits = exact.join(approx, ["query_id", "neighbor_id"])
     return (
         exact.agg(F.count("*").alias("n_exact"))
@@ -1562,7 +1575,7 @@ def q_ann_pca_ivf_recall(spark, sf_dir):
     plain = ivf_flat_topk(
         emb, qs, hash_pick_centroids(emb, 8), k=5, n_probe=2
     ).select("query_id", "neighbor_id")
-    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    exact = _persist(cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id"))
     hits_pca = exact.join(approx, ["query_id", "neighbor_id"])
     hits_plain = exact.join(plain, ["query_id", "neighbor_id"])
     return (
@@ -1844,8 +1857,10 @@ def q_dedup_lsh_recall(spark, sf_dir):
     (k, bands, threshold). Both sides are inverted-index joins (never
     quadratic); recall/precision are single exact divisions of counts."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    truth = ngram_jaccard_pairs(docs, n=5, threshold=0.6).select("doc_a", "doc_b")
-    cand = minhash_lsh_pairs(docs, k=16, bands=8, n=5)
+    truth = _persist(
+        ngram_jaccard_pairs(docs, n=5, threshold=0.6).select("doc_a", "doc_b")
+    )
+    cand = _persist(minhash_lsh_pairs(docs, k=16, bands=8, n=5))
     hits = truth.join(cand, ["doc_a", "doc_b"])
     return (
         truth.agg(F.count("*").alias("n_true"))
@@ -2045,10 +2060,10 @@ def q_ann_pq_recall(spark, sf_dir):
     integers; recall is a single division."""
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
     qs = emb.filter(F.col("vec_id") < 10)
-    approx = pq_adc_topk(emb, qs, EMB_DIMS, k=5).select(
-        "query_id", "neighbor_id"
+    approx = _persist(
+        pq_adc_topk(emb, qs, EMB_DIMS, k=5).select("query_id", "neighbor_id")
     )
-    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    exact = _persist(cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id"))
     hits = exact.join(approx, ["query_id", "neighbor_id"])
     return (
         exact.agg(F.count("*").alias("n_exact"))
