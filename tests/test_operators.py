@@ -445,6 +445,42 @@ class TestConnectedComponents:
         assert set(got.values()) == {0}
         assert len(got) == n + 1
 
+    def test_jumps_values_agree_on_chain_and_random_graph(self, spark):
+        """Chained pointer jumping (jumps > 1) trades intra-round label
+        joins for fewer inter-round barriers; the labels must be
+        IDENTICAL for any jumps value on both distributed paths (every
+        composition is monotone non-increasing). jumps=1 is the r10
+        behavior; jumps=3 is the new default."""
+        import random
+
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.graph import connected_components
+
+        rng = random.Random(7)
+        rand_edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+        for rows in ([(i, i + 1) for i in range(40)], rand_edges):
+            edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+            base = None
+            for jumps in (1, 2, 3):
+                got = {
+                    r.node: r.component
+                    for r in connected_components(
+                        edges, driver_max_edges=0, jumps=jumps
+                    ).collect()
+                }
+                base = got if base is None else base
+                assert got == base
+            shuffle = {
+                r.node: r.component
+                for r in connected_components(
+                    edges, driver_max_edges=0, broadcast_max_edges=0, jumps=3
+                ).collect()
+            }
+            assert shuffle == base
+        with _pytest.raises(ValueError, match="jumps"):
+            connected_components(edges, jumps=0)
+
 
 class TestConnectedComponentsNullEdges:
     def test_null_endpoints_drop_identically_on_all_paths(self, spark):
