@@ -35,64 +35,61 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # Round-10 rotation. Rotated OUT, all with >=2 green driver rounds and
-    # still in-repo oracle-gated every run: the thirteen
-    # kept-for-a-second-round r8 rows (ann_int8_topk,
-    # ann_srp_multiprobe_topk, approx_aggregates_check,
-    # corpus_boilerplate_segments, corpus_contamination,
-    # corpus_mixture_resample, corpus_pii_scrub, corpus_repetition_signals,
-    # corpus_sample_k_per_group, corpus_shard_stats,
-    # corpus_stratified_sample, text_top_bigrams, dedup_bloom_membership)
-    # and the fourteen relational-core rows brought back in r9
-    # (pricing_summary, join_agg_by_segment, conditional_pivot_agg,
-    # json_extract_props, events_tumbling_6h, events_sliding_1h_30m,
-    # text_profile, corpus_token_budget, text_vocab_coverage,
-    # dedup_incremental_exact, ann_ivf_recall, ann_pq_recall,
-    # dedup_keep_best, corpus_quality_deciles), each now at 3-8 green
-    # rounds.
+    # Round-11 rotation (r10 VERDICT item 7: oldest-verified rows come
+    # back first; reserve slots only for queries that exist at commit
+    # time — _ordered below enforces that). Rotated OUT: every r10-
+    # verified row except the one-green-round keepers — the seven
+    # second-round-kept r9 rows (dedup_bloom_update, dedup_bloom_chase,
+    # text_unigram_surprisal, ann_int8_gram_matrix,
+    # text_cms_heavy_hitters, dedup_jaccard_cms_capped,
+    # multimodal_frame_sample, now 2 green rounds each), the sixteen
+    # subquery/engine/asof/range/window rows and the eleven standing
+    # family representatives (3-9 green rounds each). All remain
+    # in-repo + adversarial oracle-gated every run.
     #
-    # Rotated IN: the six late-r9 additions that have never held a driver
-    # row (all green in the r9 in-repo sf0.01 gate) ...
-    "ann_gram_update", "ann_ivf_update",
-    "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
-    "text_kmv_update", "text_kmv_overlap",
-    # ... the r11 additions (quantile-sketch family, PQ incremental
-    # maintenance, the composed corpus-prep DAG — each implemented and
-    # in-repo oracle-gated in the same commit that adds its name) ...
+    # IN — the five r11 additions, never driver-verified (each was
+    # implemented + in-repo oracle-gated in the same commit that added
+    # its name here) ...
     "text_quantile_sketch", "text_quantile_update",
     "text_quantile_by_source", "ann_pq_update", "corpus_e2e_prep",
-    # ... and ann_pca_ivf_recall KEPT: its r9 row was rows-only
-    # (no_oracle); r10 attaches a real oracle (components persisted as a
-    # sidecar the SQL reads), so this round's row is its first hash-match
-    "ann_pca_ivf_recall",
-    # kept for a second verified round (first green row was r9)
-    "dedup_bloom_update", "dedup_bloom_chase", "text_unigram_surprisal",
-    "ann_int8_gram_matrix", "text_cms_heavy_hitters",
-    "dedup_jaccard_cms_capped", "multimodal_frame_sample",
-    # back IN after one round out (rotated out in r9 with 2+ green
-    # rounds): the subquery/engine/asof/range/window analytic core
-    "engine_scd2_current", "engine_scd2_changed_since",
-    "subq_exists_late_shipment", "subq_outer_join_order_counts",
-    "subq_rich_inactive_customers", "subq_scalar_avg_quantity",
-    "dedup_lsh_recall", "scd2_as_of", "timeseries_gapfill_locf",
-    "window_frame_stats", "range_join_surge_windows",
-    "text_tfidf_top_terms",
-    "dedup_exact_summary", "dedup_incremental_lsh",
-    "dedup_cascade_confirmed", "dedup_embedding_blocked",
-    # standing family representatives (SCD2 / events / dedup / ANN /
-    # corpus) so every family holds a fresh row each round
-    "scd2_latest_state", "scd2_history_versions",
-    "events_sessionization",
-    "dedup_minhash_lsh", "dedup_groups_connected",
-    "ann_cosine_topk_vectorized", "ann_ivf_topk", "ann_pq_rerank_topk",
-    "corpus_segment_dedup", "corpus_substring_spans",
-    "corpus_pack_sequences",
+    # ... kept for a second verified round (first green row was r10):
+    # the six late-r9 additions and ann_pca_ivf_recall's first
+    # hash-match row ...
+    "ann_gram_update", "ann_ivf_update",
+    "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
+    "text_kmv_update", "text_kmv_overlap", "ann_pca_ivf_recall",
+    # ... oldest-verified first: last green r1 ...
+    "ann_cosine_topk", "asof_join_last_purchase", "multimodal_bytes_meta",
+    # ... last green r4 ...
+    "dedup_drop_list", "dedup_embedding_neardup", "dedup_ngram_jaccard",
+    "dedup_simhash_signatures", "dedup_winnow_pairs",
+    "quality_filter_pipeline", "text_bpe_token_count",
+    "text_lang_confusion", "text_winnow_fingerprints",
+    # ... last green r5 ...
+    "date_bucket_monthly", "except_lapsed_customers", "groupby_cube",
+    "groupby_grouping_sets", "regex_extract_tokens", "string_normalize",
+    "window_running_total",
+    # ... last green r6 ...
+    "entity_uuid_identity", "money_roundtrip", "quantiles_by_status",
+    "regional_customer_revenue", "row_hash_content", "top_revenue_orders",
+    "union_by_name",
+    # ... last green r8 ...
+    "ann_pq_adc_topk", "corpus_cut_spans", "corpus_incremental_spans",
+    "events_cohort_retention", "events_funnel_ordered",
+    # ... and seven family representatives from the 29 last-green-r9
+    # rows (ANN recall audits, SemDeDup, SimHash pairs, SCD2 CDC,
+    # corpus ranking) so SCD2/ANN/dedup/corpus each hold a fresh row
+    "ann_ivf_recall", "ann_pq_recall", "ann_srp_lsh_topk",
+    "dedup_semdedup_drop_list", "dedup_simhash_pairs",
+    "scd2_changed_since", "corpus_quality_deciles",
 ]
 # Verification record (matches CORRECTNESS_r01–r10): all 110 catalog
 # queries at r10 HEAD hold >= 1 driver-verified green row — 104 across
 # r1–r9 plus the six late-r9 additions verified in r10, where
 # ann_pca_ivf_recall also got its first hash-match (its r9 row was
-# rows-only). Names added to DRIVER_PRIORITY must exist in the catalog
+# rows-only). The five r11 additions above hold no driver row yet —
+# they are first in the window precisely so this round's run records
+# theirs. Names added to DRIVER_PRIORITY must exist in the catalog
 # at commit time — _ordered raises on unknown names so a typo (or a
 # planned-but-unbuilt query) cannot silently fall out of the window.
 # Everything outside the window remains in-repo + adversarial
