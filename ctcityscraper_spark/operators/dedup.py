@@ -514,6 +514,95 @@ def _jaccard_verify_from_shingles(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold_pct: int = 60,
+    df_cap: int | None = JACCARD_DF_CAP,
+    df_cap_sketched: bool = False,
+) -> DataFrame:
+    """Exact Jaccard self-join via prefix filtering (AllPairs/PPJoin
+    family) — the EXACT-recall counterpart to ``minhash_lsh_pairs``.
+
+    Same output contract as :func:`ngram_jaccard_pairs` (row-identical by
+    construction: candidates are verified by the shared
+    ``_jaccard_verify_from_shingles`` over the same shingle universe),
+    but candidate generation never joins the full inverted index:
+
+    - Each doc's shingles are ordered by ASCENDING global document
+      frequency (ties by shingle value — a deterministic total order),
+      and only the first ``p = s - ceil(t*s) + 1`` of its ``s`` shingles
+      are indexed. Prefix-filtering principle: J(A,B) >= t implies
+      ``|A∩B| >= ceil(t/(1+t)*(|A|+|B|)) >= ceil(t*|A|)`` and
+      ``>= ceil(t*|B|)``, so by pigeonhole the two prefixes must share a
+      token — no candidate (hence no result row) is ever lost, unlike
+      LSH's probabilistic recall.
+    - The prefix join therefore touches only the ~(1-t) RAREST tokens of
+      each doc: the hot boilerplate shingles that dominate Σ bucket² in
+      the naive self-join sort to the END of the df-ascending order and
+      never enter the index. ``df_cap`` stays as the adversarial
+      backstop (and keeps the verify universe identical to
+      ``ngram_jaccard_pairs``).
+    - Candidates below the size bound ``t*max(|A|,|B|) <= min(|A|,|B|)``
+      (a necessary condition for J >= t) are pruned before verification.
+
+    All candidate arithmetic is pure-integer (``threshold_pct`` is an
+    integer percent; ``ceil(t*s)`` is ``(t_pct*s + 99) div 100``), so no
+    float rounding can shift a prefix length across engines; the single
+    float comparison is the final verify division — the same rule the
+    oracle applies. Shuffle shape: one groupBy(shingle) for document
+    frequencies, one doc-keyed window for prefix ranks, the prefix-only
+    equi-join, then candidate-bounded verification — never a cross join.
+    """
+    if not (isinstance(threshold_pct, int) and 1 <= threshold_pct <= 100):
+        raise ValueError(
+            f"threshold_pct must be an integer in [1, 100], got {threshold_pct!r}"
+        )
+    sh = doc_shingles(df, text, id_col, n)
+    sh = _drop_hot(sh, "shingle", df_cap, df_cap_sketched)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("dfq", "shingle")
+            ),
+        )
+        .withColumn(
+            "set_size", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    )
+    # index prefix: rn <= s - ceil(t*s) + 1, integer-exact
+    alpha = F.expr(f"({threshold_pct} * set_size + 99) div 100")
+    prefix = ranked.filter(F.col("rn") <= F.col("set_size") - alpha + 1).select(
+        "doc_id", "shingle", "set_size"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    big = F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+    small = F.least(F.col("a.set_size"), F.col("b.set_size"))
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(threshold_pct) * big <= F.lit(100) * small),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify over the ALREADY-capped index (cap=None: `sh` has the hot
+    # shingles dropped above, so re-deriving the hot list would redo the
+    # distinct-shingle aggregation for an identical universe)
+    return _jaccard_verify_from_shingles(
+        sh, candidates, threshold_pct / 100, None
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str = "text",

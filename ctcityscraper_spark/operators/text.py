@@ -996,6 +996,39 @@ def quantile_estimate(
     )
 
 
+def quantile_drift(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    percentiles: tuple = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Epoch-over-epoch distribution drift from two quantile sketches
+    built with the same (k, seed): one row per percentile with
+    (pct, est_a, est_b, drift = est_b - est_a) plus both sample sizes.
+    The monitoring join a nightly pipeline alerts on — "did this epoch's
+    quality distribution move" — computed entirely from two ≤ k-row
+    samples (sketch-sized work; the raw epochs are never re-read). The
+    subtraction is over values both engines selected identically, so the
+    drift column is IEEE-exact cross-engine."""
+    ea = quantile_estimate(sketch_a, percentiles).select(
+        "pct",
+        F.col("n_kept").alias("n_kept_a"),
+        F.col("est").alias("est_a"),
+    )
+    eb = quantile_estimate(sketch_b, percentiles).select(
+        "pct",
+        F.col("n_kept").alias("n_kept_b"),
+        F.col("est").alias("est_b"),
+    )
+    return ea.join(eb, "pct").select(
+        "pct",
+        "n_kept_a",
+        "n_kept_b",
+        "est_a",
+        "est_b",
+        (F.col("est_b") - F.col("est_a")).alias("drift"),
+    )
+
+
 def quantile_sketch_by(
     df: DataFrame,
     keys: list[str],

@@ -1226,6 +1226,63 @@ def q_text_quantile_by_source(spark, sf_dir):
     )
 
 
+@query(
+    "text_quantile_drift",
+    oracle=f"""
+    WITH v AS (SELECT doc_id, ({quality_score_sql('text')})::DOUBLE AS val,
+                      {hash64_sql('doc_id', 'qdrift')} % 2 = 0 AS is_b
+               FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    hv AS (SELECT {hash64_sql('doc_id', 'qsk')} AS h, val, is_b FROM v
+           WHERE val IS NOT NULL AND NOT isnan(val)),
+    ska AS (SELECT h, val FROM hv WHERE NOT is_b
+            ORDER BY h, val LIMIT {_QSK_K}),
+    skb AS (SELECT h, val FROM hv WHERE is_b
+            ORDER BY h, val LIMIT {_QSK_K}),
+    sa AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val, h) AS rn,
+                  COUNT(*) OVER () AS n_kept FROM ska),
+    sb AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val, h) AS rn,
+                  COUNT(*) OVER () AS n_kept FROM skb),
+    ps AS (SELECT unnest({_QSK_PCTS})::INT AS pct),
+    ea AS (SELECT pct, n_kept AS n_kept_a, val AS est_a FROM ps JOIN sa
+           ON rn = (pct * n_kept + 99) // 100),
+    eb AS (SELECT pct, n_kept AS n_kept_b, val AS est_b FROM ps JOIN sb
+           ON rn = (pct * n_kept + 99) // 100)
+    SELECT pct, n_kept_a, n_kept_b, est_a, est_b, est_b - est_a AS drift
+    FROM ea JOIN eb USING (pct) ORDER BY pct
+    """,
+)
+def q_text_quantile_drift(spark, sf_dir):
+    """Epoch-over-epoch quality-distribution drift
+    (operators/text.quantile_drift): the corpus hash-splits into two
+    epochs, each epoch's quality scores are quantile-sketched (the same
+    bounded-state sample as text_quantile_sketch), and per-percentile
+    estimates are joined into (est_a, est_b, drift) rows — the alert
+    input of a nightly corpus monitor ("did this crawl's quality
+    distribution move"), computed entirely from two <= k-row samples.
+    At 100 TB the epochs are never re-read: each epoch's sketch is the
+    persisted <= k-row artifact its own round already maintains
+    (update_quantile_sketch), and the drift join is sketch x sketch.
+    Rank selection and the final subtraction are integer/IEEE-exact, so
+    DuckDB matches bit-for-bit."""
+    from ctcityscraper_spark.operators.text import (
+        quality_score_col,
+        quantile_drift,
+        quantile_sketch,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    v = docs.select("doc_id", quality_score_col("text").alias("val"))
+    is_b = hash64(F.col("doc_id"), "qdrift") % 2 == 0
+    sk_a = quantile_sketch(v.filter(~is_b), "val", "doc_id", k=_QSK_K)
+    sk_b = quantile_sketch(v.filter(is_b), "val", "doc_id", k=_QSK_K)
+    return (
+        quantile_drift(sk_a, sk_b)
+        .repartition(1)
+        .sortWithinPartitions("pct")
+    )
+
+
 # =========================================================================
 # corpus_e2e_prep — the composed nightly pretraining-prep DAG: boilerplate
 # removal -> bloom-chased exact dedup -> contamination gate (with a KMV-

@@ -499,6 +499,52 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT doc_id, unnest({shingle_sql(5)}) AS shingle FROM documents
+    ), sh AS (
+        SELECT * FROM sh0 WHERE shingle IN (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_prefix_filter_join(spark, sf_dir):
+    """Exact set-similarity self-join via prefix filtering
+    (operators/dedup.prefix_filter_jaccard_pairs, the AllPairs/PPJoin
+    family) — the exact-recall counterpart to dedup_minhash_lsh. Only
+    each doc's (1-t) fraction of RAREST shingles (df-ascending global
+    order) is indexed, so the candidate join never touches the hot
+    boilerplate buckets that dominate the naive inverted-index
+    self-join's Σ bucket²; candidates are then verified by the same
+    exact-Jaccard kernel as dedup_ngram_jaccard. The oracle computes
+    the naive exact join — a hash match therefore PROVES the prefix
+    index lost no pair (recall = 1 by the prefix-filtering principle,
+    with pure-integer prefix arithmetic so no float rounding can shift
+    a prefix length cross-engine), which no LSH variant can claim."""
+    from ctcityscraper_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        prefix_filter_jaccard_pairs(docs, n=5, threshold_pct=50)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
+@query(
     "dedup_jaccard_cms_capped",
     oracle=f"""
     WITH sh0 AS (

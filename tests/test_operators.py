@@ -1823,3 +1823,156 @@ class TestPqUpdate:
             for r in pq_adc_topk_codes(codes, queries, cb, k=3).collect()
         )
         assert probe(merged) == probe(one_shot) and probe(merged)
+
+
+class TestPrefixFilterJoin:
+    """prefix_filter_jaccard_pairs must be ROW-IDENTICAL to
+    ngram_jaccard_pairs (exact recall is the whole claim — the prefix
+    index prunes candidates, never results)."""
+
+    @staticmethod
+    def _rows(df):
+        return sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+
+    def test_identical_to_naive_on_corpus(self, spark):
+        from ctcityscraper_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        for tp in (30, 60, 90):
+            ref = self._rows(ngram_jaccard_pairs(docs, n=5, threshold=tp / 100))
+            got = self._rows(
+                prefix_filter_jaccard_pairs(docs, n=5, threshold_pct=tp)
+            )
+            assert got == ref and (tp > 30 or ref)
+
+    def test_threshold_boundary_pairs_kept(self, spark):
+        """Pairs sitting EXACTLY at the threshold must survive the prefix
+        index — the integer prefix arithmetic may not round one away.
+        jaccard('a b c d', 'a b c e') on 1-grams = 3/5; 2/6=1/3 on the
+        planted second pair."""
+        from ctcityscraper_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d"),
+                Row(doc_id=2, text="a b c e"),
+                Row(doc_id=3, text="x y a b"),
+                Row(doc_id=4, text="p q r s"),
+            ]
+        )
+        got = self._rows(
+            prefix_filter_jaccard_pairs(df, n=1, threshold_pct=60, df_cap=None)
+        )
+        ref = self._rows(ngram_jaccard_pairs(df, n=1, threshold=0.6, df_cap=None))
+        assert got == ref
+        assert (1, 2, 0.6) in got  # the exactly-at-threshold pair survived
+
+    def test_single_shingle_docs(self, spark):
+        """s=1 edge: prefix length = 1 - ceil(t) + 1 = 1 — the doc's one
+        shingle IS its prefix, so identical one-shingle docs still pair."""
+        from ctcityscraper_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="only"), Row(doc_id=2, text="only")]
+        )
+        got = self._rows(
+            prefix_filter_jaccard_pairs(df, n=1, threshold_pct=100, df_cap=None)
+        )
+        assert got == [(1, 2, 1.0)]
+
+    def test_hot_shingles_never_indexed(self, spark):
+        """The df-ascending order puts boilerplate shingles at prefix
+        TAILS: with 100 docs sharing one hot 1-gram plus distinct rare
+        tokens, the hot token must not appear in any indexed prefix row
+        at t=50 (prefix = rarest half + 1), so the candidate join stays
+        linear. Verified structurally: pairs out == naive out AND the
+        only surviving pair is the planted twin pair."""
+        from ctcityscraper_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        base = [
+            Row(doc_id=i, text=f"hot u{i}a u{i}b u{i}c") for i in range(100)
+        ]
+        twins = [
+            Row(doc_id=100, text="alpha beta gamma delta"),
+            Row(doc_id=101, text="alpha beta gamma epsilon"),
+        ]
+        df = spark.createDataFrame(base + twins).repartition(4)
+        got = self._rows(
+            prefix_filter_jaccard_pairs(df, n=1, threshold_pct=50, df_cap=None)
+        )
+        assert [(a, b) for a, b, _ in got] == [(100, 101)]
+
+    def test_df_cap_universe_matches_naive(self, spark):
+        from ctcityscraper_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="c1 c2 c3 c4 c5 t1 t2 t3 t4 t5") for i in range(5)]
+        )
+        # cap at 4 drops every shingle (df=5 each) -> empty, like naive
+        assert (
+            prefix_filter_jaccard_pairs(
+                df, n=5, threshold_pct=10, df_cap=4
+            ).count()
+            == 0
+        )
+
+    def test_threshold_pct_validated(self, spark):
+        from ctcityscraper_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+        for bad in (0, 101, 0.5):
+            with pytest.raises(ValueError):
+                prefix_filter_jaccard_pairs(df, threshold_pct=bad)
+
+
+class TestQuantileDrift:
+    def test_drift_is_estimate_difference(self, spark):
+        """drift must equal est_b - est_a per percentile, with both legs
+        equal to quantile_estimate run on each sketch separately."""
+        from ctcityscraper_spark.operators.text import (
+            quantile_drift,
+            quantile_estimate,
+            quantile_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, val=float(i % 97)) for i in range(1, 800)]
+        )
+        a = quantile_sketch(df.filter(F.col("doc_id") % 2 == 0), "val", "doc_id", k=64)
+        b = quantile_sketch(df.filter(F.col("doc_id") % 2 == 1), "val", "doc_id", k=64)
+        got = {
+            r.pct: (r.n_kept_a, r.n_kept_b, r.est_a, r.est_b, r.drift)
+            for r in quantile_drift(a, b).collect()
+        }
+        ea = {r.pct: (r.n_kept, r.est) for r in quantile_estimate(a).collect()}
+        eb = {r.pct: (r.n_kept, r.est) for r in quantile_estimate(b).collect()}
+        assert set(got) == {25, 50, 75, 90, 99}
+        for pct, (na, nb, va, vb, d) in got.items():
+            assert (na, va) == ea[pct] and (nb, vb) == eb[pct]
+            assert d == vb - va
+
+    def test_identical_epochs_zero_drift(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            quantile_drift,
+            quantile_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, val=float(i)) for i in range(1, 300)]
+        )
+        sk = quantile_sketch(df, "val", "doc_id", k=32)
+        assert all(
+            r.drift == 0.0 for r in quantile_drift(sk, sk).collect()
+        )

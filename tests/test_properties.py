@@ -696,3 +696,40 @@ class TestQuantileSketchProperty:
             for p in (25, 50, 75, 90, 99):
                 want = sample[(p * n + 99) // 100 - 1][0]
                 assert got[p] == (n, want)
+
+
+class TestPrefixFilterExactRecall:
+    """prefix_filter_jaccard_pairs ≡ ngram_jaccard_pairs on ARBITRARY
+    corpora and thresholds — the prefix-filtering principle's exact-recall
+    guarantee, adversarially sampled. Tiny-alphabet texts are
+    duplication-dense, so random corpora actually produce pairs at and
+    around the threshold (including exact threshold hits where an
+    off-by-one in the integer prefix arithmetic would show)."""
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=24),
+            min_size=2, max_size=6,
+        ),
+        tp=st.sampled_from([1, 25, 50, 66, 100]),
+    )
+    def test_matches_naive_join(self, spark, texts, tp):
+        from ctcityscraper_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = lambda d: sorted(
+            (r.doc_a, r.doc_b, r.jaccard) for r in d.collect()
+        )
+        got = rows(
+            prefix_filter_jaccard_pairs(df, n=2, threshold_pct=tp, df_cap=None)
+        )
+        ref = rows(ngram_jaccard_pairs(df, n=2, threshold=tp / 100, df_cap=None))
+        assert got == ref
