@@ -98,6 +98,7 @@ def remove_boilerplate(
     id_col: str = "doc_id",
     width: int = SEGMENT_WIDTH,
     min_docs: int = BOILER_MIN_DOCS,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style segment dedup: drop cross-document repeated segments.
 
@@ -108,11 +109,23 @@ def remove_boilerplate(
     set -> one groupBy(doc_id) reassembling surviving segments in position
     order. Two shuffles total (hot-set agg + reassembly); the reassembly
     collect_list is per-document, bounded by document length.
+
+    ``hot`` is the delta path: a precomputed hot-segment frame (any frame
+    with a ``segment`` column — e.g. yesterday's ``boilerplate_segments``
+    output read from storage) is APPLIED without recomputing corpus-wide
+    segment frequencies, so a nightly batch pays only its own segment
+    explode + the broadcast anti-flag. The policy trade is explicit:
+    between hot-list refreshes, new boilerplate that only emerges in
+    recent batches is not yet dropped (recompute cadence is the knob).
     """
     seg = segments(df, text, id_col, width)
-    hot = boilerplate_segments(seg, min_docs).select(
-        "segment", F.lit(True).alias("is_boiler")
-    )
+    if hot is None:
+        hot = boilerplate_segments(seg, min_docs)
+    else:
+        # stored lists are distinct by construction (groupBy output), but a
+        # duplicated segment row here would fan out the flag join — guard
+        hot = hot.select("segment").distinct()
+    hot = hot.select("segment", F.lit(True).alias("is_boiler"))
     flagged = seg.join(F.broadcast(hot), "segment", "left").select(
         "doc_id", "pos", "segment", F.coalesce("is_boiler", F.lit(False)).alias("is_boiler")
     )
@@ -353,6 +366,7 @@ def pack_sequences(
     seq_len: int = PACK_SEQ_LEN,
     num_shards: int = PACK_SHARDS,
     seed: str = "pack",
+    base_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: the map from documents to
     fixed-length training sequences.
@@ -374,6 +388,15 @@ def pack_sequences(
     pure arithmetic on the running offset, and the span explode
     (`F.sequence`) is narrow. Token counts use the BPE-ish pre-tokenizer
     regex inside the scan stage.
+
+    ``base_offsets`` is the pack-CONTINUATION delta path: a per-shard
+    cursor frame ``(shard_id, base_off)`` — the previous run's per-shard
+    packed-token totals read from storage — shifts every offset so
+    tonight's batch appends to the existing token stream (a batch doc can
+    land mid-way through the stored run's last partial pack, exactly as a
+    full rerun over old+new would place it when new ids sort after old).
+    The batch pays only its own window; shards absent from the cursor
+    start at 0. The frame is ≤ num_shards rows, so it broadcasts.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -393,6 +416,18 @@ def pack_sequences(
     spans = toks.withColumn("end_off", F.sum("n_tok").over(w)).withColumn(
         "start_off", F.col("end_off") - F.col("n_tok")
     )
+    if base_offsets is not None:
+        base = base_offsets.select(
+            F.col("shard_id").cast("int").alias("shard_id"),
+            F.col("base_off").cast("long").alias("base_off"),
+        )
+        spans = (
+            spans.join(F.broadcast(base), "shard_id", "left")
+            .withColumn("__base", F.coalesce("base_off", F.lit(0)))
+            .withColumn("end_off", F.col("end_off") + F.col("__base"))
+            .withColumn("start_off", F.col("start_off") + F.col("__base"))
+            .drop("base_off", "__base")
+        )
     packs = spans.select(
         "shard_id",
         "doc_id",

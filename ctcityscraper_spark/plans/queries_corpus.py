@@ -1502,3 +1502,274 @@ def q_corpus_e2e_prep(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("shard_id", "pack_id", "doc_id")
     )
+
+
+# =========================================================================
+# corpus_e2e_prep_incremental — the DELTA-SIZED nightly variant of the
+# composed DAG: tonight's 20% batch is processed entirely against STORED
+# artifacts from the 80% corpus (frozen hot-segment list, Bloom +
+# fingerprint index, df-capped test-shingle index, train/test KMV
+# sketches, per-shard pack cursors), so the recurring cost is O(batch),
+# never O(corpus). The gate derives the stored artifacts in-plan (the
+# query must be self-contained); production reads them from disk — the
+# same convention as dedup_bloom_chase / text_kmv_update.
+# =========================================================================
+
+
+@query(
+    "corpus_e2e_prep_incremental",
+    oracle=f"""
+    WITH {_SEGS},
+    spl AS (SELECT doc_id, {hash64_sql('doc_id', 'e2einc')} % 5 = 0 AS is_new
+            FROM documents),
+    hot AS (SELECT s.segment FROM segs s JOIN spl USING (doc_id)
+            WHERE NOT is_new
+            GROUP BY s.segment
+            HAVING count(DISTINCT s.doc_id) >= {BOILER_MIN_DOCS}),
+    clean AS (
+        SELECT s.doc_id AS doc_id,
+               coalesce(string_agg(s.segment, ' ' ORDER BY pos)
+                        FILTER (WHERE h.segment IS NULL), '') AS clean_text
+        FROM segs s LEFT JOIN hot h USING (segment)
+        GROUP BY s.doc_id),
+    cs AS (SELECT c.doc_id, clean_text, is_new,
+                  {hash64_sql('doc_id', 'split')} % 10 = 0 AS is_test
+           FROM clean c JOIN spl USING (doc_id)),
+    corp AS (SELECT * FROM cs WHERE NOT is_new),
+    bat AS (SELECT * FROM cs WHERE is_new),
+    dups AS (SELECT doc_id FROM bat
+             WHERE md5(clean_text) IN (SELECT md5(clean_text) FROM corp)),
+    bkept AS (SELECT * FROM bat b
+              WHERE NOT EXISTS (SELECT 1 FROM dups d
+                                WHERE d.doc_id = b.doc_id)),
+    ssh AS (SELECT doc_id, unnest({_E2E_CLEAN_SH8}) AS shingle FROM corp),
+    scap AS (SELECT shingle FROM ssh GROUP BY shingle
+             HAVING count(*) > 1000),
+    tidx AS (SELECT DISTINCT shingle FROM ssh s JOIN corp c USING (doc_id)
+             WHERE c.is_test
+               AND shingle NOT IN (SELECT shingle FROM scap)),
+    scontam AS (SELECT DISTINCT s.doc_id
+                FROM ssh s JOIN corp c USING (doc_id)
+                WHERE NOT c.is_test
+                  AND s.shingle IN (SELECT shingle FROM tidx)),
+    strainf AS (SELECT doc_id, clean_text FROM corp k
+                WHERE NOT is_test AND NOT EXISTS
+                      (SELECT 1 FROM scontam x WHERE x.doc_id = k.doc_id)),
+    bsh AS (SELECT doc_id, unnest({_E2E_CLEAN_SH8}) AS shingle
+            FROM bkept WHERE NOT is_test),
+    bcontam AS (SELECT DISTINCT doc_id FROM bsh
+                WHERE shingle IN (SELECT shingle FROM tidx)),
+    btrainf AS (SELECT doc_id, clean_text FROM bkept k
+                WHERE NOT is_test AND NOT EXISTS
+                      (SELECT 1 FROM bcontam x WHERE x.doc_id = k.doc_id)),
+    ta AS (SELECT DISTINCT term FROM (
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM strainf
+               UNION ALL
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM btrainf)),
+    tb AS (SELECT DISTINCT term FROM (
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM corp
+               WHERE is_test)),
+    ha AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM ta),
+    hb AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM tb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    tha AS (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN 1152921504606846976 ELSE MAX(h) END AS theta_a
+            FROM ska),
+    thb AS (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN 1152921504606846976 ELSE MAX(h) END AS theta_b
+            FROM skb),
+    th AS (SELECT least(theta_a, theta_b) AS theta FROM tha, thb),
+    ints AS (SELECT h FROM ska INTERSECT SELECT h FROM skb),
+    uni AS (SELECT h FROM ska UNION SELECT h FROM skb),
+    ni AS (SELECT COUNT(*)::BIGINT AS n_inter FROM ints, th WHERE h < theta),
+    nu AS (SELECT COUNT(*)::BIGINT AS n_union FROM uni, th WHERE h < theta),
+    audit AS (
+        SELECT n_inter::DOUBLE / (theta::DOUBLE / {_KMV_POW60})
+                   AS resid_inter_est,
+               CASE WHEN n_union = 0 THEN 0.0
+                    ELSE n_inter::DOUBLE / n_union::DOUBLE
+               END AS resid_jaccard_est
+        FROM ni, nu, th),
+    cnts AS (
+        SELECT (SELECT count(*) FROM bat) AS n_batch_in,
+               (SELECT count(*) FROM dups) AS n_dup_dropped,
+               (SELECT count(*) FROM bkept WHERE is_test) AS n_test_held_out,
+               (SELECT count(*) FROM bcontam) AS n_contam_dropped),
+    pt_s AS (
+        SELECT ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
+               len(regexp_extract_all(clean_text,
+                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+        FROM strainf),
+    cur AS (SELECT shard_id, SUM(n_tok)::BIGINT AS base_off FROM pt_s
+            WHERE n_tok > 0 GROUP BY shard_id),
+    pt_b AS (
+        SELECT doc_id,
+               ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
+               len(regexp_extract_all(clean_text,
+                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+        FROM btrainf),
+    spans AS (
+        SELECT p.doc_id, p.shard_id, p.n_tok,
+               ((SUM(p.n_tok) OVER (PARTITION BY p.shard_id ORDER BY p.doc_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT
+                + coalesce(c.base_off, 0)) AS end_off
+        FROM pt_b p LEFT JOIN cur c USING (shard_id)
+        WHERE p.n_tok > 0),
+    sp AS (SELECT *, end_off - n_tok AS start_off FROM spans),
+    expl AS (
+        SELECT shard_id, doc_id, start_off, end_off,
+               unnest(range(start_off // 512, (end_off - 1) // 512 + 1)) AS pack_id
+        FROM sp)
+    SELECT shard_id, pack_id, doc_id,
+           GREATEST(start_off, pack_id * 512) - pack_id * 512 AS offset_in_pack,
+           LEAST(end_off, (pack_id + 1) * 512)
+               - GREATEST(start_off, pack_id * 512) AS n_tokens,
+           n_batch_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
+           resid_inter_est, resid_jaccard_est
+    FROM expl, cnts, audit
+    ORDER BY shard_id, pack_id, doc_id
+    """,
+)
+def q_corpus_e2e_prep_incremental(spark, sf_dir):
+    """The nightly prep DAG in its DELTA form — every stage runs against
+    a stored artifact, so the recurring cost is O(tonight's batch):
+
+    1. Boilerplate: the batch's segments anti-flag against the FROZEN
+       stored hot-segment list (remove_boilerplate(hot=...) — applied,
+       not recomputed; new boilerplate waits for the next hot-list
+       refresh, the documented policy trade).
+    2. Dedup: bloom_chased_duplicates against the stored corpus's Bloom
+       words + fingerprint index — only flagged batch docs chase.
+    3. Contamination: batch train docs probe the STORED df-capped
+       test-shingle inverted index (batch test docs are held out but do
+       not extend the index tonight — frozen, like the hot list).
+    4. Residual audit: update_kmv_sketch folds the batch survivors'
+       trigram delta into the stored train sketch (merge ≡ fresh build
+       by KMV associativity — which is exactly why the oracle may build
+       its sketch over the stored∪batch union in one pass), then
+       kmv_overlap against the stored test sketch.
+    5. Packing: pack_sequences(base_offsets=stored per-shard cursors)
+       appends the batch to the existing token stream — a batch doc can
+       land mid-way through the stored run's last partial pack.
+
+    Output schema matches corpus_e2e_prep with batch-scoped attrition
+    counts (n_batch_in / n_dup_dropped / n_test_held_out /
+    n_contam_dropped). The stored artifacts are derived in-plan because
+    the gate query must be self-contained (the dedup_bloom_chase
+    convention); in production each is read from its persisted form and
+    the batch never touches corpus-sized state except through
+    sketch/index probes."""
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_chased_duplicates,
+        build_bloom_index,
+        doc_shingles,
+        shingles_col,
+    )
+    from ctcityscraper_spark.operators.text import (
+        kmv_overlap,
+        kmv_sketch_terms,
+        update_kmv_sketch,
+    )
+    from ctcityscraper_spark.plans.queries_ext import _BLOOM_K, _BLOOM_M
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "e2einc") % 5 == 0
+    stored_raw, batch_raw = docs.filter(~is_new), docs.filter(is_new)
+
+    # ---- last night's artifacts (persisted in production) ----
+    hot = _track_persist(
+        boilerplate_segments(segments(stored_raw)).persist()
+    )
+    stored = _track_persist(
+        remove_boilerplate(stored_raw, hot=hot)
+        .select("doc_id", "clean_text")
+        .persist()
+    )
+    is_test = hash64(F.col("doc_id"), "split") % 10 == 0
+    bloom = build_bloom_index(stored, _BLOOM_M, _BLOOM_K, text="clean_text")
+    stored_fp = stored.select(
+        F.md5("clean_text").alias("fingerprint")
+    ).distinct()
+    ssh = doc_shingles(stored, "clean_text", "doc_id", 8)
+    cap = (
+        ssh.groupBy("shingle")
+        .agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc") > 1000)
+        .select("shingle")
+    )
+    tidx = _track_persist(
+        ssh.join(stored.filter(is_test).select("doc_id"), "doc_id")
+        .select("shingle")
+        .distinct()
+        .join(cap, "shingle", "left_anti")
+        .persist()
+    )
+    scontam = (
+        ssh.join(stored.filter(~is_test).select("doc_id"), "doc_id")
+        .join(tidx, "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    strainf = _track_persist(
+        stored.filter(~is_test).join(scontam, "doc_id", "left_anti").persist()
+    )
+    sh3 = lambda d: d.select(
+        F.explode(shingles_col("clean_text", 3)).alias("term")
+    )
+    stored_train_kmv = kmv_sketch_terms(sh3(strainf), "term", k=_KMV_K)
+    stored_test_kmv = kmv_sketch_terms(
+        sh3(stored.filter(is_test)), "term", k=_KMV_K
+    )
+    cursor = (
+        pack_sequences(strainf, text="clean_text")
+        .groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("base_off"))
+    )
+
+    # ---- tonight's batch: every stage delta-sized ----
+    batch = _track_persist(
+        remove_boilerplate(batch_raw, hot=hot)
+        .select("doc_id", "clean_text")
+        .persist()
+    )
+    verdicts = bloom_chased_duplicates(
+        batch, stored_fp, bloom, _BLOOM_M, _BLOOM_K, text="clean_text"
+    )
+    dup_ids = _track_persist(
+        verdicts.filter(F.col("is_dup")).select("doc_id").persist()
+    )
+    bkept = _track_persist(batch.join(dup_ids, "doc_id", "left_anti").persist())
+    bcontam = _track_persist(
+        doc_shingles(bkept.filter(~is_test), "clean_text", "doc_id", 8)
+        .join(tidx, "shingle")
+        .select("doc_id")
+        .distinct()
+        .persist()
+    )
+    btrainf = _track_persist(
+        bkept.filter(~is_test).join(bcontam, "doc_id", "left_anti").persist()
+    )
+    resid = kmv_overlap(
+        update_kmv_sketch(stored_train_kmv, sh3(btrainf), "term", k=_KMV_K),
+        stored_test_kmv,
+        _KMV_K,
+    ).select(
+        F.col("inter_est").alias("resid_inter_est"),
+        F.col("jaccard_est").alias("resid_jaccard_est"),
+    )
+    cnts = (
+        batch.agg(F.count("*").alias("n_batch_in"))
+        .crossJoin(dup_ids.agg(F.count("*").alias("n_dup_dropped")))
+        .crossJoin(
+            bkept.filter(is_test).agg(F.count("*").alias("n_test_held_out"))
+        )
+        .crossJoin(bcontam.agg(F.count("*").alias("n_contam_dropped")))
+    )
+    packs = pack_sequences(btrainf, text="clean_text", base_offsets=cursor)
+    return (
+        packs.crossJoin(F.broadcast(cnts.crossJoin(resid)))
+        .repartition(1)
+        .sortWithinPartitions("shard_id", "pack_id", "doc_id")
+    )

@@ -1283,3 +1283,113 @@ class TestKmvNullGroup:
             by_grp.setdefault(r.grp, []).append(r.h)
         assert len(by_grp.get(None, [])) == 2
         assert len(by_grp.get("g", [])) == 1
+
+
+class TestPackContinuation:
+    """pack_sequences(base_offsets=...) — the pack-continuation delta
+    path: when batch ids sort after stored ids, stored-run packs plus a
+    batch run continued from the stored per-shard cursors must equal the
+    one-shot packing of the union, row for row."""
+
+    def test_continuation_equals_full_rerun(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.corpus import pack_sequences
+
+        rng = random.Random(3)
+        rows = [
+            Row(
+                doc_id=i,
+                text=" ".join(
+                    rng.choice("abcdefg") for _ in range(rng.randint(0, 40))
+                ),
+            )
+            for i in range(1, 400)
+        ]
+        df = spark.createDataFrame(rows)
+        stored = df.filter(F.col("doc_id") < 300)
+        batch = df.filter(F.col("doc_id") >= 300)
+        sp = pack_sequences(stored, seq_len=64, num_shards=4)
+        cursor = sp.groupBy("shard_id").agg(
+            F.sum("n_tokens").alias("base_off")
+        )
+        bp = pack_sequences(
+            batch, seq_len=64, num_shards=4, base_offsets=cursor
+        )
+        got = sorted(map(tuple, sp.unionByName(bp).collect()))
+        full = sorted(
+            map(tuple, pack_sequences(df, seq_len=64, num_shards=4).collect())
+        )
+        assert got == full and got
+
+    def test_missing_shards_start_at_zero(self, spark):
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="w " * 10) for i in range(1, 30)]
+        )
+        empty_cursor = spark.createDataFrame(
+            [], "shard_id int, base_off long"
+        )
+        with_empty = sorted(
+            map(
+                tuple,
+                pack_sequences(
+                    df, seq_len=8, num_shards=4, base_offsets=empty_cursor
+                ).collect(),
+            )
+        )
+        plain = sorted(
+            map(tuple, pack_sequences(df, seq_len=8, num_shards=4).collect())
+        )
+        assert with_empty == plain
+
+
+class TestApplyOnlyBoilerplate:
+    def test_precomputed_hot_matches_default(self, spark):
+        """remove_boilerplate(hot=boilerplate_segments(segments(df)))
+        must equal the self-computing default — the frozen-list apply
+        path changes WHERE the hot list comes from, not what it does."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.corpus import (
+            boilerplate_segments,
+            remove_boilerplate,
+            segments,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, text="the same header text here " * 2 + f"unique tail {i}")
+                for i in range(6)
+            ]
+        )
+        hot = boilerplate_segments(segments(docs), min_docs=3)
+        r_default = sorted(
+            map(tuple, remove_boilerplate(docs, min_docs=3).collect())
+        )
+        r_applied = sorted(
+            map(tuple, remove_boilerplate(docs, hot=hot).collect())
+        )
+        assert r_applied == r_default
+
+    def test_frozen_list_skips_new_boilerplate(self, spark):
+        """The policy trade, pinned: boilerplate that only exists in the
+        batch is NOT dropped when an (older) hot list is applied."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.corpus import remove_boilerplate
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, text="fresh repeated boilerplate words here " * 2)
+                for i in range(10)
+            ]
+        )
+        frozen = spark.createDataFrame([], "segment string")
+        out = remove_boilerplate(docs, hot=frozen).collect()
+        assert all(r.n_dropped == 0 and r.clean_text for r in out)
