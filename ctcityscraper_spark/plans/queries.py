@@ -702,6 +702,54 @@ def q_row_hash_content(spark, sf_dir):
     )
 
 
+@query(
+    "groupby_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_groupby_salted_skew(spark, sf_dir):
+    """Salted two-phase aggregation (operators/skew.salted_agg) over the
+    lake's hottest key shape: event_type has a handful of values covering
+    the whole table — the power-law key that melts a single reducer at
+    100 TB. Phase 1 aggregates per (key, salt ∈ [0,16)) so the heavy
+    combine spreads across 16× more groups; phase 2 merges one row per
+    (key, salt) pair. The salt is NONDETERMINISTIC (F.rand) — the hash
+    match against the plain GROUP BY oracle is therefore the proof that
+    the decomposition is salt-independent: count/min/max are associative
+    and the value sum stays on the DECIMAL path through BOTH phases (no
+    float reassociation can leak the salt choice into the result; the
+    double cast happens once, after the exact merge)."""
+    from ctcityscraper_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            F.count("*").alias("pn"),
+            F.sum(dec).alias("pv"),
+            F.min("ts").alias("pf"),
+            F.max("ts").alias("pl"),
+        ],
+        [
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+            F.min("pf").alias("first_ts"),
+            F.max("pl").alias("last_ts"),
+        ],
+    )
+    return out.select(
+        "event_type", "n_events", "total_value", "first_ts", "last_ts"
+    ).orderBy("event_type")
+
+
 # =========================================================================
 # Event-time windows (streaming semantics in batch; SURVEY §2.10 note)
 # =========================================================================
