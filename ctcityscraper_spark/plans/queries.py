@@ -750,6 +750,48 @@ def q_groupby_salted_skew(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_join_salted_skew(spark, sf_dir):
+    """Skew-safe equi-join (operators/skew.salted_join): the fact side is
+    salted with a nondeterministic salt ∈ [0,16) and the dimension side
+    is exploded 16×, so one hot key's rows spread over 16 tasks instead
+    of melting one — the in-between regime where the dimension is too
+    big to broadcast and the key too skewed for a plain shuffle join
+    (below broadcast size, use broadcast(); AQE skew-split covers
+    sort-merge joins — this is the aggregation-side tool the planner
+    doesn't have). The hash match against the plain-join oracle proves
+    the salt never changes the JOIN RESULT: every (fact row, dim row)
+    pair matches on exactly one salt value, and the rollup rides the
+    decimal path so no float reassociation leaks task boundaries."""
+    from ctcityscraper_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        salted_join(orders, customer, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # =========================================================================
 # Event-time windows (streaming semantics in batch; SURVEY §2.10 note)
 # =========================================================================
