@@ -189,6 +189,14 @@ def build_output(
             out["comparable_subtotal"]["value_normalized"] = round(
                 sum(prior.values()) / calibration_sec, 4
             )
+        # same flagging policy as the headline total: a prior-set query
+        # that kept a first-trial timing but errored on a later trial
+        # may carry an anomalous single-trial number — never let that
+        # read as a clean round-over-round speedup
+        bad = sorted(set(PRIOR_ROUND_QUERY_SET) & set(errors))
+        if bad:
+            out["comparable_subtotal"]["partial"] = True
+            out["comparable_subtotal"]["errored_queries"] = bad
     if errors:
         # the total is NOT round-comparable when any query errored out —
         # flag it rather than letting a smaller sum read as a speedup

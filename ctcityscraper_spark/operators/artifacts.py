@@ -100,6 +100,16 @@ def _track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist + register a frame the caller references in two or more
+    subplans: without this each reference re-executes the frame's whole
+    upstream pipeline (the r11 kmv_overlap lesson, 82 s → 7 s). The one
+    public spelling of the ``_track_persist(df.persist())`` idiom —
+    operators and catalog queries share it so the registration contract
+    has a single definition."""
+    return _track_persist(df.persist())
+
+
 def _track_checkpoint(spark, rdd_ids: set[int]) -> None:
     """Register the RDD ids backing a ``localCheckpoint``.
     ``DataFrame.unpersist`` cannot free these (they live in the

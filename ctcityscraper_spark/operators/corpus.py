@@ -417,9 +417,35 @@ def pack_sequences(
         "start_off", F.col("end_off") - F.col("n_tok")
     )
     if base_offsets is not None:
-        base = base_offsets.select(
-            F.col("shard_id").cast("int").alias("shard_id"),
-            F.col("base_off").cast("long").alias("base_off"),
+        # cursor hygiene: exact duplicate rows collapse (an accidental
+        # double-append of the cursor parquet must not fan the join out
+        # and double every pack row), and CONFLICTING duplicates — two
+        # different base_offs for one shard — fail the job loudly via
+        # raise_error instead of silently mis-packing under whichever
+        # row the join happened to pick
+        base = (
+            base_offsets.select(
+                F.col("shard_id").cast("int").alias("shard_id"),
+                F.col("base_off").cast("long").alias("base_off"),
+            )
+            .distinct()
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("__n"), F.max("base_off").alias("base_off"))
+            .select(
+                "shard_id",
+                F.when(
+                    F.col("__n") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("conflicting base_off rows for shard_id "),
+                            F.col("shard_id").cast("string"),
+                            F.lit(" in pack_sequences base_offsets"),
+                        )
+                    ).cast("long"),
+                )
+                .otherwise(F.col("base_off"))
+                .alias("base_off"),
+            )
         )
         spans = (
             spans.join(F.broadcast(base), "shard_id", "left")

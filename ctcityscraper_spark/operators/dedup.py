@@ -561,7 +561,15 @@ def prefix_filter_jaccard_pairs(
             f"threshold_pct must be an integer in [1, 100], got {threshold_pct!r}"
         )
     sh = doc_shingles(df, text, id_col, n)
-    sh = _drop_hot(sh, "shingle", df_cap, df_cap_sketched)
+    # The capped index is referenced by the df attach, the rank window,
+    # and the verify stage's sizes + two candidate joins — without the
+    # persist each reference re-executes the shingle explode and the
+    # hot-list aggregation (the r11 kmv_overlap lesson: reused frames in
+    # composed plans must be materialized once). Registered with
+    # operators.artifacts for long-lived-session release.
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
+
+    sh = persist_tracked(_drop_hot(sh, "shingle", df_cap, df_cap_sketched))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
     ranked = (
         sh.join(dfreq, "shingle")

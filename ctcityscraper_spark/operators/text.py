@@ -975,25 +975,10 @@ def quantile_estimate(
     exact, no interpolation. All sketch-sized: one ≤ k-row window + a
     broadcast nested-loop join against the ≤ |percentiles|-row literal
     frame (the single-partition window is deliberate — the input is
-    ≤ k rows by construction)."""
-    for p in percentiles:
-        if not (isinstance(p, int) and 1 <= p <= 100):
-            raise ValueError(
-                f"percentiles must be integers in [1, 100], got {p!r}"
-            )
-    w = Window.orderBy("val", "h")
-    s = (
-        sketch.select("h", "val")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_kept", F.count("*").over(Window.partitionBy()))
-    )
-    spark = sketch.sparkSession
-    ps = spark.createDataFrame([(int(p),) for p in percentiles], "pct int")
-    target = F.expr("(pct * n_kept + 99) div 100")
-    return (
-        s.join(F.broadcast(ps), F.col("rn") == target)
-        .select("pct", "n_kept", F.col("val").alias("est"))
-    )
+    ≤ k rows by construction). Implemented as the keys=[] instance of
+    :func:`quantile_estimate_by` so the validation and rank rule have
+    exactly one definition."""
+    return quantile_estimate_by(sketch.select("h", "val"), [], percentiles)
 
 
 def quantile_drift(

@@ -1432,7 +1432,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
     8-gram index join, sketch-sized KMV legs, per-shard packing
     windows — composing them adds no new shuffle beyond the stages'
     own."""
-    from ctcityscraper_spark.operators.artifacts import _track_persist
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
         build_bloom_index,
@@ -1443,7 +1443,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     rb = remove_boilerplate(docs).select("doc_id", "clean_text")
-    rb = _track_persist(rb.persist())
+    rb = persist_tracked(rb)
 
     # stage 2: two-tier incremental exact dedup of the 20% batch against
     # the 80% corpus
@@ -1458,24 +1458,23 @@ def q_corpus_e2e_prep(spark, sf_dir):
     )
     # dup_ids feeds both the anti-join and the attrition counts; without
     # the persist each reuse re-runs the whole bloom-probe + chase
-    dup_ids = _track_persist(
-        verdicts.filter(F.col("is_dup")).select("doc_id").persist()
+    dup_ids = persist_tracked(
+        verdicts.filter(F.col("is_dup")).select("doc_id")
     )
     kept = corpus.unionByName(batch.join(dup_ids, "doc_id", "left_anti"))
-    kept = _track_persist(kept.persist())
+    kept = persist_tracked(kept)
 
     # stage 3: contamination gate + KMV residual audit
     is_test = hash64(F.col("doc_id"), "split") % 10 == 0
     # contam feeds the anti-join AND the attrition counts — persist the
     # tiny id list so the inverted-index join runs once
-    contam = _track_persist(
+    contam = persist_tracked(
         contamination_pairs(kept, text="clean_text")
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
-        .persist()
     )
     train_f = kept.filter(~is_test).join(contam, "doc_id", "left_anti")
-    train_f = _track_persist(train_f.persist())
+    train_f = persist_tracked(train_f)
     test_d = kept.filter(is_test)
     sh3 = lambda d: d.select(
         F.explode(shingles_col("clean_text", 3)).alias("term")
@@ -1660,7 +1659,7 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     convention); in production each is read from its persisted form and
     the batch never touches corpus-sized state except through
     sketch/index probes."""
-    from ctcityscraper_spark.operators.artifacts import _track_persist
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
         build_bloom_index,
@@ -1679,14 +1678,12 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     stored_raw, batch_raw = docs.filter(~is_new), docs.filter(is_new)
 
     # ---- last night's artifacts (persisted in production) ----
-    hot = _track_persist(
-        boilerplate_segments(segments(stored_raw)).persist()
+    hot = persist_tracked(
+        boilerplate_segments(segments(stored_raw))
     )
-    stored = _track_persist(
-        remove_boilerplate(stored_raw, hot=hot)
+    stored = persist_tracked(remove_boilerplate(stored_raw, hot=hot)
         .select("doc_id", "clean_text")
-        .persist()
-    )
+        )
     is_test = hash64(F.col("doc_id"), "split") % 10 == 0
     bloom = build_bloom_index(stored, _BLOOM_M, _BLOOM_K, text="clean_text")
     stored_fp = stored.select(
@@ -1699,12 +1696,11 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .filter(F.col("dfc") > 1000)
         .select("shingle")
     )
-    tidx = _track_persist(
+    tidx = persist_tracked(
         ssh.join(stored.filter(is_test).select("doc_id"), "doc_id")
         .select("shingle")
         .distinct()
         .join(cap, "shingle", "left_anti")
-        .persist()
     )
     scontam = (
         ssh.join(stored.filter(~is_test).select("doc_id"), "doc_id")
@@ -1712,9 +1708,7 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
-    strainf = _track_persist(
-        stored.filter(~is_test).join(scontam, "doc_id", "left_anti").persist()
-    )
+    strainf = persist_tracked(stored.filter(~is_test).join(scontam, "doc_id", "left_anti"))
     sh3 = lambda d: d.select(
         F.explode(shingles_col("clean_text", 3)).alias("term")
     )
@@ -1729,28 +1723,23 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     )
 
     # ---- tonight's batch: every stage delta-sized ----
-    batch = _track_persist(
-        remove_boilerplate(batch_raw, hot=hot)
+    batch = persist_tracked(remove_boilerplate(batch_raw, hot=hot)
         .select("doc_id", "clean_text")
-        .persist()
-    )
+        )
     verdicts = bloom_chased_duplicates(
         batch, stored_fp, bloom, _BLOOM_M, _BLOOM_K, text="clean_text"
     )
-    dup_ids = _track_persist(
-        verdicts.filter(F.col("is_dup")).select("doc_id").persist()
+    dup_ids = persist_tracked(
+        verdicts.filter(F.col("is_dup")).select("doc_id")
     )
-    bkept = _track_persist(batch.join(dup_ids, "doc_id", "left_anti").persist())
-    bcontam = _track_persist(
+    bkept = persist_tracked(batch.join(dup_ids, "doc_id", "left_anti"))
+    bcontam = persist_tracked(
         doc_shingles(bkept.filter(~is_test), "clean_text", "doc_id", 8)
         .join(tidx, "shingle")
         .select("doc_id")
         .distinct()
-        .persist()
     )
-    btrainf = _track_persist(
-        bkept.filter(~is_test).join(bcontam, "doc_id", "left_anti").persist()
-    )
+    btrainf = persist_tracked(bkept.filter(~is_test).join(bcontam, "doc_id", "left_anti"))
     resid = kmv_overlap(
         update_kmv_sketch(stored_train_kmv, sh3(btrainf), "term", k=_KMV_K),
         stored_test_kmv,

@@ -65,14 +65,11 @@ from ctcityscraper_spark.plans.tables import load_table, parallelize_scan
 
 
 def _persist(df):
-    """Persist + register a frame that the enclosing query references in
-    two or more subplans (recall audits join a result AND count it):
-    without this each reference re-executes the frame's whole upstream
-    pipeline — the kmv_overlap lesson (82 s → 7 s), applied to the
-    audit-query shape."""
-    from ctcityscraper_spark.operators.artifacts import _track_persist
+    """Alias of :func:`operators.artifacts.persist_tracked` — see there;
+    kept as the module-local spelling for the audit-query call sites."""
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
 
-    return _track_persist(df.persist())
+    return persist_tracked(df)
 
 EMB_DIMS = 64
 

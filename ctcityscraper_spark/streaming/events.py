@@ -297,6 +297,26 @@ def check_zone_meta(
         )
 
 
+def _resolve_zone_params(
+    spark: SparkSession, zone_dir: str, provided: dict, meta_fn, hint: str
+) -> dict:
+    """Merge caller-provided zone parameters over the stored marker and
+    validate the result. EVERY parameter the caller passed participates
+    in the check — a partial ``k=128`` against a ``k=256`` zone fails
+    loudly instead of being silently replaced by the stored value (the
+    old all-or-nothing gate only validated when the caller passed the
+    full set). Parameters the caller omitted resolve from the marker;
+    :func:`check_zone_meta` still rejects a data-bearing zone with no
+    marker and passes an empty zone (the reader returns None anyway)."""
+    existing = read_zone_meta(spark, zone_dir) or {}
+    resolved = {
+        name: (val if val is not None else existing.get(name))
+        for name, val in provided.items()
+    }
+    check_zone_meta(spark, zone_dir, meta_fn(**resolved), hint)
+    return resolved
+
+
 def read_incremental_zone(
     spark: SparkSession,
     base: str,
@@ -580,30 +600,18 @@ def read_bloom_words(
     freshly-compacted zone (epoch bucketed on word_idx, empty tail) the
     merge groupBy is shuffle-free on the epoch side.
 
-    Pass ``m_bits``/``k`` to validate the zone's stored format marker
-    (position-derivation version + parameters) before trusting the words;
-    without them only the format version is checked. A data-bearing zone
+    Any of ``m_bits``/``k`` you pass is validated against the zone's
+    stored format marker before the words are trusted (omitted ones
+    resolve from the marker; only the format version is pinned then). A data-bearing zone
     with no marker (pre-stamping) or a mismatched marker raises — probing
     a word table built under a different position derivation silently
     loses the no-false-negative guarantee (dedup.BLOOM_FORMAT_VERSION)."""
     from ctcityscraper_spark.operators.dedup import merge_bloom_words
 
-    existing = read_zone_meta(spark, words_dir)
-    if m_bits is not None and k is not None:
-        check_zone_meta(
-            spark, words_dir, _bloom_zone_meta(m_bits, k), _BLOOM_REBUILD_HINT
-        )
-    elif existing is not None:
-        check_zone_meta(
-            spark, words_dir,
-            _bloom_zone_meta(existing.get("m_bits"), existing.get("k")),
-            _BLOOM_REBUILD_HINT,
-        )
-    elif _zone_has_data(spark, words_dir):
-        raise ValueError(
-            f"stored zone {words_dir} has data but no {ZONE_META_FILE} — "
-            f"unversioned stored state. {_BLOOM_REBUILD_HINT}"
-        )
+    _resolve_zone_params(
+        spark, words_dir, {"m_bits": m_bits, "k": k},
+        _bloom_zone_meta, _BLOOM_REBUILD_HINT,
+    )
     words = read_incremental_zone(spark, words_dir, before_batch, table_prefix)
     if words is None:
         return None
@@ -738,30 +746,16 @@ def read_cms_cells(
     additivity makes any grouping equal to a fresh build over everything
     ingested. None when nothing is written yet.
 
-    Pass ``width``/``depth``/``seed`` to validate the zone's stored
-    format marker before probing — a sketch read back under different
-    hash parameters estimates garbage; without them only the marker's
-    self-consistency (format version) is checked."""
+    Any of ``width``/``depth``/``seed`` you pass is validated against
+    the zone's stored format marker before probing — a sketch read back
+    under different hash parameters estimates garbage; omitted ones
+    resolve from the marker (format version always pinned)."""
     from ctcityscraper_spark.operators.text import merge_cms_cells
 
-    existing = read_zone_meta(spark, cells_dir)
-    if width is not None and depth is not None:
-        check_zone_meta(
-            spark, cells_dir, _cms_zone_meta(width, depth, seed),
-            _CMS_REBUILD_HINT,
-        )
-    elif existing is not None:
-        check_zone_meta(
-            spark, cells_dir,
-            _cms_zone_meta(existing.get("width"), existing.get("depth"),
-                           existing.get("seed")),
-            _CMS_REBUILD_HINT,
-        )
-    elif _zone_has_data(spark, cells_dir):
-        raise ValueError(
-            f"stored zone {cells_dir} has data but no {ZONE_META_FILE} — "
-            f"unversioned stored state. {_CMS_REBUILD_HINT}"
-        )
+    _resolve_zone_params(
+        spark, cells_dir, {"width": width, "depth": depth, "seed": seed},
+        _cms_zone_meta, _CMS_REBUILD_HINT,
+    )
     cells = read_incremental_zone(spark, cells_dir, before_batch, table_prefix)
     if cells is None:
         return None
@@ -867,27 +861,16 @@ def read_gram_rows(
     straight to ``similarity.pca_components`` to retrain the rotation
     on the live corpus.
 
-    Pass ``dims`` to validate the zone's stored format marker before
-    trusting the rows — summing partials produced under a different
-    quantization or width silently corrupts the trained components;
-    without it only the format version is checked."""
+    Pass ``dims`` to validate it against the zone's stored format
+    marker before trusting the rows — summing partials produced under a
+    different quantization or width silently corrupts the trained
+    components; omitted, it resolves from the marker (format version
+    always pinned)."""
     from ctcityscraper_spark.operators.similarity import merge_gram_rows
 
-    existing = read_zone_meta(spark, gram_dir)
-    if dims is not None:
-        check_zone_meta(
-            spark, gram_dir, _gram_zone_meta(dims), _GRAM_REBUILD_HINT
-        )
-    elif existing is not None:
-        check_zone_meta(
-            spark, gram_dir, _gram_zone_meta(existing.get("dims")),
-            _GRAM_REBUILD_HINT,
-        )
-    elif _zone_has_data(spark, gram_dir):
-        raise ValueError(
-            f"stored zone {gram_dir} has data but no {ZONE_META_FILE} — "
-            f"unversioned stored state. {_GRAM_REBUILD_HINT}"
-        )
+    _resolve_zone_params(
+        spark, gram_dir, {"dims": dims}, _gram_zone_meta, _GRAM_REBUILD_HINT
+    )
     rows = read_incremental_zone(spark, gram_dir, before_batch, table_prefix)
     if rows is None:
         return None
@@ -987,29 +970,16 @@ def read_kmv_hashes(
     None when nothing is written yet. Feed the result to
     ``text.kmv_estimate`` for the live distinct count.
 
-    Pass ``k``/``seed`` to validate the zone's stored format marker before
-    trusting the rows — hashes kept under a different seed or truncated to
-    a different k estimate garbage; without them the marker's own k is
-    used (only the format version is pinned)."""
+    Any of ``k``/``seed`` you pass is validated against the zone's
+    stored format marker before the rows are trusted — hashes kept under
+    a different seed or truncated to a different k estimate garbage;
+    omitted ones resolve from the marker (format version always pinned)."""
     from ctcityscraper_spark.operators.text import merge_kmv
 
-    existing = read_zone_meta(spark, hashes_dir)
-    if k is not None and seed is not None:
-        check_zone_meta(
-            spark, hashes_dir, _kmv_zone_meta(k, seed), _KMV_REBUILD_HINT
-        )
-    elif existing is not None:
-        check_zone_meta(
-            spark, hashes_dir,
-            _kmv_zone_meta(existing.get("k"), existing.get("seed")),
-            _KMV_REBUILD_HINT,
-        )
-        k = existing.get("k")
-    elif _zone_has_data(spark, hashes_dir):
-        raise ValueError(
-            f"stored zone {hashes_dir} has data but no {ZONE_META_FILE} — "
-            f"unversioned stored state. {_KMV_REBUILD_HINT}"
-        )
+    k = _resolve_zone_params(
+        spark, hashes_dir, {"k": k, "seed": seed},
+        _kmv_zone_meta, _KMV_REBUILD_HINT,
+    )["k"]
     rows = read_incremental_zone(spark, hashes_dir, before_batch)
     if rows is None:
         return None
@@ -1100,34 +1070,17 @@ def read_quantile_sample(
     written yet. Feed the result to ``text.quantile_estimate`` for live
     percentiles.
 
-    Pass ``k``/``seed``/``value_col`` to validate the zone's stored
-    format marker before trusting the rows — samples kept under a
-    different seed, truncated to a different k, or drawn from a
-    different value column estimate garbage; without them the marker's
-    own fields are used (only the format version is pinned)."""
+    Any of ``k``/``seed``/``value_col`` you pass is validated against
+    the zone's stored format marker before the rows are trusted —
+    samples kept under a different seed, truncated to a different k, or
+    drawn from a different value column estimate garbage; omitted ones
+    resolve from the marker (format version always pinned)."""
     from ctcityscraper_spark.operators.text import merge_quantile_sketches
 
-    existing = read_zone_meta(spark, sample_dir)
-    if k is not None and seed is not None and value_col is not None:
-        check_zone_meta(
-            spark, sample_dir, _quantile_zone_meta(k, seed, value_col),
-            _QUANTILE_REBUILD_HINT,
-        )
-    elif existing is not None:
-        check_zone_meta(
-            spark, sample_dir,
-            _quantile_zone_meta(
-                existing.get("k"), existing.get("seed"),
-                existing.get("value_col"),
-            ),
-            _QUANTILE_REBUILD_HINT,
-        )
-        k = existing.get("k")
-    elif _zone_has_data(spark, sample_dir):
-        raise ValueError(
-            f"stored zone {sample_dir} has data but no {ZONE_META_FILE} — "
-            f"unversioned stored state. {_QUANTILE_REBUILD_HINT}"
-        )
+    k = _resolve_zone_params(
+        spark, sample_dir, {"k": k, "seed": seed, "value_col": value_col},
+        _quantile_zone_meta, _QUANTILE_REBUILD_HINT,
+    )["k"]
     rows = read_incremental_zone(spark, sample_dir, before_batch)
     if rows is None:
         return None

@@ -132,3 +132,37 @@ class TestComparableSubtotal:
         # a subtotal over FEWER queries than the prior set must never
         # read as a round-over-round speedup — omit it entirely
         assert "comparable_subtotal" not in out
+
+
+class TestComparableSubtotalFlagging:
+    """comparable_subtotal follows the same flagging policy as the
+    headline total: a prior-set query that errored (even with a kept
+    first-trial timing) marks the subtotal partial so it never reads as
+    a clean round-over-round speedup (r11 review finding)."""
+
+    def _full_timings(self):
+        from bench import PRIOR_ROUND_QUERY_SET
+
+        return {n: 1.0 for n in PRIOR_ROUND_QUERY_SET}
+
+    def test_clean_subtotal_has_no_partial_flag(self):
+        out = build_output(self._full_timings(), {}, sf=0.1)
+        sub = out["comparable_subtotal"]
+        assert "partial" not in sub and "errored_queries" not in sub
+
+    def test_prior_set_error_marks_subtotal_partial(self):
+        from bench import PRIOR_ROUND_QUERY_SET
+
+        bad = PRIOR_ROUND_QUERY_SET[0]
+        out = build_output(self._full_timings(), {bad: "OOM"}, sf=0.1)
+        sub = out["comparable_subtotal"]
+        assert sub["partial"] is True and sub["errored_queries"] == [bad]
+
+    def test_non_prior_error_leaves_subtotal_clean(self):
+        out = build_output(
+            self._full_timings() | {"extra_q": 1.0}, {"extra_q": "boom"}, sf=0.1
+        )
+        sub = out["comparable_subtotal"]
+        assert "partial" not in sub
+        # the headline total is still flagged, as before
+        assert out["partial"] is True

@@ -1324,6 +1324,52 @@ class TestPackContinuation:
         )
         assert got == full and got
 
+    def test_duplicate_cursor_rows_collapse(self, spark):
+        """Exact duplicate cursor rows (a double-appended cursor parquet)
+        must not fan the broadcast join out and double every pack row."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="w " * 10) for i in range(1, 30)]
+        )
+        dup = spark.createDataFrame(
+            [(0, 100), (0, 100), (1, 50)], "shard_id int, base_off long"
+        )
+        uniq = spark.createDataFrame(
+            [(0, 100), (1, 50)], "shard_id int, base_off long"
+        )
+        rows = lambda cur: sorted(
+            map(
+                tuple,
+                pack_sequences(
+                    df, seq_len=8, num_shards=4, base_offsets=cur
+                ).collect(),
+            )
+        )
+        assert rows(dup) == rows(uniq)
+
+    def test_conflicting_cursor_rows_fail_loudly(self, spark):
+        """Two DIFFERENT base_offs for one shard = a corrupt cursor:
+        raise_error instead of silently mis-packing under whichever row
+        the join picked."""
+        import pytest
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="w " * 10) for i in range(1, 30)]
+        )
+        bad = spark.createDataFrame(
+            [(0, 100), (0, 200)], "shard_id int, base_off long"
+        )
+        with pytest.raises(Exception, match="conflicting base_off"):
+            pack_sequences(
+                df, seq_len=8, num_shards=4, base_offsets=bad
+            ).count()
+
     def test_missing_shards_start_at_zero(self, spark):
         from pyspark.sql import Row
 

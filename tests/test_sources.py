@@ -1590,6 +1590,17 @@ class TestStreamingQuantile:
             read_quantile_sample(
                 spark, kwargs["sample_dir"], k=99, seed="qsk", value_col="val"
             )
+        # PARTIALLY-specified params participate in validation too: the
+        # old all-or-nothing gate silently replaced a lone mismatched k
+        # with the stored one (r11 review finding) — now it refuses
+        with _pytest.raises(ValueError, match="quantile_sketch"):
+            read_quantile_sample(spark, kwargs["sample_dir"], k=99)
+        with _pytest.raises(ValueError, match="quantile_sketch"):
+            read_quantile_sample(spark, kwargs["sample_dir"], seed="other")
+        # ... while matching partial params pass and resolve the rest
+        assert read_quantile_sample(
+            spark, kwargs["sample_dir"], seed="qsk"
+        ).count() == k
 
         # checkpoint replay: nothing reprocessed
         q2 = streaming_quantile(
