@@ -47,14 +47,14 @@ DRIVER_PRIORITY = [
     # family representatives (3-9 green rounds each). All remain
     # in-repo + adversarial oracle-gated every run.
     #
-    # IN — the ten r11 additions, never driver-verified (each was
+    # IN — the eleven r11 additions, never driver-verified (each was
     # implemented + in-repo oracle-gated in the same commit that added
     # its name here) ...
     "text_quantile_sketch", "text_quantile_update",
     "text_quantile_by_source", "ann_pq_update", "corpus_e2e_prep",
     "dedup_prefix_filter_join", "text_quantile_drift",
     "corpus_e2e_prep_incremental", "groupby_salted_skew",
-    "join_salted_skew",
+    "join_salted_skew", "dedup_incremental_prefix",
     # ... kept for a second verified round (first green row was r10):
     # the six late-r9 additions and ann_pca_ivf_recall's first
     # hash-match row ...
@@ -79,19 +79,19 @@ DRIVER_PRIORITY = [
     # ... last green r8 ...
     "ann_pq_adc_topk", "corpus_cut_spans", "corpus_incremental_spans",
     "events_cohort_retention", "events_funnel_ordered",
-    # ... and two family representatives from the 29 last-green-r9
-    # rows (an ANN recall audit, SemDeDup) so ANN/dedup each hold a
-    # fresh row (scd2_changed_since, corpus_quality_deciles,
-    # dedup_simhash_pairs, ann_srp_lsh_topk and ann_pq_recall — 4+
-    # green rounds each — yield their slots to the five late-r11
+    # ... and one family representative from the 29 last-green-r9 rows
+    # (an ANN recall audit) so ANN holds a fresh row
+    # (scd2_changed_since, corpus_quality_deciles, dedup_simhash_pairs,
+    # ann_srp_lsh_topk, ann_pq_recall and dedup_semdedup_drop_list — 4+
+    # green rounds each — yield their slots to the six late-r11
     # additions; first 50 names = the window)
-    "ann_ivf_recall", "dedup_semdedup_drop_list",
+    "ann_ivf_recall",
 ]
 # Verification record (matches CORRECTNESS_r01–r10): all 110 catalog
 # queries at r10 HEAD hold >= 1 driver-verified green row — 104 across
 # r1–r9 plus the six late-r9 additions verified in r10, where
 # ann_pca_ivf_recall also got its first hash-match (its r9 row was
-# rows-only). The ten r11 additions above hold no driver row yet —
+# rows-only). The eleven r11 additions above hold no driver row yet —
 # they are first in the window precisely so this round's run records
 # theirs. Names added to DRIVER_PRIORITY must exist in the catalog
 # at commit time — _ordered raises on unknown names so a typo (or a

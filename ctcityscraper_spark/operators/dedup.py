@@ -514,6 +514,32 @@ def _jaccard_verify_from_shingles(
     )
 
 
+def _prefix_rows(sh, dfreq, threshold_pct: int):
+    """(doc_id, shingle, set_size) INDEX-PREFIX rows: each doc's first
+    ``s - ceil(t·s) + 1`` shingles under the shared global order
+    (ascending ``dfq``, ties by shingle value; shingles absent from the
+    order table — e.g. batch-only tokens probed against a frozen corpus
+    order — rank as df 0, i.e. rarest). Integer-exact ceil:
+    ``(t_pct·s + 99) div 100``."""
+    ranked = (
+        sh.join(dfreq, "shingle", "left")
+        .withColumn("dfq", F.coalesce("dfq", F.lit(0)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("dfq", "shingle")
+            ),
+        )
+        .withColumn(
+            "set_size", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    )
+    alpha = F.expr(f"({threshold_pct} * set_size + 99) div 100")
+    return ranked.filter(F.col("rn") <= F.col("set_size") - alpha + 1).select(
+        "doc_id", "shingle", "set_size"
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
@@ -571,23 +597,7 @@ def prefix_filter_jaccard_pairs(
 
     sh = persist_tracked(_drop_hot(sh, "shingle", df_cap, df_cap_sketched))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("dfq", "shingle")
-            ),
-        )
-        .withColumn(
-            "set_size", F.count("*").over(Window.partitionBy("doc_id"))
-        )
-    )
-    # index prefix: rn <= s - ceil(t*s) + 1, integer-exact
-    alpha = F.expr(f"({threshold_pct} * set_size + 99) div 100")
-    prefix = ranked.filter(F.col("rn") <= F.col("set_size") - alpha + 1).select(
-        "doc_id", "shingle", "set_size"
-    )
+    prefix = _prefix_rows(sh, dfreq, threshold_pct)
     a, b = prefix.alias("a"), prefix.alias("b")
     big = F.greatest(F.col("a.set_size"), F.col("b.set_size"))
     small = F.least(F.col("a.set_size"), F.col("b.set_size"))
@@ -793,6 +803,82 @@ def incremental_dedup_pairs(
         doc_shingles(corpus_docs, text, id_col, n)
     )
     verified = _jaccard_verify_from_shingles(sh_all, cand, threshold, df_cap)
+    return verified.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("corpus_doc"),
+        "jaccard",
+    )
+
+
+def incremental_prefix_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold_pct: int = 60,
+    df_cap: int | None = JACCARD_DF_CAP,
+    df_cap_sketched: bool = False,
+) -> DataFrame:
+    """EXACT near-dup pairs between a NEW batch and an EXISTING corpus —
+    the recall=1 counterpart of :func:`incremental_dedup_pairs` (whose
+    MinHash bands can miss a true pair with LSH probability).
+
+    Production shape: the corpus side's artifacts are all FROZEN and
+    storable — the hot-shingle drop list, the (shingle, dfq) document-
+    frequency order table, and the corpus prefix index
+    (:func:`_prefix_rows` output: only each doc's ``(1-t)`` rarest
+    shingles) — so the nightly batch pays only its own shingle explode,
+    a broadcast hot-list anti-join, its own prefix ranking against the
+    stored order (tokens the corpus has never seen rank as df 0), the
+    prefix-probe equi-join, and candidate-bounded exact verification.
+    Cost ∝ |batch| × index, never corpus × corpus.
+
+    Exactness: both sides' prefixes use the SAME fixed global order
+    (corpus dfq, ties by shingle) over the SAME capped universe (the
+    corpus-derived hot list applied to both sides), so the prefix-
+    filtering principle guarantees every batch×corpus pair with capped-
+    universe Jaccard ≥ t shares a token in both prefixes — no candidate
+    lost, pure-integer prefix arithmetic, and the verify stage is the
+    shared exact kernel. Returns (new_doc, corpus_doc, jaccard)."""
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
+    from ctcityscraper_spark.operators.text import hot_terms
+
+    if not (isinstance(threshold_pct, int) and 1 <= threshold_pct <= 100):
+        raise ValueError(
+            f"threshold_pct must be an integer in [1, 100], got {threshold_pct!r}"
+        )
+    sh_c = doc_shingles(corpus_docs, text, id_col, n)
+    sh_b = doc_shingles(new_docs, text, id_col, n)
+    if df_cap is not None:
+        # the drop list is the CORPUS's (a frozen stored artifact —
+        # batch-emergent hot shingles wait for the next index rebuild,
+        # like the frozen hot-segment list of the incremental prep DAG)
+        hot = hot_terms(sh_c, "shingle", df_cap, sketched=df_cap_sketched)
+        sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_b = sh_b.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_c = persist_tracked(sh_c)
+    sh_b = persist_tracked(sh_b)
+    dfreq = sh_c.groupBy("shingle").agg(F.count("*").alias("dfq"))
+    idx = _prefix_rows(sh_c, dfreq, threshold_pct)  # the stored artifact
+    probe = _prefix_rows(sh_b, dfreq, threshold_pct)
+    a, b = probe.alias("a"), idx.alias("b")
+    big = F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+    small = F.least(F.col("a.set_size"), F.col("b.set_size"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.lit(threshold_pct) * big <= F.lit(100) * small),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _jaccard_verify_from_shingles(
+        sh_b.unionByName(sh_c), cand, threshold_pct / 100, None
+    )
     return verified.select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("corpus_doc"),

@@ -542,6 +542,60 @@ def q_dedup_prefix_filter_join(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental_prefix",
+    oracle=f"""
+    WITH spl AS (SELECT doc_id, {hash64_sql('doc_id', 'prefsplit')} % 5 = 0
+                        AS is_new FROM documents),
+    shc0 AS (SELECT d.doc_id AS doc_id, unnest({shingle_sql(5)}) AS shingle
+             FROM documents d JOIN spl USING (doc_id) WHERE NOT is_new),
+    shb0 AS (SELECT d.doc_id AS doc_id, unnest({shingle_sql(5)}) AS shingle
+             FROM documents d JOIN spl USING (doc_id) WHERE is_new),
+    hot AS (SELECT shingle FROM shc0 GROUP BY shingle
+            HAVING COUNT(*) > 1000),
+    shc AS (SELECT * FROM shc0
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    shb AS (SELECT * FROM shb0
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    szc AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+    szb AS (SELECT doc_id, COUNT(*) AS sz FROM shb GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                     COUNT(*) AS i
+              FROM shb a JOIN shc b ON a.shingle = b.shingle GROUP BY 1, 2)
+    SELECT new_doc, corpus_doc, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN szb sa ON new_doc = sa.doc_id
+    JOIN szc sb ON corpus_doc = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ORDER BY new_doc, corpus_doc
+    """,
+)
+def q_dedup_incremental_prefix(spark, sf_dir):
+    """EXACT incremental near-dup detection
+    (operators/dedup.incremental_prefix_pairs): the 20% hash-split batch
+    probes the 80% corpus's STORED prefix index — frozen hot-shingle
+    drop list, frozen (shingle, df) order table, and only each corpus
+    doc's (1-t) rarest shingles indexed — then candidates get exact
+    Jaccard verification. The recall=1 counterpart of
+    dedup_incremental_lsh (whose MinHash bands can miss a true pair):
+    the oracle computes the full batch x corpus inverted-index join, so
+    the hash match proves the frozen prefix artifacts lose NOTHING —
+    the nightly contamination/compliance answer ("is tonight's batch
+    near-anything we already hold") with per-batch cost, recall
+    guaranteed, never corpus x corpus."""
+    from ctcityscraper_spark.operators.dedup import incremental_prefix_pairs
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "prefsplit") % 5 == 0
+    return (
+        incremental_prefix_pairs(
+            docs.filter(is_new), docs.filter(~is_new), n=5, threshold_pct=50
+        )
+        .repartition(1)
+        .sortWithinPartitions("new_doc", "corpus_doc")
+    )
+
+
+@query(
     "dedup_jaccard_cms_capped",
     oracle=f"""
     WITH sh0 AS (

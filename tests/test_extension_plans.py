@@ -63,13 +63,14 @@ BUCKETED_QUERIES = [
     # overlap) end in 1-row audit crossJoins and are excluded by design
     # like the other recall audits.
     "text_kmv_lang_cardinality",
-    # round-11: the prefix-filter exact join is equi-joins throughout
-    # (df attach, prefix self-join, candidate-bounded verify).
-    # text_quantile_drift is excluded by design: it ends in the 5-row
-    # broadcast percentile attach (rn == f(pct, n_kept) is not an
+    # round-11: the prefix-filter exact joins are equi-joins throughout
+    # (df attach, prefix self-join / index probe, candidate-bounded
+    # verify). text_quantile_drift is excluded by design: it ends in the
+    # 5-row broadcast percentile attach (rn == f(pct, n_kept) is not an
     # equi-key), the same 1-row/literal-frame BNLJ shape as the other
     # sketch-estimate queries.
     "dedup_prefix_filter_join",
+    "dedup_incremental_prefix",
 ]
 
 

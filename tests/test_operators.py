@@ -1976,3 +1976,86 @@ class TestQuantileDrift:
         assert all(
             r.drift == 0.0 for r in quantile_drift(sk, sk).collect()
         )
+
+
+class TestIncrementalPrefixPairs:
+    """incremental_prefix_pairs: exact recall against the frozen corpus
+    artifacts — must equal the naive batch x corpus inverted-index join
+    over the corpus-capped universe."""
+
+    @staticmethod
+    def _naive(spark, batch, corpus, tp, cap=1000):
+        from ctcityscraper_spark.operators.dedup import doc_shingles
+
+        shc = doc_shingles(corpus, n=5)
+        shb = doc_shingles(batch, n=5)
+        hot = (
+            shc.groupBy("shingle").count()
+            .filter(F.col("count") > cap).select("shingle")
+        )
+        shc = shc.join(F.broadcast(hot), "shingle", "left_anti")
+        shb = shb.join(F.broadcast(hot), "shingle", "left_anti")
+        szc = (
+            shc.groupBy("doc_id").count()
+            .withColumnRenamed("count", "sb")
+            .withColumnRenamed("doc_id", "corpus_doc")
+        )
+        szb = (
+            shb.groupBy("doc_id").count()
+            .withColumnRenamed("count", "sa")
+            .withColumnRenamed("doc_id", "new_doc")
+        )
+        inter = (
+            shb.withColumnRenamed("doc_id", "new_doc")
+            .join(shc.withColumnRenamed("doc_id", "corpus_doc"), "shingle")
+            .groupBy("new_doc", "corpus_doc")
+            .agg(F.count("*").alias("i"))
+        )
+        j = (
+            inter.join(szb, "new_doc").join(szc, "corpus_doc")
+            .withColumn(
+                "jaccard", F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
+            )
+            .filter(F.col("jaccard") >= tp / 100)
+            .select("new_doc", "corpus_doc", "jaccard")
+        )
+        return sorted(map(tuple, j.collect()))
+
+    def test_matches_naive_cross_join(self, spark):
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.dedup import incremental_prefix_pairs
+
+        docs = load_table(spark, SF, "documents")
+        is_new = hash64(F.col("doc_id"), "prefsplit") % 5 == 0
+        batch, corpus = docs.filter(is_new), docs.filter(~is_new)
+        for tp in (30, 80):
+            got = sorted(
+                map(
+                    tuple,
+                    incremental_prefix_pairs(
+                        batch, corpus, n=5, threshold_pct=tp
+                    ).collect(),
+                )
+            )
+            assert got == self._naive(spark, batch, corpus, tp)
+
+    def test_batch_only_tokens_rank_rarest(self, spark):
+        """Tokens the corpus has never seen take df 0 in the frozen order
+        (rarest) — a batch doc made of unseen tokens plus one shared rare
+        token must still pair with its corpus twin."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.dedup import incremental_prefix_pairs
+
+        corpus = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta gamma delta")]
+        )
+        batch = spark.createDataFrame(
+            [Row(doc_id=100, text="alpha beta gamma newtok")]
+        )
+        got = incremental_prefix_pairs(
+            batch, corpus, n=1, threshold_pct=60, df_cap=None
+        ).collect()
+        assert [(r.new_doc, r.corpus_doc, r.jaccard) for r in got] == [
+            (100, 1, 0.6)
+        ]
