@@ -540,6 +540,69 @@ def _prefix_rows(sh, dfreq, threshold_pct: int):
     )
 
 
+def _prefix_candidates(
+    probe: DataFrame, index: DataFrame, threshold_pct: int, self_join: bool
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from two :func:`_prefix_rows`
+    frames: equi-join on the shared prefix token plus the integer size
+    bound ``t·max(|A|,|B|) <= 100·min(|A|,|B|)`` (necessary for J >= t).
+    ``self_join`` adds doc_a < doc_b so each unordered pair emits once.
+    One definition of the exactness-critical size arithmetic for the
+    self-join and incremental variants."""
+    a, b = probe.alias("a"), index.alias("b")
+    big = F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+    small = F.least(F.col("a.set_size"), F.col("b.set_size"))
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.lit(threshold_pct) * big <= F.lit(100) * small
+    )
+    if self_join:
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _jaccard_verify_cross(
+    sh_a: DataFrame, sh_b: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for cross-set candidate pairs, with each side's
+    shingles and sizes kept SEPARATE: ``doc_a`` resolves only against
+    ``sh_a`` and ``doc_b`` only against ``sh_b``, so a doc_id present in
+    BOTH frames (a batch re-ingesting an id the corpus already holds)
+    cannot merge two documents' shingle sets the way a naive
+    union-then-verify would — that silently double-counts sizes and
+    intersections and breaks the exact-recall contract."""
+    sa = sh_a.groupBy("doc_id").agg(F.count("*").alias("size_a")).withColumnRenamed("doc_id", "doc_a")
+    sb = sh_b.groupBy("doc_id").agg(F.count("*").alias("size_b")).withColumnRenamed("doc_id", "doc_b")
+    pairs = candidates.select("doc_a", "doc_b")
+    inter = (
+        pairs.join(
+            sh_a.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh_b.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
@@ -598,21 +661,7 @@ def prefix_filter_jaccard_pairs(
     sh = persist_tracked(_drop_hot(sh, "shingle", df_cap, df_cap_sketched))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
     prefix = _prefix_rows(sh, dfreq, threshold_pct)
-    a, b = prefix.alias("a"), prefix.alias("b")
-    big = F.greatest(F.col("a.set_size"), F.col("b.set_size"))
-    small = F.least(F.col("a.set_size"), F.col("b.set_size"))
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.lit(threshold_pct) * big <= F.lit(100) * small),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    candidates = _prefix_candidates(prefix, prefix, threshold_pct, self_join=True)
     # verify over the ALREADY-capped index (cap=None: `sh` has the hot
     # shingles dropped above, so re-deriving the hot list would redo the
     # distinct-shingle aggregation for an identical universe)
@@ -853,32 +902,29 @@ def incremental_prefix_pairs(
     if df_cap is not None:
         # the drop list is the CORPUS's (a frozen stored artifact —
         # batch-emergent hot shingles wait for the next index rebuild,
-        # like the frozen hot-segment list of the incremental prep DAG)
-        hot = hot_terms(sh_c, "shingle", df_cap, sketched=df_cap_sketched)
+        # like the frozen hot-segment list of the incremental prep DAG).
+        # Persisted: it feeds BOTH sides' anti-joins, and without the
+        # persist materializing the batch side re-runs the whole corpus
+        # explode + hot aggregation a second time.
+        hot = persist_tracked(
+            hot_terms(sh_c, "shingle", df_cap, sketched=df_cap_sketched)
+        )
         sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
         sh_b = sh_b.join(F.broadcast(hot), "shingle", "left_anti")
     sh_c = persist_tracked(sh_c)
     sh_b = persist_tracked(sh_b)
-    dfreq = sh_c.groupBy("shingle").agg(F.count("*").alias("dfq"))
+    # dfreq feeds both _prefix_rows calls — persist so the corpus df
+    # aggregation runs once
+    dfreq = persist_tracked(
+        sh_c.groupBy("shingle").agg(F.count("*").alias("dfq"))
+    )
     idx = _prefix_rows(sh_c, dfreq, threshold_pct)  # the stored artifact
     probe = _prefix_rows(sh_b, dfreq, threshold_pct)
-    a, b = probe.alias("a"), idx.alias("b")
-    big = F.greatest(F.col("a.set_size"), F.col("b.set_size"))
-    small = F.least(F.col("a.set_size"), F.col("b.set_size"))
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.lit(threshold_pct) * big <= F.lit(100) * small),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    verified = _jaccard_verify_from_shingles(
-        sh_b.unionByName(sh_c), cand, threshold_pct / 100, None
-    )
+    cand = _prefix_candidates(probe, idx, threshold_pct, self_join=False)
+    # side-separated verify: a doc_id present in BOTH frames (a batch
+    # re-ingesting an id the corpus holds) must not merge two documents'
+    # shingle sets — see _jaccard_verify_cross
+    verified = _jaccard_verify_cross(sh_b, sh_c, cand, threshold_pct / 100)
     return verified.select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("corpus_doc"),

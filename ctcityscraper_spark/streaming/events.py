@@ -738,7 +738,7 @@ def read_cms_cells(
     table_prefix: str | None = None,
     width: int | None = None,
     depth: int | None = None,
-    seed: str = "cms",
+    seed: str | None = None,
 ) -> DataFrame | None:
     """The merged Count-Min sketch for batches strictly before
     ``before_batch``: per-batch delta cell partitions (and/or the newest

@@ -2059,3 +2059,28 @@ class TestIncrementalPrefixPairs:
         assert [(r.new_doc, r.corpus_doc, r.jaccard) for r in got] == [
             (100, 1, 0.6)
         ]
+
+    def test_same_id_in_both_frames_kept_separate(self, spark):
+        """A batch re-ingesting a doc_id the corpus already holds must
+        not merge the two documents' shingle sets: sizes and
+        intersections resolve per side (the union-then-verify hazard —
+        r11 review finding). Batch doc 7 is a true near-dup of corpus
+        doc 7 under DIFFERENT text; the exact jaccard must match the
+        per-side computation, not the doubled union sizes."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.dedup import incremental_prefix_pairs
+
+        corpus = spark.createDataFrame(
+            [Row(doc_id=7, text="a b c d e")]
+        )
+        batch = spark.createDataFrame(
+            [Row(doc_id=7, text="a b c d x")]
+        )
+        got = incremental_prefix_pairs(
+            batch, corpus, n=1, threshold_pct=60, df_cap=None
+        ).collect()
+        # |A∩B|=4, |A∪B|=6 -> 2/3; union-verify would see size 10 per id
+        assert [(r.new_doc, r.corpus_doc, round(r.jaccard, 6)) for r in got] == [
+            (7, 7, round(4 / 6, 6))
+        ]
