@@ -733,3 +733,86 @@ class TestPrefixFilterExactRecall:
         )
         ref = rows(ngram_jaccard_pairs(df, n=2, threshold=tp / 100, df_cap=None))
         assert got == ref
+
+
+class TestIncrementalPrefixExactRecall:
+    """incremental_prefix_pairs ≡ the naive batch×corpus inverted-index
+    join on ARBITRARY corpora — the frozen-artifact prefix probe's
+    exact-recall guarantee under adversarial sampling, including ids
+    present in both frames (the side-separated verify contract)."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        corpus_texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=20),
+            min_size=1, max_size=4,
+        ),
+        batch_texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=20),
+            min_size=1, max_size=3,
+        ),
+        tp=st.sampled_from([25, 60, 100]),
+        shared_id=st.booleans(),
+    )
+    def test_matches_naive_cross_join(
+        self, spark, corpus_texts, batch_texts, tp, shared_id
+    ):
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import (
+            doc_shingles,
+            incremental_prefix_pairs,
+        )
+
+        corpus = spark.createDataFrame(
+            list(enumerate(corpus_texts)), "doc_id long, text string"
+        )
+        # shared_id: batch ids overlap corpus ids (re-ingestion) — the
+        # verify must keep the two documents' shingle sets separate
+        base = 0 if shared_id else 1000
+        batch = spark.createDataFrame(
+            [(base + i, t) for i, t in enumerate(batch_texts)],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            map(
+                tuple,
+                incremental_prefix_pairs(
+                    batch, corpus, n=2, threshold_pct=tp, df_cap=None
+                ).collect(),
+            )
+        )
+        shc = doc_shingles(corpus, n=2)
+        shb = doc_shingles(batch, n=2)
+        szc = (
+            shc.groupBy("doc_id").count()
+            .withColumnRenamed("count", "sb")
+            .withColumnRenamed("doc_id", "corpus_doc")
+        )
+        szb = (
+            shb.groupBy("doc_id").count()
+            .withColumnRenamed("count", "sa")
+            .withColumnRenamed("doc_id", "new_doc")
+        )
+        inter = (
+            shb.withColumnRenamed("doc_id", "new_doc")
+            .join(shc.withColumnRenamed("doc_id", "corpus_doc"), "shingle")
+            .groupBy("new_doc", "corpus_doc")
+            .agg(F.count("*").alias("i"))
+        )
+        ref = sorted(
+            map(
+                tuple,
+                inter.join(szb, "new_doc").join(szc, "corpus_doc")
+                .withColumn(
+                    "jaccard",
+                    F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")),
+                )
+                .filter(F.col("jaccard") >= tp / 100)
+                .select("new_doc", "corpus_doc", "jaccard")
+                .collect(),
+            )
+        )
+        assert got == ref
