@@ -491,27 +491,11 @@ def _jaccard_verify_from_shingles(
     df_cap: int | None,
     df_cap_sketched: bool = False,
 ) -> DataFrame:
+    """Single-frame verify: the ``sh_a == sh_b`` instance of
+    :func:`_jaccard_verify_cross` after the df_cap drop — one definition
+    of the exactness-critical jaccard arithmetic."""
     sh = _drop_hot(sh0, "shingle", df_cap, df_cap_sketched)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    pairs = candidates.select("doc_a", "doc_b")
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify_cross(sh, sh, candidates, threshold)
 
 
 def _prefix_rows(sh, dfreq, threshold_pct: int):
@@ -848,10 +832,20 @@ def incremental_dedup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_all = doc_shingles(new_docs, text, id_col, n).unionByName(
-        doc_shingles(corpus_docs, text, id_col, n)
-    )
-    verified = _jaccard_verify_from_shingles(sh_all, cand, threshold, df_cap)
+    sh_b = doc_shingles(new_docs, text, id_col, n)
+    sh_c = doc_shingles(corpus_docs, text, id_col, n)
+    if df_cap is not None:
+        # hot list over the COMBINED universe — the documented semantics
+        # (and this query's oracle); the drop applies to both sides
+        from ctcityscraper_spark.operators.text import hot_terms
+
+        hot = hot_terms(sh_b.unionByName(sh_c), "shingle", df_cap)
+        sh_b = sh_b.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
+    # side-separated verify: a doc_id present in BOTH frames (a batch
+    # re-ingesting an id the corpus holds) must not merge two documents'
+    # shingle sets the way the old union-then-verify did
+    verified = _jaccard_verify_cross(sh_b, sh_c, cand, threshold)
     return verified.select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("corpus_doc"),

@@ -2084,3 +2084,22 @@ class TestIncrementalPrefixPairs:
         assert [(r.new_doc, r.corpus_doc, round(r.jaccard, 6)) for r in got] == [
             (7, 7, round(4 / 6, 6))
         ]
+
+
+class TestIncrementalLshSharedId:
+    def test_same_id_in_both_frames_kept_separate(self, spark):
+        """incremental_dedup_pairs had the union-then-verify hazard too
+        (r11 review): batch doc 7 and corpus doc 7 with different texts
+        must verify against their OWN shingle sets, not the merged one."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.dedup import incremental_dedup_pairs
+
+        corpus = spark.createDataFrame([Row(doc_id=7, text="a b c d e")])
+        batch = spark.createDataFrame([Row(doc_id=7, text="a b c d x")])
+        got = incremental_dedup_pairs(
+            batch, corpus, n=1, k=32, bands=16, threshold=0.6, df_cap=None
+        ).collect()
+        assert [(r.new_doc, r.corpus_doc, round(r.jaccard, 6)) for r in got] == [
+            (7, 7, round(4 / 6, 6))
+        ]
