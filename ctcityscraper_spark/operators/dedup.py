@@ -832,16 +832,31 @@ def incremental_dedup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
+
     sh_b = doc_shingles(new_docs, text, id_col, n)
     sh_c = doc_shingles(corpus_docs, text, id_col, n)
     if df_cap is not None:
         # hot list over the COMBINED universe — the documented semantics
-        # (and this query's oracle); the drop applies to both sides
+        # (and this query's oracle); the drop applies to both sides.
+        # Persisted: it embeds a full corpus shingle explode + aggregation
+        # and feeds TWO broadcast anti-joins below — without the persist
+        # the second anti-join re-runs the whole union + aggregation
+        # (the kmv_overlap lesson; incremental_prefix_pairs persists its
+        # frozen-corpus drop list the same way).
         from ctcityscraper_spark.operators.text import hot_terms
 
-        hot = hot_terms(sh_b.unionByName(sh_c), "shingle", df_cap)
+        hot = persist_tracked(
+            hot_terms(sh_b.unionByName(sh_c), "shingle", df_cap)
+        )
         sh_b = sh_b.join(F.broadcast(hot), "shingle", "left_anti")
         sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
+    # both shingle frames feed multiple verify subplans (set sizes side A,
+    # side B, intersection) — persist so the explode + per-shingle md5 +
+    # hot anti-join run once, not once per consumer (mirrors
+    # incremental_prefix_pairs)
+    sh_b = persist_tracked(sh_b)
+    sh_c = persist_tracked(sh_c)
     # side-separated verify: a doc_id present in BOTH frames (a batch
     # re-ingesting an id the corpus holds) must not merge two documents'
     # shingle sets the way the old union-then-verify did

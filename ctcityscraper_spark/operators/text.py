@@ -993,7 +993,14 @@ def quantile_drift(
     quality distribution move" — computed entirely from two ≤ k-row
     samples (sketch-sized work; the raw epochs are never re-read). The
     subtraction is over values both engines selected identically, so the
-    drift column is IEEE-exact cross-engine."""
+    drift column is IEEE-exact cross-engine.
+
+    The percentile join is FULL OUTER: an epoch whose sketch is empty
+    (no valid values — a stalled crawl, an all-NULL quality column)
+    still yields one row per requested percentile, with NULL est/n_kept
+    on the missing side and NULL drift. A nightly monitor alerting on
+    this frame therefore sees a loud NULL signal instead of silently
+    seeing "no data" (an inner join would return zero rows)."""
     ea = quantile_estimate(sketch_a, percentiles).select(
         "pct",
         F.col("n_kept").alias("n_kept_a"),
@@ -1004,7 +1011,7 @@ def quantile_drift(
         F.col("n_kept").alias("n_kept_b"),
         F.col("est").alias("est_b"),
     )
-    return ea.join(eb, "pct").select(
+    return ea.join(eb, "pct", "full_outer").select(
         "pct",
         "n_kept_a",
         "n_kept_b",

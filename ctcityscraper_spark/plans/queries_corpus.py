@@ -1249,7 +1249,7 @@ def q_text_quantile_by_source(spark, sf_dir):
     eb AS (SELECT pct, n_kept AS n_kept_b, val AS est_b FROM ps JOIN sb
            ON rn = (pct * n_kept + 99) // 100)
     SELECT pct, n_kept_a, n_kept_b, est_a, est_b, est_b - est_a AS drift
-    FROM ea JOIN eb USING (pct) ORDER BY pct
+    FROM ea FULL JOIN eb USING (pct) ORDER BY pct
     """,
 )
 def q_text_quantile_drift(spark, sf_dir):

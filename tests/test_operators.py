@@ -1977,6 +1977,32 @@ class TestQuantileDrift:
             r.drift == 0.0 for r in quantile_drift(sk, sk).collect()
         )
 
+    def test_empty_epoch_is_loud_not_silent(self, spark):
+        """An empty epoch sketch (stalled crawl / all-NULL values) must
+        yield one row per percentile with NULL on the missing side and
+        NULL drift — never zero rows (an inner join's silent 'no data'
+        is indistinguishable from a healthy monitor with no output)."""
+        from ctcityscraper_spark.operators.text import (
+            quantile_drift,
+            quantile_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, val=float(i)) for i in range(1, 300)]
+        )
+        sk = quantile_sketch(df, "val", "doc_id", k=32)
+        empty = quantile_sketch(df.filter(F.lit(False)), "val", "doc_id", k=32)
+        rows = {r.pct: r for r in quantile_drift(sk, empty).collect()}
+        assert set(rows) == {25, 50, 75, 90, 99}
+        for r in rows.values():
+            assert r.est_a is not None and r.n_kept_a == 32
+            assert r.est_b is None and r.n_kept_b is None and r.drift is None
+        # and the mirrored side
+        rows = {r.pct: r for r in quantile_drift(empty, sk).collect()}
+        assert set(rows) == {25, 50, 75, 90, 99}
+        for r in rows.values():
+            assert r.est_a is None and r.drift is None and r.est_b is not None
+
 
 class TestIncrementalPrefixPairs:
     """incremental_prefix_pairs: exact recall against the frozen corpus
