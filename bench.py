@@ -81,7 +81,7 @@ def calibrate_shuffle(spark, trials: int = 3, rows: int = 32_000_000) -> float:
 # so BENCH_rN vs BENCH_rN-1 is one field-to-field read instead of hand
 # adjudication of which queries both rounds share and how calibration
 # moved between boots.
-PRIOR_ROUND = "r10"
+PRIOR_ROUND = "r11"
 PRIOR_ROUND_QUERY_SET = [
     "ann_cosine_topk_vectorized", "corpus_segment_dedup",
     "corpus_substring_spans", "dedup_bloom_chase",
@@ -91,18 +91,66 @@ PRIOR_ROUND_QUERY_SET = [
     "subq_outer_join_order_counts", "top_revenue_orders",
 ]
 
+# Headline queries promoted THIS round (r12): not in the prior set, so
+# they never pollute comparable_subtotal; recorded explicitly so the set
+# growth is visible in the JSON rather than inferred by diffing rounds.
+NEW_HEADLINE_QUERIES = ["corpus_e2e_prep", "dedup_prefix_filter_join"]
+
+# Expected normalized cost per query (multiples of the fixed CPU
+# calibration job) — the anomaly-detection reference, NOT a metric input.
+# Values: the r11 verdict's clean rerun at the same HEAD/sf (calibration
+# 0.234 s) for the four queries r11's official record caught during a
+# degraded window, r11's own record for everything it measured at
+# historical levels, and this round's local measurement for the two new
+# headliners. The r11 lesson: a boot-local pressure window (page-cache /
+# GC debt from whatever ran before bench) can triple a handful of queries
+# while the start-of-run calibration — taken BEFORE the queries — sees
+# nothing. A query whose normalized cost lands >2x its expectation gets a
+# drain + re-trial, and if it STILL deviates it is flagged in
+# ``anomalous`` so the record self-diagnoses instead of needing hand
+# adjudication (which r10 and r11 both needed).
+ANOMALY_FACTOR = 2.0
+EXPECTED_NORMALIZED = {
+    "pricing_summary": 3.4,
+    "join_agg_by_segment": 2.4,
+    "scd2_latest_state": 2.3,
+    "events_tumbling_6h": 2.1,
+    "top_revenue_orders": 4.0,
+    "dedup_bloom_membership": 5.3,
+    "dedup_bloom_chase": 7.7,
+    "dedup_minhash_lsh": 6.1,
+    "dedup_groups_connected": 12.6,
+    "ann_cosine_topk_vectorized": 2.0,
+    "corpus_segment_dedup": 5.1,
+    "corpus_substring_spans": 8.9,
+    "subq_outer_join_order_counts": 1.9,
+    "ingest_load_2000": 6.4,
+    # r12 promotions, measured at sf0.1 this round (calibration 0.218):
+    # corpus_e2e_prep 25.4 s raw — dominated by composed-DAG stage count,
+    # not data (sf0.01 costs 21 s) — see SCALE.md
+    "corpus_e2e_prep": 116.0,
+    "dedup_prefix_filter_join": 16.4,
+}
+
 
 def time_query(spark, fn, sf_dir: str, max_trials: int = 3) -> tuple[float | None, str | None]:
-    """Best-of-2 cold trials (3 when the first two disagree badly); returns
+    """Best-of-2 cold trials — 3 when the first two disagree badly OR the
+    query costs 1-10 s (the band where the r11 boot-pressure anomaly
+    lived: expensive enough that a single GC/container hiccup moves the
+    round-over-round trend line, cheap enough that a third trial is
+    nearly free; >10 s queries amortize hiccups across many stages and
+    tripling them costs real minutes); returns
     (best_seconds | None, error | None). A single local[32] run is
-    vulnerable to GC/container hiccups; the min is the honest steady-state
-    cost of the plan. If any trial completed, its best timing survives a
+    vulnerable to such hiccups; the min is the honest steady-state cost
+    of the plan. If any trial completed, its best timing survives a
     later trial's failure (the error is still reported)."""
     runs: list[float] = []
     err: str | None = None
     try:
-        while len(runs) < 2 or (
-            len(runs) == 2 and abs(runs[0] - runs[1]) > 0.25 * min(runs)
+        while (
+            len(runs) < 2
+            or (len(runs) == 2 and abs(runs[0] - runs[1]) > 0.25 * min(runs))
+            or (len(runs) == 2 and 1.0 < min(runs) <= 10.0)
         ):
             if len(runs) >= max_trials:
                 break
@@ -128,20 +176,70 @@ def time_query(spark, fn, sf_dir: str, max_trials: int = 3) -> tuple[float | Non
     return best, err
 
 
-def run_headline(spark, sf_dir: str, queries) -> tuple[dict, dict]:
-    """Time every headline query; returns (timings, errors). A query can
-    appear in BOTH maps (valid best timing + a later-trial error)."""
+def _drain(spark) -> None:
+    """Clear cached frames and drain JVM garbage twice — the recovery
+    primitive before an anomaly re-trial (the first GC can promote, the
+    second collects; measured to matter on the 128 GiB heap)."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
+    spark.sparkContext._jvm.System.gc()
+
+
+def run_headline(
+    spark, sf_dir: str, queries, calibration_sec: float | None = None
+) -> tuple[dict, dict, dict, list]:
+    """Time every headline query; returns (timings, errors,
+    calibration_track, anomalous). A query can appear in BOTH of the
+    first two maps (valid best timing + a later-trial error).
+
+    Anomaly policy (r11 lesson — a boot-local pressure window tripled 4
+    queries while the start-of-run calibration saw nothing, and the raw
+    record needed hand adjudication for the second round running): after
+    each query a 1-trial CPU calibration reprices the boot AT THAT POINT
+    (``calibration_track``), and a query whose cost exceeds
+    ``ANOMALY_FACTOR`` x its :data:`EXPECTED_NORMALIZED` entry under BOTH
+    the start-of-run and the local calibration gets one drain + re-trial;
+    the overall best survives. Still deviant after recovery -> the name
+    lands in ``anomalous`` so the JSON self-diagnoses. A genuinely slower
+    boot inflates the local calibration too and is NOT flagged; a
+    genuinely slower plan (changed code) is exactly what SHOULD be
+    flagged for the judge to adjudicate against git."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    calibration_track: dict[str, float] = {}
+    anomalous: list[str] = []
     for name, q in queries.items():
         if not q.headline:
             continue
         best, err = time_query(spark, q.fn, sf_dir)
+        cal_now = calibrate(spark, trials=1)
+        calibration_track[name] = cal_now
+        exp = EXPECTED_NORMALIZED.get(name)
+        if (
+            best is not None
+            and exp is not None
+            and calibration_sec
+            and best / calibration_sec > ANOMALY_FACTOR * exp
+            and best / cal_now > ANOMALY_FACTOR * exp
+        ):
+            _drain(spark)
+            best2, err2 = time_query(spark, q.fn, sf_dir, max_trials=2)
+            if best2 is not None:
+                best = min(best, best2)
+            if err2 is not None and err is None:
+                err = err2
+            cal_now = calibrate(spark, trials=1)
+            calibration_track[name] = cal_now
+            if best / calibration_sec > ANOMALY_FACTOR * exp and (
+                best / cal_now > ANOMALY_FACTOR * exp
+            ):
+                anomalous.append(name)
         if best is not None:
             timings[name] = best
         if err is not None:
             errors[name] = err
-    return timings, errors
+    return timings, errors, calibration_track, anomalous
 
 
 def build_output(
@@ -150,6 +248,8 @@ def build_output(
     sf,
     calibration_sec: float | None = None,
     calibration_shuffle_sec: float | None = None,
+    calibration_track: dict | None = None,
+    anomalous: list | None = None,
 ) -> dict:
     out = {
         "metric": "headline_queries_total",
@@ -175,6 +275,16 @@ def build_output(
         # second normalization axis (shuffle/exchange path) — recorded,
         # not used in the normalized metrics, so trends stay continuous
         out["calibration_shuffle_sec"] = calibration_shuffle_sec
+    if calibration_track:
+        # per-query boot repricing (1-trial CPU calibration taken right
+        # after each query): lets a reader see a mid-run pressure window
+        # the start-of-run calibration cannot — diagnostic only, the
+        # normalized metrics stay defined on calibration_sec
+        out["calibration_track"] = calibration_track
+    # always present so its absence can never be read as "not checked":
+    # names whose cost stayed >ANOMALY_FACTOR x EXPECTED_NORMALIZED even
+    # after a drain + re-trial under BOTH calibrations (see run_headline)
+    out["anomalous"] = sorted(anomalous or [])
     # round-over-round comparable subtotal: the sum over EXACTLY the
     # prior round's query set, only when every one of them completed —
     # the one-field answer to "did shared code get faster or slower"
@@ -184,6 +294,12 @@ def build_output(
             "vs_round": PRIOR_ROUND,
             "n_queries": len(prior),
             "value": round(sum(prior.values()), 4),
+            # the headline set GREW this round: the total above includes
+            # these names, this subtotal (and the prior round's total)
+            # does not — read trends off the subtotal
+            "new_queries_excluded": sorted(
+                set(NEW_HEADLINE_QUERIES) & set(timings)
+            ),
         }
         if calibration_sec:
             out["comparable_subtotal"]["value_normalized"] = round(
@@ -234,7 +350,9 @@ def main() -> None:
     calibration_sec = calibrate(spark)
     calibration_shuffle_sec = calibrate_shuffle(spark)
 
-    timings, errors = run_headline(spark, sf_dir, QUERIES)
+    timings, errors, calibration_track, anomalous = run_headline(
+        spark, sf_dir, QUERIES, calibration_sec
+    )
 
     # ingestion throughput: the reference's own headline metric is
     # entries/sec through load (engine.py:347-348) — 2000 entries through
@@ -275,7 +393,13 @@ def main() -> None:
     print(
         json.dumps(
             build_output(
-                timings, errors, sf, calibration_sec, calibration_shuffle_sec
+                timings,
+                errors,
+                sf,
+                calibration_sec,
+                calibration_shuffle_sec,
+                calibration_track,
+                anomalous,
             )
         )
     )

@@ -576,6 +576,125 @@ def update_ivf_index(
     )
 
 
+def ivf_list_stats(
+    indexed: DataFrame, n_lists: int, list_col: str = "list_id"
+) -> DataFrame:
+    """Per-list health stats for a stored IVF index: one row per list in
+    the FULL ``0..n_lists-1`` grid — ``(list_id, n, share, imbalance)``.
+
+    Empty lists are real rows with ``n = 0`` (an emptying list is itself
+    a degradation signal: probes of that list score nothing while its
+    vectors crowd other lists). ``share`` is the list's fraction of the
+    index; ``imbalance`` is the classic retrain trigger — max list size
+    over MEAN list size (mean includes empty lists, so it equals
+    ``max_n * n_lists / total``; 1.0 = perfectly balanced, n_lists =
+    everything in one list). Both are one integer-exact division, so
+    DuckDB reproduces them bit-for-bit. An EMPTY index yields NULL
+    share/imbalance (loud, never divide-by-zero).
+
+    Cost: one groupBy over the index (n_lists result rows) + a broadcast
+    1-row total attach — the monitoring aggregation a nightly job runs
+    against the stored index frame, never against raw embeddings. This is
+    the operator form of :func:`update_ivf_index`'s drift caveat
+    ("monitor list-size imbalance, retrain on degradation").
+    """
+    if n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    spark = indexed.sparkSession
+    grid = spark.range(int(n_lists)).select(
+        F.col("id").cast("int").alias(list_col)
+    )
+    counts = indexed.groupBy(list_col).agg(F.count("*").alias("n"))
+    full = grid.join(counts, list_col, "left").select(
+        list_col, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    tot = full.agg(
+        F.sum("n").alias("_total"), F.max("n").alias("_max_n")
+    )
+    guarded = F.when(F.col("_total") > 0, F.col("n") / F.col("_total"))
+    return full.crossJoin(F.broadcast(tot)).select(
+        list_col,
+        "n",
+        guarded.alias("share"),
+        F.when(
+            F.col("_total") > 0,
+            F.col("_max_n") * F.lit(int(n_lists)) / F.col("_total"),
+        ).alias("imbalance"),
+    )
+
+
+def ivf_imbalance_report(
+    indexed_a: DataFrame,
+    indexed_b: DataFrame,
+    n_lists: int,
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Epoch-over-epoch IVF health monitor — the IVF analogue of
+    :func:`~ctcityscraper_spark.operators.text.quantile_drift`: joins two
+    epochs' :func:`ivf_list_stats` on the full list grid into
+    ``(list_id, n_a, n_b, share_a, share_b, share_drift, imbalance_a,
+    imbalance_b)``.
+
+    ``share_drift`` (share_b − share_a) is the recall-proxy: under FIXED
+    centroids, mass migrating between lists means the incoming
+    distribution has wandered from the training corpus, which is exactly
+    what degrades recall-per-probe (a query's n_probe nearest lists no
+    longer hold its true neighbors). ``imbalance_*`` rising epoch-over-
+    epoch is the retrain trigger (:func:`build_ivf_index` is the same
+    one-off batch job as the original build). Both epochs' stats cover
+    the full grid, so the join is total — an epoch that emptied a list
+    shows ``n = 0`` / drift, never a dropped row. All sketch-sized work:
+    two n_lists-row frames joined on list_id; the raw index frames are
+    each read once by their own groupBy.
+    """
+    sa = ivf_list_stats(indexed_a, n_lists, list_col).select(
+        list_col,
+        F.col("n").alias("n_a"),
+        F.col("share").alias("share_a"),
+        F.col("imbalance").alias("imbalance_a"),
+    )
+    sb = ivf_list_stats(indexed_b, n_lists, list_col).select(
+        list_col,
+        F.col("n").alias("n_b"),
+        F.col("share").alias("share_b"),
+        F.col("imbalance").alias("imbalance_b"),
+    )
+    return sa.join(sb, list_col).select(
+        list_col,
+        "n_a",
+        "n_b",
+        "share_a",
+        "share_b",
+        (F.col("share_b") - F.col("share_a")).alias("share_drift"),
+        "imbalance_a",
+        "imbalance_b",
+    )
+
+
+def ivf_list_assignment(
+    vectors: DataFrame,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Expression-only ``(id, list_id)`` assignment under literal
+    centroids — the deterministic assignment half of :func:`ivf_flat_topk`
+    factored out so health monitors and their DuckDB oracles share one
+    definition. Every distance is a left-to-right float64 fold against
+    centroid literals (bit-identical to DuckDB's list_reduce); ties break
+    to the lowest list_id. Scan-stage projection: centroids ride along as
+    literals, nothing shuffles. For k-means indexes use
+    :func:`assign_ivf_lists` (numpy argmin, same tie rule) — this variant
+    exists for oracle-reproducible audits."""
+    v = valid_vectors(vectors, vec).filter(F.col(id_col).isNotNull())
+    return v.select(
+        F.col(id_col),
+        F.element_at(
+            _l2_argmin_structs(_as_double(F.col(vec)), centroids), 1
+        )["list_id"].alias("list_id"),
+    )
+
+
 def ivf_probe_topk(
     indexed: DataFrame,
     centroids: list,

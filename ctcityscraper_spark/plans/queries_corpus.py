@@ -1393,6 +1393,7 @@ _E2E_CLEAN_SH3 = shingle_sql(3, "clean_text")
     FROM expl, cnts, audit
     ORDER BY shard_id, pack_id, doc_id
     """,
+    headline=True,
 )
 def q_corpus_e2e_prep(spark, sf_dir):
     """The composed nightly pretraining-prep DAG as ONE plan — the query

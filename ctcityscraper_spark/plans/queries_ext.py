@@ -517,6 +517,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     WHERE i / (sa.sz + sb.sz - i) >= 0.5
     ORDER BY doc_a, doc_b
     """,
+    headline=True,
 )
 def q_dedup_prefix_filter_join(spark, sf_dir):
     """Exact set-similarity self-join via prefix filtering
@@ -1343,6 +1344,88 @@ def q_ann_ivf_update(spark, sf_dir):
         ivf_probe_topk(merged, centroids, qs, k=5, n_probe=8)
         .repartition(1)
         .sortWithinPartitions("query_id", "rank")
+    )
+
+
+def _ivf_imbalance_oracle(dims: int, n_lists: int = 8) -> str:
+    """DuckDB twin of q_ann_ivf_imbalance: hash-picked centroids, fold-L2
+    argmin assignment (identical to _ivf_recall_oracle's), epoch split on
+    hash64(vec_id,'ivfepoch'), then pure grid/count/ratio arithmetic."""
+    l2 = (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        f"i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE)"
+        f" * (e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH ctr AS (
+        SELECT rn - 1 AS list_id, cv FROM (
+            SELECT embedding AS cv, ROW_NUMBER() OVER (
+                ORDER BY {hash64_sql('vec_id', 'ivfctr')}, vec_id) AS rn
+            FROM {EMB_VALID} embeddings) WHERE rn <= {n_lists}),
+    ad AS (
+        SELECT e.vec_id, ctr.list_id, {l2} AS d
+        FROM {EMB_VALID} e CROSS JOIN ctr),
+    assign AS (
+        SELECT vec_id, list_id,
+               {hash64_sql('vec_id', 'ivfepoch')} % 2 = 0 AS is_b
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM ad)
+        WHERE rn = 1),
+    grid AS (SELECT unnest(range(0, {n_lists}))::INT AS list_id),
+    fa AS (SELECT g.list_id, count(a.vec_id) AS n_a
+           FROM grid g LEFT JOIN (SELECT * FROM assign WHERE NOT is_b) a
+           USING (list_id) GROUP BY g.list_id),
+    fb AS (SELECT g.list_id, count(a.vec_id) AS n_b
+           FROM grid g LEFT JOIN (SELECT * FROM assign WHERE is_b) a
+           USING (list_id) GROUP BY g.list_id),
+    ta AS (SELECT sum(n_a) AS tot_a, max(n_a) AS max_a FROM fa),
+    tb AS (SELECT sum(n_b) AS tot_b, max(n_b) AS max_b FROM fb)
+    SELECT fa.list_id AS list_id, n_a, n_b,
+           CASE WHEN tot_a > 0 THEN n_a / tot_a END AS share_a,
+           CASE WHEN tot_b > 0 THEN n_b / tot_b END AS share_b,
+           CASE WHEN tot_b > 0 THEN n_b / tot_b END
+             - CASE WHEN tot_a > 0 THEN n_a / tot_a END AS share_drift,
+           CASE WHEN tot_a > 0
+                THEN max_a * {n_lists} / tot_a END AS imbalance_a,
+           CASE WHEN tot_b > 0
+                THEN max_b * {n_lists} / tot_b END AS imbalance_b
+    FROM fa JOIN fb USING (list_id), ta, tb
+    ORDER BY list_id
+    """
+
+
+@query("ann_ivf_imbalance", oracle=_ivf_imbalance_oracle(EMB_DIMS))
+def q_ann_ivf_imbalance(spark, sf_dir):
+    """IVF health monitor (operators/similarity.ivf_imbalance_report) —
+    closes update_ivf_index's documented drift caveat as an operator
+    instead of a comment: two epochs (hash split) are assigned under the
+    SAME frozen coarse quantizer and their per-list occupancy is joined
+    into (n, share, share_drift, imbalance) rows over the full list grid.
+    share_drift is the recall-proxy (mass migrating between lists under
+    fixed centroids = the incoming distribution wandering from the
+    training corpus, which is what degrades recall-per-probe);
+    imbalance = max/mean list size is the retrain trigger. Uses the
+    hash-picked deterministic quantizer + the expression-only assignment
+    (ivf_list_assignment, the ann_ivf_recall pattern) so every distance
+    is a left-to-right fold DuckDB reproduces bit-for-bit; the arithmetic
+    downstream is integer counts and single divisions — IEEE-exact. At
+    100 TB both epochs' stats are one groupBy over a STORED index frame
+    (n_lists result rows); the drift join is grid x grid."""
+    from ctcityscraper_spark.operators.similarity import (
+        ivf_imbalance_report,
+        ivf_list_assignment,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    centroids = hash_pick_centroids(emb, n_lists=8)
+    is_b = hash64(F.col("vec_id"), "ivfepoch") % 2 == 0
+    a = ivf_list_assignment(emb.filter(~is_b), centroids)
+    b = ivf_list_assignment(emb.filter(is_b), centroids)
+    return (
+        ivf_imbalance_report(a, b, n_lists=8)
+        .repartition(1)
+        .sortWithinPartitions("list_id")
     )
 
 

@@ -47,9 +47,14 @@ class TestRunHeadlineAndOutput:
             "bad": SimpleNamespace(headline=True, fn=bad),
             "not_headline": SimpleNamespace(headline=False, fn=bad),
         }
-        timings, errors = run_headline(spark, "unused", queries)
+        timings, errors, track, anomalous = run_headline(
+            spark, "unused", queries
+        )
         assert set(timings) == {"good"}
         assert set(errors) == {"bad"}
+        # per-query boot repricing covers every attempted headline query
+        assert set(track) == {"good", "bad"}
+        assert anomalous == []
 
         out = build_output(timings, errors, sf=0.01)
         assert out["partial"] is True
@@ -166,3 +171,134 @@ class TestComparableSubtotalFlagging:
         assert "partial" not in sub
         # the headline total is still flagged, as before
         assert out["partial"] is True
+
+    def test_new_headliners_recorded_and_excluded(self):
+        """r12: the headline set grew — the subtotal names the new
+        queries it excludes so set growth is visible in the JSON."""
+        from bench import NEW_HEADLINE_QUERIES
+
+        new = NEW_HEADLINE_QUERIES[0]
+        out = build_output(
+            self._full_timings() | {new: 9.0}, {}, sf=0.1
+        )
+        sub = out["comparable_subtotal"]
+        assert sub["new_queries_excluded"] == [new]
+        # ... and its 9.0 really is excluded from the subtotal value
+        assert sub["value"] == float(sub["n_queries"])
+
+
+class TestAnomalyResistance:
+    """r11 lesson: a boot-local pressure window tripled 4 queries while
+    the start-of-run calibration (taken before the queries) saw nothing —
+    two rounds running the raw record needed hand adjudication. The bench
+    now reprices the boot after every query, re-trials a >2x deviation
+    after a drain, and flags what still deviates in ``anomalous``."""
+
+    def test_expensive_query_gets_third_trial(self, spark):
+        """time_query must take 3 trials when the query costs >1 s (the
+        expensive queries move the trend line most)."""
+        import time as _time
+
+        from bench import time_query
+
+        calls = {"n": 0}
+
+        def slow(spark_, sf_dir):
+            calls["n"] += 1
+            _time.sleep(1.05)
+            return spark_.range(1)
+
+        best, err = time_query(spark, slow, "unused")
+        assert err is None and best is not None and best > 1.0
+        assert calls["n"] == 3
+
+    def test_cheap_query_keeps_two_trials(self, spark):
+        from bench import time_query
+
+        calls = {"n": 0}
+
+        def cheap(spark_, sf_dir):
+            calls["n"] += 1
+            return spark_.range(1)
+
+        best, err = time_query(spark, cheap, "unused")
+        assert err is None and calls["n"] == 2
+
+    def test_deviant_query_is_retried_and_flagged(self, spark, monkeypatch):
+        """A query landing >ANOMALY_FACTOR x its expectation under BOTH
+        calibrations must get a recovery re-trial (visible as extra
+        calls) and, still deviant, land in ``anomalous``."""
+        import bench
+
+        # fixed boot price: calibration 1.0 everywhere
+        monkeypatch.setattr(bench, "calibrate", lambda *a, **k: 1.0)
+        # expectation says this query should cost ~0.001 normalized;
+        # any real Spark action costs far more than 0.002 s
+        monkeypatch.setitem(bench.EXPECTED_NORMALIZED, "hot_q", 0.001)
+        calls = {"n": 0}
+
+        def q(spark_, sf_dir):
+            calls["n"] += 1
+            return spark_.range(10)
+
+        queries = {"hot_q": SimpleNamespace(headline=True, fn=q)}
+        timings, errors, track, anomalous = bench.run_headline(
+            spark, "unused", queries, calibration_sec=1.0
+        )
+        assert anomalous == ["hot_q"]
+        assert "hot_q" in timings and errors == {}
+        # base pass (2 trials, cheap query) + recovery pass (2 trials)
+        assert calls["n"] == 4
+
+    def test_within_expectation_not_flagged(self, spark, monkeypatch):
+        import bench
+
+        monkeypatch.setattr(bench, "calibrate", lambda *a, **k: 1.0)
+        monkeypatch.setitem(bench.EXPECTED_NORMALIZED, "ok_q", 1e9)
+        calls = {"n": 0}
+
+        def q(spark_, sf_dir):
+            calls["n"] += 1
+            return spark_.range(10)
+
+        queries = {"ok_q": SimpleNamespace(headline=True, fn=q)}
+        timings, errors, track, anomalous = bench.run_headline(
+            spark, "unused", queries, calibration_sec=1.0
+        )
+        assert anomalous == [] and calls["n"] == 2
+
+    def test_slow_boot_not_flagged(self, spark, monkeypatch):
+        """A uniformly slower machine inflates the LOCAL calibration too —
+        the dual-calibration guard must not flag it (normalization, not
+        anomaly, absorbs a slow boot)."""
+        import bench
+
+        # local repricing says the boot is very slow: raw/local tiny
+        monkeypatch.setattr(bench, "calibrate", lambda *a, **k: 1e9)
+        monkeypatch.setitem(bench.EXPECTED_NORMALIZED, "slow_boot_q", 0.001)
+        queries = {
+            "slow_boot_q": SimpleNamespace(
+                headline=True, fn=lambda s, d: s.range(10)
+            )
+        }
+        timings, errors, track, anomalous = bench.run_headline(
+            spark, "unused", queries, calibration_sec=1.0
+        )
+        assert anomalous == []
+
+    def test_output_carries_track_and_anomalous(self):
+        out = build_output(
+            {"a": 1.0},
+            {},
+            sf=0.1,
+            calibration_sec=1.0,
+            calibration_track={"a": 0.9},
+            anomalous=["a"],
+        )
+        assert out["calibration_track"] == {"a": 0.9}
+        assert out["anomalous"] == ["a"]
+
+    def test_anomalous_always_present_even_when_empty(self):
+        """Absence must never read as 'not checked'."""
+        out = build_output({"a": 1.0}, {}, sf=0.1)
+        assert out["anomalous"] == []

@@ -72,6 +72,10 @@ BUCKETED_QUERIES = [
     "dedup_prefix_filter_join",
     "dedup_incremental_prefix",
 ]
+# round-12: ann_ivf_imbalance is excluded by design — its only joins are
+# the n_lists-row grid equi-join and the 1-row total-attach crossJoin
+# (the same audit-summary shape as the recall audits and the KMV
+# summaries); there is no candidate-generation join to gate.
 
 
 def plan_of(spark, name: str) -> str:

@@ -313,6 +313,92 @@ class TestIvfAnn:
             assign_ivf_lists(emb, [[1.0] * 32] * 4).collect()
 
 
+class TestIvfImbalance:
+    """ivf_list_stats / ivf_imbalance_report — the operator form of
+    update_ivf_index's drift caveat (monitor list sizes, retrain on
+    degradation)."""
+
+    def _indexed(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(neighbor_id=i, list_id=lid) for i, lid in enumerate(rows)]
+        )
+
+    def test_full_grid_with_empty_lists(self, spark):
+        from ctcityscraper_spark.operators.similarity import ivf_list_stats
+
+        # 4 lists, list 2 empty: 2 + 1 + 0 + 1 rows
+        idx = self._indexed(spark, [0, 0, 1, 3])
+        got = {r.list_id: r for r in ivf_list_stats(idx, 4).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        assert [got[i].n for i in range(4)] == [2, 1, 0, 1]
+        assert got[2].share == 0.0
+        assert got[0].share == 0.5
+        # imbalance = max * n_lists / total = 2*4/4 = 2.0, same every row
+        assert all(got[i].imbalance == 2.0 for i in range(4))
+
+    def test_empty_index_is_loud_not_divide_by_zero(self, spark):
+        from ctcityscraper_spark.operators.similarity import ivf_list_stats
+
+        # an empty frame with the index schema
+        from pyspark.sql import Row
+
+        idx = spark.createDataFrame(
+            [Row(neighbor_id=1, list_id=0)]
+        ).filter(F.lit(False))
+        got = ivf_list_stats(idx, 3).collect()
+        assert len(got) == 3
+        assert all(r.n == 0 and r.share is None and r.imbalance is None for r in got)
+
+    def test_n_lists_validated(self, spark):
+        from ctcityscraper_spark.operators.similarity import ivf_list_stats
+
+        with pytest.raises(ValueError, match="n_lists"):
+            ivf_list_stats(self._indexed(spark, [0]), 0)
+
+    def test_report_drift_and_total_grid(self, spark):
+        from ctcityscraper_spark.operators.similarity import (
+            ivf_imbalance_report,
+        )
+
+        a = self._indexed(spark, [0, 0, 1, 1])  # balanced over 2 of 2
+        b = self._indexed(spark, [0, 0, 0, 1])  # drifted toward list 0
+        got = {r.list_id: r for r in ivf_imbalance_report(a, b, 2).collect()}
+        assert set(got) == {0, 1}
+        assert got[0].share_a == 0.5 and got[0].share_b == 0.75
+        assert got[0].share_drift == 0.25 and got[1].share_drift == -0.25
+        assert got[0].imbalance_a == 1.0  # perfectly balanced epoch
+        assert got[0].imbalance_b == 1.5  # 3*2/4
+        # an epoch that emptied a list still yields its row
+        c = self._indexed(spark, [0, 0, 0, 0])
+        got = {r.list_id: r for r in ivf_imbalance_report(a, c, 2).collect()}
+        assert got[1].n_b == 0 and got[1].share_drift == -0.5
+        assert got[1].imbalance_b == 2.0
+
+    def test_flat_assignment_matches_numpy_assignment(self, spark):
+        """ivf_list_assignment (expression-only, the oracle path) must
+        agree with assign_ivf_lists (numpy, the production path) on the
+        same centroids — same argmin, same lowest-list tie rule."""
+        from ctcityscraper_spark.operators.similarity import (
+            assign_ivf_lists,
+            hash_pick_centroids,
+            ivf_list_assignment,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        ctrs = hash_pick_centroids(emb, n_lists=4)
+        flat = {
+            r.vec_id: r.list_id
+            for r in ivf_list_assignment(emb, ctrs).collect()
+        }
+        prod = {
+            r.neighbor_id: r.list_id
+            for r in assign_ivf_lists(emb, ctrs).collect()
+        }
+        assert flat and flat == prod
+
+
 class TestAsofJoin:
     def test_matches_most_recent_prior(self, spark):
         from ctcityscraper_spark.operators.asof import asof_join
