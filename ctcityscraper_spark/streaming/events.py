@@ -1147,3 +1147,276 @@ def streaming_quantile(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _prep_zone_meta(
+    width: int, min_docs: int, m_bits: int, k: int,
+    shingle_n: int, test_mod: int, seq_len: int, num_shards: int,
+) -> dict:
+    from ctcityscraper_spark.operators.dedup import BLOOM_FORMAT_VERSION
+
+    return {
+        "kind": "corpus_prep_pipeline", "format_version": 1,
+        "bloom_format_version": BLOOM_FORMAT_VERSION,
+        "width": width, "min_docs": min_docs, "m_bits": m_bits, "k": k,
+        "shingle_n": shingle_n, "test_mod": test_mod,
+        "seq_len": seq_len, "num_shards": num_shards,
+    }
+
+
+_PREP_REBUILD_HINT = (
+    "Re-run the nightly batch DAG (corpus_e2e_prep) to rebuild the "
+    "pipeline state, or restart the stream with a fresh base_dir."
+)
+
+
+def streaming_corpus_prep(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    width: int | None = None,
+    min_docs: int | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    shingle_n: int = 8,
+    test_mod: int = 10,
+    seq_len: int | None = None,
+    num_shards: int | None = None,
+):
+    """The nightly pretraining-prep DAG (``corpus_e2e_prep``) as ONE
+    continuously-running stream: boilerplate removal -> Bloom-chased
+    exact dedup -> contamination gate -> sequence packing, composed in a
+    single ``foreachBatch`` under a SINGLE checkpoint dir — each stage's
+    stored state is a delta zone under ``base_dir`` maintained by the
+    same batch that consumes it.
+
+    Zones (all the established ``batch_id=N``-overwrite recipe):
+
+    - ``seg_counts``: per-batch (segment, n_docs) — SUM-mergeable across
+      batches because each doc belongs to exactly one batch, so the
+      strictly-before merge IS ``boilerplate_segments`` over everything
+      previously ingested. Batch N's hot list = merged counts >=
+      ``min_docs`` (batch 1 sees no hot list — new boilerplate waits one
+      batch, the same refresh-cadence trade the batch twin documents).
+    - ``bloom_words`` + ``fingerprints``: the two-tier exact-dedup state
+      (:func:`streaming_bloom_membership`'s zone + the md5 chase index).
+      The batch probes strictly-before words; only flagged rows join the
+      strictly-before fingerprint zone (dedup.bloom_chased_duplicates).
+      Within-batch duplicates keep the lowest doc_id (the keep-lowest
+      policy of the span/cut operators).
+    - ``test_shingles``: the decontamination inverted index — batch test
+      docs' distinct ``shingle_n``-shingles append each batch, so the
+      index GROWS continuously (the batch twin freezes it between
+      refreshes; the streaming form's whole point is that tonight's test
+      docs already protect tomorrow's train split).
+    - ``cursors``: per-batch (shard_id, n_tokens) sums — SUM-mergeable;
+      the strictly-before merge is the pack-continuation cursor, so a
+      batch doc can land mid-way through the previous batch's partial
+      pack exactly as the batch twin's ``base_offsets`` path does.
+    - ``packs`` (output): the per-batch assignment table
+      (shard_id, pack_id, doc_id, offset_in_pack, n_tokens).
+    - ``stats`` (output): one row per batch — (n_batch_in, n_dup_dropped,
+      n_test_held_out, n_contam_dropped), the attrition line of the
+      nightly run.
+
+    Exactly-once end-to-end across ALL stages at once: the single
+    checkpoint skips completed batches; every zone write is a
+    ``batch_id=N`` overwrite (a crash-and-replay rewrites its own
+    partitions, never appends); every read is strictly-before, so a
+    replayed batch never sees its own half-written deltas in ANY zone.
+    A config marker on ``base_dir`` (``_zone_meta.json``) is validated
+    every batch — a stream resumed under different split/bloom/packing
+    parameters dies on its first batch instead of corrupting five zones
+    at once. Returns the StreamingQuery handle; caller stops it.
+
+    100 TB shape: per batch the corpus-sized state is touched only
+    through the Bloom word probe (~m/32 rows), the flagged-rows-only
+    fingerprint join, and the test-shingle equi-join; the hot list and
+    cursor frames are broadcast-sized aggregates of bounded zones. The
+    zones are the same ones the per-stage streams compact
+    (``compact_incremental_zone``); run compaction out-of-band on the
+    fingerprint/shingle zones when their batch tails grow long.
+    """
+    from pyspark.sql import functions as SF
+
+    from ctcityscraper_spark.functions.hashing import hash64
+    from ctcityscraper_spark.operators.corpus import (
+        BOILER_MIN_DOCS,
+        PACK_SEQ_LEN,
+        PACK_SHARDS,
+        SEGMENT_WIDTH,
+        pack_sequences,
+        remove_boilerplate,
+        segments,
+    )
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_chased_duplicates,
+        build_bloom_index,
+        doc_shingles,
+        merge_bloom_words,
+    )
+
+    w = width or SEGMENT_WIDTH
+    md = min_docs if min_docs is not None else BOILER_MIN_DOCS
+    sl = seq_len or PACK_SEQ_LEN
+    ns = num_shards or PACK_SHARDS
+    meta = _prep_zone_meta(w, md, m_bits, k, shingle_n, test_mod, sl, ns)
+    z = {
+        name: f"{base_dir}/{name}"
+        for name in (
+            "seg_counts", "bloom_words", "fingerprints",
+            "test_shingles", "cursors", "packs", "stats",
+        )
+    }
+
+    def _put(df: DataFrame, zone: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{z[zone]}/batch_id={batch_id}")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(spark, base_dir, meta, _PREP_REBUILD_HINT)
+        batch_df = batch_df.persist()
+        # every multi-consumer stage frame persists for the batch and
+        # unpersists in the finally — never clearCache (it would drop
+        # caller-owned caches too)
+        persisted: list[DataFrame] = []
+
+        def _p(df: DataFrame) -> DataFrame:
+            persisted.append(df.persist())
+            return df
+
+        try:
+            # -- stage 1: boilerplate (hot list = strictly-before merge) --
+            seg_hist = read_incremental_zone(spark, z["seg_counts"], batch_id)
+            hot = (
+                seg_hist.groupBy("segment")
+                .agg(SF.sum("n_docs").alias("n_docs"))
+                .filter(SF.col("n_docs") >= md)
+                .select("segment")
+                if seg_hist is not None
+                else spark.createDataFrame([], "segment string")
+            )
+            batch = _p(
+                remove_boilerplate(batch_df, width=w, min_docs=md, hot=hot)
+                .select("doc_id", "clean_text")
+            )
+
+            # -- stage 2: two-tier exact dedup vs strictly-before state --
+            bloom = read_incremental_zone(spark, z["bloom_words"], batch_id)
+            fps = read_incremental_zone(spark, z["fingerprints"], batch_id)
+            if bloom is not None and fps is not None:
+                verdicts = bloom_chased_duplicates(
+                    batch, fps, merge_bloom_words(bloom), m_bits, k,
+                    text="clean_text",
+                )
+                dup_hist = verdicts.filter(SF.col("is_dup")).select("doc_id")
+            else:
+                dup_hist = batch.select("doc_id").filter(SF.lit(False))
+            # within-batch exact dups: keep the lowest doc_id occurrence
+            from pyspark.sql import Window as _W
+
+            w_fp = _W.partitionBy(SF.md5("clean_text")).orderBy("doc_id")
+            dup_within = (
+                batch.withColumn("_rn", SF.row_number().over(w_fp))
+                .filter(SF.col("_rn") > 1)
+                .select("doc_id")
+            )
+            dup_ids = _p(dup_hist.unionByName(dup_within).distinct())
+            kept = _p(batch.join(dup_ids, "doc_id", "left_anti"))
+
+            # -- stage 3: contamination gate vs strictly-before index --
+            is_test = hash64(SF.col("doc_id"), "split") % test_mod == 0
+            tidx = read_incremental_zone(spark, z["test_shingles"], batch_id)
+            train = kept.filter(~is_test)
+            if tidx is not None:
+                contam = _p(
+                    doc_shingles(train, "clean_text", "doc_id", shingle_n)
+                    .join(tidx.select("shingle"), "shingle", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+            else:
+                contam = _p(train.select("doc_id").filter(SF.lit(False)))
+            trainf = _p(train.join(contam, "doc_id", "left_anti"))
+
+            # -- stage 4: pack continuation from strictly-before cursors --
+            cur_hist = read_incremental_zone(spark, z["cursors"], batch_id)
+            cursor = (
+                cur_hist.groupBy("shard_id")
+                .agg(SF.sum("n_tokens").alias("base_off"))
+                if cur_hist is not None
+                else None
+            )
+            packs = _p(
+                pack_sequences(
+                    trainf, text="clean_text", seq_len=sl, num_shards=ns,
+                    base_offsets=cursor,
+                )
+            )
+
+            # -- outputs + this batch's own zone deltas --
+            _put(packs, "packs", batch_id)
+            stats = (
+                batch.agg(SF.count("*").alias("n_batch_in"))
+                .crossJoin(dup_ids.agg(SF.count("*").alias("n_dup_dropped")))
+                .crossJoin(
+                    kept.filter(is_test).agg(
+                        SF.count("*").alias("n_test_held_out")
+                    )
+                )
+                .crossJoin(
+                    contam.agg(SF.count("*").alias("n_contam_dropped"))
+                )
+            )
+            _put(stats, "stats", batch_id)
+            _put(
+                segments(batch_df, width=w)
+                .select("segment", "doc_id")
+                .distinct()
+                .groupBy("segment")
+                .agg(SF.count("*").alias("n_docs")),
+                "seg_counts",
+                batch_id,
+            )
+            surv = kept  # survivors extend dedup state (test docs too:
+            # a future re-ingest of a held-out doc is still a duplicate)
+            _put(
+                build_bloom_index(surv, m_bits, k, text="clean_text"),
+                "bloom_words",
+                batch_id,
+            )
+            _put(
+                surv.select(SF.md5("clean_text").alias("fingerprint"))
+                .distinct(),
+                "fingerprints",
+                batch_id,
+            )
+            _put(
+                doc_shingles(
+                    kept.filter(is_test), "clean_text", "doc_id", shingle_n
+                )
+                .select("shingle")
+                .distinct(),
+                "test_shingles",
+                batch_id,
+            )
+            _put(
+                packs.groupBy("shard_id").agg(
+                    SF.sum("n_tokens").alias("n_tokens")
+                ),
+                "cursors",
+                batch_id,
+            )
+        finally:
+            batch_df.unpersist()
+            for df in persisted:
+                df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

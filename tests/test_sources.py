@@ -1617,3 +1617,153 @@ class TestStreamingQuantile:
             for r in read_quantile_sample(spark, kwargs["sample_dir"]).collect()
         )
         assert got2 == fresh
+
+
+class TestStreamingCorpusPrep:
+    """streaming_corpus_prep: the nightly prep DAG (corpus_e2e_prep) as
+    ONE foreachBatch under a single checkpoint — boilerplate -> Bloom-
+    chased dedup -> contamination -> pack continuation, every stage
+    reading strictly-before zone state and appending its own delta."""
+
+    # ids chosen off the split hash: hash64(id,'split')%10==0 holds for
+    # 1,23,26,67,71,77 in [1,80) — 23 is the one test-split doc used
+    B1 = [
+        (2, "B1 B2 B3 a1 a2 a3"),
+        (3, "B1 B2 B3 b1 b2 b3"),
+        (4, "B1 B2 B3 d1 d2 d3"),
+        (5, "p1 p2 p3 p4"),
+    ]
+    B2 = [
+        (6, "p1 p2 p3 p4"),        # exact dup of doc 5 (history)
+        (7, "u1 u2 u3 u4"),        # within-batch dup pair: 7 kept,
+        (8, "u1 u2 u3 u4"),        # 8 dropped (keep-lowest)
+        (9, "B1 B2 B3 t1 t2 t3"),  # boiler stripped -> "t1 t2 t3"
+        (23, "c1 c2 c3 c4"),       # TEST split: held out, seeds tidx
+    ]
+    B3 = [
+        # boiler (twice) stripped -> "t1 t2 t3" = doc 9's fingerprint;
+        # raw texts differ, so this dup PROVES stripping ran on both
+        (30, "B1 B2 B3 B1 B2 B3 t1 t2 t3"),
+        (31, "x1 x2 c1 c2 c3"),    # carries test shingle "c1 c2 c3"
+        (32, "y1 y2 y3"),          # clean survivor
+    ]
+    # (doc_id, clean_text-as-of-its-batch) rows that reach packing:
+    # batch 1 has no hot list yet, so its boiler survives (the documented
+    # one-batch refresh lag), then 7, 9 and 32
+    SURVIVORS = [
+        (2, "B1 B2 B3 a1 a2 a3"),
+        (3, "B1 B2 B3 b1 b2 b3"),
+        (4, "B1 B2 B3 d1 d2 d3"),
+        (5, "p1 p2 p3 p4"),
+        (7, "u1 u2 u3 u4"),
+        (9, "t1 t2 t3"),
+        (32, "y1 y2 y3"),
+    ]
+
+    def _run(self, spark, src, base, ckpt, **kw):
+        from ctcityscraper_spark.streaming.events import (
+            stream_from_directory,
+            streaming_corpus_prep,
+        )
+
+        stream = stream_from_directory(
+            spark, src, "doc_id long, text string", max_files_per_trigger=1
+        )
+        q = streaming_corpus_prep(
+            stream, base, ckpt,
+            width=3, min_docs=3, shingle_n=3, seq_len=4, num_shards=2,
+            **kw,
+        )
+        q.awaitTermination(180)
+        return q
+
+    def test_three_batches_end_to_end_then_restart(self, spark, tmp_path):
+        import time as _time
+
+        from ctcityscraper_spark.operators.corpus import pack_sequences
+
+        src = str(tmp_path / "incoming")
+        base = str(tmp_path / "prep")
+        ckpt = str(tmp_path / "ckpt")
+        for batch in (self.B1, self.B2, self.B3):
+            spark.createDataFrame(
+                batch, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # file source orders by modification time
+
+        self._run(spark, src, base, ckpt)
+
+        stats = {
+            r.batch_id: r
+            for r in spark.read.parquet(f"{base}/stats").collect()
+        }
+        assert set(stats) == {0, 1, 2}
+        got = [
+            (s.n_batch_in, s.n_dup_dropped, s.n_test_held_out,
+             s.n_contam_dropped)
+            for s in (stats[0], stats[1], stats[2])
+        ]
+        assert got == [(4, 0, 0, 0), (5, 2, 1, 0), (3, 1, 0, 1)]
+
+        # packed output == one-shot pack_sequences over the survivors
+        # with their as-of-batch clean texts (ids increase across
+        # batches, so continuation == fresh rerun, exactly)
+        expected = {
+            tuple(r)
+            for r in pack_sequences(
+                spark.createDataFrame(
+                    self.SURVIVORS, "doc_id long, clean_text string"
+                ),
+                text="clean_text", seq_len=4, num_shards=2,
+            ).collect()
+        }
+        packed = spark.read.parquet(f"{base}/packs").drop("batch_id")
+        assert {tuple(r) for r in packed.collect()} == expected
+
+        # the held-out test doc is not packed, the contaminated and
+        # duplicated docs are gone
+        packed_ids = {r.doc_id for r in packed.select("doc_id").collect()}
+        assert packed_ids == {d for d, _ in self.SURVIVORS}
+
+        # zone state: the hot segment accumulated 3 (batch1) + 1 (doc 9)
+        seg = (
+            spark.read.parquet(f"{base}/seg_counts")
+            .groupBy("segment").agg(F.sum("n_docs").alias("n"))
+        )
+        hot = {r.segment: r.n for r in seg.filter(F.col("n") >= 3).collect()}
+        assert hot == {"B1 B2 B3": 5}  # + doc 30's raw occurrence
+
+        # restart with the same checkpoint: nothing reprocesses, every
+        # zone keeps its exact row counts (exactly-once end-to-end)
+        before = {
+            zone: spark.read.parquet(f"{base}/{zone}").count()
+            for zone in ("packs", "stats", "seg_counts", "fingerprints",
+                         "test_shingles", "cursors", "bloom_words")
+        }
+        self._run(spark, src, base, ckpt)
+        after = {
+            zone: spark.read.parquet(f"{base}/{zone}").count()
+            for zone in before
+        }
+        assert after == before
+
+    def test_config_drift_fails_loudly(self, spark, tmp_path):
+        import time as _time
+
+        import pytest as _pytest
+
+        src = str(tmp_path / "incoming")
+        base = str(tmp_path / "prep")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            self.B1, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        self._run(spark, src, base, ckpt)
+        # resume under a different split modulus: the next batch must die
+        # on the marker check, not silently corrupt five zones at once
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(40, "z1 z2 z3")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        with _pytest.raises(Exception, match="corpus_prep_pipeline|zone"):
+            q = self._run(spark, src, base, ckpt, test_mod=5)
