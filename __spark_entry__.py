@@ -35,69 +35,58 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # Round-11 rotation (r10 VERDICT item 7: oldest-verified rows come
+    # Round-12 rotation (r11 VERDICT item 5: oldest-verified rows come
     # back first; reserve slots only for queries that exist at commit
-    # time — _ordered below enforces that). Rotated OUT: every r10-
-    # verified row except the one-green-round keepers — the seven
-    # second-round-kept r9 rows (dedup_bloom_update, dedup_bloom_chase,
-    # text_unigram_surprisal, ann_int8_gram_matrix,
-    # text_cms_heavy_hitters, dedup_jaccard_cms_capped,
-    # multimodal_frame_sample, now 2 green rounds each), the sixteen
-    # subquery/engine/asof/range/window rows and the eleven standing
-    # family representatives (3-9 green rounds each). All remain
-    # in-repo + adversarial oracle-gated every run.
+    # time — _ordered below enforces that).
     #
-    # IN — the eleven r11 additions, never driver-verified (each was
+    # IN — the two r12 additions, never driver-verified (each was
     # implemented + in-repo oracle-gated in the same commit that added
     # its name here) ...
+    "ann_ivf_imbalance", "quality_classifier_score",
+    # ... the full last-green-r9 cohort (28 rows — recomputed from
+    # CORRECTNESS_r01–r11: every query whose newest driver row is r9),
+    # back for a fresh row ...
+    "ann_int8_topk", "ann_pq_recall", "ann_srp_lsh_topk",
+    "ann_srp_multiprobe_topk", "approx_aggregates_check",
+    "conditional_pivot_agg", "corpus_boilerplate_segments",
+    "corpus_contamination", "corpus_mixture_resample", "corpus_pii_scrub",
+    "corpus_quality_deciles", "corpus_repetition_signals",
+    "corpus_sample_k_per_group", "corpus_shard_stats",
+    "corpus_stratified_sample", "corpus_token_budget",
+    "dedup_bloom_membership", "dedup_incremental_exact",
+    "dedup_keep_best", "dedup_semdedup_drop_list", "dedup_simhash_pairs",
+    "events_sliding_1h_30m", "events_tumbling_6h", "json_extract_props",
+    "scd2_changed_since", "text_profile", "text_top_bigrams",
+    "text_vocab_coverage",
+    # ... the eleven r11 additions kept for a second verified round
+    # (the established one-round-keeper convention; their only green
+    # row is r11) — text_quantile_drift's oracle also changed this
+    # round (FULL JOIN), so its re-verification is load-bearing ...
     "text_quantile_sketch", "text_quantile_update",
     "text_quantile_by_source", "ann_pq_update", "corpus_e2e_prep",
     "dedup_prefix_filter_join", "text_quantile_drift",
     "corpus_e2e_prep_incremental", "groupby_salted_skew",
     "join_salted_skew", "dedup_incremental_prefix",
-    # ... kept for a second verified round (first green row was r10):
-    # the six late-r9 additions and ann_pca_ivf_recall's first
-    # hash-match row ...
-    "ann_gram_update", "ann_ivf_update",
-    "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
-    "text_kmv_update", "text_kmv_overlap", "ann_pca_ivf_recall",
-    # ... oldest-verified first: last green r1 ...
-    "ann_cosine_topk", "asof_join_last_purchase", "multimodal_bytes_meta",
-    # ... last green r4 ...
-    "dedup_drop_list", "dedup_embedding_neardup", "dedup_ngram_jaccard",
-    "dedup_simhash_signatures", "dedup_winnow_pairs",
-    "quality_filter_pipeline", "text_bpe_token_count",
-    "text_lang_confusion", "text_winnow_fingerprints",
-    # ... last green r5 ...
-    "date_bucket_monthly", "except_lapsed_customers", "groupby_cube",
-    "groupby_grouping_sets", "regex_extract_tokens", "string_normalize",
-    "window_running_total",
-    # ... last green r6 ...
-    "entity_uuid_identity", "money_roundtrip", "quantiles_by_status",
-    "regional_customer_revenue", "row_hash_content", "top_revenue_orders",
-    "union_by_name",
-    # ... last green r8 ...
-    "ann_pq_adc_topk", "corpus_cut_spans", "corpus_incremental_spans",
-    "events_cohort_retention", "events_funnel_ordered",
-    # ... and one family representative from the 29 last-green-r9 rows
-    # (an ANN recall audit) so ANN holds a fresh row
-    # (scd2_changed_since, corpus_quality_deciles, dedup_simhash_pairs,
-    # ann_srp_lsh_topk, ann_pq_recall and dedup_semdedup_drop_list — 4+
-    # green rounds each — yield their slots to the six late-r11
-    # additions; first 50 names = the window)
-    "ann_ivf_recall",
+    # ... and nine family representatives from the 43 last-green-r10
+    # rows (relational core, SCD2, events, bloom, graph, spans, sketch,
+    # ANN, multimodal — also the benched headliners, so this round's
+    # BENCH and CORRECTNESS cover the same plans); the other 34 r10
+    # rows yield their slots and stay in-repo + adversarial
+    # oracle-gated every run; first 50 names = the window
+    "pricing_summary", "scd2_latest_state", "events_sessionization",
+    "dedup_bloom_chase", "dedup_groups_connected",
+    "corpus_substring_spans", "text_cms_heavy_hitters",
+    "ann_cosine_topk_vectorized", "multimodal_frame_sample",
 ]
-# Verification record (matches CORRECTNESS_r01–r10): all 110 catalog
-# queries at r10 HEAD hold >= 1 driver-verified green row — 104 across
-# r1–r9 plus the six late-r9 additions verified in r10, where
-# ann_pca_ivf_recall also got its first hash-match (its r9 row was
-# rows-only). The eleven r11 additions above hold no driver row yet —
-# they are first in the window precisely so this round's run records
-# theirs. Names added to DRIVER_PRIORITY must exist in the catalog
-# at commit time — _ordered raises on unknown names so a typo (or a
-# planned-but-unbuilt query) cannot silently fall out of the window.
-# Everything outside the window remains in-repo + adversarial
-# oracle-gated every run.
+# Verification record (matches CORRECTNESS_r01–r11): all 121 catalog
+# queries at r11 HEAD hold >= 1 driver-verified green row — last-green
+# cohorts: 28 at r9, 43 at r10, 50 at r11 (recomputed from the files).
+# The two r12 additions above hold no driver row yet — they are first
+# in the window precisely so this round's run records theirs. Names
+# added to DRIVER_PRIORITY must exist in the catalog at commit time —
+# _ordered raises on unknown names so a typo (or a planned-but-unbuilt
+# query) cannot silently fall out of the window. Everything outside
+# the window remains in-repo + adversarial oracle-gated every run.
 
 
 def _ordered(catalog: dict) -> dict:

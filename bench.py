@@ -125,11 +125,13 @@ EXPECTED_NORMALIZED = {
     "corpus_substring_spans": 8.9,
     "subq_outer_join_order_counts": 1.9,
     "ingest_load_2000": 6.4,
-    # r12 promotions, measured at sf0.1 this round (calibration 0.218):
-    # corpus_e2e_prep 25.4 s raw — dominated by composed-DAG stage count,
-    # not data (sf0.01 costs 21 s) — see SCALE.md
-    "corpus_e2e_prep": 116.0,
-    "dedup_prefix_filter_join": 16.4,
+    # r12 promotions, measured at sf0.1 this round (calibration 0.223)
+    # AFTER the r12 lineage-cut fix (checkpoint_tracked in kmv_overlap +
+    # the small audit frames: 25.4 s -> 6.8 s raw; the cost was
+    # data-independent DRIVER plan re-analysis, see checkpoint_tracked's
+    # docstring)
+    "corpus_e2e_prep": 31.0,
+    "dedup_prefix_filter_join": 13.5,
 }
 
 

@@ -110,6 +110,32 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return _track_persist(df.persist())
 
 
+def checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` + registration — the LINEAGE-CUT sibling
+    of :func:`persist_tracked`, for SMALL frames (sketches, label maps)
+    whose deep upstream plan is about to be referenced from several
+    subplans of one query.
+
+    persist() caches the DATA but the analyzed logical plan still carries
+    the frame's full lineage into every consumer — Catalyst re-analyzes
+    the whole tree per reference and only then substitutes the cache
+    (CacheManager.useCachedData), so a ≤ k-row sketch at the end of a
+    deep composed pipeline can cost seconds of DRIVER time per reference
+    (measured on corpus_e2e_prep's KMV audit: 12.6 s of planning for
+    ~2 s of execution). localCheckpoint replaces the plan with a leaf, so
+    consumers plan against a ≤ k-row LogicalRDD. Trade-offs (the module
+    header's checkpoint semantics): executes HERE (eager), and released
+    blocks cannot recompute — use only for frames that are cheap to hold
+    and consumed before release."""
+    spark = df.sparkSession
+    from ctcityscraper_spark.operators.graph import persistent_rdd_ids
+
+    before = persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    _track_checkpoint(spark, persistent_rdd_ids(spark) - before)
+    return out
+
+
 def _track_checkpoint(spark, rdd_ids: set[int]) -> None:
     """Register the RDD ids backing a ``localCheckpoint``.
     ``DataFrame.unpersist`` cannot free these (they live in the

@@ -213,6 +213,131 @@ def quality_score_sql(text_expr: str) -> str:
     )
 
 
+QCLF_FEATURES = ("len_sig", "tok_sig", "punct_ratio", "digit_ratio", "stop_ratio")
+
+
+def quality_feature_cols(text: Column | str) -> list[Column]:
+    """The trainable quality classifier's feature vector — five scan-stage
+    scalars, every one a single exact division of integer counts (the
+    module's cross-engine determinism rule: no transcendental functions),
+    so a DuckDB oracle replays them bit-for-bit. Order is
+    :data:`QCLF_FEATURES`; keep :func:`quality_feature_sqls` in lockstep."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.least(F.length(c), F.lit(2000)) / F.lit(2000.0),
+        F.least(token_count_col(c), F.lit(400)) / F.lit(400.0),
+        punct_ratio_col(c),
+        digit_ratio_col(c),
+        stopword_ratio_col(c),
+    ]
+
+
+def quality_feature_sqls(text_expr: str) -> list[str]:
+    """DuckDB twins of :func:`quality_feature_cols`, same order."""
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    toks = f"list_distinct(regexp_split_to_array(trim({text_expr}), '\\s+'))"
+    length = f"length({text_expr})"
+    return [
+        f"(least({length}, 2000) / 2000.0)",
+        f"(least(len(regexp_split_to_array(trim({text_expr}), '\\s+')), 400)"
+        " / 400.0)",
+        f"(({length} - length(regexp_replace({text_expr}, '[^\\w\\s]', '', 'g')))"
+        f" / greatest({length}, 1))",
+        f"(({length} - length(regexp_replace({text_expr}, '[0-9]', '', 'g')))"
+        f" / greatest({length}, 1))",
+        f"(len(list_intersect({toks}, [{markers}]))"
+        f" / greatest(len({toks}), 1))",
+    ]
+
+
+def train_quality_classifier(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+    labels: Column | None = None,
+    sample_n: int = 2000,
+    seed: str = "qclf",
+    lr: float = 1.0,
+    iters: int = 500,
+) -> list[float]:
+    """Train a fastText-style linear quality classifier driver-side on a
+    BOUNDED hash-picked sample; returns ``[w1..w5, b]`` (float64) over
+    :func:`quality_feature_cols`.
+
+    The bounded-fit pattern of ``similarity.pq_train_codebooks`` /
+    ``hash_pick_centroids``: the sample is the ``sample_n`` rows with the
+    smallest ``(hash64(id, seed), id)`` — a distributed
+    TakeOrderedAndProject collects exactly sample_n feature rows, never
+    the corpus — and the fit itself is full-batch logistic-regression
+    gradient descent in numpy (fixed zero init / lr / iteration count, so
+    the weights are a deterministic function of the sample; full-batch
+    means sample ORDER doesn't matter). Persist the weights with
+    ``similarity.save_vectors_json`` and apply them with
+    :func:`quality_classifier_logit_col` — application is a literal-
+    folded expression in the scan stage, zero Python at query time.
+
+    ``labels`` is the supervision seam: any boolean Column over the input
+    (human labels, an LLM judge's verdicts joined in, a held-out model's
+    predictions). The default is weak supervision by the fixed heuristic
+    (``quality_score_col >= 0.6``) — distillation of the hand-tuned
+    filter into a calibrated linear form, the standard bootstrap when no
+    labeled data exists yet (what CCNet did with a Wikipedia-vs-crawl
+    classifier). At 100 TB the sample stays sample_n rows; retraining is
+    the same bounded job on fresh labels.
+    """
+    import numpy as np
+
+    from ctcityscraper_spark.functions.hashing import hash64
+
+    if labels is None:
+        labels = quality_score_col(text) >= 0.6
+    feats = quality_feature_cols(text)
+    rows = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text).isNotNull())
+        .select(
+            *[f.alias(n) for n, f in zip(QCLF_FEATURES, feats)],
+            labels.cast("int").alias("y"),
+            hash64(F.col(id_col), seed).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_quality_classifier: empty training sample")
+    X = np.array([[getattr(r, n) for n in QCLF_FEATURES] for r in rows])
+    y = np.array([r.y for r in rows], dtype=np.float64)
+    w = np.zeros(X.shape[1] + 1)
+    Xb = np.hstack([X, np.ones((len(X), 1))])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        w -= lr * (Xb.T @ (p - y)) / len(y)
+    return [float(v) for v in w]
+
+
+def quality_classifier_logit_col(
+    text: Column | str, weights: list[float]
+) -> Column:
+    """Apply trained classifier weights as a literal-folded expression:
+    ``b + w1*f1 + ... + w5*f5``, folded left-to-right so DuckDB's
+    left-associative ``+`` reproduces the double bit-for-bit (the logit,
+    NOT the sigmoid — exp() is not bit-portable across engines, and the
+    logit is ranking-equivalent; threshold at 0 where the sigmoid would
+    threshold at 0.5). Whole-stage-codegen scan-stage arithmetic: the
+    weights ride as plan literals, nothing shuffles, no Python."""
+    if len(weights) != len(QCLF_FEATURES) + 1:
+        raise ValueError(
+            f"expected {len(QCLF_FEATURES) + 1} weights (w1..w5, b), "
+            f"got {len(weights)}"
+        )
+    feats = quality_feature_cols(text)
+    z = F.lit(float(weights[-1]))
+    for w, f in zip(weights[:-1], feats):
+        z = z + F.lit(float(w)) * f
+    return z
+
+
 def tfidf_top_terms(
     df,
     text: str = "text",
@@ -789,18 +914,22 @@ def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
 
     Shape: two ≤ k-row inputs — the join, union and aggregates all run on
     sketch-sized data (the 1-row theta frame broadcasts); nothing here
-    ever touches a corpus. The inputs are persisted FIRST (registered
-    with operators.artifacts for release): each sketch feeds the theta
+    ever touches a corpus. The inputs are eagerly lineage-cut FIRST
+    (``artifacts.checkpoint_tracked``): each sketch feeds the theta
     aggregate, the intersection, and the union — five subplan reuses
-    total — and when the input is a full build pipeline rather than a
-    stored ≤ k-row table, un-persisted reuse re-executes the corpus
-    sketch pass per reference (measured 82 s → 7 s on the composed
-    corpus_e2e_prep query at sf0.1)."""
-    from ctcityscraper_spark.operators.artifacts import _track_persist
+    total. The r11 persist fixed re-EXECUTION (82 s → 7 s on the composed
+    corpus_e2e_prep at sf0.1), but persist leaves the full lineage in the
+    analyzed plan of every reference, and when the input is the tail of a
+    deep composed pipeline the DRIVER pays seconds of re-analysis per
+    reference (r12: 12.6 s of planning for ~2 s of execution on the same
+    query — data-size-independent, which is how it hid from the sf
+    scaling tables). The eager checkpoint runs the ≤ k-row sketch build
+    here and hands consumers a leaf plan: 12.6 s → 0.5 s measured."""
+    from ctcityscraper_spark.operators.artifacts import checkpoint_tracked
 
     pow60 = 1 << 60
-    sk_a = _track_persist(sk_a.select("h").persist())
-    sk_b = _track_persist(sk_b.select("h").persist())
+    sk_a = checkpoint_tracked(sk_a.select("h"))
+    sk_b = checkpoint_tracked(sk_b.select("h"))
     th_a = sk_a.agg(
         F.count("*").alias("na"), F.max("h").alias("ma")
     ).select(

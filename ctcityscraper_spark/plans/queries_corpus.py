@@ -9,6 +9,8 @@ split decision, and RE2-safe regexes evaluated by both engines.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from ctcityscraper_spark.operators.corpus import (
@@ -1433,7 +1435,10 @@ def q_corpus_e2e_prep(spark, sf_dir):
     8-gram index join, sketch-sized KMV legs, per-shard packing
     windows — composing them adds no new shuffle beyond the stages'
     own."""
-    from ctcityscraper_spark.operators.artifacts import persist_tracked
+    from ctcityscraper_spark.operators.artifacts import (
+        checkpoint_tracked,
+        persist_tracked,
+    )
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
         build_bloom_index,
@@ -1457,9 +1462,13 @@ def q_corpus_e2e_prep(spark, sf_dir):
     verdicts = bloom_chased_duplicates(
         batch, corpus_fp, bloom, _BLOOM_M, _BLOOM_K, text="clean_text"
     )
-    # dup_ids feeds both the anti-join and the attrition counts; without
-    # the persist each reuse re-runs the whole bloom-probe + chase
-    dup_ids = persist_tracked(
+    # dup_ids feeds both the anti-join and the attrition counts; it is a
+    # small id list at the tail of the whole bloom-probe + chase lineage,
+    # so it gets the eager LINEAGE CUT (checkpoint_tracked, the r12
+    # kmv_overlap lesson): persist alone leaves the bloom lineage in the
+    # analyzed plan of every downstream consumer (kept -> contam ->
+    # train_f -> packs -> cnts) and the driver re-analyzes it per subplan
+    dup_ids = checkpoint_tracked(
         verdicts.filter(F.col("is_dup")).select("doc_id")
     )
     kept = corpus.unionByName(batch.join(dup_ids, "doc_id", "left_anti"))
@@ -1467,9 +1476,11 @@ def q_corpus_e2e_prep(spark, sf_dir):
 
     # stage 3: contamination gate + KMV residual audit
     is_test = hash64(F.col("doc_id"), "split") % 10 == 0
-    # contam feeds the anti-join AND the attrition counts — persist the
-    # tiny id list so the inverted-index join runs once
-    contam = persist_tracked(
+    # contam feeds the anti-join AND the attrition counts — eager
+    # lineage cut on the tiny id list so the inverted-index join runs
+    # once AND its (very deep) plan stops being re-analyzed by every
+    # downstream consumer
+    contam = checkpoint_tracked(
         contamination_pairs(kept, text="clean_text")
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
@@ -1660,7 +1671,10 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     convention); in production each is read from its persisted form and
     the batch never touches corpus-sized state except through
     sketch/index probes."""
-    from ctcityscraper_spark.operators.artifacts import persist_tracked
+    from ctcityscraper_spark.operators.artifacts import (
+        checkpoint_tracked,
+        persist_tracked,
+    )
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
         build_bloom_index,
@@ -1679,7 +1693,11 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     stored_raw, batch_raw = docs.filter(~is_new), docs.filter(is_new)
 
     # ---- last night's artifacts (persisted in production) ----
-    hot = persist_tracked(
+    # the four frozen "stored artifacts" below are small frames at the
+    # tail of deep derivations — eager lineage cuts (checkpoint_tracked,
+    # the r12 kmv_overlap lesson) so downstream consumers plan against
+    # leaf frames, exactly like production reading them from disk
+    hot = checkpoint_tracked(
         boilerplate_segments(segments(stored_raw))
     )
     stored = persist_tracked(remove_boilerplate(stored_raw, hot=hot)
@@ -1697,7 +1715,7 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .filter(F.col("dfc") > 1000)
         .select("shingle")
     )
-    tidx = persist_tracked(
+    tidx = checkpoint_tracked(
         ssh.join(stored.filter(is_test).select("doc_id"), "doc_id")
         .select("shingle")
         .distinct()
@@ -1717,7 +1735,7 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     stored_test_kmv = kmv_sketch_terms(
         sh3(stored.filter(is_test)), "term", k=_KMV_K
     )
-    cursor = (
+    cursor = checkpoint_tracked(
         pack_sequences(strainf, text="clean_text")
         .groupBy("shard_id")
         .agg(F.sum("n_tokens").alias("base_off"))
@@ -1730,11 +1748,11 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     verdicts = bloom_chased_duplicates(
         batch, stored_fp, bloom, _BLOOM_M, _BLOOM_K, text="clean_text"
     )
-    dup_ids = persist_tracked(
+    dup_ids = checkpoint_tracked(
         verdicts.filter(F.col("is_dup")).select("doc_id")
     )
     bkept = persist_tracked(batch.join(dup_ids, "doc_id", "left_anti"))
-    bcontam = persist_tracked(
+    bcontam = checkpoint_tracked(
         doc_shingles(bkept.filter(~is_test), "clean_text", "doc_id", 8)
         .join(tidx, "shingle")
         .select("doc_id")
@@ -1762,4 +1780,102 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         packs.crossJoin(F.broadcast(cnts.crossJoin(resid)))
         .repartition(1)
         .sortWithinPartitions("shard_id", "pack_id", "doc_id")
+    )
+
+
+# =========================================================================
+# quality_classifier_score — the TRAINABLE quality filter: a fastText-style
+# linear classifier fit driver-side on a bounded sample (the
+# pq_train_codebooks pattern), weights persisted via the validated JSON
+# sidecar (the ann_pca_ivf_recall pattern: the fit's output becomes DATA
+# the oracle reads back), applied as a literal-folded scan-stage
+# expression. Only the numpy gradient descent stays outside the hash
+# match; features, logit fold, and the keep decision are all replayed by
+# DuckDB bit-for-bit. A corpus fingerprint rides in the sidecar and gates
+# the oracle's SELECT, so a stale sidecar (another sf's gate, an
+# oracle-only replay) yields 0 rows — a loud row-count mismatch, never a
+# silent plausible match.
+
+_QCLF_SIDECAR = str(
+    Path(__file__).resolve().parents[2]
+    / "spark-warehouse"
+    / "quality_classifier_weights.json"
+)
+
+
+def _qclf_oracle() -> str:
+    from ctcityscraper_spark.operators.text import quality_feature_sqls
+
+    f1, f2, f3, f4, f5 = quality_feature_sqls("text")
+    logit = (
+        f"wv[6] + wv[1] * {f1} + wv[2] * {f2} + wv[3] * {f3}"
+        f" + wv[4] * {f4} + wv[5] * {f5}"
+    )
+    return f"""
+    WITH w AS (
+        SELECT (data[1])::DOUBLE[] AS wv FROM read_json('{_QCLF_SIDECAR}')),
+    scored AS (
+        SELECT doc_id, {logit} AS logit
+        FROM documents, w
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+    SELECT doc_id, logit, logit > 0 AS keep
+    FROM scored
+    WHERE EXISTS (
+        SELECT 1
+        FROM read_json('{_QCLF_SIDECAR}') sj,
+             (SELECT count(*) AS n, sum(doc_id) AS s FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL) cur
+        WHERE sj.fingerprint_n = cur.n AND sj.fingerprint_s = cur.s)
+    ORDER BY doc_id
+    """
+
+
+@query("quality_classifier_score", oracle=_qclf_oracle())
+def q_quality_classifier_score(spark, sf_dir):
+    """Trained quality classifier end-to-end (operators/text.
+    train_quality_classifier -> save_vectors_json ->
+    quality_classifier_logit_col): fit a linear model on a 2000-row
+    hash-picked sample under weak supervision by the fixed heuristic
+    (quality_score >= 0.6 — distillation of the hand-tuned filter into
+    a trainable form, the CCNet-style bootstrap; swap the ``labels``
+    Column for human/LLM labels when they exist), persist [w1..w5, b]
+    to the sidecar, then score EVERY document with the literal-folded
+    logit (b + Σ w·f, left-to-right — the logit, not the sigmoid:
+    exp() is not bit-portable across engines and the logit is
+    ranking-equivalent with keep = logit > 0 ≡ p > 0.5).
+
+    At 100 TB: training collects exactly sample_n feature rows
+    (TakeOrderedAndProject); scoring is whole-stage-codegen arithmetic
+    in the scan stage — the weights are six plan literals, zero Python,
+    zero shuffle (the terminal sort here is presentation-only)."""
+    from ctcityscraper_spark.operators.similarity import save_vectors_json
+    from ctcityscraper_spark.operators.text import (
+        quality_classifier_logit_col,
+        train_quality_classifier,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    valid = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    weights = train_quality_classifier(valid)
+    fp = valid.agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    Path(_QCLF_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
+    save_vectors_json(
+        [weights],
+        _QCLF_SIDECAR,
+        kind="quality_classifier",
+        extra={"fingerprint_n": int(fp.n), "fingerprint_s": int(fp.s)},
+    )
+    logit = quality_classifier_logit_col("text", weights)
+    return (
+        valid.select(
+            "doc_id",
+            logit.alias("logit"),
+            (logit > 0).alias("keep"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )

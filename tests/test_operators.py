@@ -2090,6 +2090,97 @@ class TestQuantileDrift:
             assert r.est_a is None and r.drift is None and r.est_b is not None
 
 
+class TestQualityClassifier:
+    """train_quality_classifier / quality_classifier_logit_col — the
+    trainable (fastText-style) quality filter: bounded driver-side fit,
+    literal-folded scan-stage application."""
+
+    GOOD = "the quick brown fox jumps over the lazy dog and then it runs home across the field with a friend"
+    BAD = "@@@ ### !!! ??? %%% &&& *** $$$ ((( ))) ;;; ::: ,,, ... 111 222 333 444 555 666"
+
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        rows = [Row(doc_id=i, text=f"{self.GOOD} variant {i}") for i in range(1, 40)]
+        rows += [Row(doc_id=100 + i, text=f"{self.BAD} {i}!!!") for i in range(1, 40)]
+        return spark.createDataFrame(rows)
+
+    def test_training_is_deterministic(self, spark):
+        from ctcityscraper_spark.operators.text import train_quality_classifier
+
+        docs = self._docs(spark)
+        w1 = train_quality_classifier(docs, iters=100)
+        w2 = train_quality_classifier(docs, iters=100)
+        assert w1 == w2 and len(w1) == 6
+
+    def test_separates_clean_from_garbage(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            quality_classifier_logit_col,
+            train_quality_classifier,
+        )
+
+        docs = self._docs(spark)
+        w = train_quality_classifier(docs, iters=300)
+        scored = docs.select(
+            "doc_id", quality_classifier_logit_col("text", w).alias("z")
+        ).collect()
+        good = [r.z for r in scored if r.doc_id < 100]
+        bad = [r.z for r in scored if r.doc_id >= 100]
+        # every clean doc must outscore every garbage doc, and the
+        # keep = logit > 0 decision must match the teacher's split
+        assert min(good) > max(bad)
+        assert all(z > 0 for z in good) and all(z <= 0 for z in bad)
+
+    def test_weights_roundtrip_sidecar(self, spark, tmp_path):
+        from ctcityscraper_spark.operators.similarity import (
+            load_vectors_json,
+            save_vectors_json,
+        )
+        from ctcityscraper_spark.operators.text import train_quality_classifier
+
+        w = train_quality_classifier(self._docs(spark), iters=50)
+        p = tmp_path / "w.json"
+        save_vectors_json([w], p, kind="quality_classifier")
+        assert load_vectors_json(p, kind="quality_classifier") == [w]
+
+    def test_weight_count_validated(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            quality_classifier_logit_col,
+        )
+
+        with pytest.raises(ValueError, match="weights"):
+            quality_classifier_logit_col("text", [1.0, 2.0])
+
+    def test_empty_sample_raises(self, spark):
+        from ctcityscraper_spark.operators.text import train_quality_classifier
+
+        with pytest.raises(ValueError, match="empty training sample"):
+            train_quality_classifier(
+                self._docs(spark).filter(F.lit(False))
+            )
+
+    def test_custom_labels_seam(self, spark):
+        """The supervision seam: training on INVERTED labels must flip
+        the decision boundary — proof the labels Column is really what
+        the fit consumes (not the built-in heuristic)."""
+        from ctcityscraper_spark.operators.text import (
+            quality_classifier_logit_col,
+            quality_score_col,
+            train_quality_classifier,
+        )
+
+        docs = self._docs(spark)
+        w = train_quality_classifier(
+            docs, labels=quality_score_col("text") < 0.6, iters=300
+        )
+        scored = docs.select(
+            "doc_id", quality_classifier_logit_col("text", w).alias("z")
+        ).collect()
+        good = [r.z for r in scored if r.doc_id < 100]
+        bad = [r.z for r in scored if r.doc_id >= 100]
+        assert max(good) < min(bad)
+
+
 class TestIncrementalPrefixPairs:
     """incremental_prefix_pairs: exact recall against the frozen corpus
     artifacts — must equal the naive batch x corpus inverted-index join
