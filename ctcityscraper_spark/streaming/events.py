@@ -1420,3 +1420,211 @@ def streaming_corpus_prep(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _ivf_zone_meta(n_lists: int, dims: int, centroids: list) -> dict:
+    return {"kind": "ivf_index", "format_version": 1,
+            "n_lists": n_lists, "dims": dims, "centroids": centroids}
+
+
+_IVF_REBUILD_HINT = (
+    "Rebuild the index from the corpus (build_ivf_index / "
+    "assign_ivf_lists) or restart the stream with a fresh index_dir."
+)
+
+
+def read_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    before_batch: int = 2**62,
+    table_prefix: str | None = None,
+) -> tuple[DataFrame | None, list | None]:
+    """The merged IVF index rows for batches strictly before
+    ``before_batch`` plus the zone's FROZEN centroids:
+    ``(indexed | None, centroids | None)``. Assignment is per-row, so the
+    union of per-batch deltas IS ``assign_ivf_lists`` over everything
+    ingested, exactly — feed both returns to ``similarity.ivf_probe_topk``
+    to query, or the frame alone to ``similarity.ivf_list_stats`` /
+    ``ivf_imbalance_report`` for the drift monitor. On a freshly-compacted
+    zone (epoch bucketed on list_id, empty tail) the probe join is
+    shuffle-free on the index side. A data-bearing zone with no marker, a
+    wrong kind, or a bumped format version raises — probing rows assigned
+    under different centroids silently destroys recall."""
+    meta = read_zone_meta(spark, index_dir)
+    if meta is None:
+        if _zone_has_data(spark, index_dir):
+            raise ValueError(
+                f"stored zone {index_dir} has data but no {ZONE_META_FILE} — "
+                f"unversioned stored state. {_IVF_REBUILD_HINT}"
+            )
+        return None, None
+    if meta.get("kind") != "ivf_index" or meta.get("format_version") != 1:
+        raise ValueError(
+            f"stored zone {index_dir} was written under {meta.get('kind')!r} "
+            f"format_version={meta.get('format_version')!r}; this reader "
+            f"expects ivf_index v1. {_IVF_REBUILD_HINT}"
+        )
+    rows = read_incremental_zone(spark, index_dir, before_batch, table_prefix)
+    return rows, meta["centroids"]
+
+
+def streaming_ivf(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    compact_every: int | None = None,
+    compact_buckets: int = 8,
+    compact_table_prefix: str | None = None,
+):
+    """Continuously-maintained IVF index over an embedding stream — the
+    vector-index instance of the delta-zone recipe, completing the
+    streaming half of the stored-state matrix (Bloom / CMS / KMV /
+    quantile / Gram / spans all stream already; IVF and PQ now do too).
+
+    Every micro-batch assigns its vectors under the FROZEN ``centroids``
+    (``similarity.assign_ivf_lists`` — one Arrow argmin pass over the
+    batch, never a stored-index scan) and appends the delta
+    ``(neighbor_id, cv, list_id)`` rows to ``index_dir/batch_id=N``
+    (exactly-once: per-batch overwrite + the streaming checkpoint).
+    Because assignment is per-row, the merged zone equals
+    ``assign_ivf_lists`` over everything ingested, exactly. The centroids
+    ARE the zone's format contract: they live in ``_zone_meta.json`` and
+    a stream resumed under different centroids (or n_lists/dims) dies on
+    its first batch — mixed-quantizer rows would silently destroy
+    recall. Query the live index with :func:`read_ivf_index` +
+    ``ivf_probe_topk``; watch drift with ``ivf_list_stats`` /
+    ``ivf_imbalance_report`` (the ``ann_ivf_imbalance`` monitor) and
+    retrain + restart the zone when imbalance degrades. With
+    ``compact_every=N`` the zone periodically rewrites into one epoch
+    bucketed on ``list_id``, so right after compaction probe joins are
+    shuffle-free on the index side. Returns the StreamingQuery handle;
+    caller stops it."""
+    import hashlib
+
+    from ctcityscraper_spark.operators.similarity import assign_ivf_lists
+
+    n_lists = len(centroids)
+    dims = len(centroids[0]) if centroids else 0
+    ctrs = [[float(x) for x in c] for c in centroids]
+    meta = _ivf_zone_meta(n_lists, dims, ctrs)
+    tbl_prefix = compact_table_prefix or (
+        "ivf_rows_" + hashlib.md5(index_dir.encode()).hexdigest()[:8]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(spark, index_dir, meta, _IVF_REBUILD_HINT)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, index_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, index_dir, batch_id, table_prefix=tbl_prefix,
+                    bucket_keys=["list_id"], buckets=compact_buckets,
+                    sort=["list_id"],
+                )
+        assign_ivf_lists(batch_df, ctrs, vec=vec, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _pq_zone_meta(codebook: list) -> dict:
+    m = len(codebook)
+    k = len(codebook[0]) if codebook else 0
+    sub = len(codebook[0][0]) if codebook and codebook[0] else 0
+    return {"kind": "pq_codes", "format_version": 1,
+            "m": m, "k": k, "sub_dim": sub, "codebook": codebook}
+
+
+_PQ_REBUILD_HINT = (
+    "Re-encode the corpus under the current codebook (pq_encode_corpus) "
+    "or restart the stream with a fresh codes_dir."
+)
+
+
+def read_pq_codes(
+    spark: SparkSession,
+    codes_dir: str,
+    before_batch: int = 2**62,
+) -> tuple[DataFrame | None, list | None]:
+    """The merged PQ code table for batches strictly before
+    ``before_batch`` plus the zone's FROZEN codebook:
+    ``(codes | None, codebook | None)``. Encoding is per-row, so the
+    union of per-batch deltas IS ``pq_encode_corpus`` over everything
+    ingested, exactly — feed both returns to
+    ``similarity.pq_adc_topk_codes``. Marker validation as in
+    :func:`read_ivf_index`: codes written under a different codebook
+    would ADC-score as garbage, so an unversioned or mismatched zone
+    raises instead of returning rows."""
+    meta = read_zone_meta(spark, codes_dir)
+    if meta is None:
+        if _zone_has_data(spark, codes_dir):
+            raise ValueError(
+                f"stored zone {codes_dir} has data but no {ZONE_META_FILE} — "
+                f"unversioned stored state. {_PQ_REBUILD_HINT}"
+            )
+        return None, None
+    if meta.get("kind") != "pq_codes" or meta.get("format_version") != 1:
+        raise ValueError(
+            f"stored zone {codes_dir} was written under {meta.get('kind')!r} "
+            f"format_version={meta.get('format_version')!r}; this reader "
+            f"expects pq_codes v1. {_PQ_REBUILD_HINT}"
+        )
+    return read_incremental_zone(spark, codes_dir, before_batch), meta["codebook"]
+
+
+def streaming_pq(
+    stream: DataFrame,
+    codes_dir: str,
+    checkpoint_dir: str,
+    codebook: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained PQ code table over an embedding stream —
+    the compression-index sibling of :func:`streaming_ivf` (same recipe,
+    scan-stage ``pq_encode_corpus`` under the FROZEN codebook per batch;
+    the codebook is the zone's format contract in ``_zone_meta.json``).
+    Merged zone ≡ one-shot encode of everything ingested (per-row
+    encoding). Query with :func:`read_pq_codes` +
+    ``pq_adc_topk_codes``; ADC scoring is a scan over the code table
+    (no join key), so compaction consolidates files without bucketing.
+    Returns the StreamingQuery handle; caller stops it."""
+    from ctcityscraper_spark.operators.similarity import pq_encode_corpus
+
+    cb = [[[float(x) for x in ctr] for ctr in sub] for sub in codebook]
+    meta = _pq_zone_meta(cb)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(spark, codes_dir, meta, _PQ_REBUILD_HINT)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, codes_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(spark, codes_dir, batch_id)
+        pq_encode_corpus(batch_df, cb, vec=vec, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{codes_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

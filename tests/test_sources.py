@@ -1767,3 +1767,150 @@ class TestStreamingCorpusPrep:
         ).coalesce(1).write.mode("append").parquet(src)
         with _pytest.raises(Exception, match="corpus_prep_pipeline|zone"):
             q = self._run(spark, src, base, ckpt, test_mod=5)
+
+
+class TestStreamingIvfPq:
+    """streaming_ivf / streaming_pq: the vector-index instances of the
+    delta-zone recipe — per-batch assignment/encoding under the FROZEN
+    quantizer recorded as the zone's format contract."""
+
+    DIMS = 4
+    SCHEMA = "vec_id long, embedding array<double>"
+    BATCHES = [
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 0.0, -1.0, 0.5])],
+        [(3, [0.1, 0.2, 0.3, 0.4]), (4, [-1.0, -2.0, 1.0, 2.0])],
+        [(5, [5.0, 4.0, 3.0, 2.0]), (6, [1.0, 1.0, 1.0, 1.0])],
+    ]
+
+    def _write_batches(self, spark, src):
+        import time as _time
+
+        for rows in self.BATCHES:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+    def _all(self, spark):
+        return spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], self.SCHEMA
+        )
+
+    def test_streaming_ivf_merged_equals_one_shot(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.similarity import (
+            assign_ivf_lists,
+            hash_pick_centroids,
+            ivf_list_stats,
+            ivf_probe_topk,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_ivf_index,
+            stream_from_directory,
+            streaming_ivf,
+        )
+
+        src = tmp_path / "incoming"
+        self._write_batches(spark, src)
+        allv = self._all(spark)
+        ctrs = hash_pick_centroids(allv, n_lists=3)
+
+        def run(centroids):
+            q = streaming_ivf(
+                stream_from_directory(
+                    spark, str(src), self.SCHEMA, max_files_per_trigger=1
+                ),
+                index_dir=str(tmp_path / "ivf"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                centroids=centroids,
+                compact_every=2,
+            )
+            q.awaitTermination(180)
+
+        run(ctrs)
+        idx, stored_ctrs = read_ivf_index(spark, str(tmp_path / "ivf"))
+        assert stored_ctrs == [[float(x) for x in c] for c in ctrs]
+        got = {(r.neighbor_id, r.list_id) for r in idx.collect()}
+        want = {
+            (r.neighbor_id, r.list_id)
+            for r in assign_ivf_lists(allv, ctrs).collect()
+        }
+        assert got == want and len(got) == 6
+        # the live zone feeds the drift monitor and the probe directly
+        stats = ivf_list_stats(idx, 3).collect()
+        assert sum(r.n for r in stats) == 6
+        probes = ivf_probe_topk(
+            idx, stored_ctrs, allv.filter(F.col("vec_id") <= 2),
+            k=2, n_probe=3,
+        ).collect()
+        assert {r.query_id for r in probes} == {1, 2}
+        # restart with the same checkpoint: nothing reprocesses
+        n_before = idx.count()
+        run(ctrs)
+        idx2, _ = read_ivf_index(spark, str(tmp_path / "ivf"))
+        assert idx2.count() == n_before
+        # resume under DIFFERENT centroids: first new batch dies loudly
+        import time as _time
+
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(9, [9.0, 9.0, 9.0, 9.0])], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        with _pytest.raises(Exception, match="zone|ivf"):
+            run([[0.0] * self.DIMS] * 3)
+
+    def test_streaming_pq_merged_equals_one_shot(self, spark, tmp_path):
+        from ctcityscraper_spark.operators.similarity import (
+            pq_codebook,
+            pq_encode_corpus,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_pq_codes,
+            stream_from_directory,
+            streaming_pq,
+        )
+
+        src = tmp_path / "incoming"
+        self._write_batches(spark, src)
+        cb = pq_codebook(self.DIMS, n_sub=2, k=4)
+        q = streaming_pq(
+            stream_from_directory(
+                spark, str(src), self.SCHEMA, max_files_per_trigger=1
+            ),
+            codes_dir=str(tmp_path / "pq"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            codebook=cb,
+            compact_every=2,
+        )
+        q.awaitTermination(180)
+        codes, stored_cb = read_pq_codes(spark, str(tmp_path / "pq"))
+        assert stored_cb == [
+            [[float(x) for x in ctr] for ctr in sub] for sub in cb
+        ]
+        got = {(r.neighbor_id, tuple(r.codes)) for r in codes.collect()}
+        want = {
+            (r.neighbor_id, tuple(r.codes))
+            for r in pq_encode_corpus(self._all(spark), cb).collect()
+        }
+        assert got == want and len(got) == 6
+
+    def test_unversioned_zone_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.streaming.events import (
+            read_ivf_index,
+            read_pq_codes,
+        )
+
+        # data-bearing dir with no marker: both readers must refuse
+        d = tmp_path / "zone"
+        spark.createDataFrame(
+            [(1, [1.0])], "neighbor_id long, cv array<double>"
+        ).write.parquet(str(d / "batch_id=0"))
+        with _pytest.raises(ValueError, match="unversioned"):
+            read_ivf_index(spark, str(d))
+        with _pytest.raises(ValueError, match="unversioned"):
+            read_pq_codes(spark, str(d))
+        # absent zone: clean None
+        assert read_ivf_index(spark, str(tmp_path / "nope")) == (None, None)
