@@ -1182,6 +1182,7 @@ def streaming_corpus_prep(
     test_mod: int = 10,
     seq_len: int | None = None,
     num_shards: int | None = None,
+    compact_every: int | None = None,
 ):
     """The nightly pretraining-prep DAG (``corpus_e2e_prep``) as ONE
     continuously-running stream: boilerplate removal -> Bloom-chased
@@ -1233,9 +1234,14 @@ def streaming_corpus_prep(
     through the Bloom word probe (~m/32 rows), the flagged-rows-only
     fingerprint join, and the test-shingle equi-join; the hot list and
     cursor frames are broadcast-sized aggregates of bounded zones. The
-    zones are the same ones the per-stage streams compact
-    (``compact_incremental_zone``); run compaction out-of-band on the
-    fingerprint/shingle zones when their batch tails grow long.
+    zones follow the same compaction recipe as the per-stage streams:
+    with ``compact_every=N`` every state zone periodically rewrites into
+    one consolidated epoch with its own merge transform — seg_counts and
+    cursors re-aggregate by SUM, fingerprints and test_shingles by
+    DISTINCT, bloom_words by bit_or (bucketed on word_idx) — so stored
+    state stays merged-size-bounded at any stream length. The packs and
+    stats OUTPUT zones never compact (they are the run's ledger, one
+    partition per batch is the contract).
     """
     from pyspark.sql import functions as SF
 
@@ -1256,11 +1262,16 @@ def streaming_corpus_prep(
         merge_bloom_words,
     )
 
+    import hashlib
+
     w = width or SEGMENT_WIDTH
     md = min_docs if min_docs is not None else BOILER_MIN_DOCS
     sl = seq_len or PACK_SEQ_LEN
     ns = num_shards or PACK_SHARDS
     meta = _prep_zone_meta(w, md, m_bits, k, shingle_n, test_mod, sl, ns)
+    bloom_tbl_prefix = (
+        "prep_bloom_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
+    )
     z = {
         name: f"{base_dir}/{name}"
         for name in (
@@ -1272,11 +1283,48 @@ def streaming_corpus_prep(
     def _put(df: DataFrame, zone: str, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(f"{z[zone]}/batch_id={batch_id}")
 
+    def _compact_state_zones(spark, batch_id: int) -> None:
+        # every STATE zone re-aggregates under its own merge; outputs
+        # (packs/stats) stay per-batch. The <= epoch guard matches the
+        # other sinks: finish pending cleanup on replay.
+        def seg_merge(df):
+            return df.groupBy("segment").agg(SF.sum("n_docs").alias("n_docs"))
+
+        def cur_merge(df):
+            return df.groupBy("shard_id").agg(
+                SF.sum("n_tokens").alias("n_tokens")
+            )
+
+        from ctcityscraper_spark.operators.dedup import merge_bloom_words
+
+        plans = [
+            ("seg_counts", dict(transform=seg_merge)),
+            ("cursors", dict(transform=cur_merge)),
+            ("fingerprints", dict(transform=lambda df: df.distinct())),
+            ("test_shingles", dict(transform=lambda df: df.distinct())),
+            (
+                "bloom_words",
+                dict(
+                    transform=merge_bloom_words,
+                    bucket_keys=["word_idx"],
+                    buckets=4,
+                    sort=["word_idx"],
+                    table_prefix=bloom_tbl_prefix,
+                ),
+            ),
+        ]
+        for zone, kw in plans:
+            epochs = _compacted_epochs(spark, z[zone])
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(spark, z[zone], batch_id, **kw)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         ensure_zone_meta(spark, base_dir, meta, _PREP_REBUILD_HINT)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            _compact_state_zones(spark, batch_id)
         batch_df = batch_df.persist()
         # every multi-consumer stage frame persists for the batch and
         # unpersists in the finally — never clearCache (it would drop
@@ -1304,7 +1352,9 @@ def streaming_corpus_prep(
             )
 
             # -- stage 2: two-tier exact dedup vs strictly-before state --
-            bloom = read_incremental_zone(spark, z["bloom_words"], batch_id)
+            bloom = read_incremental_zone(
+                spark, z["bloom_words"], batch_id, bloom_tbl_prefix
+            )
             fps = read_incremental_zone(spark, z["fingerprints"], batch_id)
             if bloom is not None and fps is not None:
                 verdicts = bloom_chased_duplicates(

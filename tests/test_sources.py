@@ -1747,6 +1747,63 @@ class TestStreamingCorpusPrep:
         }
         assert after == before
 
+    def test_compaction_preserves_results(self, spark, tmp_path):
+        """compact_every=2 over the same 3 batches: the state zones
+        re-aggregate into epochs with their per-zone merges, and the
+        pipeline's OUTPUTS (stats, packs) are identical to the
+        uncompacted run — compaction is a layout change, never a
+        semantics change."""
+        import time as _time
+
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_incremental_zone,
+        )
+
+        src = str(tmp_path / "incoming")
+        base = str(tmp_path / "prep")
+        ckpt = str(tmp_path / "ckpt")
+        for batch in (self.B1, self.B2, self.B3):
+            spark.createDataFrame(
+                batch, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+        self._run(spark, src, base, ckpt, compact_every=2)
+
+        stats = {
+            r.batch_id: r
+            for r in spark.read.parquet(f"{base}/stats").collect()
+        }
+        got = [
+            (s.n_batch_in, s.n_dup_dropped, s.n_test_held_out,
+             s.n_contam_dropped)
+            for s in (stats[0], stats[1], stats[2])
+        ]
+        assert got == [(4, 0, 0, 0), (5, 2, 1, 0), (3, 1, 0, 1)]
+        packed = spark.read.parquet(f"{base}/packs").drop("batch_id")
+        assert {r.doc_id for r in packed.collect()} == {
+            d for d, _ in self.SURVIVORS
+        }
+        # state zones hold a committed epoch; the merged reads still see
+        # everything (epoch + tail), with per-zone merge semantics intact
+        for zone in ("seg_counts", "cursors", "fingerprints",
+                     "test_shingles", "bloom_words"):
+            assert _compacted_epochs(spark, f"{base}/{zone}"), zone
+        seg = read_incremental_zone(spark, f"{base}/seg_counts")
+        hot = {
+            r.segment: r.n
+            for r in seg.groupBy("segment")
+            .agg(F.sum("n_docs").alias("n"))
+            .filter(F.col("n") >= 3)
+            .collect()
+        }
+        assert hot == {"B1 B2 B3": 5}
+        fps = read_incremental_zone(spark, f"{base}/fingerprints")
+        assert fps.count() == fps.distinct().count()
+        # outputs never compact — one partition per batch is the ledger
+        assert not _compacted_epochs(spark, f"{base}/packs")
+        assert not _compacted_epochs(spark, f"{base}/stats")
+
     def test_config_drift_fails_loudly(self, spark, tmp_path):
         import time as _time
 
