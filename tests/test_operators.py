@@ -960,6 +960,43 @@ class TestPqAnn:
             assert len(r.codes) == 8
             assert all(0 <= c <= 15 for c in r.codes)
 
+    def test_expr_path_equals_column_path(self, spark):
+        """pq_encode_expr / pq_adc_table_expr (single-F.expr parse — the
+        production path since r12; the lambda-Column builders cost ~3 s
+        of driver time per call at M*K=128) must be row-identical to the
+        Column builders on both codes and ADC tables."""
+        from ctcityscraper_spark.operators.similarity import (
+            _as_double,
+            pq_adc_table_col,
+            pq_adc_table_expr,
+            pq_codebook,
+            pq_encode_col,
+            pq_encode_expr,
+            valid_vectors,
+        )
+
+        cb = pq_codebook(64)
+        v = valid_vectors(load_table(spark, SF, "embeddings")).select(
+            "vec_id", _as_double(F.col("embedding")).alias("_v")
+        )
+        col_path = {
+            r.vec_id: (tuple(r.c), tuple(map(tuple, r.t)))
+            for r in v.select(
+                "vec_id",
+                pq_encode_col(F.col("_v"), cb).alias("c"),
+                pq_adc_table_col(F.col("_v"), cb).alias("t"),
+            ).collect()
+        }
+        expr_path = {
+            r.vec_id: (tuple(r.c), tuple(map(tuple, r.t)))
+            for r in v.select(
+                "vec_id",
+                pq_encode_expr("_v", cb).alias("c"),
+                pq_adc_table_expr("_v", cb).alias("t"),
+            ).collect()
+        }
+        assert col_path and col_path == expr_path
+
 
 class TestSemDeDup:
     def test_kmeans_cluster_col_plugs_in(self, spark):
