@@ -301,6 +301,37 @@ class TestIvfAnn:
         )
         assert probe_merged == probe_one_shot and probe_merged
 
+    def test_l2_argmin_expr_equals_column_path(self, spark):
+        """_l2_argmin_structs_expr (single-parse, the production path
+        since r12) must be row-identical to the Column builder — the
+        fold order is oracle-matched by the IVF recall audits."""
+        from ctcityscraper_spark.operators.similarity import (
+            _as_double,
+            _l2_argmin_structs,
+            _l2_argmin_structs_expr,
+            hash_pick_centroids,
+            valid_vectors,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        ctrs = hash_pick_centroids(emb, n_lists=4)
+        v = valid_vectors(emb).select(
+            "vec_id", _as_double(F.col("embedding")).alias("_v")
+        )
+        col_path = {
+            r.vec_id: [(s.d, s.list_id) for s in r.a]
+            for r in v.select(
+                "vec_id", _l2_argmin_structs(F.col("_v"), ctrs).alias("a")
+            ).collect()
+        }
+        expr_path = {
+            r.vec_id: [(s.d, s.list_id) for s in r.a]
+            for r in v.select(
+                "vec_id", _l2_argmin_structs_expr("_v", ctrs).alias("a")
+            ).collect()
+        }
+        assert col_path and col_path == expr_path
+
     def test_assign_refuses_bad_shapes(self, spark):
         import pytest as _pytest
 
@@ -993,6 +1024,39 @@ class TestPqAnn:
                 "vec_id",
                 pq_encode_expr("_v", cb).alias("c"),
                 pq_adc_table_expr("_v", cb).alias("t"),
+            ).collect()
+        }
+        assert col_path and col_path == expr_path
+
+    def test_pca_expr_path_equals_column_path(self, spark):
+        """pca_project_expr (single-parse, the literal-gate production
+        path since r12) must be row-identical to pca_project_col — the
+        fold order is oracle-matched, so any drift here would break the
+        ann_pca_ivf_recall hash."""
+        from ctcityscraper_spark.operators.similarity import (
+            _as_double,
+            int8_gram_matrix,
+            pca_components,
+            pca_project_col,
+            pca_project_expr,
+            valid_vectors,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        comps, _ = pca_components(int8_gram_matrix(emb, 64), 64, 8)
+        v = valid_vectors(emb).select(
+            "vec_id", _as_double(F.col("embedding")).alias("_v")
+        )
+        col_path = {
+            r.vec_id: tuple(r.p)
+            for r in v.select(
+                "vec_id", pca_project_col(F.col("_v"), comps).alias("p")
+            ).collect()
+        }
+        expr_path = {
+            r.vec_id: tuple(r.p)
+            for r in v.select(
+                "vec_id", pca_project_expr("_v", comps).alias("p")
             ).collect()
         }
         assert col_path and col_path == expr_path
