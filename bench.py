@@ -366,31 +366,60 @@ def main() -> None:
     from ctcityscraper_spark.sources.demo import SOURCE
     from ctcityscraper_spark.sources.store import ParquetStore
 
+    def _ingest_trial() -> float:
+        store = ParquetStore(
+            spark, tempfile.mkdtemp(prefix="bench_ingest_"), "bench"
+        )
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        run_load(
+            spark,
+            store,
+            SOURCE,
+            ResolvedParams("bench", entry_ids=list(range(1, 2001))),
+            batch_size=2000,
+            checkpoint_every=None,
+            retry_delay=0,
+            workers=8,
+        )
+        return time.perf_counter() - t0
+
     # best of 2 (fresh store each run): the first load pays mapInPandas
     # worker-pool and codegen warmup that isn't the pipeline's cost
     ingest_runs: list[float] = []
     try:
         for _ in range(2):
-            store = ParquetStore(
-                spark, tempfile.mkdtemp(prefix="bench_ingest_"), "bench"
-            )
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            run_load(
-                spark,
-                store,
-                SOURCE,
-                ResolvedParams("bench", entry_ids=list(range(1, 2001))),
-                batch_size=2000,
-                checkpoint_every=None,
-                retry_delay=0,
-                workers=8,
-            )
-            ingest_runs.append(time.perf_counter() - t0)
+            ingest_runs.append(_ingest_trial())
     except Exception as exc:  # noqa: BLE001
         errors["ingest_load_2000"] = f"{type(exc).__name__}: {exc}"[:300]
     if ingest_runs:
-        timings["ingest_load_2000"] = round(min(ingest_runs), 4)
+        best = round(min(ingest_runs), 4)
+        # same anomaly policy as run_headline — ingest is in the prior
+        # round's comparable set, so an unflagged boot-pressure window
+        # here would move comparable_subtotal with no diagnosis
+        cal_now = calibrate(spark, trials=1)
+        calibration_track["ingest_load_2000"] = cal_now
+        exp = EXPECTED_NORMALIZED.get("ingest_load_2000")
+        if (
+            exp is not None
+            and calibration_sec
+            and best / calibration_sec > ANOMALY_FACTOR * exp
+            and best / cal_now > ANOMALY_FACTOR * exp
+        ):
+            _drain(spark)
+            try:
+                best = min(best, round(_ingest_trial(), 4))
+            except Exception as exc:  # noqa: BLE001
+                errors.setdefault(
+                    "ingest_load_2000", f"{type(exc).__name__}: {exc}"[:300]
+                )
+            cal_now = calibrate(spark, trials=1)
+            calibration_track["ingest_load_2000"] = cal_now
+            if best / calibration_sec > ANOMALY_FACTOR * exp and (
+                best / cal_now > ANOMALY_FACTOR * exp
+            ):
+                anomalous.append("ingest_load_2000")
+        timings["ingest_load_2000"] = best
 
     print(
         json.dumps(

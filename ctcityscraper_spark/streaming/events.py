@@ -1209,7 +1209,12 @@ def streaming_corpus_prep(
       docs' distinct ``shingle_n``-shingles append each batch, so the
       index GROWS continuously (the batch twin freezes it between
       refreshes; the streaming form's whole point is that tonight's test
-      docs already protect tomorrow's train split).
+      docs already protect tomorrow's train split). The gate itself
+      checks the stored index UNIONED with the batch's own test
+      shingles, so a test doc and a train doc it contaminates arriving
+      in the SAME micro-batch are handled like the batch twin handles
+      them (contamination_pairs over all of kept) — no one-batch
+      leakage window.
     - ``cursors``: per-batch (shard_id, n_tokens) sums — SUM-mergeable;
       the strictly-before merge is the pack-continuation cursor, so a
       batch doc can land mid-way through the previous batch's partial
@@ -1376,19 +1381,35 @@ def streaming_corpus_prep(
             dup_ids = _p(dup_hist.unionByName(dup_within).distinct())
             kept = _p(batch.join(dup_ids, "doc_id", "left_anti"))
 
-            # -- stage 3: contamination gate vs strictly-before index --
+            # -- stage 3: contamination gate. The index side is the
+            # strictly-before zone UNIONED with the batch's OWN test
+            # docs' shingles — a train doc contaminated by a test doc
+            # arriving in the SAME micro-batch must be dropped too
+            # (matching the batch twin, whose contamination_pairs runs
+            # over all of kept; replay-safe because the batch's own
+            # shingles derive from batch_df, never from a half-written
+            # zone delta) --
             is_test = hash64(SF.col("doc_id"), "split") % test_mod == 0
-            tidx = read_incremental_zone(spark, z["test_shingles"], batch_id)
-            train = kept.filter(~is_test)
-            if tidx is not None:
-                contam = _p(
-                    doc_shingles(train, "clean_text", "doc_id", shingle_n)
-                    .join(tidx.select("shingle"), "shingle", "left_semi")
-                    .select("doc_id")
-                    .distinct()
+            batch_test_sh = _p(
+                doc_shingles(
+                    kept.filter(is_test), "clean_text", "doc_id", shingle_n
                 )
-            else:
-                contam = _p(train.select("doc_id").filter(SF.lit(False)))
+                .select("shingle")
+                .distinct()
+            )
+            tidx = read_incremental_zone(spark, z["test_shingles"], batch_id)
+            tidx_now = (
+                batch_test_sh
+                if tidx is None
+                else tidx.select("shingle").unionByName(batch_test_sh)
+            )
+            train = kept.filter(~is_test)
+            contam = _p(
+                doc_shingles(train, "clean_text", "doc_id", shingle_n)
+                .join(tidx_now, "shingle", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
             trainf = _p(train.join(contam, "doc_id", "left_anti"))
 
             # -- stage 4: pack continuation from strictly-before cursors --
@@ -1443,15 +1464,7 @@ def streaming_corpus_prep(
                 "fingerprints",
                 batch_id,
             )
-            _put(
-                doc_shingles(
-                    kept.filter(is_test), "clean_text", "doc_id", shingle_n
-                )
-                .select("shingle")
-                .distinct(),
-                "test_shingles",
-                batch_id,
-            )
+            _put(batch_test_sh, "test_shingles", batch_id)
             _put(
                 packs.groupBy("shard_id").agg(
                     SF.sum("n_tokens").alias("n_tokens")
@@ -1483,6 +1496,40 @@ _IVF_REBUILD_HINT = (
 )
 
 
+def _read_validated_zone(
+    spark: SparkSession,
+    zone_dir: str,
+    kind: str,
+    payload_key: str,
+    rebuild_hint: str,
+    before_batch: int = 2**62,
+    table_prefix: str | None = None,
+) -> tuple[DataFrame | None, object | None]:
+    """Shared validation + read for quantizer-carrying zones
+    (:func:`read_ivf_index`, :func:`read_pq_codes`): rows merged for
+    batches strictly before ``before_batch`` plus the marker's frozen
+    quantizer payload. An absent zone is ``(None, None)``; a data-bearing
+    zone with no marker, a wrong kind, or a bumped format version raises
+    with the family's rebuild hint — rows written under a different
+    quantizer must never be returned."""
+    meta = read_zone_meta(spark, zone_dir)
+    if meta is None:
+        if _zone_has_data(spark, zone_dir):
+            raise ValueError(
+                f"stored zone {zone_dir} has data but no {ZONE_META_FILE} — "
+                f"unversioned stored state. {rebuild_hint}"
+            )
+        return None, None
+    if meta.get("kind") != kind or meta.get("format_version") != 1:
+        raise ValueError(
+            f"stored zone {zone_dir} was written under {meta.get('kind')!r} "
+            f"format_version={meta.get('format_version')!r}; this reader "
+            f"expects {kind} v1. {rebuild_hint}"
+        )
+    rows = read_incremental_zone(spark, zone_dir, before_batch, table_prefix)
+    return rows, meta[payload_key]
+
+
 def read_ivf_index(
     spark: SparkSession,
     index_dir: str,
@@ -1500,22 +1547,10 @@ def read_ivf_index(
     shuffle-free on the index side. A data-bearing zone with no marker, a
     wrong kind, or a bumped format version raises — probing rows assigned
     under different centroids silently destroys recall."""
-    meta = read_zone_meta(spark, index_dir)
-    if meta is None:
-        if _zone_has_data(spark, index_dir):
-            raise ValueError(
-                f"stored zone {index_dir} has data but no {ZONE_META_FILE} — "
-                f"unversioned stored state. {_IVF_REBUILD_HINT}"
-            )
-        return None, None
-    if meta.get("kind") != "ivf_index" or meta.get("format_version") != 1:
-        raise ValueError(
-            f"stored zone {index_dir} was written under {meta.get('kind')!r} "
-            f"format_version={meta.get('format_version')!r}; this reader "
-            f"expects ivf_index v1. {_IVF_REBUILD_HINT}"
-        )
-    rows = read_incremental_zone(spark, index_dir, before_batch, table_prefix)
-    return rows, meta["centroids"]
+    return _read_validated_zone(
+        spark, index_dir, "ivf_index", "centroids", _IVF_REBUILD_HINT,
+        before_batch, table_prefix,
+    )
 
 
 def streaming_ivf(
@@ -1618,21 +1653,10 @@ def read_pq_codes(
     :func:`read_ivf_index`: codes written under a different codebook
     would ADC-score as garbage, so an unversioned or mismatched zone
     raises instead of returning rows."""
-    meta = read_zone_meta(spark, codes_dir)
-    if meta is None:
-        if _zone_has_data(spark, codes_dir):
-            raise ValueError(
-                f"stored zone {codes_dir} has data but no {ZONE_META_FILE} — "
-                f"unversioned stored state. {_PQ_REBUILD_HINT}"
-            )
-        return None, None
-    if meta.get("kind") != "pq_codes" or meta.get("format_version") != 1:
-        raise ValueError(
-            f"stored zone {codes_dir} was written under {meta.get('kind')!r} "
-            f"format_version={meta.get('format_version')!r}; this reader "
-            f"expects pq_codes v1. {_PQ_REBUILD_HINT}"
-        )
-    return read_incremental_zone(spark, codes_dir, before_batch), meta["codebook"]
+    return _read_validated_zone(
+        spark, codes_dir, "pq_codes", "codebook", _PQ_REBUILD_HINT,
+        before_batch,
+    )
 
 
 def streaming_pq(

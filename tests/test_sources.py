@@ -1639,6 +1639,9 @@ class TestStreamingCorpusPrep:
         (8, "u1 u2 u3 u4"),        # 8 dropped (keep-lowest)
         (9, "B1 B2 B3 t1 t2 t3"),  # boiler stripped -> "t1 t2 t3"
         (23, "c1 c2 c3 c4"),       # TEST split: held out, seeds tidx
+        (25, "w1 w2 c1 c2 c3"),    # train doc contaminated by doc 23
+                                   # in the SAME batch — must be dropped
+                                   # (no one-batch leakage window)
     ]
     B3 = [
         # boiler (twice) stripped -> "t1 t2 t3" = doc 9's fingerprint;
@@ -1703,7 +1706,7 @@ class TestStreamingCorpusPrep:
              s.n_contam_dropped)
             for s in (stats[0], stats[1], stats[2])
         ]
-        assert got == [(4, 0, 0, 0), (5, 2, 1, 0), (3, 1, 0, 1)]
+        assert got == [(4, 0, 0, 0), (6, 2, 1, 1), (3, 1, 0, 1)]
 
         # packed output == one-shot pack_sequences over the survivors
         # with their as-of-batch clean texts (ids increase across
@@ -1779,7 +1782,7 @@ class TestStreamingCorpusPrep:
              s.n_contam_dropped)
             for s in (stats[0], stats[1], stats[2])
         ]
-        assert got == [(4, 0, 0, 0), (5, 2, 1, 0), (3, 1, 0, 1)]
+        assert got == [(4, 0, 0, 0), (6, 2, 1, 1), (3, 1, 0, 1)]
         packed = spark.read.parquet(f"{base}/packs").drop("batch_id")
         assert {r.doc_id for r in packed.collect()} == {
             d for d, _ in self.SURVIVORS
