@@ -39,10 +39,10 @@ DRIVER_PRIORITY = [
     # back first; reserve slots only for queries that exist at commit
     # time — _ordered below enforces that).
     #
-    # IN — the two r12 additions, never driver-verified (each was
+    # IN — the three r12 additions, never driver-verified (each was
     # implemented + in-repo oracle-gated in the same commit that added
     # its name here) ...
-    "ann_ivf_imbalance", "quality_classifier_score",
+    "ann_ivf_imbalance", "quality_classifier_score", "ann_pq_recon_drift",
     # ... the full last-green-r9 cohort (28 rows — recomputed from
     # CORRECTNESS_r01–r11: every query whose newest driver row is r9),
     # back for a fresh row ...
@@ -73,10 +73,12 @@ DRIVER_PRIORITY = [
     # BENCH and CORRECTNESS cover the same plans); the other 34 r10
     # rows yield their slots and stay in-repo + adversarial
     # oracle-gated every run; first 50 names = the window
+    # (ann_cosine_topk_vectorized yielded its slot to ann_pq_recon_drift
+    # — the ANN family already holds four fresh rows via the r9 cohort)
     "pricing_summary", "scd2_latest_state", "events_sessionization",
     "dedup_bloom_chase", "dedup_groups_connected",
     "corpus_substring_spans", "text_cms_heavy_hitters",
-    "ann_cosine_topk_vectorized", "multimodal_frame_sample",
+    "multimodal_frame_sample",
 ]
 # Verification record (matches CORRECTNESS_r01–r11): all 121 catalog
 # queries at r11 HEAD hold >= 1 driver-verified green row — last-green

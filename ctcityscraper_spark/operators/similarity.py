@@ -1228,6 +1228,102 @@ def pq_adc_table_expr(vec_sql: str, codebook: list):
     )
 
 
+def pq_recon_error_expr(vec_sql: str, codebook: list):
+    """Per-row PQ reconstruction squared error as ONE ``F.expr``:
+    ``Σ_m min_j ||sub_m − c_mj||²`` — the quantization error of encoding
+    the vector under ``codebook``, computed WITHOUT materializing codes
+    (the min subspace distance IS the chosen codeword's error). Every
+    distance is the same left-to-right fold the encoder uses; the outer
+    sum is left-associative over subspace order — bit-identical in
+    DuckDB."""
+    n_sub, k = len(codebook), len(codebook[0])
+    s = len(codebook[0][0])
+    terms = []
+    for m in range(n_sub):
+        sub = f"slice({vec_sql}, {m * s + 1}, {s})"
+        dists = "array(" + ", ".join(
+            f"aggregate(zip_with({sub}, {_array_lit_sql(codebook[m][j])},"
+            " (x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)"
+            for j in range(k)
+        ) + ")"
+        terms.append(f"array_min({dists})")
+    return F.expr(" + ".join(terms))
+
+
+def pq_recon_stats(
+    vectors: DataFrame,
+    codebook: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ quantization-quality summary for a vector set under a FROZEN
+    codebook: one row ``(n, sse_micros, mse_micros)``.
+
+    The errors are fixed-point quantized per row
+    (``floor(err · 10⁶)`` as bigint) BEFORE aggregation — an integer SUM
+    is order-independent, so the cross-engine hash match survives
+    Spark's nondeterministic partial-aggregation order (a double SUM
+    would not; same fixed-point rule as the flagship query's cents
+    aggregation). ``mse_micros`` is one exact division of the two
+    aggregates. Scan-stage expression + one aggregate — at 100 TB this
+    is a count-shaped pass over the delta sample, never the corpus."""
+    v = valid_vectors(vectors, vec).filter(F.col(id_col).isNotNull())
+    em = (
+        v.select(_as_double(F.col(vec)).alias("_v"))
+        .select(pq_recon_error_expr("_v", codebook).alias("e"))
+        .select(
+            F.expr("cast(floor(e * 1000000.0) as bigint)").alias("em")
+        )
+    )
+    return em.agg(
+        F.count("*").alias("n"), F.sum("em").alias("sse_micros")
+    ).select(
+        "n",
+        "sse_micros",
+        (F.col("sse_micros") / F.col("n")).alias("mse_micros"),
+    )
+
+
+def pq_recon_drift(
+    vectors_a: DataFrame,
+    vectors_b: DataFrame,
+    codebook: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Epoch-over-epoch PQ quantization drift — closes
+    :func:`update_pq_codes`'s documented drift caveat as an operator
+    (the PQ analogue of :func:`ivf_imbalance_report`): one row
+    ``(n_a, n_b, sse_micros_a, sse_micros_b, mse_micros_a, mse_micros_b,
+    drift_micros)`` where rising ``drift_micros`` (epoch B's mean
+    quantization error over epoch A's) is the retrain trigger — a delta
+    distribution wandering from the codebook's training corpus degrades
+    ADC error and recall before recall audits can see it. Both legs are
+    1-row aggregates; the join is the allowed 1-row summary attach. An
+    empty epoch yields NULL mse/drift (loud, never divide-by-zero)."""
+    a = pq_recon_stats(vectors_a, codebook, vec, id_col).select(
+        F.col("n").alias("n_a"),
+        F.col("sse_micros").alias("sse_micros_a"),
+        F.col("mse_micros").alias("mse_micros_a"),
+    )
+    b = pq_recon_stats(vectors_b, codebook, vec, id_col).select(
+        F.col("n").alias("n_b"),
+        F.col("sse_micros").alias("sse_micros_b"),
+        F.col("mse_micros").alias("mse_micros_b"),
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "sse_micros_a",
+        "sse_micros_b",
+        "mse_micros_a",
+        "mse_micros_b",
+        (F.col("mse_micros_b") - F.col("mse_micros_a")).alias(
+            "drift_micros"
+        ),
+    )
+
+
 def pq_adc_table_col(vec, codebook: list):
     """array<array<double>>: tables[m][j] = dot(query_sub_m, codeword_mj).
 

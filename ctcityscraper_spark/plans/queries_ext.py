@@ -2143,6 +2143,75 @@ def _pq_rerank_oracle(
     """
 
 
+def _pq_recon_drift_oracle(dims: int, n_sub: int = 8, k: int = 16) -> str:
+    """DuckDB twin of q_ann_pq_recon_drift: literal codebook VALUES ->
+    per-subspace min distance (the chosen codeword's error, no codes
+    materialized) -> per-row error summed in subspace order ->
+    fixed-point (floor·10⁶ bigint) epoch aggregates. Integer SUMs are
+    order-independent, so the hash match survives aggregation order."""
+    cb = pq_codebook(dims, n_sub, k)
+    s = dims // n_sub
+    rows = ",\n        ".join(
+        f"({m}, {j}, [{', '.join(repr(c) for c in cb[m][j])}]::DOUBLE[])"
+        for m in range(n_sub)
+        for j in range(k)
+    )
+    return f"""
+    WITH cb(m, j, cw) AS (SELECT * FROM (VALUES {rows}) t(m, j, cw)),
+    ms AS (SELECT unnest(range(0, {n_sub}))::INT AS m),
+    subs AS (
+        SELECT vec_id, m, list_slice(embedding, m*{s}+1, m*{s}+{s}) AS sv
+        FROM {EMB_VALID} embeddings CROSS JOIN ms
+        WHERE vec_id IS NOT NULL),
+    dists AS (
+        SELECT vec_id, s2.m, j,
+               list_reduce(list_transform(range(1, {s + 1}),
+                   i -> (sv[i]::DOUBLE - cw[i]) * (sv[i]::DOUBLE - cw[i])),
+                   (x, y) -> x + y) AS d
+        FROM subs s2 JOIN cb ON s2.m = cb.m),
+    mind AS (SELECT vec_id, m, min(d) AS dmin FROM dists GROUP BY vec_id, m),
+    err AS (
+        SELECT vec_id,
+               list_reduce(list(dmin ORDER BY m), (x, y) -> x + y) AS e
+        FROM mind GROUP BY vec_id),
+    fx AS (
+        SELECT CAST(floor(e * 1000000.0) AS BIGINT) AS em,
+               {hash64_sql('vec_id', 'pqepoch')} % 2 = 0 AS is_b
+        FROM err),
+    a AS (SELECT count(*) AS n_a, CAST(sum(em) AS BIGINT) AS sse_micros_a
+          FROM fx WHERE NOT is_b),
+    b AS (SELECT count(*) AS n_b, CAST(sum(em) AS BIGINT) AS sse_micros_b
+          FROM fx WHERE is_b)
+    SELECT n_a, n_b, sse_micros_a, sse_micros_b,
+           sse_micros_a / n_a AS mse_micros_a,
+           sse_micros_b / n_b AS mse_micros_b,
+           sse_micros_b / n_b - sse_micros_a / n_a AS drift_micros
+    FROM a, b
+    """
+
+
+@query("ann_pq_recon_drift", oracle=_pq_recon_drift_oracle(EMB_DIMS))
+def q_ann_pq_recon_drift(spark, sf_dir):
+    """PQ quantization-drift monitor (operators/similarity.pq_recon_drift)
+    — closes update_pq_codes' documented drift caveat as an operator, the
+    PQ analogue of ann_ivf_imbalance: two epochs (hash split) measure
+    their mean reconstruction error under the SAME frozen codebook;
+    rising drift_micros (epoch B's quantization error over epoch A's) is
+    the retrain trigger — a wandering delta distribution degrades ADC
+    error and recall before a recall audit can see it. Per-row error is
+    Σ_m min_j ||sub−c||² (the chosen codeword's error, no codes
+    materialized), fixed-point-quantized to micros BEFORE the epoch SUM
+    so the cross-engine hash survives aggregation order. At 100 TB each
+    leg is a count-shaped scan-stage pass over a delta sample."""
+    from ctcityscraper_spark.operators.similarity import pq_recon_drift
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    is_b = hash64(F.col("vec_id"), "pqepoch") % 2 == 0
+    return pq_recon_drift(
+        emb.filter(~is_b), emb.filter(is_b), pq_codebook(EMB_DIMS)
+    )
+
+
 @query("ann_pq_adc_topk", oracle=_pq_adc_oracle(EMB_DIMS))
 def q_ann_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011): vectors compressed to

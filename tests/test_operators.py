@@ -1028,6 +1028,52 @@ class TestPqAnn:
         }
         assert col_path and col_path == expr_path
 
+    def test_recon_error_zero_on_codewords(self, spark):
+        """A vector that IS a concatenation of codewords reconstructs
+        exactly: per-row error 0, mse_micros 0."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.similarity import (
+            pq_codebook,
+            pq_recon_stats,
+        )
+
+        cb = pq_codebook(64, n_sub=8, k=16)
+        perfect = [c for m in range(8) for c in cb[m][3]]
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=perfect), Row(vec_id=2, embedding=perfect)]
+        )
+        row = pq_recon_stats(df, cb).collect()[0]
+        assert (row.n, row.sse_micros, row.mse_micros) == (2, 0, 0.0)
+
+    def test_recon_drift_flags_noisier_epoch(self, spark):
+        """Epoch B = epoch A's codeword-perfect vectors plus noise —
+        drift_micros must be positive; an EMPTY epoch yields NULL
+        mse/drift (loud, never divide-by-zero)."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.similarity import (
+            pq_codebook,
+            pq_recon_drift,
+        )
+
+        cb = pq_codebook(64, n_sub=8, k=16)
+        perfect = [c for m in range(8) for c in cb[m][5]]
+        a = spark.createDataFrame(
+            [Row(vec_id=i, embedding=perfect) for i in range(1, 4)]
+        )
+        noisy = [c + 0.5 for c in perfect]
+        b = spark.createDataFrame(
+            [Row(vec_id=i, embedding=noisy) for i in range(10, 13)]
+        )
+        row = pq_recon_drift(a, b, cb).collect()[0]
+        assert row.mse_micros_a == 0.0 and row.mse_micros_b > 0
+        assert row.drift_micros == row.mse_micros_b
+        empty = a.filter(F.lit(False))
+        row = pq_recon_drift(a, empty, cb).collect()[0]
+        assert row.n_b == 0 and row.mse_micros_b is None
+        assert row.drift_micros is None and row.mse_micros_a == 0.0
+
     def test_pca_expr_path_equals_column_path(self, spark):
         """pca_project_expr (single-parse, the literal-gate production
         path since r12) must be row-identical to pca_project_col — the
