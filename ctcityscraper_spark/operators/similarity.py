@@ -567,7 +567,8 @@ def update_ivf_index(
 
     Drift caveat: centroids stay fixed, so a delta distribution that
     wanders from the training corpus skews list sizes and recall-per-
-    probe. Monitor ``groupBy("list_id").count()`` imbalance and retrain
+    probe. Monitor with :func:`ivf_list_stats` / :func:`ivf_imbalance_report`
+    (the ``ann_ivf_imbalance`` catalog monitor) and retrain
     (:func:`build_ivf_index`) when the max/mean ratio degrades — the
     retrain is the same one-off batch job as the original build.
     """
@@ -1400,10 +1401,11 @@ def update_pq_codes(
 
     Drift caveat (same as IVF): codebooks stay frozen, so a delta
     distribution that wanders from the training corpus degrades ADC
-    quantization error and recall. Monitor reconstruction error on a
-    delta sample and retrain (:func:`pq_train_codebooks`) when it
-    degrades — retraining re-encodes the corpus, the same one-off batch
-    job as the original build."""
+    quantization error and recall. Monitor with :func:`pq_recon_drift`
+    (mean reconstruction error per epoch — the ``ann_pq_recon_drift``
+    catalog monitor) and retrain (:func:`pq_train_codebooks`) when
+    drift rises — retraining re-encodes the corpus, the same one-off
+    batch job as the original build."""
     return stored_codes.unionByName(
         pq_encode_corpus(new_vectors, codebook, vec=vec, id_col=id_col)
     )
