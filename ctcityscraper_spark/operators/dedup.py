@@ -1079,6 +1079,116 @@ def embedding_neardup_pairs(
     )
 
 
+def srp_bucket_index(
+    df: DataFrame,
+    dims: int,
+    bits: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    literal_gate: int | None = None,
+) -> DataFrame:
+    """The STORABLE SRP bucket index for an embedding corpus:
+    ``(vec_id, v, bucket)`` rows — write it as parquet bucketed on
+    ``bucket`` (sources/bucketed.py) so incremental probes join
+    shuffle-free on the corpus side. The plane matrix is
+    seed-deterministic (``similarity.srp_bucket_col``), so index and
+    probe agree with NO shared state beyond (dims, bits) — record both
+    next to the table (the `_zone_meta` discipline). Above
+    ``literal_gate`` plan literals the bucketing auto-switches to the
+    Arrow matmul (:func:`similarity.srp_bucket_vectorized`), same gate
+    as :func:`semdedup_drop_list`."""
+    from ctcityscraper_spark.operators.similarity import (
+        SRP_LITERAL_GATE,
+        srp_bucket_col,
+        srp_bucket_vectorized,
+        valid_vectors,
+    )
+
+    if literal_gate is None:
+        literal_gate = SRP_LITERAL_GATE
+    df = valid_vectors(df, vec).filter(F.col(id_col).isNotNull())
+    if dims * bits <= literal_gate:
+        return df.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec), lambda x: x.cast("double")).alias("v"),
+            srp_bucket_col(
+                F.transform(F.col(vec), lambda x: x.cast("double")),
+                dims,
+                bits,
+            ).alias("bucket"),
+        )
+    return srp_bucket_vectorized(
+        df, dims, bits, vec=vec, id_col=id_col,
+        out_col="bucket", carry_vec=True,
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("v"),
+        "bucket",
+    )
+
+
+def incremental_embedding_pairs(
+    new_vectors: DataFrame,
+    corpus_vectors: DataFrame | None,
+    dims: int,
+    corpus_index: DataFrame | None = None,
+    threshold: float = 0.95,
+    bits: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    literal_gate: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs between a NEW batch and an EXISTING
+    corpus only — the embedding member of the incremental-dedup family
+    (exact: :func:`incremental_exact_duplicates`, MinHash:
+    :func:`incremental_dedup_pairs`, prefix-exact:
+    :func:`incremental_prefix_pairs`; this one for SemDeDup-style
+    semantic duplicates).
+
+    Production shape: the corpus side is the STORED
+    :func:`srp_bucket_index` (pass ``corpus_index``; bucketed on
+    ``bucket`` the probe join is shuffle-free on the corpus side), the
+    batch computes its own buckets under the SAME seed-deterministic
+    planes, candidates come from the bucket equi-join — cost
+    ∝ |batch| × bucket occupancy, never corpus × corpus — and exact
+    fold-cosine verifies candidates only. Sides stay separated: a
+    vec_id present in BOTH frames verifies against each side's own
+    vector (a batch re-ingesting a corpus id is a legitimate pair).
+    Recall caveat (the SemDeDup/SRP trade): a true pair split across
+    buckets is missed — ``bits`` is the recall/cost knob, multi-probe
+    (:func:`similarity.probe_masks`) the refinement; for recall-1
+    incremental dedup use :func:`incremental_prefix_pairs` on text.
+    Returns (new_vec, corpus_vec, cosine >= threshold)."""
+    from ctcityscraper_spark.operators.similarity import _dot, _norm
+
+    idx = corpus_index
+    if idx is None:
+        if corpus_vectors is None:
+            raise ValueError(
+                "incremental_embedding_pairs: pass corpus_vectors or a "
+                "stored corpus_index"
+            )
+        idx = srp_bucket_index(
+            corpus_vectors, dims, bits, vec, id_col, literal_gate
+        )
+    probe = srp_bucket_index(
+        new_vectors, dims, bits, vec, id_col, literal_gate
+    )
+    a, b = probe.alias("a"), idx.alias("b")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .select(
+            F.col("a.vec_id").alias("new_vec"),
+            F.col("b.vec_id").alias("corpus_vec"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def semdedup_drop_list(
     df: DataFrame,
     dims: int,

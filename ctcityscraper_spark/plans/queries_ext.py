@@ -105,6 +105,20 @@ def hash64_sql(expr: str, seed) -> str:
     return f"('0x' || substring(md5('{seed}' || {expr}), 1, 15))::BIGINT"
 
 
+def _srp_bucket_sql(vec_expr: str, dims: int, bits: int) -> str:
+    from ctcityscraper_spark.operators.similarity import plane_weight
+
+    parts = []
+    for b in range(bits):
+        weights = ", ".join(repr(plane_weight(b, d)) for d in range(dims))
+        proj = (
+            f"list_reduce(list_transform(range(1, {dims + 1}), "
+            f"i -> {vec_expr}[i]::DOUBLE * ([{weights}]::DOUBLE[])[i]), (x, y) -> x + y)"
+        )
+        parts.append(f"CASE WHEN {proj} > 0 THEN {2**b} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
 def fold_dot_sql(a: str, b: str, dims: int) -> str:
     """Left-to-right float64 dot product (matches F.aggregate order)."""
     return (
@@ -1043,6 +1057,55 @@ def q_dedup_embedding_blocked(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental_embedding",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      {_srp_bucket_sql('embedding', EMB_DIMS, 4)} AS bucket
+               FROM {EMB_VALID} embeddings WHERE vec_id IS NOT NULL),
+    n AS (SELECT * FROM v WHERE {hash64_sql('vec_id', 'embinc')} % 5 = 0),
+    c AS (SELECT * FROM v WHERE {hash64_sql('vec_id', 'embinc')} % 5 != 0)
+    SELECT n.vec_id AS new_vec, c.vec_id AS corpus_vec,
+           {fold_dot_sql('n.embedding', 'c.embedding', EMB_DIMS)}
+             / ({fold_norm_sql('n.embedding', EMB_DIMS)}
+                * {fold_norm_sql('c.embedding', EMB_DIMS)}) AS cosine
+    FROM n JOIN c ON n.bucket = c.bucket
+    WHERE {fold_dot_sql('n.embedding', 'c.embedding', EMB_DIMS)}
+             / ({fold_norm_sql('n.embedding', EMB_DIMS)}
+                * {fold_norm_sql('c.embedding', EMB_DIMS)}) >= 0.3
+    ORDER BY new_vec, corpus_vec
+    """,
+)
+def q_dedup_incremental_embedding(spark, sf_dir):
+    """Incremental embedding near-dup (operators/dedup.
+    incremental_embedding_pairs) — the embedding member of the
+    incremental-dedup family (exact / MinHash / prefix-exact already
+    have delta forms): a 20% hash-split batch probes the 80% corpus's
+    SRP bucket index (srp_bucket_index — the stored artifact; derived
+    in-plan here per the gate's self-contained convention), candidates
+    come from the bucket equi-join (cost ∝ batch × bucket occupancy,
+    never corpus × corpus), and exact fold-cosine verifies candidates
+    only. Sides stay separated, so corpus×corpus pairs are never
+    re-emitted — the nightly run pays only for tonight's batch."""
+    from ctcityscraper_spark.operators.dedup import (
+        incremental_embedding_pairs,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    is_new = hash64(F.col("vec_id"), "embinc") % 5 == 0
+    return (
+        incremental_embedding_pairs(
+            emb.filter(is_new),
+            emb.filter(~is_new),
+            EMB_DIMS,
+            threshold=0.3,
+            bits=4,
+        )
+        .repartition(1)
+        .sortWithinPartitions("new_vec", "corpus_vec")
+    )
+
+
+@query(
     "dedup_groups_connected",
     headline=True,  # the full realistic dedup pipeline: LSH candidates ->
     # Jaccard verify -> connected components; benched round-over-round
@@ -1178,20 +1241,6 @@ def q_ann_cosine_topk_vectorized(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank")
         .repartition(1).sortWithinPartitions("query_id", "rank")
     )
-
-
-def _srp_bucket_sql(vec_expr: str, dims: int, bits: int) -> str:
-    from ctcityscraper_spark.operators.similarity import plane_weight
-
-    parts = []
-    for b in range(bits):
-        weights = ", ".join(repr(plane_weight(b, d)) for d in range(dims))
-        proj = (
-            f"list_reduce(list_transform(range(1, {dims + 1}), "
-            f"i -> {vec_expr}[i]::DOUBLE * ([{weights}]::DOUBLE[])[i]), (x, y) -> x + y)"
-        )
-        parts.append(f"CASE WHEN {proj} > 0 THEN {2**b} ELSE 0 END")
-    return "(" + " + ".join(parts) + ")"
 
 
 @query(

@@ -71,6 +71,9 @@ BUCKETED_QUERIES = [
     # sketch-estimate queries.
     "dedup_prefix_filter_join",
     "dedup_incremental_prefix",
+    # round-12: the incremental embedding probe is a plain bucket
+    # equi-join + fold verify — must never plan cartesian
+    "dedup_incremental_embedding",
 ]
 # round-12: ann_ivf_imbalance is excluded by design — its only joins are
 # the n_lists-row grid equi-join and the 1-row total-attach crossJoin

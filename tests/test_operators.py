@@ -2237,6 +2237,73 @@ class TestQuantileDrift:
             assert r.est_a is None and r.drift is None and r.est_b is not None
 
 
+class TestIncrementalEmbeddingPairs:
+    """incremental_embedding_pairs: batch probes the stored SRP bucket
+    index — the embedding member of the incremental-dedup family."""
+
+    def _emb(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+        )
+
+    def test_matches_naive_within_bucket_join(self, spark):
+        """Direct call == stored-index call == the naive batch x corpus
+        cosine join restricted to same-bucket pairs (the documented
+        recall contract)."""
+        from ctcityscraper_spark.operators.dedup import (
+            incremental_embedding_pairs,
+            srp_bucket_index,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        new = emb.filter(F.col("vec_id") % 5 == 0)
+        corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        direct = incremental_embedding_pairs(
+            new, corpus, 64, threshold=0.2, bits=4
+        )
+        stored = incremental_embedding_pairs(
+            new, None, 64,
+            corpus_index=srp_bucket_index(corpus, 64, bits=4),
+            threshold=0.2, bits=4,
+        )
+        key = lambda r: (r.new_vec, r.corpus_vec, round(r.cosine, 9))  # noqa: E731
+        got_d = sorted(key(r) for r in direct.collect())
+        got_s = sorted(key(r) for r in stored.collect())
+        assert got_d and got_d == got_s
+        # every emitted pair is batch x corpus — never corpus x corpus
+        new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+        assert all(a in new_ids and b not in new_ids for a, b, _ in got_d)
+
+    def test_shared_id_sides_stay_separate(self, spark):
+        """A vec_id present in BOTH frames verifies against each side's
+        OWN vector — a batch re-ingest of a corpus id is a legitimate
+        pair, not a self-pair artifact."""
+        from ctcityscraper_spark.operators.dedup import (
+            incremental_embedding_pairs,
+        )
+
+        v = [1.0, 0.0, 0.0, 0.0]
+        corpus = self._emb(spark, [(7, v)])
+        batch = self._emb(spark, [(7, v)])
+        got = incremental_embedding_pairs(
+            batch, corpus, 4, threshold=0.9, bits=2
+        ).collect()
+        assert [(r.new_vec, r.corpus_vec) for r in got] == [(7, 7)]
+        assert abs(got[0].cosine - 1.0) < 1e-12
+
+    def test_requires_corpus_or_index(self, spark):
+        from ctcityscraper_spark.operators.dedup import (
+            incremental_embedding_pairs,
+        )
+
+        with pytest.raises(ValueError, match="corpus_vectors or"):
+            incremental_embedding_pairs(
+                self._emb(spark, [(1, [1.0, 0.0])]), None, 2
+            )
+
+
 class TestQualityClassifier:
     """train_quality_classifier / quality_classifier_logit_col — the
     trainable (fastText-style) quality filter: bounded driver-side fit,
