@@ -39,11 +39,11 @@ DRIVER_PRIORITY = [
     # back first; reserve slots only for queries that exist at commit
     # time — _ordered below enforces that).
     #
-    # IN — the four r12 additions, never driver-verified (each was
+    # IN — the five r12 additions, never driver-verified (each was
     # implemented + in-repo oracle-gated in the same commit that added
     # its name here) ...
     "ann_ivf_imbalance", "quality_classifier_score", "ann_pq_recon_drift",
-    "dedup_incremental_embedding",
+    "dedup_incremental_embedding", "quality_classifier_eval",
     # ... the full last-green-r9 cohort (28 rows — recomputed from
     # CORRECTNESS_r01–r11: every query whose newest driver row is r9),
     # back for a fresh row ...
@@ -68,17 +68,17 @@ DRIVER_PRIORITY = [
     "dedup_prefix_filter_join", "text_quantile_drift",
     "corpus_e2e_prep_incremental", "groupby_salted_skew",
     "join_salted_skew", "dedup_incremental_prefix",
-    # ... and seven family representatives from the 43 last-green-r10
+    # ... and six family representatives from the 43 last-green-r10
     # rows (relational core, SCD2, events, bloom, graph, spans, sketch,
     # ANN, multimodal — also the benched headliners, so this round's
     # BENCH and CORRECTNESS cover the same plans); the other 34 r10
     # rows yield their slots and stay in-repo + adversarial
     # oracle-gated every run; first 50 names = the window
-    # (ann_cosine_topk_vectorized and dedup_bloom_chase yielded their
-    # slots to ann_pq_recon_drift and dedup_incremental_embedding — the
-    # ANN and dedup families already hold four+ fresh rows each via the
-    # r9 cohort)
-    "pricing_summary", "scd2_latest_state", "events_sessionization",
+    # (ann_cosine_topk_vectorized, dedup_bloom_chase and
+    # events_sessionization yielded their slots to the three late r12
+    # additions — the ANN, dedup and events families already hold
+    # multiple fresh rows each via the r9 cohort)
+    "pricing_summary", "scd2_latest_state",
     "dedup_groups_connected",
     "corpus_substring_spans", "text_cms_heavy_hitters",
     "multimodal_frame_sample",
@@ -86,7 +86,7 @@ DRIVER_PRIORITY = [
 # Verification record (matches CORRECTNESS_r01–r11): all 121 catalog
 # queries at r11 HEAD hold >= 1 driver-verified green row — last-green
 # cohorts: 28 at r9, 43 at r10, 50 at r11 (recomputed from the files).
-# The four r12 additions above hold no driver row yet — they are first
+# The five r12 additions above hold no driver row yet — they are first
 # in the window precisely so this round's run records theirs. Names
 # added to DRIVER_PRIORITY must exist in the catalog at commit time —
 # _ordered raises on unknown names so a typo (or a planned-but-unbuilt

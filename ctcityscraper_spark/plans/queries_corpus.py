@@ -1851,6 +1851,7 @@ def q_quality_classifier_score(spark, sf_dir):
     from ctcityscraper_spark.operators.similarity import save_vectors_json
     from ctcityscraper_spark.operators.text import (
         quality_classifier_logit_col,
+        quality_score_col,
         train_quality_classifier,
     )
 
@@ -1858,7 +1859,9 @@ def q_quality_classifier_score(spark, sf_dir):
     valid = docs.filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
-    weights = train_quality_classifier(valid)
+    weights = train_quality_classifier(
+        valid, labels=quality_score_col("text") >= 0.45
+    )
     fp = valid.agg(
         F.count("*").alias("n"), F.sum("doc_id").alias("s")
     ).collect()[0]
@@ -1878,4 +1881,121 @@ def q_quality_classifier_score(spark, sf_dir):
         )
         .repartition(1)
         .sortWithinPartitions("doc_id")
+    )
+
+
+# quality_classifier_eval — the held-out evaluation of the trained filter:
+# train on one hash split, score the OTHER, report integer confusion
+# counts against the teacher plus one exact-division accuracy. The number
+# a pipeline owner reads before trusting the classifier's keep decisions
+# (and the regression guard when retraining on fresh labels). Separate
+# sidecar from quality_classifier_score so the two gate queries never
+# race on one file; the fingerprint covers the TRAIN universe, so a
+# stale sidecar (weights fit on a different split or corpus) yields 0
+# oracle rows.
+
+_QCLF_EVAL_SIDECAR = str(
+    Path(__file__).resolve().parents[2]
+    / "spark-warehouse"
+    / "quality_classifier_weights_eval.json"
+)
+
+
+def _qclf_eval_oracle() -> str:
+    from ctcityscraper_spark.operators.text import quality_feature_sqls
+
+    f1, f2, f3, f4, f5 = quality_feature_sqls("text")
+    logit = (
+        f"wv[6] + wv[1] * {f1} + wv[2] * {f2} + wv[3] * {f3}"
+        f" + wv[4] * {f4} + wv[5] * {f5}"
+    )
+    # 0.45 splits the fixture near its score median, so BOTH classes
+    # exist in training and eval (at 0.6 every doc is negative and the
+    # confusion matrix degenerates to all-tn accuracy 1.0 — correct but
+    # uninformative); production swaps the teacher for real labels
+    label = f"({quality_score_sql('text')}) >= 0.45"
+    return f"""
+    WITH w AS (
+        SELECT (data[1])::DOUBLE[] AS wv
+        FROM read_json('{_QCLF_EVAL_SIDECAR}')),
+    ev AS (
+        SELECT ({logit}) > 0 AS pred, {label} AS y
+        FROM documents, w
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND {hash64_sql('doc_id', 'qeval')} % 2 = 0),
+    cm AS (
+        SELECT count(*) AS n_eval,
+               CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM ev)
+    SELECT n_eval, tp, fp, fn, tn, (tp + tn) / n_eval AS accuracy
+    FROM cm
+    WHERE EXISTS (
+        SELECT 1
+        FROM read_json('{_QCLF_EVAL_SIDECAR}') sj,
+             (SELECT count(*) AS n, sum(doc_id) AS s FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND {hash64_sql('doc_id', 'qeval')} % 2 != 0) cur
+        WHERE sj.fingerprint_n = cur.n AND sj.fingerprint_s = cur.s)
+    """
+
+
+@query("quality_classifier_eval", oracle=_qclf_eval_oracle())
+def q_quality_classifier_eval(spark, sf_dir):
+    """Held-out evaluation of the trainable quality filter: the model
+    fits on the hash-split TRAIN half (operators/text.
+    train_quality_classifier — weak teacher labels, the
+    quality_classifier_score pattern) and is scored on the EVAL half it
+    never saw: one row of integer confusion counts (tp/fp/fn/tn vs the
+    teacher) plus accuracy as one exact division — cross-engine exact
+    end-to-end (integer sums are aggregation-order-independent; only
+    the numpy fit stays outside the hash). This is the number a
+    pipeline owner reads before trusting keep decisions, and the
+    regression guard when retraining; swap the labels Column for
+    human/LLM labels and the same query becomes a real eval harness.
+    At 100 TB: training collects sample_n rows, eval is one
+    scan-stage pass + one aggregate over the eval split."""
+    from ctcityscraper_spark.operators.similarity import save_vectors_json
+    from ctcityscraper_spark.operators.text import (
+        quality_classifier_logit_col,
+        quality_score_col,
+        train_quality_classifier,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    valid = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    is_eval = hash64(F.col("doc_id"), "qeval") % 2 == 0
+    train = valid.filter(~is_eval)
+    teacher = quality_score_col("text") >= 0.45  # median split, see oracle
+    weights = train_quality_classifier(train, labels=teacher)
+    fp = train.agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    Path(_QCLF_EVAL_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
+    save_vectors_json(
+        [weights],
+        _QCLF_EVAL_SIDECAR,
+        kind="quality_classifier",
+        extra={"fingerprint_n": int(fp.n), "fingerprint_s": int(fp.s)},
+    )
+    pred = quality_classifier_logit_col("text", weights) > 0
+    y = teacher
+    cm = valid.filter(is_eval).agg(
+        F.count("*").alias("n_eval"),
+        F.sum((pred & y).cast("int")).alias("tp"),
+        F.sum((pred & ~y).cast("int")).alias("fp"),
+        F.sum((~pred & y).cast("int")).alias("fn"),
+        F.sum((~pred & ~y).cast("int")).alias("tn"),
+    )
+    return cm.select(
+        "n_eval",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((F.col("tp") + F.col("tn")) / F.col("n_eval")).alias("accuracy"),
     )
