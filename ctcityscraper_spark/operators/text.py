@@ -685,6 +685,45 @@ def merge_cms_cells(cells):
     )
 
 
+def cms_drift(
+    sketch_a,
+    sketch_b,
+    candidates,
+    term_col: str = "term",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms",
+):
+    """Per-term frequency drift from two Count-Min sketches built with
+    the SAME (width, depth, seed): ``candidates`` + (est_a, est_b,
+    drift = est_b − est_a) — the FREQUENCY member of the drift-monitor
+    family (quantile_drift = distribution, ivf_imbalance_report = list
+    occupancy, pq_recon_drift = quantization error). The nightly
+    question it answers: which hot tokens/shingles surged or collapsed
+    between epochs — a mixture shift, a crawler trap, a new boilerplate
+    family — WITHOUT a billion-key vocabulary groupBy of either epoch:
+    both estimate legs are broadcast lookups against ≤ depth×width cell
+    frames (:func:`cms_estimate`), so the work is candidate-sized.
+
+    ``candidates`` is any 1+-column frame carrying ``term_col`` — a
+    stored hot-token list (:func:`hot_terms`), yesterday's heavy
+    hitters, a watchlist. Estimates inherit the CMS one-sided contract
+    (each leg ≥ its epoch's true count); drift is an exact integer
+    subtraction of the two estimates."""
+    ea = cms_estimate(
+        candidates, sketch_a, term_col, width, depth, seed
+    ).withColumnRenamed("estimate", "est_a")
+    eb = cms_estimate(
+        ea, sketch_b, term_col, width, depth, seed
+    ).withColumnRenamed("estimate", "est_b")
+    return eb.select(
+        *candidates.columns,
+        "est_a",
+        "est_b",
+        (F.col("est_b") - F.col("est_a")).alias("drift"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct-count sketch
 # ---------------------------------------------------------------------------

@@ -675,6 +675,104 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def _cms_cells_sql(src: str) -> str:
+    """Per-epoch CMS cell rows over term CTE ``src`` (same derivation as
+    _CMS_CELLS, parameterized for the drift query's two epochs)."""
+    return " UNION ALL ".join(
+        f"SELECT {r} AS r, {hash64_sql('term', f'cms{r}')} % {_CMS_W} AS c,"
+        f" term FROM {src}"
+        for r in range(_CMS_D)
+    )
+
+
+def _cms_probe_sql(sketch: str, out: str) -> str:
+    """Min-over-rows CMS estimate for the ``cand`` term set against
+    sketch CTE ``sketch`` — the oracle twin of text.cms_estimate."""
+    return f"""(
+        SELECT pr.term, MIN(COALESCE(s.n, 0))::BIGINT AS {out}
+        FROM (SELECT cand.term, p.r,
+                     ('0x' || substring(md5('cms' || p.r || cand.term), 1, 15))::BIGINT
+                         % {_CMS_W} AS c
+              FROM cand, range(0, {_CMS_D}) p(r)) pr
+        LEFT JOIN {sketch} s ON pr.r = s.r AND pr.c = s.c
+        GROUP BY pr.term)"""
+
+
+@query(
+    "text_cms_drift",
+    oracle=f"""
+    WITH d AS (
+        SELECT text, {hash64_sql('doc_id', 'cmsdrift')} % 2 = 0 AS is_b
+        FROM documents WHERE doc_id IS NOT NULL),
+    ta AS (SELECT term FROM (
+            SELECT unnest({TOKS}) AS term FROM d WHERE NOT is_b)
+           WHERE term != ''),
+    tb AS (SELECT term FROM (
+            SELECT unnest({TOKS}) AS term FROM d WHERE is_b)
+           WHERE term != ''),
+    sa AS (SELECT r, c, COUNT(*)::BIGINT AS n
+           FROM ({_cms_cells_sql('ta')}) GROUP BY r, c),
+    sb AS (SELECT r, c, COUNT(*)::BIGINT AS n
+           FROM ({_cms_cells_sql('tb')}) GROUP BY r, c),
+    topa AS (SELECT term FROM (
+            SELECT term, COUNT(*) AS tc FROM ta GROUP BY term
+            ORDER BY tc DESC, term LIMIT 5)),
+    topb AS (SELECT term FROM (
+            SELECT term, COUNT(*) AS tc FROM tb GROUP BY term
+            ORDER BY tc DESC, term LIMIT 5)),
+    cand AS (SELECT term FROM topa UNION SELECT term FROM topb),
+    ea AS {_cms_probe_sql('sa', 'est_a')},
+    eb AS {_cms_probe_sql('sb', 'est_b')}
+    SELECT term, est_a, est_b, est_b - est_a AS drift
+    FROM ea JOIN eb USING (term) ORDER BY term
+    """,
+)
+def q_text_cms_drift(spark, sf_dir):
+    """Epoch-over-epoch hot-token frequency drift (operators/text.
+    cms_drift) — the FREQUENCY member of the drift-monitor family
+    (quantile = distribution, IVF = list occupancy, PQ = quantization):
+    the corpus hash-splits into two epochs, each builds its own CMS
+    (bounded depth×width state), and the union of the epochs' top-5
+    tokens probes BOTH sketches into (est_a, est_b, drift) rows — which
+    hot tokens surged or collapsed between crawls, with candidate-sized
+    work against sketch-sized state (at 100 TB the candidate list is a
+    stored hot-terms/heavy-hitter artifact and the raw epochs are never
+    re-read; the in-plan exact top-5 here is the gate's self-contained
+    convention). Pure hash64 + integer counting + integer subtraction —
+    DuckDB rebuilds both sketches bit-for-bit."""
+    from ctcityscraper_spark.operators.text import (
+        cms_drift,
+        count_min_sketch,
+        tokens_col,
+    )
+
+    docs = parallelize_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    ).filter(F.col("doc_id").isNotNull())
+    is_b = hash64(F.col("doc_id"), "cmsdrift") % 2 == 0
+    ep_a, ep_b = docs.filter(~is_b), docs.filter(is_b)
+
+    def top5(d):
+        return (
+            d.select(F.explode(tokens_col("text")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").alias("tc"))
+            .orderBy(F.col("tc").desc(), "term")
+            .limit(5)
+            .select("term")
+        )
+
+    cand = top5(ep_a).unionByName(top5(ep_b)).distinct()
+    sk_a = count_min_sketch(ep_a, width=_CMS_W, depth=_CMS_D)
+    sk_b = count_min_sketch(ep_b, width=_CMS_W, depth=_CMS_D)
+    return (
+        cms_drift(sk_a, sk_b, cand, width=_CMS_W, depth=_CMS_D)
+        .repartition(1)
+        .sortWithinPartitions("term")
+    )
+
+
 _BUDGET_TOKENS = 40_000
 _BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
 

@@ -2237,6 +2237,48 @@ class TestQuantileDrift:
             assert r.est_a is None and r.drift is None and r.est_b is not None
 
 
+class TestCmsDrift:
+    def test_identical_epochs_zero_drift_and_one_sided(self, spark):
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.text import (
+            cms_drift,
+            count_min_sketch_terms,
+        )
+
+        terms = spark.createDataFrame(
+            [Row(term=t) for t in ["a"] * 5 + ["b"] * 3 + ["c"]]
+        )
+        sk = count_min_sketch_terms(terms, width=64, depth=3)
+        cand = spark.createDataFrame([Row(term="a"), Row(term="b"), Row(term="zzz")])
+        got = {
+            r.term: r
+            for r in cms_drift(sk, sk, cand, width=64, depth=3).collect()
+        }
+        assert set(got) == {"a", "b", "zzz"}
+        # identical epochs: zero drift; one-sided: estimate >= true
+        for t, true in (("a", 5), ("b", 3), ("zzz", 0)):
+            assert got[t].drift == 0
+            assert got[t].est_a >= true and got[t].est_a == got[t].est_b
+
+    def test_drift_tracks_epoch_delta(self, spark):
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.text import (
+            cms_drift,
+            count_min_sketch_terms,
+        )
+
+        a = spark.createDataFrame([Row(term="hot")] * 2)
+        b = spark.createDataFrame([Row(term="hot")] * 9)
+        sk_a = count_min_sketch_terms(a, width=64, depth=3)
+        sk_b = count_min_sketch_terms(b, width=64, depth=3)
+        cand = spark.createDataFrame([Row(term="hot")])
+        row = cms_drift(sk_a, sk_b, cand, width=64, depth=3).collect()[0]
+        # single-term sketches have no collisions: estimates are exact
+        assert (row.est_a, row.est_b, row.drift) == (2, 9, 7)
+
+
 class TestIncrementalEmbeddingPairs:
     """incremental_embedding_pairs: batch probes the stored SRP bucket
     index — the embedding member of the incremental-dedup family."""
