@@ -39,12 +39,12 @@ DRIVER_PRIORITY = [
     # back first; reserve slots only for queries that exist at commit
     # time — _ordered below enforces that).
     #
-    # IN — the six r12 additions, never driver-verified (each was
+    # IN — the seven r12 additions, never driver-verified (each was
     # implemented + in-repo oracle-gated in the same commit that added
     # its name here) ...
     "ann_ivf_imbalance", "quality_classifier_score", "ann_pq_recon_drift",
     "dedup_incremental_embedding", "quality_classifier_eval",
-    "text_cms_drift",
+    "text_cms_drift", "dedup_bloom_saturation",
     # ... the full last-green-r9 cohort (28 rows — recomputed from
     # CORRECTNESS_r01–r11: every query whose newest driver row is r9),
     # back for a fresh row ...
@@ -69,26 +69,25 @@ DRIVER_PRIORITY = [
     "dedup_prefix_filter_join", "text_quantile_drift",
     "corpus_e2e_prep_incremental", "groupby_salted_skew",
     "join_salted_skew", "dedup_incremental_prefix",
-    # ... and five family representatives from the 43 last-green-r10
+    # ... and four family representatives from the 43 last-green-r10
     # rows (relational core, SCD2, events, bloom, graph, spans, sketch,
     # ANN, multimodal — also the benched headliners, so this round's
     # BENCH and CORRECTNESS cover the same plans); the other 34 r10
     # rows yield their slots and stay in-repo + adversarial
     # oracle-gated every run; first 50 names = the window
     # (ann_cosine_topk_vectorized, dedup_bloom_chase,
-    # events_sessionization and text_cms_heavy_hitters yielded their
-    # slots to the four late r12 additions — the ANN/dedup/events
-    # families already hold multiple fresh rows via the r9 cohort, and
-    # the CMS family's fresh row IS text_cms_drift)
+    # events_sessionization, text_cms_heavy_hitters and
+    # corpus_substring_spans yielded their slots to the five late r12
+    # additions — their families already hold multiple fresh rows via
+    # the r9 cohort or the r12 additions themselves)
     "pricing_summary", "scd2_latest_state",
     "dedup_groups_connected",
-    "corpus_substring_spans",
     "multimodal_frame_sample",
 ]
 # Verification record (matches CORRECTNESS_r01–r11): all 121 catalog
 # queries at r11 HEAD hold >= 1 driver-verified green row — last-green
 # cohorts: 28 at r9, 43 at r10, 50 at r11 (recomputed from the files).
-# The six r12 additions above hold no driver row yet — they are first
+# The seven r12 additions above hold no driver row yet — they are first
 # in the window precisely so this round's run records theirs. Names
 # added to DRIVER_PRIORITY must exist in the catalog at commit time —
 # _ordered raises on unknown names so a typo (or a planned-but-unbuilt

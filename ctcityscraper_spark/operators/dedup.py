@@ -215,6 +215,42 @@ def merge_bloom_words(words: DataFrame) -> DataFrame:
     )
 
 
+def bloom_saturation(bloom: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Saturation / false-positive health of a stored Bloom word table —
+    the MEMBERSHIP member of the monitor family (quantile_drift, IVF
+    imbalance, PQ recon drift, CMS drift): one row ``(m_bits, k,
+    n_words, set_bits, fill, est_fpp)``.
+
+    ``fill`` (set bits / m_bits) only ever RISES for an append-only
+    filter (words only gain bits), and the probe's false-positive rate
+    is ``fill^k`` — when it crosses the design point the pre-filter
+    stops pre-filtering (every probe flags, every row pays the exact
+    chase) and the fix is a bigger rebuild. A nightly check of this one
+    row is what keeps :func:`bloom_chased_duplicates`' "chase ~1 % of
+    the batch" claim true as the corpus grows. Pure integer bit_count +
+    one exact division + a k-fold left-to-right multiply — DuckDB
+    reproduces every field bit-for-bit. Cost: one aggregate over the
+    ≤ m/32-row word table; nothing corpus-sized."""
+    if m_bits < 1 or k < 1:
+        raise ValueError(f"m_bits and k must be >= 1, got ({m_bits}, {k})")
+    agg = bloom.agg(
+        F.count("*").alias("n_words"),
+        F.coalesce(F.sum(F.bit_count("word")), F.lit(0)).alias("set_bits"),
+    )
+    fill = F.col("set_bits") / F.lit(int(m_bits))
+    fpp = fill
+    for _ in range(k - 1):
+        fpp = fpp * fill
+    return agg.select(
+        F.lit(int(m_bits)).alias("m_bits"),
+        F.lit(int(k)).alias("k"),
+        "n_words",
+        "set_bits",
+        fill.alias("fill"),
+        fpp.alias("est_fpp"),
+    )
+
+
 def update_bloom_index(
     bloom: DataFrame, new_docs: DataFrame, m_bits: int, k: int,
     text: str = "text",

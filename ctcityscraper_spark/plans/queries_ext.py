@@ -255,6 +255,55 @@ def q_dedup_incremental_exact(spark, sf_dir):
 _BLOOM_M, _BLOOM_K = 8192, 5
 
 
+def _bloom_saturation_oracle(m: int, k: int) -> str:
+    fill = f"(set_bits / {m})"
+    fpp = " * ".join([fill] * k)
+    return f"""
+    WITH t AS (SELECT md5(text) AS fp FROM documents WHERE text IS NOT NULL),
+    pos AS (
+        SELECT (({hash64_sql('fp', 'bloomA')} % {m})
+                + i * (({hash64_sql('fp', 'bloomB')} % {m - 1}) + 1)) % {m} AS pos
+        FROM t, range(0, {k}) r(i)),
+    words AS (
+        SELECT pos // 32 AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+        FROM pos GROUP BY 1),
+    agg AS (
+        SELECT count(*) AS n_words,
+               CAST(coalesce(sum(bit_count(word)), 0) AS BIGINT) AS set_bits
+        FROM words)
+    SELECT {m} AS m_bits, {k} AS k, n_words, set_bits,
+           {fill} AS fill, {fpp} AS est_fpp
+    FROM agg
+    """
+
+
+@query(
+    "dedup_bloom_saturation",
+    oracle=_bloom_saturation_oracle(_BLOOM_M, _BLOOM_K),
+)
+def q_dedup_bloom_saturation(spark, sf_dir):
+    """Bloom-filter saturation monitor (operators/dedup.bloom_saturation)
+    — the MEMBERSHIP member of the drift/health-monitor family: one row
+    of (n_words, set_bits, fill, est_fpp = fill^k) over the stored word
+    table. fill only rises for an append-only filter, and when est_fpp
+    crosses the design point the pre-filter stops pre-filtering (every
+    probe flags; every batch row pays the exact chase) — the rebuild
+    trigger that keeps bloom_chased_duplicates' chase-~1% claim true as
+    the corpus grows. Pure integer bit_count + one exact division + a
+    k-fold left-to-right multiply; cost is one aggregate over the
+    ≤ m/32-row word table — nothing corpus-sized at monitor time (the
+    in-plan index build here is the gate's self-contained convention)."""
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_saturation,
+        build_bloom_index,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    bloom = build_bloom_index(docs, _BLOOM_M, _BLOOM_K)
+    return bloom_saturation(bloom, _BLOOM_M, _BLOOM_K)
+
+
 @query(
     "dedup_bloom_membership",
     headline=True,  # build + probe cost of the stored-Bloom pre-filter

@@ -2237,6 +2237,38 @@ class TestQuantileDrift:
             assert r.est_a is None and r.drift is None and r.est_b is not None
 
 
+class TestBloomSaturation:
+    def test_saturation_tracks_growth_and_fpp(self, spark):
+        """fill rises monotonically as docs append (bits only gain), the
+        empty filter reads 0/0.0 loudly, params are validated, and
+        est_fpp == fill^k exactly."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_saturation,
+            build_bloom_index,
+            update_bloom_index,
+        )
+
+        m, k = 1024, 3
+        docs1 = spark.createDataFrame([Row(text=f"d{i}") for i in range(10)])
+        docs2 = spark.createDataFrame([Row(text=f"e{i}") for i in range(30)])
+        b1 = build_bloom_index(docs1, m, k)
+        b2 = update_bloom_index(b1, docs2, m, k)
+        r1 = bloom_saturation(b1, m, k).collect()[0]
+        r2 = bloom_saturation(b2, m, k).collect()[0]
+        assert 0 < r1.set_bits <= 10 * k and r2.set_bits > r1.set_bits
+        assert r1.fill == r1.set_bits / m
+        assert r1.est_fpp == r1.fill * r1.fill * r1.fill
+        assert r2.fill > r1.fill
+        # empty filter: loud zeros, not NULL/divide-by-zero
+        empty = b1.filter(F.lit(False))
+        r0 = bloom_saturation(empty, m, k).collect()[0]
+        assert (r0.n_words, r0.set_bits, r0.fill, r0.est_fpp) == (0, 0, 0.0, 0.0)
+        with pytest.raises(ValueError, match="m_bits and k"):
+            bloom_saturation(b1, 0, k)
+
+
 class TestCmsDrift:
     def test_identical_epochs_zero_drift_and_one_sided(self, spark):
         from pyspark.sql import Row
