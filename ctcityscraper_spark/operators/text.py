@@ -709,7 +709,15 @@ def cms_drift(
     stored hot-token list (:func:`hot_terms`), yesterday's heavy
     hitters, a watchlist. Estimates inherit the CMS one-sided contract
     (each leg ≥ its epoch's true count); drift is an exact integer
-    subtraction of the two estimates."""
+    subtraction of the two estimates. Output-name clashes fail loudly
+    (the cms_estimate reserved-name pattern) — in particular a PRIOR
+    cms_drift output is not a valid candidate frame (select just its
+    term column)."""
+    clash = {"est_a", "est_b", "drift"} & set(candidates.columns)
+    if clash:
+        raise ValueError(
+            f"candidates carries reserved column name(s): {sorted(clash)}"
+        )
     ea = cms_estimate(
         candidates, sketch_a, term_col, width, depth, seed
     ).withColumnRenamed("estimate", "est_a")

@@ -613,11 +613,21 @@ def q_text_unigram_surprisal(spark, sf_dir):
 
 
 _CMS_W, _CMS_D = 1024, 4
-_CMS_CELLS = " UNION ALL ".join(
-    f"SELECT {r} AS r, {hash64_sql('term', f'cms{r}')} % {_CMS_W} AS c, term "
-    "FROM t"
-    for r in range(_CMS_D)
-)
+
+
+def _cms_cells_sql(src: str) -> str:
+    """CMS cell rows over term CTE ``src`` — THE single definition of
+    the oracle-side cell derivation (heavy-hitters builds over 't', the
+    drift query over each epoch's term CTE; one place to change the
+    seed format or modulus)."""
+    return " UNION ALL ".join(
+        f"SELECT {r} AS r, {hash64_sql('term', f'cms{r}')} % {_CMS_W} AS c,"
+        f" term FROM {src}"
+        for r in range(_CMS_D)
+    )
+
+
+_CMS_CELLS = _cms_cells_sql("t")
 
 
 @query(
@@ -672,16 +682,6 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
         cms_estimate(top, sketch, width=_CMS_W, depth=_CMS_D)
         .repartition(1)
         .sortWithinPartitions(F.col("true_count").desc(), "term")
-    )
-
-
-def _cms_cells_sql(src: str) -> str:
-    """Per-epoch CMS cell rows over term CTE ``src`` (same derivation as
-    _CMS_CELLS, parameterized for the drift query's two epochs)."""
-    return " UNION ALL ".join(
-        f"SELECT {r} AS r, {hash64_sql('term', f'cms{r}')} % {_CMS_W} AS c,"
-        f" term FROM {src}"
-        for r in range(_CMS_D)
     )
 
 
@@ -1934,7 +1934,8 @@ def q_quality_classifier_score(spark, sf_dir):
     train_quality_classifier -> save_vectors_json ->
     quality_classifier_logit_col): fit a linear model on a 2000-row
     hash-picked sample under weak supervision by the fixed heuristic
-    (quality_score >= 0.6 — distillation of the hand-tuned filter into
+    (quality_score >= 0.45, the fixture's score median so both classes
+    exist — distillation of the hand-tuned filter into
     a trainable form, the CCNet-style bootstrap; swap the ``labels``
     Column for human/LLM labels when they exist), persist [w1..w5, b]
     to the sidecar, then score EVERY document with the literal-folded

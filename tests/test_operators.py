@@ -2323,9 +2323,15 @@ class TestIncrementalEmbeddingPairs:
         )
 
     def test_matches_naive_within_bucket_join(self, spark):
-        """Direct call == stored-index call == the naive batch x corpus
-        cosine join restricted to same-bucket pairs (the documented
-        recall contract)."""
+        """Direct call == stored-index call == a NAIVE Python
+        recomputation of the batch x corpus cosine join restricted to
+        same-bucket pairs (the documented recall contract). The naive
+        side shares no code with the operator beyond the bucket index
+        rows it collects — sequential Python float64 arithmetic equals
+        the JVM's left-to-right folds bit-for-bit, so the comparison is
+        exact, not approximate."""
+        import math
+
         from ctcityscraper_spark.operators.dedup import (
             incremental_embedding_pairs,
             srp_bucket_index,
@@ -2342,10 +2348,33 @@ class TestIncrementalEmbeddingPairs:
             corpus_index=srp_bucket_index(corpus, 64, bits=4),
             threshold=0.2, bits=4,
         )
-        key = lambda r: (r.new_vec, r.corpus_vec, round(r.cosine, 9))  # noqa: E731
+        key = lambda r: (r.new_vec, r.corpus_vec, r.cosine)  # noqa: E731
         got_d = sorted(key(r) for r in direct.collect())
         got_s = sorted(key(r) for r in stored.collect())
         assert got_d and got_d == got_s
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def fold_norm(a):
+            acc = 0.0
+            for x in a:
+                acc = acc + x * x
+            return math.sqrt(acc)
+
+        n_rows = srp_bucket_index(new, 64, bits=4).collect()
+        c_rows = srp_bucket_index(corpus, 64, bits=4).collect()
+        naive = sorted(
+            (a.vec_id, b.vec_id, fold_dot(a.v, b.v) / (fold_norm(a.v) * fold_norm(b.v)))
+            for a in n_rows
+            for b in c_rows
+            if a.bucket == b.bucket
+            and fold_dot(a.v, b.v) / (fold_norm(a.v) * fold_norm(b.v)) >= 0.2
+        )
+        assert got_d == naive
         # every emitted pair is batch x corpus — never corpus x corpus
         new_ids = {r.vec_id for r in new.select("vec_id").collect()}
         assert all(a in new_ids and b not in new_ids for a, b, _ in got_d)
