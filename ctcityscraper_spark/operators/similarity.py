@@ -1267,7 +1267,11 @@ def pq_recon_stats(
     would not; same fixed-point rule as the flagship query's cents
     aggregation). ``mse_micros`` is one exact division of the two
     aggregates. Scan-stage expression + one aggregate — at 100 TB this
-    is a count-shaped pass over the delta sample, never the corpus."""
+    is a count-shaped pass over the delta sample, never the corpus.
+    Because the floor happens PER ROW before the integer SUM, sse_micros
+    is exactly additive across any split (stats(A ∪ B) = stats(A) +
+    stats(B), pinned in tests) — the monitor state is SUM-mergeable and
+    can live as a per-batch delta zone like the CMS/Gram/cursor state."""
     v = valid_vectors(vectors, vec).filter(F.col(id_col).isNotNull())
     em = (
         v.select(_as_double(F.col(vec)).alias("_v"))

@@ -1074,6 +1074,27 @@ class TestPqAnn:
         assert row.n_b == 0 and row.mse_micros_b is None
         assert row.drift_micros is None and row.mse_micros_a == 0.0
 
+    def test_recon_sse_is_additive_across_splits(self, spark):
+        """Fixed-point SSE is exactly additive: stats(A ∪ B).sse_micros
+        == stats(A).sse + stats(B).sse for ANY split (per-row floor
+        happens before the integer SUM, so partial aggregates compose)
+        — the property that makes the PQ monitor delta-maintainable as
+        a SUM-merged zone, like the CMS/Gram/cursor state."""
+        from ctcityscraper_spark.operators.similarity import (
+            pq_codebook,
+            pq_recon_stats,
+        )
+
+        cb = pq_codebook(64, n_sub=8, k=16)
+        emb = load_table(spark, SF, "embeddings")
+        a = emb.filter(F.col("vec_id") % 3 == 0)
+        b = emb.filter(F.col("vec_id") % 3 != 0)
+        sa = pq_recon_stats(a, cb).collect()[0]
+        sb = pq_recon_stats(b, cb).collect()[0]
+        su = pq_recon_stats(emb, cb).collect()[0]
+        assert su.n == sa.n + sb.n and su.n > 0
+        assert su.sse_micros == sa.sse_micros + sb.sse_micros
+
     def test_pca_expr_path_equals_column_path(self, spark):
         """pca_project_expr (single-parse, the literal-gate production
         path since r12) must be row-identical to pca_project_col — the
