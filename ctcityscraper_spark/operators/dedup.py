@@ -230,10 +230,15 @@ def bloom_saturation(bloom: DataFrame, m_bits: int, k: int) -> DataFrame:
     the batch" claim true as the corpus grows. Pure integer bit_count +
     one exact division + a k-fold left-to-right multiply — DuckDB
     reproduces every field bit-for-bit. Cost: one aggregate over the
-    ≤ m/32-row word table; nothing corpus-sized."""
+    ≤ m/32-row word table; nothing corpus-sized.
+
+    Accepts UNMERGED input (per-batch delta rows from a streaming zone,
+    with overlapping bits per ``word_idx``): :func:`merge_bloom_words`
+    runs first, so ``sum(bit_count)`` never double-counts a bit that two
+    deltas both set. Idempotent on already-merged tables."""
     if m_bits < 1 or k < 1:
         raise ValueError(f"m_bits and k must be >= 1, got ({m_bits}, {k})")
-    agg = bloom.agg(
+    agg = merge_bloom_words(bloom).agg(
         F.count("*").alias("n_words"),
         F.coalesce(F.sum(F.bit_count("word")), F.lit(0)).alias("set_bits"),
     )

@@ -236,7 +236,8 @@ def _zone_has_data(spark: SparkSession, base: str) -> bool:
 
 
 def ensure_zone_meta(
-    spark: SparkSession, base: str, expected: dict, rebuild_hint: str
+    spark: SparkSession, base: str, expected: dict, rebuild_hint: str,
+    data_dirs: list[str] | None = None,
 ) -> None:
     """Stamp or validate a zone's format metadata.
 
@@ -248,6 +249,14 @@ def ensure_zone_meta(
       mismatch (format version bump, different m_bits/k/width/depth/seed)
       refuses with the rebuild hint.
 
+    ``data_dirs`` overrides where the "data present" probe looks: a
+    COMPOSITE zone (``streaming_corpus_prep``'s base_dir, whose batches
+    live under ``base/<zone>/batch_id=*``, not ``base/batch_id=*``) must
+    pass its per-zone subdirs here — otherwise a deleted/missing marker
+    over live sub-zone data would be treated as fresh and silently
+    restamped with the CURRENT parameters, exactly the mixed-parameter
+    corruption the marker exists to prevent.
+
     Idempotent and cheap (one driver-side stat + tiny file); sinks call it
     every micro-batch so a stream resumed under changed parameters dies on
     its first batch, not after silently corrupting the zone.
@@ -256,7 +265,8 @@ def ensure_zone_meta(
 
     existing = read_zone_meta(spark, base)
     if existing is None:
-        if _zone_has_data(spark, base):
+        probe_dirs = data_dirs if data_dirs is not None else [base]
+        if any(_zone_has_data(spark, d) for d in probe_dirs):
             raise ValueError(
                 f"stored zone {base} has data but no {ZONE_META_FILE} — it "
                 "predates format stamping and its row positions cannot be "
@@ -1235,18 +1245,28 @@ def streaming_corpus_prep(
     parameters dies on its first batch instead of corrupting five zones
     at once. Returns the StreamingQuery handle; caller stops it.
 
-    100 TB shape: per batch the corpus-sized state is touched only
-    through the Bloom word probe (~m/32 rows), the flagged-rows-only
-    fingerprint join, and the test-shingle equi-join; the hot list and
-    cursor frames are broadcast-sized aggregates of bounded zones. The
-    zones follow the same compaction recipe as the per-stage streams:
-    with ``compact_every=N`` every state zone periodically rewrites into
-    one consolidated epoch with its own merge transform — seg_counts and
+    100 TB shape: per batch the corpus-sized state is touched through
+    the Bloom word probe (~m/32 rows), the flagged-rows-only fingerprint
+    join, the test-shingle equi-join, AND the hot-list rebuild — be
+    precise about that last one: ``seg_counts`` holds one row per
+    distinct boilerplate segment ever seen, i.e. it is
+    corpus-VOCABULARY-sized, not bounded, and every micro-batch re-runs
+    a full-zone groupBy over it to derive the hot list. Only the
+    post-filter ``>= min_docs`` result is broadcast-sized. The cursor
+    frame IS bounded (``num_shards`` rows after merge). The zones follow
+    the same compaction recipe as the per-stage streams: with
+    ``compact_every=N`` every state zone periodically rewrites into one
+    consolidated epoch with its own merge transform — seg_counts and
     cursors re-aggregate by SUM, fingerprints and test_shingles by
-    DISTINCT, bloom_words by bit_or (bucketed on word_idx) — so stored
-    state stays merged-size-bounded at any stream length. The packs and
-    stats OUTPUT zones never compact (they are the run's ledger, one
-    partition per batch is the contract).
+    DISTINCT, bloom_words by bit_or (bucketed on word_idx) — which
+    bounds FILE count at any stream length, not seg_counts' ROW count;
+    at true 100 TB vocabulary scale the deployment lever is a larger
+    ``compact_every`` plus a coarser segment ``width`` (fewer distinct
+    segments), or snapshotting the post-filter hot list itself as the
+    zone (a semantics change: segments below min_docs at snapshot time
+    lose their partial counts — not done here). The packs and stats
+    OUTPUT zones never compact (they are the run's ledger, one partition
+    per batch is the contract).
     """
     from pyspark.sql import functions as SF
 
@@ -1327,7 +1347,10 @@ def streaming_corpus_prep(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        ensure_zone_meta(spark, base_dir, meta, _PREP_REBUILD_HINT)
+        ensure_zone_meta(
+            spark, base_dir, meta, _PREP_REBUILD_HINT,
+            data_dirs=list(z.values()),
+        )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             _compact_state_zones(spark, batch_id)
         batch_df = batch_df.persist()

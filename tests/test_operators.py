@@ -2289,6 +2289,30 @@ class TestBloomSaturation:
         with pytest.raises(ValueError, match="m_bits and k"):
             bloom_saturation(b1, 0, k)
 
+    def test_unmerged_delta_rows_not_double_counted(self, spark):
+        """Fed per-batch delta rows (overlapping bits per word_idx, the
+        natural output of a streaming bloom zone read WITHOUT the merge),
+        saturation must equal the merged filter's — sum(bit_count) over
+        raw deltas would double-count shared bits and can push fill past
+        1.0."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_saturation,
+            build_bloom_index,
+            merge_bloom_words,
+        )
+
+        m, k = 256, 3
+        docs = spark.createDataFrame([Row(text=f"d{i}") for i in range(40)])
+        d1 = build_bloom_index(docs, m, k)
+        # two identical deltas: every set bit appears twice across rows
+        unmerged = d1.unionByName(d1)
+        merged_row = bloom_saturation(merge_bloom_words(unmerged), m, k).collect()[0]
+        raw_row = bloom_saturation(unmerged, m, k).collect()[0]
+        assert raw_row == merged_row
+        assert raw_row.fill <= 1.0
+
 
 class TestCmsDrift:
     def test_identical_epochs_zero_drift_and_one_sided(self, spark):

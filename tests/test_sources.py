@@ -1828,6 +1828,36 @@ class TestStreamingCorpusPrep:
         with _pytest.raises(Exception, match="corpus_prep_pipeline|zone"):
             q = self._run(spark, src, base, ckpt, test_mod=5)
 
+    def test_deleted_marker_over_live_zones_refuses(self, spark, tmp_path):
+        """The composite layout keeps its data under base/<zone>/batch_id=*,
+        not base/batch_id=* — a missing/deleted marker while the sub-zones
+        still hold data must REFUSE (unversioned stored state), not be
+        silently restamped with the current parameters. Regression for the
+        dead 'data but no marker' arm over composite zones."""
+        import os
+        import time as _time
+
+        import pytest as _pytest
+
+        src = str(tmp_path / "incoming")
+        base = str(tmp_path / "prep")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            self.B1, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        self._run(spark, src, base, ckpt)
+        os.remove(os.path.join(base, "_zone_meta.json"))
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(41, "z1 z2 z3")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # even under DIFFERENT params (the corruption scenario): must die
+        # on the no-marker-but-data check, and the marker must NOT come
+        # back stamped with the new parameters
+        with _pytest.raises(Exception, match="no _zone_meta.json|zone"):
+            self._run(spark, src, base, str(tmp_path / "ckpt2"), test_mod=5)
+        assert not os.path.exists(os.path.join(base, "_zone_meta.json"))
+
 
 class TestStreamingIvfPq:
     """streaming_ivf / streaming_pq: the vector-index instances of the
