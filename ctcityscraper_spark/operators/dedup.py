@@ -540,11 +540,13 @@ def _jaccard_verify_from_shingles(
 
 
 def _prefix_rows(sh, dfreq, threshold_pct: int):
-    """(doc_id, shingle, set_size) INDEX-PREFIX rows: each doc's first
-    ``s - ceil(t·s) + 1`` shingles under the shared global order
+    """(doc_id, shingle, set_size, rn) INDEX-PREFIX rows: each doc's
+    first ``s - ceil(t·s) + 1`` shingles under the shared global order
     (ascending ``dfq``, ties by shingle value; shingles absent from the
     order table — e.g. batch-only tokens probed against a frozen corpus
-    order — rank as df 0, i.e. rarest). Integer-exact ceil:
+    order — rank as df 0, i.e. rarest). ``rn`` is the shingle's 1-based
+    position in the doc's full ordered set — the PPJoin positional
+    filter's input (:func:`_prefix_candidates`). Integer-exact ceil:
     ``(t_pct·s + 99) div 100``."""
     ranked = (
         sh.join(dfreq, "shingle", "left")
@@ -561,7 +563,7 @@ def _prefix_rows(sh, dfreq, threshold_pct: int):
     )
     alpha = F.expr(f"({threshold_pct} * set_size + 99) div 100")
     return ranked.filter(F.col("rn") <= F.col("set_size") - alpha + 1).select(
-        "doc_id", "shingle", "set_size"
+        "doc_id", "shingle", "set_size", "rn"
     )
 
 
@@ -569,16 +571,44 @@ def _prefix_candidates(
     probe: DataFrame, index: DataFrame, threshold_pct: int, self_join: bool
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from two :func:`_prefix_rows`
-    frames: equi-join on the shared prefix token plus the integer size
-    bound ``t·max(|A|,|B|) <= 100·min(|A|,|B|)`` (necessary for J >= t).
+    frames: equi-join on the shared prefix token, then two PPJoin-family
+    prunes (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection") before any pair reaches the exact verify:
+
+    - **length filter**: ``t·max(|A|,|B|) <= 100·min(|A|,|B|)``
+      (necessary for J >= t) — pure-integer, pushed into the join.
+    - **positional filter**: a shared token at 1-based global-order
+      positions ``(i, j)`` bounds the overlap by ``1 + min(|A|-i,
+      |B|-j)`` (everything common ranks at-or-after the shared token on
+      both sides), which must reach the Jaccard overlap requirement
+      ``α(A,B) = ceil(t/(1+t)·(|A|+|B|))``. Integer-exact:
+      ``α = (t_pct·(sa+sb) + (100+t_pct) − 1) div (100+t_pct)``.
+
+    Recall stays EXACTLY 1: for any pair with J >= t, the FIRST common
+    token in the global order lies in both prefixes (the prefix-filter
+    pigeonhole), and at that token the bound ``1 + min(|A|-i, |B|-j)``
+    is a true upper bound that the real overlap >= α already meets — so
+    the pair survives through that witness row even when later shared
+    tokens are pruned. Both prunes are candidate-count reducers only;
+    the df-cap'd naive-join oracle (hash-match gate) proves it per run.
+
     ``self_join`` adds doc_a < doc_b so each unordered pair emits once.
-    One definition of the exactness-critical size arithmetic for the
-    self-join and incremental variants."""
+    One definition of the exactness-critical size/position arithmetic
+    for the self-join and incremental variants."""
     a, b = probe.alias("a"), index.alias("b")
-    big = F.greatest(F.col("a.set_size"), F.col("b.set_size"))
-    small = F.least(F.col("a.set_size"), F.col("b.set_size"))
-    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-        F.lit(threshold_pct) * big <= F.lit(100) * small
+    sa, sb = F.col("a.set_size"), F.col("b.set_size")
+    big, small = F.greatest(sa, sb), F.least(sa, sb)
+    # α = ceil(t/(1+t)·(sa+sb)) in integers; denominators are literals
+    denom = 100 + threshold_pct
+    alpha = F.expr(
+        f"({threshold_pct} * (a.set_size + b.set_size) + {denom - 1}) "
+        f"div {denom}"
+    )
+    ubound = F.lit(1) + F.least(sa - F.col("a.rn"), sb - F.col("b.rn"))
+    cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.lit(threshold_pct) * big <= F.lit(100) * small)
+        & (ubound >= alpha)
     )
     if self_join:
         cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))

@@ -2190,6 +2190,58 @@ class TestPrefixFilterJoin:
             with pytest.raises(ValueError):
                 prefix_filter_jaccard_pairs(df, threshold_pct=bad)
 
+    def test_positional_filter_prunes_hopeless_candidates(self, spark):
+        """The PPJoin positional filter: two docs sharing ONE rare token
+        that sits at the END of both prefixes (5 rarer unique tokens
+        ahead of it) can reach overlap at most 1 + min(|A|-6, |B|-6) = 5
+        < α = ceil(50·20/150) = 7, so the pair must be pruned from the
+        CANDIDATE set (length filter alone keeps it: equal sizes), while
+        the verified output is still row-identical to the naive join.
+        Construction: fillers appear in 30 docs each (df=30, under any
+        cap), the shared token in 2 (df=2), unique tokens in 1 — the
+        df-ascending order ranks uniques 1-5, shared 6th, fillers last;
+        prefix length = 10 - ceil(0.5·10) + 1 = 6."""
+        from ctcityscraper_spark.operators.dedup import (
+            _drop_hot,
+            _prefix_candidates,
+            _prefix_rows,
+            doc_shingles,
+            prefix_filter_jaccard_pairs,
+        )
+
+        fill_a = "fa1 fa2 fa3 fa4"
+        fill_b = "fb1 fb2 fb3 fb4"
+        rows = [
+            Row(doc_id=1, text=f"ua1 ua2 ua3 ua4 ua5 shared {fill_a}"),
+            Row(doc_id=2, text=f"ub1 ub2 ub3 ub4 ub5 shared {fill_b}"),
+        ]
+        # 30 backers per filler token keep filler df high (rank last)
+        rows += [Row(doc_id=100 + i, text=fill_a) for i in range(30)]
+        rows += [Row(doc_id=200 + i, text=fill_b) for i in range(30)]
+        df = spark.createDataFrame(rows).repartition(4)
+
+        sh = _drop_hot(doc_shingles(df, "text", "doc_id", 1), "shingle", None, False)
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
+        prefix = _prefix_rows(sh, dfreq, 50)
+        # the shared token IS in both docs' prefixes (rank 6 of 6) ...
+        shared_rows = prefix.filter(
+            (F.col("shingle") == "shared") & F.col("doc_id").isin(1, 2)
+        ).collect()
+        assert sorted((r.doc_id, r.rn) for r in shared_rows) == [(1, 6), (2, 6)]
+        # ... yet the positional filter kills the (1,2) candidate
+        cands = {
+            (r.doc_a, r.doc_b)
+            for r in _prefix_candidates(prefix, prefix, 50, True).collect()
+        }
+        assert (1, 2) not in cands
+        # and the end-to-end output still matches the naive join exactly
+        got = self._rows(
+            prefix_filter_jaccard_pairs(df, n=1, threshold_pct=50, df_cap=None)
+        )
+        ref = self._rows(ngram_jaccard_pairs(df, n=1, threshold=0.5, df_cap=None))
+        assert got == ref
+        assert (1, 2) not in {(a, b) for a, b, _ in got}
+
 
 class TestQuantileDrift:
     def test_drift_is_estimate_difference(self, spark):
