@@ -1386,15 +1386,45 @@ def q_text_quantile_drift(spark, sf_dir):
 # =========================================================================
 # corpus_e2e_prep — the composed nightly pretraining-prep DAG: boilerplate
 # removal -> bloom-chased exact dedup -> contamination gate (with a KMV-
-# overlap residual audit) -> sequence packing, as ONE oracle-gated plan.
-# Every stage is an already-oracle-gated operator; composing them in one
-# query regression-guards the stage INTERFACES against each other (a
-# change in any stage shifts every downstream pack offset and the hash
-# match catches it).
+# overlap residual audit) -> trained quality gate -> sequence packing, as
+# ONE oracle-gated plan. Every stage is an already-oracle-gated operator;
+# composing them in one query regression-guards the stage INTERFACES
+# against each other (a change in any stage shifts every downstream pack
+# offset and the hash match catches it).
 # =========================================================================
 
 _E2E_CLEAN_SH8 = shingle_sql(8, "clean_text")
 _E2E_CLEAN_SH3 = shingle_sql(3, "clean_text")
+
+# The composed DAGs' quality-gate sidecars (one per query — gate queries
+# never race on one file, the quality_classifier_score convention). The
+# weights become DATA the oracle reads back; a corpus fingerprint gates
+# the oracle's SELECT so a stale sidecar yields 0 rows, never a silent
+# plausible match.
+_E2E_QCLF_SIDECAR = str(
+    Path(__file__).resolve().parents[2]
+    / "spark-warehouse"
+    / "quality_classifier_weights_e2e.json"
+)
+_E2E_QCLF_INC_SIDECAR = str(
+    Path(__file__).resolve().parents[2]
+    / "spark-warehouse"
+    / "quality_classifier_weights_e2e_inc.json"
+)
+
+
+def _qclf_logit_sql(text_expr: str) -> str:
+    """The literal-folded classifier logit over a ``wv`` weights array
+    (read from a sidecar CTE aliased ``w``) — left-associative ``+`` so
+    DuckDB reproduces the double bit-for-bit; shared by every composed-DAG
+    oracle that replays the quality gate."""
+    from ctcityscraper_spark.operators.text import quality_feature_sqls
+
+    f1, f2, f3, f4, f5 = quality_feature_sqls(text_expr)
+    return (
+        f"wv[6] + wv[1] * {f1} + wv[2] * {f2} + wv[3] * {f3}"
+        f" + wv[4] * {f4} + wv[5] * {f5}"
+    )
 
 
 @query(
@@ -1437,8 +1467,12 @@ _E2E_CLEAN_SH3 = shingle_sql(3, "clean_text")
                                  WHERE c.doc_id = k.doc_id)),
     testd AS (SELECT doc_id, clean_text FROM kept
               WHERE {hash64_sql('doc_id', 'split')} % 10 = 0),
+    w AS (SELECT (data[1])::DOUBLE[] AS wv
+          FROM read_json('{_E2E_QCLF_SIDECAR}')),
+    trainq AS (SELECT doc_id, clean_text FROM trainf, w
+               WHERE ({_qclf_logit_sql('clean_text')}) > 0),
     ta AS (SELECT DISTINCT term FROM (
-               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM trainf)),
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM trainq)),
     tb AS (SELECT DISTINCT term FROM (
                SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM testd)),
     ha AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM ta),
@@ -1467,13 +1501,16 @@ _E2E_CLEAN_SH3 = shingle_sql(3, "clean_text")
         SELECT (SELECT count(*) FROM rb) AS n_docs_in,
                (SELECT count(*) FROM dups) AS n_dup_dropped,
                (SELECT count(*) FROM testd) AS n_test_held_out,
-               (SELECT count(*) FROM contam) AS n_contam_dropped),
+               (SELECT count(*) FROM contam) AS n_contam_dropped,
+               (SELECT count(*) FROM trainf, w
+                WHERE NOT (({_qclf_logit_sql('clean_text')}) > 0))
+                   AS n_quality_dropped),
     ptoks AS (
         SELECT doc_id,
                ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
                    ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
-        FROM trainf),
+        FROM trainq),
     spans AS (
         SELECT doc_id, shard_id, n_tok,
                (SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
@@ -1489,8 +1526,13 @@ _E2E_CLEAN_SH3 = shingle_sql(3, "clean_text")
            LEAST(end_off, (pack_id + 1) * 512)
                - GREATEST(start_off, pack_id * 512) AS n_tokens,
            n_docs_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
-           resid_inter_est, resid_jaccard_est
+           n_quality_dropped, resid_inter_est, resid_jaccard_est
     FROM expl, cnts, audit
+    WHERE EXISTS (
+        SELECT 1
+        FROM read_json('{_E2E_QCLF_SIDECAR}') sj,
+             (SELECT count(*) AS n, sum(doc_id) AS s FROM kept) cur
+        WHERE sj.fingerprint_n = cur.n AND sj.fingerprint_s = cur.s)
     ORDER BY shard_id, pack_id, doc_id
     """,
     headline=True,
@@ -1518,21 +1560,31 @@ def q_corpus_e2e_prep(spark, sf_dir):
        residual audit (kmv_overlap of train-vs-test trigram-shingle
        sketches — the text_kmv_overlap instrument) rides on every
        output row as resid_inter_est / resid_jaccard_est: the number a
-       monitoring job alerts on when residual leakage grows.
-    4. pack_sequences — the surviving train docs packed into fixed
+       monitoring job alerts on when residual leakage grows — computed
+       over the stream that is actually packed (post-quality-gate).
+    4. Trained quality gate (train_quality_classifier over the kept
+       docs' clean text, CCNet-style weak teacher quality_score >=
+       0.45; weights persisted to the fingerprint-guarded sidecar and
+       applied as the literal-folded logit): train docs with logit <= 0
+       are dropped before packing — the stage a real lab runs between
+       decontamination and packing. Only the bounded numpy fit stays
+       outside the hash match; the keep decision replays in DuckDB
+       bit-for-bit from the sidecar weights.
+    5. pack_sequences — the surviving train docs packed into fixed
        512-token sequences per hash shard.
 
     Output: the loader's pack-assignment table with the stage-attrition
     audit columns (n_docs_in / n_dup_dropped / n_test_held_out /
-    n_contam_dropped) and the residual-overlap estimates attached via
-    1-row broadcast audit joins (BNLJ with 1-row build sides — the
-    allowed summary shape; the plan gate pins no CartesianProduct and
-    hash-join shapes for every real join). Scale: each stage keeps its
-    own documented shape — broadcast hot-segment anti-flag, ~m/32-row
-    Bloom word probe + chase on the flagged ~1%, df-capped inverted
-    8-gram index join, sketch-sized KMV legs, per-shard packing
-    windows — composing them adds no new shuffle beyond the stages'
-    own."""
+    n_contam_dropped / n_quality_dropped) and the residual-overlap
+    estimates attached via 1-row broadcast audit joins (BNLJ with 1-row
+    build sides — the allowed summary shape; the plan gate pins no
+    CartesianProduct and hash-join shapes for every real join). Scale:
+    each stage keeps its own documented shape — broadcast hot-segment
+    anti-flag, ~m/32-row Bloom word probe + chase on the flagged ~1%,
+    df-capped inverted 8-gram index join, sample_n-bounded classifier
+    fit + scan-stage literal logit, sketch-sized KMV legs, per-shard
+    packing windows — composing them adds no new shuffle beyond the
+    stages' own."""
     from ctcityscraper_spark.operators.artifacts import (
         checkpoint_tracked,
         persist_tracked,
@@ -1586,11 +1638,40 @@ def q_corpus_e2e_prep(spark, sf_dir):
     train_f = kept.filter(~is_test).join(contam, "doc_id", "left_anti")
     train_f = persist_tracked(train_f)
     test_d = kept.filter(is_test)
+
+    # stage 4: trained quality gate — fit on the kept docs' clean text
+    # (bounded sample_n collect), persist to the fingerprint-guarded
+    # sidecar, apply as the literal-folded logit in the scan stage
+    from ctcityscraper_spark.operators.similarity import save_vectors_json
+    from ctcityscraper_spark.operators.text import (
+        quality_classifier_logit_col,
+        quality_score_col,
+        train_quality_classifier,
+    )
+
+    weights = train_quality_classifier(
+        kept,
+        text="clean_text",
+        labels=quality_score_col("clean_text") >= 0.45,
+    )
+    fpr = kept.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).collect()[0]
+    Path(_E2E_QCLF_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
+    save_vectors_json(
+        [weights],
+        _E2E_QCLF_SIDECAR,
+        kind="quality_classifier",
+        extra={"fingerprint_n": int(fpr.n), "fingerprint_s": int(fpr.s)},
+    )
+    logit = quality_classifier_logit_col("clean_text", weights)
+    # train_f is persisted, so both branches of the gate are cheap
+    # codegen filters over the cached frame — no extra materialization
+    train_q = train_f.filter(logit > 0)
+
     sh3 = lambda d: d.select(
         F.explode(shingles_col("clean_text", 3)).alias("term")
     )
     resid = kmv_overlap(
-        kmv_sketch_terms(sh3(train_f), "term", k=_KMV_K),
+        kmv_sketch_terms(sh3(train_q), "term", k=_KMV_K),
         kmv_sketch_terms(sh3(test_d), "term", k=_KMV_K),
         _KMV_K,
     ).select(
@@ -1602,10 +1683,15 @@ def q_corpus_e2e_prep(spark, sf_dir):
         .crossJoin(dup_ids.agg(F.count("*").alias("n_dup_dropped")))
         .crossJoin(test_d.agg(F.count("*").alias("n_test_held_out")))
         .crossJoin(contam.agg(F.count("*").alias("n_contam_dropped")))
+        .crossJoin(
+            train_f.filter(~(logit > 0)).agg(
+                F.count("*").alias("n_quality_dropped")
+            )
+        )
     )
 
-    # stage 4: pack the surviving training stream
-    packs = pack_sequences(train_f, text="clean_text")
+    # stage 5: pack the surviving training stream
+    packs = pack_sequences(train_q, text="clean_text")
     return (
         packs.crossJoin(F.broadcast(cnts.crossJoin(resid)))
         .repartition(1)
@@ -1671,10 +1757,16 @@ def q_corpus_e2e_prep(spark, sf_dir):
     btrainf AS (SELECT doc_id, clean_text FROM bkept k
                 WHERE NOT is_test AND NOT EXISTS
                       (SELECT 1 FROM bcontam x WHERE x.doc_id = k.doc_id)),
+    w AS (SELECT (data[1])::DOUBLE[] AS wv
+          FROM read_json('{_E2E_QCLF_INC_SIDECAR}')),
+    strainq AS (SELECT doc_id, clean_text FROM strainf, w
+                WHERE ({_qclf_logit_sql('clean_text')}) > 0),
+    btrainq AS (SELECT doc_id, clean_text FROM btrainf, w
+                WHERE ({_qclf_logit_sql('clean_text')}) > 0),
     ta AS (SELECT DISTINCT term FROM (
-               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM strainf
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM strainq
                UNION ALL
-               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM btrainf)),
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM btrainq)),
     tb AS (SELECT DISTINCT term FROM (
                SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM corp
                WHERE is_test)),
@@ -1704,12 +1796,15 @@ def q_corpus_e2e_prep(spark, sf_dir):
         SELECT (SELECT count(*) FROM bat) AS n_batch_in,
                (SELECT count(*) FROM dups) AS n_dup_dropped,
                (SELECT count(*) FROM bkept WHERE is_test) AS n_test_held_out,
-               (SELECT count(*) FROM bcontam) AS n_contam_dropped),
+               (SELECT count(*) FROM bcontam) AS n_contam_dropped,
+               (SELECT count(*) FROM btrainf, w
+                WHERE NOT (({_qclf_logit_sql('clean_text')}) > 0))
+                   AS n_quality_dropped),
     pt_s AS (
         SELECT ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
                    ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
-        FROM strainf),
+        FROM strainq),
     cur AS (SELECT shard_id, SUM(n_tok)::BIGINT AS base_off FROM pt_s
             WHERE n_tok > 0 GROUP BY shard_id),
     pt_b AS (
@@ -1717,7 +1812,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
                ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
                    ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
-        FROM btrainf),
+        FROM btrainq),
     spans AS (
         SELECT p.doc_id, p.shard_id, p.n_tok,
                ((SUM(p.n_tok) OVER (PARTITION BY p.shard_id ORDER BY p.doc_id
@@ -1735,8 +1830,13 @@ def q_corpus_e2e_prep(spark, sf_dir):
            LEAST(end_off, (pack_id + 1) * 512)
                - GREATEST(start_off, pack_id * 512) AS n_tokens,
            n_batch_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
-           resid_inter_est, resid_jaccard_est
+           n_quality_dropped, resid_inter_est, resid_jaccard_est
     FROM expl, cnts, audit
+    WHERE EXISTS (
+        SELECT 1
+        FROM read_json('{_E2E_QCLF_INC_SIDECAR}') sj,
+             (SELECT count(*) AS n, sum(doc_id) AS s FROM corp) cur
+        WHERE sj.fingerprint_n = cur.n AND sj.fingerprint_s = cur.s)
     ORDER BY shard_id, pack_id, doc_id
     """,
 )
@@ -1758,13 +1858,19 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
        by KMV associativity — which is exactly why the oracle may build
        its sketch over the stored∪batch union in one pass), then
        kmv_overlap against the stored test sketch.
-    5. Packing: pack_sequences(base_offsets=stored per-shard cursors)
+    5. Quality gate: the classifier weights are last night's artifact
+       (trained on the stored corpus's clean text, frozen tonight —
+       the hot-list refresh-cadence policy); the batch's train
+       survivors keep only logit > 0. The stored train stream (KMV
+       sketch, pack cursor) is the quality-KEPT stream because last
+       night's run packed through the same gate.
+    6. Packing: pack_sequences(base_offsets=stored per-shard cursors)
        appends the batch to the existing token stream — a batch doc can
        land mid-way through the stored run's last partial pack.
 
     Output schema matches corpus_e2e_prep with batch-scoped attrition
     counts (n_batch_in / n_dup_dropped / n_test_held_out /
-    n_contam_dropped). The stored artifacts are derived in-plan because
+    n_contam_dropped / n_quality_dropped). The stored artifacts are derived in-plan because
     the gate query must be self-contained (the dedup_bloom_chase
     convention); in production each is read from its persisted form and
     the batch never touches corpus-sized state except through
@@ -1826,15 +1932,47 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .distinct()
     )
     strainf = persist_tracked(stored.filter(~is_test).join(scontam, "doc_id", "left_anti"))
+
+    # the quality gate's weights are LAST NIGHT's artifact too: trained
+    # on the stored corpus's clean text (bounded sample_n fit), persisted
+    # to the fingerprint-guarded sidecar, frozen for tonight's batch —
+    # the same refresh-cadence policy as the hot-segment list. The stored
+    # train stream (KMV sketch, pack cursor) is the QUALITY-KEPT stream,
+    # because last night's run packed through the same gate.
+    from ctcityscraper_spark.operators.similarity import save_vectors_json
+    from ctcityscraper_spark.operators.text import (
+        quality_classifier_logit_col,
+        quality_score_col,
+        train_quality_classifier,
+    )
+
+    weights = train_quality_classifier(
+        stored,
+        text="clean_text",
+        labels=quality_score_col("clean_text") >= 0.45,
+    )
+    fpr = stored.agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    Path(_E2E_QCLF_INC_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
+    save_vectors_json(
+        [weights],
+        _E2E_QCLF_INC_SIDECAR,
+        kind="quality_classifier",
+        extra={"fingerprint_n": int(fpr.n), "fingerprint_s": int(fpr.s)},
+    )
+    logit = quality_classifier_logit_col("clean_text", weights)
+    strainq = strainf.filter(logit > 0)
+
     sh3 = lambda d: d.select(
         F.explode(shingles_col("clean_text", 3)).alias("term")
     )
-    stored_train_kmv = kmv_sketch_terms(sh3(strainf), "term", k=_KMV_K)
+    stored_train_kmv = kmv_sketch_terms(sh3(strainq), "term", k=_KMV_K)
     stored_test_kmv = kmv_sketch_terms(
         sh3(stored.filter(is_test)), "term", k=_KMV_K
     )
     cursor = checkpoint_tracked(
-        pack_sequences(strainf, text="clean_text")
+        pack_sequences(strainq, text="clean_text")
         .groupBy("shard_id")
         .agg(F.sum("n_tokens").alias("base_off"))
     )
@@ -1857,8 +1995,11 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .distinct()
     )
     btrainf = persist_tracked(bkept.filter(~is_test).join(bcontam, "doc_id", "left_anti"))
+    # tonight's batch passes through the FROZEN quality gate (weights
+    # above) — batch-scoped attrition, like the other counts
+    btrainq = btrainf.filter(logit > 0)
     resid = kmv_overlap(
-        update_kmv_sketch(stored_train_kmv, sh3(btrainf), "term", k=_KMV_K),
+        update_kmv_sketch(stored_train_kmv, sh3(btrainq), "term", k=_KMV_K),
         stored_test_kmv,
         _KMV_K,
     ).select(
@@ -1872,8 +2013,13 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
             bkept.filter(is_test).agg(F.count("*").alias("n_test_held_out"))
         )
         .crossJoin(bcontam.agg(F.count("*").alias("n_contam_dropped")))
+        .crossJoin(
+            btrainf.filter(~(logit > 0)).agg(
+                F.count("*").alias("n_quality_dropped")
+            )
+        )
     )
-    packs = pack_sequences(btrainf, text="clean_text", base_offsets=cursor)
+    packs = pack_sequences(btrainq, text="clean_text", base_offsets=cursor)
     return (
         packs.crossJoin(F.broadcast(cnts.crossJoin(resid)))
         .repartition(1)

@@ -1162,15 +1162,18 @@ def streaming_quantile(
 def _prep_zone_meta(
     width: int, min_docs: int, m_bits: int, k: int,
     shingle_n: int, test_mod: int, seq_len: int, num_shards: int,
+    quality_gate: bool, quality_teacher: float,
 ) -> dict:
     from ctcityscraper_spark.operators.dedup import BLOOM_FORMAT_VERSION
 
     return {
-        "kind": "corpus_prep_pipeline", "format_version": 1,
+        "kind": "corpus_prep_pipeline", "format_version": 2,
         "bloom_format_version": BLOOM_FORMAT_VERSION,
         "width": width, "min_docs": min_docs, "m_bits": m_bits, "k": k,
         "shingle_n": shingle_n, "test_mod": test_mod,
         "seq_len": seq_len, "num_shards": num_shards,
+        "quality_gate": bool(quality_gate),
+        "quality_teacher": float(quality_teacher),
     }
 
 
@@ -1193,6 +1196,8 @@ def streaming_corpus_prep(
     seq_len: int | None = None,
     num_shards: int | None = None,
     compact_every: int | None = None,
+    quality_gate: bool = False,
+    quality_teacher: float = 0.45,
 ):
     """The nightly pretraining-prep DAG (``corpus_e2e_prep``) as ONE
     continuously-running stream: boilerplate removal -> Bloom-chased
@@ -1229,11 +1234,24 @@ def streaming_corpus_prep(
       the strictly-before merge is the pack-continuation cursor, so a
       batch doc can land mid-way through the previous batch's partial
       pack exactly as the batch twin's ``base_offsets`` path does.
+    - ``qclf_weights`` (state, ``quality_gate=True`` only): the trained
+      quality classifier's ``(w0..w4, b, trained_batch)`` rows — the
+      batch-twin's sidecar as a zone. Batch N applies the LATEST
+      strictly-before weights (batch 0 has none — its train docs pass
+      ungated, the hot-list one-batch-lag policy); weights REFRESH by
+      retraining on the current batch's kept docs at batch 0 and at
+      every ``compact_every`` boundary (the compaction epochs — a
+      frozen-between-refreshes cadence, exactly the hot list's).
+      Replay-safe: the fit is deterministic in the batch content
+      (hash-picked sample, fixed full-batch GD), so a crash-and-replay
+      rewrites an identical row. Never compacted (one tiny row per
+      refresh — it is the gate's audit ledger).
     - ``packs`` (output): the per-batch assignment table
       (shard_id, pack_id, doc_id, offset_in_pack, n_tokens).
     - ``stats`` (output): one row per batch — (n_batch_in, n_dup_dropped,
-      n_test_held_out, n_contam_dropped), the attrition line of the
-      nightly run.
+      n_test_held_out, n_contam_dropped, n_quality_dropped), the
+      attrition line of the nightly run (n_quality_dropped is 0 when the
+      gate is off or not yet armed).
 
     Exactly-once end-to-end across ALL stages at once: the single
     checkpoint skips completed batches; every zone write is a
@@ -1293,7 +1311,10 @@ def streaming_corpus_prep(
     md = min_docs if min_docs is not None else BOILER_MIN_DOCS
     sl = seq_len or PACK_SEQ_LEN
     ns = num_shards or PACK_SHARDS
-    meta = _prep_zone_meta(w, md, m_bits, k, shingle_n, test_mod, sl, ns)
+    meta = _prep_zone_meta(
+        w, md, m_bits, k, shingle_n, test_mod, sl, ns,
+        quality_gate, quality_teacher,
+    )
     bloom_tbl_prefix = (
         "prep_bloom_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
     )
@@ -1302,6 +1323,7 @@ def streaming_corpus_prep(
         for name in (
             "seg_counts", "bloom_words", "fingerprints",
             "test_shingles", "cursors", "packs", "stats",
+            "qclf_weights",
         )
     }
 
@@ -1435,6 +1457,61 @@ def streaming_corpus_prep(
             )
             trainf = _p(train.join(contam, "doc_id", "left_anti"))
 
+            # -- stage 3.5: trained quality gate (opt-in). Apply the
+            # LATEST strictly-before weights; batch 0's train docs pass
+            # ungated (no weights yet — the hot-list one-batch lag).
+            # Refresh = retrain on THIS batch's kept docs at batch 0 and
+            # at every compact_every boundary; deterministic fit → the
+            # batch_id=N overwrite is replay-idempotent. --
+            trainq = trainf
+            qdrop_df = None
+            if quality_gate:
+                from ctcityscraper_spark.operators.text import (
+                    quality_classifier_logit_col,
+                    quality_score_col,
+                    train_quality_classifier,
+                )
+
+                wz = read_incremental_zone(
+                    spark, z["qclf_weights"], batch_id
+                )
+                wrow = (
+                    wz.orderBy(SF.col("trained_batch").desc())
+                    .limit(1)
+                    .collect()
+                    if wz is not None
+                    else []
+                )
+                if wrow:
+                    r = wrow[0]
+                    weights = [r.w0, r.w1, r.w2, r.w3, r.w4, r.b]
+                    logit = quality_classifier_logit_col(
+                        "clean_text", weights
+                    )
+                    trainq = _p(trainf.filter(logit > 0))
+                    qdrop_df = trainf.filter(~(logit > 0)).agg(
+                        SF.count("*").cast("long").alias("n_quality_dropped")
+                    )
+                refresh = (not wrow) or (
+                    compact_every and batch_id % compact_every == 0
+                )
+                if refresh and not kept.isEmpty():
+                    new_w = train_quality_classifier(
+                        kept,
+                        text="clean_text",
+                        labels=quality_score_col("clean_text")
+                        >= quality_teacher,
+                    )
+                    _put(
+                        spark.createDataFrame(
+                            [tuple(new_w) + (batch_id,)],
+                            "w0 double, w1 double, w2 double, w3 double, "
+                            "w4 double, b double, trained_batch long",
+                        ),
+                        "qclf_weights",
+                        batch_id,
+                    )
+
             # -- stage 4: pack continuation from strictly-before cursors --
             cur_hist = read_incremental_zone(spark, z["cursors"], batch_id)
             cursor = (
@@ -1445,13 +1522,17 @@ def streaming_corpus_prep(
             )
             packs = _p(
                 pack_sequences(
-                    trainf, text="clean_text", seq_len=sl, num_shards=ns,
+                    trainq, text="clean_text", seq_len=sl, num_shards=ns,
                     base_offsets=cursor,
                 )
             )
 
             # -- outputs + this batch's own zone deltas --
             _put(packs, "packs", batch_id)
+            if qdrop_df is None:
+                qdrop_df = spark.range(1).select(
+                    SF.lit(0).cast("long").alias("n_quality_dropped")
+                )
             stats = (
                 batch.agg(SF.count("*").alias("n_batch_in"))
                 .crossJoin(dup_ids.agg(SF.count("*").alias("n_dup_dropped")))
@@ -1463,6 +1544,7 @@ def streaming_corpus_prep(
                 .crossJoin(
                     contam.agg(SF.count("*").alias("n_contam_dropped"))
                 )
+                .crossJoin(qdrop_df)
             )
             _put(stats, "stats", batch_id)
             _put(

@@ -1828,6 +1828,76 @@ class TestStreamingCorpusPrep:
         with _pytest.raises(Exception, match="corpus_prep_pipeline|zone"):
             q = self._run(spark, src, base, ckpt, test_mod=5)
 
+    def test_quality_gate_weights_zone_and_attrition(self, spark, tmp_path):
+        """quality_gate=True: batch 0 trains the classifier on its kept
+        docs and writes the qclf_weights zone but passes ungated (the
+        hot-list one-batch lag); batches >= 1 apply the frozen epoch-0
+        weights. Pinned at both teacher extremes so the mechanism is
+        asserted without replicating the fit: teacher -1.0 labels all
+        docs positive -> all-positive weights -> gate keeps everything
+        (packs identical to the gate-off run, n_quality_dropped all 0);
+        teacher 10.0 labels all negative -> gate drops every train doc
+        from batch 1 on (batch-0 survivors are the only packs)."""
+        import time as _time
+
+        src = str(tmp_path / "incoming")
+        for batch in (self.B1, self.B2, self.B3):
+            spark.createDataFrame(
+                batch, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+
+        # --- keep-everything teacher: plumbing is a no-op on results ---
+        base_k = str(tmp_path / "prep_keep")
+        self._run(spark, src, base_k, str(tmp_path / "ck1"),
+                  quality_gate=True, quality_teacher=-1.0)
+        wz = spark.read.parquet(f"{base_k}/qclf_weights")
+        assert [r.trained_batch for r in wz.collect()] == [0]
+        stats = {
+            r.batch_id: r.n_quality_dropped
+            for r in spark.read.parquet(f"{base_k}/stats").collect()
+        }
+        assert stats == {0: 0, 1: 0, 2: 0}
+        packed = {
+            r.doc_id
+            for r in spark.read.parquet(f"{base_k}/packs").collect()
+        }
+        assert packed == {d for d, _ in self.SURVIVORS}
+
+        # --- drop-everything teacher: batches >= 1 lose every train doc ---
+        base_d = str(tmp_path / "prep_drop")
+        self._run(spark, src, base_d, str(tmp_path / "ck2"),
+                  quality_gate=True, quality_teacher=10.0)
+        stats = {
+            r.batch_id: r.n_quality_dropped
+            for r in spark.read.parquet(f"{base_d}/stats").collect()
+        }
+        # batch 1's post-contam train survivors are docs 7 and 9; batch
+        # 2's is doc 32 (see SURVIVORS); batch 0 is ungated
+        assert stats == {0: 0, 1: 2, 2: 1}
+        packed = {
+            r.doc_id
+            for r in spark.read.parquet(f"{base_d}/packs").collect()
+        }
+        assert packed == {2, 3, 4, 5}
+
+        # restart with the same checkpoint: nothing reprocesses
+        before = spark.read.parquet(f"{base_d}/stats").count()
+        self._run(spark, src, base_d, str(tmp_path / "ck2"),
+                  quality_gate=True, quality_teacher=10.0)
+        assert spark.read.parquet(f"{base_d}/stats").count() == before
+
+        # resuming under a DIFFERENT teacher dies on the marker check
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(50, "q1 q2 q3")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="corpus_prep_pipeline|zone"):
+            self._run(spark, src, base_d, str(tmp_path / "ck2"),
+                      quality_gate=True, quality_teacher=-1.0)
+
     def test_deleted_marker_over_live_zones_refuses(self, spark, tmp_path):
         """The composite layout keeps its data under base/<zone>/batch_id=*,
         not base/batch_id=* — a missing/deleted marker while the sub-zones
