@@ -528,3 +528,97 @@ def q_ann_gram_update(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("j", "l")
     )
+
+
+# =========================================================================
+# layout_zorder_cells — the Z-order (Morton) clustering key, oracle-gated.
+# zorder_col is pure integer/double Column arithmetic (quantize each dim
+# to a 2^bits grid, interleave the bits), so DuckDB replays the key
+# bit-for-bit: the same affine scale + clamp + floor, then the same
+# 2·bits-term interleave sum. The query groups orders into coarse z-cells
+# (top 8 of 32 key bits) and reports per-cell min-max spans of BOTH
+# dimensions — small spans per cell are exactly the property parquet
+# min-max file skipping exploits after cluster_by_zorder (the
+# data-skipping assertion itself lives in tests/test_extension_plans.py's
+# file-stats test; footer stats aren't SQL-visible).
+# =========================================================================
+
+_Z_BITS = 16
+_Z_PRICE_LO, _Z_PRICE_HI = 0.0, 524288.0
+_Z_CUST_LO, _Z_CUST_HI = 0.0, 16384.0
+
+
+def _zorder_oracle() -> str:
+    cells = (1 << _Z_BITS) - 1
+    qx = (
+        f"CAST(floor(least(greatest((o_totalprice - {_Z_PRICE_LO}) /"
+        f" {_Z_PRICE_HI - _Z_PRICE_LO}, 0.0), 1.0) * {cells}) AS BIGINT)"
+    )
+    qy = (
+        f"CAST(floor(least(greatest((CAST(o_custkey AS DOUBLE) - {_Z_CUST_LO}) /"
+        f" {_Z_CUST_HI - _Z_CUST_LO}, 0.0), 1.0) * {cells}) AS BIGINT)"
+    )
+    terms = " + ".join(
+        f"((q{d} >> {b}) & 1) * {1 << (b * 2 + i)}"
+        for b in range(_Z_BITS)
+        for i, d in enumerate(("x", "y"))
+    )
+    return f"""
+    WITH q AS (
+        SELECT o_orderkey, o_totalprice, o_custkey,
+               {qx} AS qx, {qy} AS qy
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+          AND NOT isnan(o_totalprice)),
+    keyed AS (SELECT *, ({terms}) AS z FROM q)
+    SELECT z >> 24 AS zcell,
+           COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS price_lo, MAX(o_totalprice) AS price_hi,
+           MIN(o_custkey) AS cust_lo, MAX(o_custkey) AS cust_hi
+    FROM keyed
+    GROUP BY zcell ORDER BY zcell
+    """
+
+
+@query("layout_zorder_cells", oracle=_zorder_oracle())
+def q_layout_zorder_cells(spark, sf_dir):
+    """Multi-dimensional clustering key (operators/layout.zorder_col):
+    quantize (o_totalprice, o_custkey) to a 2^16 grid under FIXED bounds
+    (caller-provided, so the key is deterministic and append-safe — a new
+    batch z-sorts against the same bounds, no global re-shuffle), Morton-
+    interleave the bits, then report per-coarse-cell row counts and
+    min-max spans of both dimensions. Tight per-cell spans in EVERY
+    participating dimension is the property that makes parquet footer
+    min-max stats skip files for ANY predicate combination after
+    cluster_by_zorder — a table range-partitioned on one column answers
+    the other column's predicates by scanning everything. The whole key
+    is scan-stage integer/double codegen (no UDF, no shuffle before the
+    one groupBy); the oracle rebuilds it bit-for-bit, so a quantization
+    or interleave drift in either engine hash-mismatches."""
+    from ctcityscraper_spark.operators.layout import zorder_col
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & ~F.isnan("o_totalprice")
+    )
+    z = zorder_col(
+        [
+            (F.col("o_totalprice"), _Z_PRICE_LO, _Z_PRICE_HI),
+            (F.col("o_custkey"), _Z_CUST_LO, _Z_CUST_HI),
+        ],
+        bits=_Z_BITS,
+    )
+    return (
+        orders.withColumn("z", z)
+        .groupBy(F.shiftright("z", 24).alias("zcell"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("price_lo"),
+            F.max("o_totalprice").alias("price_hi"),
+            F.min("o_custkey").alias("cust_lo"),
+            F.max("o_custkey").alias("cust_hi"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zcell")
+    )

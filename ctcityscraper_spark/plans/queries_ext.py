@@ -2384,6 +2384,168 @@ def q_ann_pq_update(spark, sf_dir):
     )
 
 
+# ann_pq_retrain_cycle — the index-maintenance LOOP closed end-to-end:
+# the pq_recon_drift monitor detects a wandering delta distribution, the
+# retrain primitive (pq_train_codebooks) refits on base ∪ delta, and the
+# same monitor verifies recovery — all in one oracle-gated row. The two
+# TRAINED codebooks become DATA the oracle reads back (the
+# quality_classifier_score sidecar pattern: only the bounded numpy k-means
+# stays outside the hash; every error/drift/verdict replays in DuckDB
+# bit-for-bit). The conditional detect→retrain→verify cycle with a recall
+# audit lives in tests/test_operators.py::TestPqRetrainCycle; this query
+# pins the arithmetic of each leg cross-engine.
+
+_PQ_RETRAIN_SIDECAR = str(
+    Path(__file__).resolve().parents[2]
+    / "spark-warehouse"
+    / "pq_retrain_codebooks.json"
+)
+_PQ_RETRAIN_THRESH_MICROS = 1_000_000  # mean recon error rise > 1.0
+_PQ_RETRAIN_SHIFT = 2.5
+
+
+def _pq_retrain_oracle(dims: int, n_sub: int = 8, k: int = 16) -> str:
+    s = dims // n_sub
+    dist = lambda cw: (
+        f"list_reduce(list_transform(range(1, {s + 1}),"
+        f" i -> (sv[i]::DOUBLE - {cw}[i]) * (sv[i]::DOUBLE - {cw}[i])),"
+        " (x, y) -> x + y)"
+    )
+    return f"""
+    WITH w AS (
+        SELECT (data[1])::DOUBLE[][][] AS cbo,
+               (data[2])::DOUBLE[][][] AS cbn
+        FROM read_json('{_PQ_RETRAIN_SIDECAR}')),
+    cb AS (
+        SELECT tm.m AS m, cbo[tm.m + 1][tj.j + 1] AS cwo,
+               cbn[tm.m + 1][tj.j + 1] AS cwn
+        FROM w, range(0, {n_sub}) tm(m), range(0, {k}) tj(j)),
+    em AS (
+        SELECT vec_id,
+               CASE WHEN {hash64_sql('vec_id', 'pqretrain')} % 5 = 0
+                    THEN list_transform(embedding,
+                                        x -> x::DOUBLE + {_PQ_RETRAIN_SHIFT})
+                    ELSE list_transform(embedding, x -> x::DOUBLE)
+               END AS embedding,
+               {hash64_sql('vec_id', 'pqretrain')} % 5 = 0 AS is_b
+        FROM {EMB_VALID} embeddings WHERE vec_id IS NOT NULL),
+    ms AS (SELECT unnest(range(0, {n_sub}))::INT AS m),
+    subs AS (
+        SELECT vec_id, is_b, m,
+               list_slice(embedding, m*{s}+1, m*{s}+{s}) AS sv
+        FROM em CROSS JOIN ms),
+    dists AS (
+        SELECT vec_id, is_b, s2.m,
+               {dist('cwo')} AS d_old, {dist('cwn')} AS d_new
+        FROM subs s2 JOIN cb USING (m)),
+    mind AS (SELECT vec_id, is_b, m, min(d_old) AS dmo, min(d_new) AS dmn
+             FROM dists GROUP BY vec_id, is_b, m),
+    err AS (
+        SELECT vec_id, is_b,
+               list_reduce(list(dmo ORDER BY m), (x, y) -> x + y) AS eo,
+               list_reduce(list(dmn ORDER BY m), (x, y) -> x + y) AS en
+        FROM mind GROUP BY vec_id, is_b),
+    fx AS (
+        SELECT is_b, CAST(floor(eo * 1000000.0) AS BIGINT) AS emo,
+               CAST(floor(en * 1000000.0) AS BIGINT) AS emn
+        FROM err),
+    a AS (SELECT count(*) AS n_a,
+                 CAST(sum(emo) AS BIGINT) AS sse_old_a,
+                 CAST(sum(emn) AS BIGINT) AS sse_new_a
+          FROM fx WHERE NOT is_b),
+    b AS (SELECT count(*) AS n_b,
+                 CAST(sum(emo) AS BIGINT) AS sse_old_b,
+                 CAST(sum(emn) AS BIGINT) AS sse_new_b
+          FROM fx WHERE is_b)
+    SELECT n_a, n_b, sse_old_a, sse_old_b,
+           sse_old_b / n_b - sse_old_a / n_a AS drift_old_micros,
+           sse_new_a, sse_new_b,
+           sse_new_b / n_b - sse_new_a / n_a AS drift_new_micros,
+           (sse_old_b / n_b - sse_old_a / n_a)
+               > {_PQ_RETRAIN_THRESH_MICROS} AS retrain_triggered,
+           (sse_new_b / n_b - sse_new_a / n_a)
+               < (sse_old_b / n_b - sse_old_a / n_a) AS recovered
+    FROM a, b
+    WHERE EXISTS (
+        SELECT 1
+        FROM read_json('{_PQ_RETRAIN_SIDECAR}') sj,
+             (SELECT count(*) AS n, sum(vec_id) AS s
+              FROM {EMB_VALID} embeddings WHERE vec_id IS NOT NULL) cur
+        WHERE sj.fingerprint_n = cur.n AND sj.fingerprint_s = cur.s)
+    """
+
+
+@query("ann_pq_retrain_cycle", oracle=_pq_retrain_oracle(EMB_DIMS))
+def q_ann_pq_retrain_cycle(spark, sf_dir):
+    """The PQ index-maintenance loop, closed: detect (pq_recon_drift
+    under the OLD codebook trained on the base epoch flags a delta
+    distribution shifted by +2.5 per dim), retrain (pq_train_codebooks
+    refit on base ∪ shifted delta — the bounded-sample FAISS recipe),
+    verify (the same monitor under the NEW codebook shows the drift
+    collapsed). One row: both epochs' fixed-point SSE under both
+    codebooks, both drift figures, retrain_triggered (old drift over the
+    1.0-mse threshold) and recovered (new drift strictly below old).
+    Both trained codebooks persist to the fingerprint-guarded sidecar
+    and the oracle replays every distance/min/sum/verdict bit-for-bit —
+    only the deterministic numpy k-means stays outside the hash. At
+    100 TB each leg is a count-shaped scan-stage pass; training collects
+    a bounded sample regardless of corpus size. The conditional cycle
+    (retrain ONLY when the monitor fires, recall@k recovery vs the
+    exact oracle) is pinned in tests/test_operators.py::TestPqRetrainCycle."""
+    from ctcityscraper_spark.operators.similarity import (
+        pq_recon_drift,
+        pq_train_codebooks,
+        save_vectors_json,
+        valid_vectors,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    v = valid_vectors(emb).filter(F.col("vec_id").isNotNull())
+    is_b = hash64(F.col("vec_id"), "pqretrain") % 5 == 0
+    base = v.filter(~is_b).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")),
+    )
+    delta = v.filter(is_b).withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") + F.lit(_PQ_RETRAIN_SHIFT),
+        ),
+    )
+    cb_old = pq_train_codebooks(base, dims=EMB_DIMS)
+    cb_new = pq_train_codebooks(base.unionByName(delta), dims=EMB_DIMS)
+    fpr = v.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).collect()[0]
+    Path(_PQ_RETRAIN_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
+    save_vectors_json(
+        [cb_old, cb_new],
+        _PQ_RETRAIN_SIDECAR,
+        kind="pq_retrain_cycle",
+        extra={"fingerprint_n": int(fpr.n), "fingerprint_s": int(fpr.s)},
+    )
+    d_old = pq_recon_drift(base, delta, cb_old).select(
+        "n_a", "n_b",
+        F.col("sse_micros_a").alias("sse_old_a"),
+        F.col("sse_micros_b").alias("sse_old_b"),
+        F.col("drift_micros").alias("drift_old_micros"),
+    )
+    d_new = pq_recon_drift(base, delta, cb_new).select(
+        F.col("sse_micros_a").alias("sse_new_a"),
+        F.col("sse_micros_b").alias("sse_new_b"),
+        F.col("drift_micros").alias("drift_new_micros"),
+    )
+    return d_old.crossJoin(d_new).select(
+        "n_a", "n_b", "sse_old_a", "sse_old_b", "drift_old_micros",
+        "sse_new_a", "sse_new_b", "drift_new_micros",
+        (F.col("drift_old_micros") > F.lit(_PQ_RETRAIN_THRESH_MICROS)).alias(
+            "retrain_triggered"
+        ),
+        (F.col("drift_new_micros") < F.col("drift_old_micros")).alias(
+            "recovered"
+        ),
+    )
+
+
 def _pq_recall_oracle(
     dims: int, n_sub: int = 8, k: int = 16, topk: int = 5
 ) -> str:

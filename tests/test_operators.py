@@ -2720,3 +2720,111 @@ class TestIncrementalLshSharedId:
         assert [(r.new_doc, r.corpus_doc, round(r.jaccard, 6)) for r in got] == [
             (7, 7, round(4 / 6, 6))
         ]
+
+
+class TestPqRetrainCycle:
+    """The index-maintenance loop closed end-to-end: the pq_recon_drift
+    monitor DETECTS a shifted delta distribution, the retrain primitive
+    refits the codebooks off the monitor threshold, and recovery is
+    VERIFIED both by the monitor (drift collapses) and by recall@k
+    against the exact cosine oracle. The cross-engine arithmetic of each
+    leg is gated by the ann_pq_retrain_cycle catalog query; this test
+    pins the CONDITIONAL cycle — including the don't-retrain arm."""
+
+    DIMS, N_SUB, KCB = 8, 2, 8
+    THRESH = 1_000_000  # drift_micros: mean recon error rising by > 1.0
+
+    def _base(self, spark):
+        rows = [
+            (i, [((i * 31 + d * 17) % 97) / 97.0 for d in range(self.DIMS)])
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _delta(self, spark):
+        # 4 well-separated EQUAL-NORM clusters of 5 far outside the base
+        # range (sign patterns on a radius-12 hypersphere, so ADC's
+        # inner-product ranking and the exact-cosine oracle agree and
+        # recall measures QUANTIZATION quality, not metric mismatch) —
+        # the "distribution wandered" scenario the monitor exists for
+        centers = [
+            [12.0 * (1.0 if ((c >> (d // 4)) & 1) == 0 else -1.0)
+             for d in range(self.DIMS)]
+            for c in range(4)
+        ]
+        rows = [
+            (
+                100 + c * 5 + m,
+                [
+                    centers[c][d] + 0.1 * (((m * 13 + d * 7) % 5) - 2)
+                    for d in range(self.DIMS)
+                ],
+            )
+            for c in range(4)
+            for m in range(5)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _recall(self, spark, corpus, queries, codebook, k=4):
+        from ctcityscraper_spark.operators.similarity import (
+            cosine_topk,
+            pq_adc_topk_codes,
+            pq_encode_corpus,
+        )
+
+        codes = pq_encode_corpus(corpus, codebook)
+        adc = pq_adc_topk_codes(codes, queries, codebook, k=k)
+        exact = cosine_topk(corpus, queries, k=k)
+        a = {
+            (r.query_id, r.neighbor_id) for r in adc.collect()
+        }
+        e = {
+            (r.query_id, r.neighbor_id) for r in exact.collect()
+        }
+        return len(a & e) / len(e)
+
+    def test_detect_retrain_verify(self, spark):
+        from ctcityscraper_spark.operators.similarity import (
+            pq_recon_drift,
+            pq_train_codebooks,
+        )
+
+        base, delta = self._base(spark), self._delta(spark)
+        both = base.unionByName(delta)
+        cb_old = pq_train_codebooks(
+            base, dims=self.DIMS, n_sub=self.N_SUB, k=self.KCB, sample=100
+        )
+
+        # DON'T-RETRAIN arm: a second epoch drawn from the same
+        # distribution (tiny deterministic jitter) stays under threshold
+        calm = base.selectExpr(
+            "vec_id + 200 as vec_id",
+            "transform(embedding, x -> x + 0.01) as embedding",
+        )
+        calm_drift = pq_recon_drift(base, calm, cb_old).first().drift_micros
+        assert calm_drift < self.THRESH, calm_drift
+
+        # DETECT: the shifted delta fires the monitor
+        drift_old = pq_recon_drift(base, delta, cb_old).first().drift_micros
+        assert drift_old > self.THRESH, drift_old
+        recall_old = self._recall(spark, both, delta, cb_old)
+
+        # RETRAIN off the threshold (the conditional IS the loop)
+        cb_new = cb_old
+        if drift_old > self.THRESH:
+            cb_new = pq_train_codebooks(
+                both, dims=self.DIMS, n_sub=self.N_SUB, k=self.KCB, sample=100
+            )
+        assert cb_new is not cb_old
+
+        # VERIFY: monitor recovers AND recall@k vs the exact oracle does
+        drift_new = pq_recon_drift(base, delta, cb_new).first().drift_micros
+        assert drift_new < drift_old / 100, (drift_new, drift_old)
+        recall_new = self._recall(spark, both, delta, cb_new)
+        assert recall_new > recall_old, (recall_new, recall_old)
+        assert recall_new >= 0.9, recall_new
+        # note recall_old (measured 0.81 here) degrades far more slowly
+        # than recon error (drift_old is >100x drift_new): the monitor
+        # fires BEFORE recall visibly collapses — which is precisely why
+        # the maintenance loop keys off pq_recon_drift, not off a recall
+        # audit that needs the exact oracle to even compute
