@@ -638,6 +638,7 @@ def streaming_bloom_membership(
     compact_every: int | None = None,
     compact_buckets: int = 8,
     compact_table_prefix: str | None = None,
+    stats_dir: str | None = None,
 ):
     """Continuously-maintained Bloom membership filter over a doc stream.
 
@@ -660,7 +661,15 @@ def streaming_bloom_membership(
     periodically re-aggregates into ONE epoch of ≤ m/32 rows bucketed on
     word_idx (``transform=bit_or`` merge — epochs stay filter-sized
     forever, and the next probes' merge groupBy is shuffle-free on the
-    epoch side). Returns the StreamingQuery handle; caller stops it.
+    epoch side).
+
+    With ``stats_dir`` set, every batch also appends one
+    ``dedup_bloom_saturation`` monitor row (m_bits, k, n_words, set_bits,
+    fill, est_fpp) describing the filter AS OF THE END of the batch —
+    the stream that maintains the state now emits the health signal that
+    says when that state needs a rebuild (fill only rises; probe fpp is
+    fill^k). Cost: one aggregate over ≤ m/32 merged word rows per batch.
+    Returns the StreamingQuery handle; caller stops it.
     """
     import hashlib
 
@@ -668,6 +677,7 @@ def streaming_bloom_membership(
 
     from ctcityscraper_spark.operators.dedup import (
         bloom_might_contain,
+        bloom_saturation,
         build_bloom_index,
         merge_bloom_words,
     )
@@ -714,9 +724,22 @@ def streaming_bloom_membership(
             flags.write.mode("overwrite").parquet(
                 f"{flags_dir}/batch_id={batch_id}"
             )
-            build_bloom_index(batch_df, m_bits, k).write.mode(
-                "overwrite"
-            ).parquet(f"{words_dir}/batch_id={batch_id}")
+            delta = build_bloom_index(batch_df, m_bits, k).persist()
+            try:
+                delta.write.mode("overwrite").parquet(
+                    f"{words_dir}/batch_id={batch_id}"
+                )
+                if stats_dir is not None:
+                    now = (
+                        delta
+                        if bloom is None
+                        else bloom.unionByName(delta)
+                    )
+                    bloom_saturation(now, m_bits, k).write.mode(
+                        "overwrite"
+                    ).parquet(f"{stats_dir}/batch_id={batch_id}")
+            finally:
+                delta.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -1162,7 +1185,7 @@ def streaming_quantile(
 def _prep_zone_meta(
     width: int, min_docs: int, m_bits: int, k: int,
     shingle_n: int, test_mod: int, seq_len: int, num_shards: int,
-    quality_gate: bool, quality_teacher: float,
+    quality_gate: bool, quality_teacher: float, kmv_k: int,
 ) -> dict:
     from ctcityscraper_spark.operators.dedup import BLOOM_FORMAT_VERSION
 
@@ -1174,6 +1197,7 @@ def _prep_zone_meta(
         "seq_len": seq_len, "num_shards": num_shards,
         "quality_gate": bool(quality_gate),
         "quality_teacher": float(quality_teacher),
+        "kmv_k": int(kmv_k),
     }
 
 
@@ -1198,6 +1222,7 @@ def streaming_corpus_prep(
     compact_every: int | None = None,
     quality_gate: bool = False,
     quality_teacher: float = 0.45,
+    kmv_k: int = 256,
 ):
     """The nightly pretraining-prep DAG (``corpus_e2e_prep``) as ONE
     continuously-running stream: boilerplate removal -> Bloom-chased
@@ -1246,12 +1271,26 @@ def streaming_corpus_prep(
       (hash-picked sample, fixed full-batch GD), so a crash-and-replay
       rewrites an identical row. Never compacted (one tiny row per
       refresh — it is the gate's audit ledger).
+    - ``train_kmv`` / ``test_kmv``: ≤ ``kmv_k``-row KMV sketch zones of
+      the packed train stream's / the held-out test stream's 3-gram
+      shingles — per-batch deltas merged by ``merge_kmv`` (min-k-of-
+      distinct is associative/idempotent, so merged ≡ fresh build). They
+      exist to feed the residual-contamination monitor on the stats row.
     - ``packs`` (output): the per-batch assignment table
       (shard_id, pack_id, doc_id, offset_in_pack, n_tokens).
-    - ``stats`` (output): one row per batch — (n_batch_in, n_dup_dropped,
-      n_test_held_out, n_contam_dropped, n_quality_dropped), the
-      attrition line of the nightly run (n_quality_dropped is 0 when the
-      gate is off or not yet armed).
+    - ``stats`` (output): one row per batch — the attrition line
+      (n_batch_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
+      n_quality_dropped; the last is 0 when the gate is off or not yet
+      armed) PLUS the health-monitor columns describing stored state AS
+      OF THE END of the batch: ``bloom_fill`` / ``bloom_est_fpp`` (the
+      dedup_bloom_saturation monitor over the word zone incl. this
+      batch's delta — fill only rises; when fill^k nears the design
+      point the chase stops pre-filtering and the filter needs a bigger
+      rebuild) and ``resid_inter_est`` / ``resid_jaccard_est`` (the
+      text_kmv_overlap residual-leakage audit of cumulative train vs
+      test shingles — the batch twin's resid columns as a per-batch
+      ledger). Every monitor is a state-sized aggregate: ≤ m/32 bloom
+      words, two ≤ kmv_k-row sketches — nothing corpus-sized.
 
     Exactly-once end-to-end across ALL stages at once: the single
     checkpoint skips completed batches; every zone write is a
@@ -1300,9 +1339,16 @@ def streaming_corpus_prep(
     )
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
+        bloom_saturation,
         build_bloom_index,
         doc_shingles,
         merge_bloom_words,
+        shingles_col,
+    )
+    from ctcityscraper_spark.operators.text import (
+        kmv_overlap,
+        kmv_sketch_terms,
+        merge_kmv,
     )
 
     import hashlib
@@ -1313,7 +1359,7 @@ def streaming_corpus_prep(
     ns = num_shards or PACK_SHARDS
     meta = _prep_zone_meta(
         w, md, m_bits, k, shingle_n, test_mod, sl, ns,
-        quality_gate, quality_teacher,
+        quality_gate, quality_teacher, kmv_k,
     )
     bloom_tbl_prefix = (
         "prep_bloom_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
@@ -1323,7 +1369,7 @@ def streaming_corpus_prep(
         for name in (
             "seg_counts", "bloom_words", "fingerprints",
             "test_shingles", "cursors", "packs", "stats",
-            "qclf_weights",
+            "qclf_weights", "train_kmv", "test_kmv",
         )
     }
 
@@ -1343,12 +1389,15 @@ def streaming_corpus_prep(
             )
 
         from ctcityscraper_spark.operators.dedup import merge_bloom_words
+        from ctcityscraper_spark.operators.text import merge_kmv
 
         plans = [
             ("seg_counts", dict(transform=seg_merge)),
             ("cursors", dict(transform=cur_merge)),
             ("fingerprints", dict(transform=lambda df: df.distinct())),
             ("test_shingles", dict(transform=lambda df: df.distinct())),
+            ("train_kmv", dict(transform=lambda df: merge_kmv(df, kmv_k))),
+            ("test_kmv", dict(transform=lambda df: merge_kmv(df, kmv_k))),
             (
                 "bloom_words",
                 dict(
@@ -1529,24 +1578,6 @@ def streaming_corpus_prep(
 
             # -- outputs + this batch's own zone deltas --
             _put(packs, "packs", batch_id)
-            if qdrop_df is None:
-                qdrop_df = spark.range(1).select(
-                    SF.lit(0).cast("long").alias("n_quality_dropped")
-                )
-            stats = (
-                batch.agg(SF.count("*").alias("n_batch_in"))
-                .crossJoin(dup_ids.agg(SF.count("*").alias("n_dup_dropped")))
-                .crossJoin(
-                    kept.filter(is_test).agg(
-                        SF.count("*").alias("n_test_held_out")
-                    )
-                )
-                .crossJoin(
-                    contam.agg(SF.count("*").alias("n_contam_dropped"))
-                )
-                .crossJoin(qdrop_df)
-            )
-            _put(stats, "stats", batch_id)
             _put(
                 segments(batch_df, width=w)
                 .select("segment", "doc_id")
@@ -1558,11 +1589,10 @@ def streaming_corpus_prep(
             )
             surv = kept  # survivors extend dedup state (test docs too:
             # a future re-ingest of a held-out doc is still a duplicate)
-            _put(
-                build_bloom_index(surv, m_bits, k, text="clean_text"),
-                "bloom_words",
-                batch_id,
+            bloom_delta = _p(
+                build_bloom_index(surv, m_bits, k, text="clean_text")
             )
+            _put(bloom_delta, "bloom_words", batch_id)
             _put(
                 surv.select(SF.md5("clean_text").alias("fingerprint"))
                 .distinct(),
@@ -1577,6 +1607,72 @@ def streaming_corpus_prep(
                 "cursors",
                 batch_id,
             )
+            sh3 = lambda d: d.select(
+                SF.explode(shingles_col("clean_text", 3)).alias("term")
+            )
+            train_kmv_delta = _p(
+                kmv_sketch_terms(sh3(trainq), "term", k=kmv_k)
+            )
+            test_kmv_delta = _p(
+                kmv_sketch_terms(sh3(kept.filter(is_test)), "term", k=kmv_k)
+            )
+            _put(train_kmv_delta, "train_kmv", batch_id)
+            _put(test_kmv_delta, "test_kmv", batch_id)
+
+            # -- the stats ledger: attrition + health monitors over the
+            # state AS OF THE END of this batch (strictly-before zones +
+            # this batch's own deltas — deterministic under replay) --
+            if qdrop_df is None:
+                qdrop_df = spark.range(1).select(
+                    SF.lit(0).cast("long").alias("n_quality_dropped")
+                )
+            bloom_now = (
+                bloom_delta
+                if bloom is None
+                else bloom.unionByName(bloom_delta)
+            )
+            saturation = bloom_saturation(bloom_now, m_bits, k).select(
+                SF.col("fill").alias("bloom_fill"),
+                SF.col("est_fpp").alias("bloom_est_fpp"),
+            )
+            kmv_hist_tr = read_incremental_zone(
+                spark, z["train_kmv"], batch_id
+            )
+            kmv_hist_te = read_incremental_zone(
+                spark, z["test_kmv"], batch_id
+            )
+            train_kmv_now = merge_kmv(
+                train_kmv_delta
+                if kmv_hist_tr is None
+                else kmv_hist_tr.unionByName(train_kmv_delta),
+                kmv_k,
+            )
+            test_kmv_now = merge_kmv(
+                test_kmv_delta
+                if kmv_hist_te is None
+                else kmv_hist_te.unionByName(test_kmv_delta),
+                kmv_k,
+            )
+            resid = kmv_overlap(train_kmv_now, test_kmv_now, kmv_k).select(
+                SF.col("inter_est").alias("resid_inter_est"),
+                SF.col("jaccard_est").alias("resid_jaccard_est"),
+            )
+            stats = (
+                batch.agg(SF.count("*").alias("n_batch_in"))
+                .crossJoin(dup_ids.agg(SF.count("*").alias("n_dup_dropped")))
+                .crossJoin(
+                    kept.filter(is_test).agg(
+                        SF.count("*").alias("n_test_held_out")
+                    )
+                )
+                .crossJoin(
+                    contam.agg(SF.count("*").alias("n_contam_dropped"))
+                )
+                .crossJoin(qdrop_df)
+                .crossJoin(saturation)
+                .crossJoin(resid)
+            )
+            _put(stats, "stats", batch_id)
         finally:
             batch_df.unpersist()
             for df in persisted:
@@ -1668,6 +1764,7 @@ def streaming_ivf(
     compact_every: int | None = None,
     compact_buckets: int = 8,
     compact_table_prefix: str | None = None,
+    stats_dir: str | None = None,
 ):
     """Continuously-maintained IVF index over an embedding stream — the
     vector-index instance of the delta-zone recipe, completing the
@@ -1690,11 +1787,24 @@ def streaming_ivf(
     retrain + restart the zone when imbalance degrades. With
     ``compact_every=N`` the zone periodically rewrites into one epoch
     bucketed on ``list_id``, so right after compaction probe joins are
-    shuffle-free on the index side. Returns the StreamingQuery handle;
-    caller stops it."""
+    shuffle-free on the index side.
+
+    With ``stats_dir`` set, every batch also appends one occupancy
+    monitor row (n_vectors, max_list, imbalance, n_empty_lists —
+    ``ivf_list_stats`` summarized) over the index AS OF THE END of the
+    batch: the stream that maintains the index emits its own retrain
+    trigger (imbalance = max list over mean list; rising = the incoming
+    distribution wandered from the frozen centroids). Cost: one groupBy
+    over the index rows into an n_lists-row frame, then a 1-row
+    aggregate. Returns the StreamingQuery handle; caller stops it."""
     import hashlib
 
-    from ctcityscraper_spark.operators.similarity import assign_ivf_lists
+    from pyspark.sql import functions as SF
+
+    from ctcityscraper_spark.operators.similarity import (
+        assign_ivf_lists,
+        ivf_list_stats,
+    )
 
     n_lists = len(centroids)
     dims = len(centroids[0]) if centroids else 0
@@ -1718,9 +1828,36 @@ def streaming_ivf(
                     bucket_keys=["list_id"], buckets=compact_buckets,
                     sort=["list_id"],
                 )
-        assign_ivf_lists(batch_df, ctrs, vec=vec, id_col=id_col).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/batch_id={batch_id}")
+        assigned = assign_ivf_lists(
+            batch_df, ctrs, vec=vec, id_col=id_col
+        ).persist()
+        try:
+            assigned.write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}"
+            )
+            if stats_dir is not None:
+                hist = read_incremental_zone(
+                    spark, index_dir, batch_id, tbl_prefix
+                )
+                now = (
+                    assigned.select("list_id")
+                    if hist is None
+                    else hist.select("list_id").unionByName(
+                        assigned.select("list_id")
+                    )
+                )
+                ivf_list_stats(now, n_lists).agg(
+                    SF.sum("n").alias("n_vectors"),
+                    SF.max("n").alias("max_list"),
+                    SF.max("imbalance").alias("imbalance"),
+                    SF.sum((SF.col("n") == 0).cast("int")).alias(
+                        "n_empty_lists"
+                    ),
+                ).write.mode("overwrite").parquet(
+                    f"{stats_dir}/batch_id={batch_id}"
+                )
+        finally:
+            assigned.unpersist()
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -1772,6 +1909,7 @@ def streaming_pq(
     vec: str = "embedding",
     id_col: str = "vec_id",
     compact_every: int | None = None,
+    stats_dir: str | None = None,
 ):
     """Continuously-maintained PQ code table over an embedding stream —
     the compression-index sibling of :func:`streaming_ivf` (same recipe,
@@ -1781,8 +1919,22 @@ def streaming_pq(
     encoding). Query with :func:`read_pq_codes` +
     ``pq_adc_topk_codes``; ADC scoring is a scan over the code table
     (no join key), so compaction consolidates files without bucketing.
-    Returns the StreamingQuery handle; caller stops it."""
-    from ctcityscraper_spark.operators.similarity import pq_encode_corpus
+
+    With ``stats_dir`` set, every batch also appends one
+    ``pq_recon_stats`` monitor row (n, sse_micros, mse_micros) — THIS
+    batch's reconstruction error under the frozen codebook. Because the
+    fixed-point SSE is exactly SUM-mergeable across batches (floor to
+    micros happens per row, before the integer SUM), the stats zone is a
+    drift ledger: a monitoring job SUMs any two epoch windows and
+    compares mse — exactly ``pq_recon_drift`` over the stream's own
+    history — and retrains (``ann_pq_retrain_cycle``'s loop) when the
+    incoming distribution wanders from the codebook's training corpus.
+    Cost: one scan-stage pass over the batch. Returns the
+    StreamingQuery handle; caller stops it."""
+    from ctcityscraper_spark.operators.similarity import (
+        pq_encode_corpus,
+        pq_recon_stats,
+    )
 
     cb = [[[float(x) for x in ctr] for ctr in sub] for sub in codebook]
     meta = _pq_zone_meta(cb)
@@ -1800,6 +1952,10 @@ def streaming_pq(
         pq_encode_corpus(batch_df, cb, vec=vec, id_col=id_col).write.mode(
             "overwrite"
         ).parquet(f"{codes_dir}/batch_id={batch_id}")
+        if stats_dir is not None:
+            pq_recon_stats(batch_df, cb, vec=vec, id_col=id_col).write.mode(
+                "overwrite"
+            ).parquet(f"{stats_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(sink)

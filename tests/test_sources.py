@@ -853,6 +853,7 @@ class TestStreamingBloom:
             compact_every=2,
             compact_buckets=4,
             compact_table_prefix="t_bloom_words",
+            stats_dir=str(tmp_path / "stats"),
         )
         try:
             q = streaming_bloom_membership(
@@ -902,6 +903,27 @@ class TestStreamingBloom:
             assert epoch.count() <= m // 32
             assert epoch.count() == epoch.select("word_idx").distinct().count()
 
+            # the saturation monitor rides a per-batch stats zone: fill
+            # only ever rises (the dedup-state stream emits its own
+            # rebuild signal), and the final row equals the monitor run
+            # over the fresh one-shot build
+            from ctcityscraper_spark.operators.dedup import bloom_saturation
+
+            srows = {
+                r.batch_id: r
+                for r in spark.read.parquet(str(tmp_path / "stats")).collect()
+            }
+            assert set(srows) == {0, 1, 2, 3}
+            fills = [srows[b].fill for b in (0, 1, 2, 3)]
+            assert fills == sorted(fills) and 0 < fills[0] and fills[3] < 1
+            want = bloom_saturation(
+                build_bloom_index(every_doc, m, k), m, k
+            ).collect()[0]
+            got = srows[3]
+            assert (got.n_words, got.set_bits, got.fill, got.est_fpp) == (
+                want.n_words, want.set_bits, want.fill, want.est_fpp
+            )
+
             # checkpoint replay: nothing reprocessed
             q2 = streaming_bloom_membership(
                 stream_from_directory(
@@ -913,6 +935,7 @@ class TestStreamingBloom:
             )
             q2.awaitTermination(180)
             assert spark.read.parquet(str(tmp_path / "flags")).count() == 7
+            assert spark.read.parquet(str(tmp_path / "stats")).count() == 4
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bloom_words_upto_2")
 
@@ -1736,12 +1759,25 @@ class TestStreamingCorpusPrep:
         hot = {r.segment: r.n for r in seg.filter(F.col("n") >= 3).collect()}
         assert hot == {"B1 B2 B3": 5}  # + doc 30's raw occurrence
 
+        # health monitors ride the stats ledger: bloom saturation only
+        # ever RISES (words only gain bits as the corpus grows) and the
+        # residual-contamination audit is live from batch 0 — here the
+        # contaminated doc 25/31 were dropped, so the packed train
+        # stream shares no 3-shingle with the test split (doc 23)
+        mon = [stats[b] for b in (0, 1, 2)]
+        fills = [m.bloom_fill for m in mon]
+        assert 0 < fills[0] < fills[1] < fills[2] < 1.0, fills
+        assert all(0 < m.bloom_est_fpp < 1.0 for m in mon)
+        assert all(m.resid_jaccard_est == 0.0 for m in mon)
+        assert all(m.resid_inter_est is not None for m in mon)
+
         # restart with the same checkpoint: nothing reprocesses, every
         # zone keeps its exact row counts (exactly-once end-to-end)
         before = {
             zone: spark.read.parquet(f"{base}/{zone}").count()
             for zone in ("packs", "stats", "seg_counts", "fingerprints",
-                         "test_shingles", "cursors", "bloom_words")
+                         "test_shingles", "cursors", "bloom_words",
+                         "train_kmv", "test_kmv")
         }
         self._run(spark, src, base, ckpt)
         after = {
@@ -1985,6 +2021,7 @@ class TestStreamingIvfPq:
                 checkpoint_dir=str(tmp_path / "ckpt"),
                 centroids=centroids,
                 compact_every=2,
+                stats_dir=str(tmp_path / "ivf_stats"),
             )
             q.awaitTermination(180)
 
@@ -2005,11 +2042,25 @@ class TestStreamingIvfPq:
             k=2, n_probe=3,
         ).collect()
         assert {r.query_id for r in probes} == {1, 2}
+        # the occupancy monitor rides a per-batch stats zone: n_vectors
+        # grows with the stream, and the final row matches the one-shot
+        # ivf_list_stats summary over the full index
+        srows = {
+            r.batch_id: r
+            for r in spark.read.parquet(str(tmp_path / "ivf_stats")).collect()
+        }
+        assert set(srows) == {0, 1, 2}
+        assert [srows[b].n_vectors for b in (0, 1, 2)] == [2, 4, 6]
+        full = ivf_list_stats(idx, 3).collect()
+        assert srows[2].max_list == max(r.n for r in full)
+        assert srows[2].imbalance == max(r.n for r in full) * 3 / 6
+        assert srows[2].n_empty_lists == sum(1 for r in full if r.n == 0)
         # restart with the same checkpoint: nothing reprocesses
         n_before = idx.count()
         run(ctrs)
         idx2, _ = read_ivf_index(spark, str(tmp_path / "ivf"))
         assert idx2.count() == n_before
+        assert spark.read.parquet(str(tmp_path / "ivf_stats")).count() == 3
         # resume under DIFFERENT centroids: first new batch dies loudly
         import time as _time
 
@@ -2042,6 +2093,7 @@ class TestStreamingIvfPq:
             checkpoint_dir=str(tmp_path / "ckpt"),
             codebook=cb,
             compact_every=2,
+            stats_dir=str(tmp_path / "pq_stats"),
         )
         q.awaitTermination(180)
         codes, stored_cb = read_pq_codes(spark, str(tmp_path / "pq"))
@@ -2054,6 +2106,22 @@ class TestStreamingIvfPq:
             for r in pq_encode_corpus(self._all(spark), cb).collect()
         }
         assert got == want and len(got) == 6
+
+        # the recon-error monitor rides a per-batch stats zone, and the
+        # fixed-point SSE is exactly SUM-mergeable: summing the ledger
+        # equals the one-shot pq_recon_stats over everything ingested —
+        # a drift job reads the ledger, never re-scans vectors
+        from ctcityscraper_spark.operators.similarity import pq_recon_stats
+
+        srows = {
+            r.batch_id: r
+            for r in spark.read.parquet(str(tmp_path / "pq_stats")).collect()
+        }
+        assert set(srows) == {0, 1, 2}
+        assert all(r.n == 2 and r.sse_micros >= 0 for r in srows.values())
+        whole = pq_recon_stats(self._all(spark), cb).collect()[0]
+        assert sum(r.sse_micros for r in srows.values()) == whole.sse_micros
+        assert sum(r.n for r in srows.values()) == whole.n
 
     def test_unversioned_zone_refuses(self, spark, tmp_path):
         import pytest as _pytest
