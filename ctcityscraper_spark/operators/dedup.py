@@ -704,7 +704,7 @@ def prefix_filter_jaccard_pairs(
         raise ValueError(
             f"threshold_pct must be an integer in [1, 100], got {threshold_pct!r}"
         )
-    sh = doc_shingles(df, text, id_col, n)
+    sh0 = doc_shingles(df, text, id_col, n)
     # The capped index is referenced by the df attach, the rank window,
     # and the verify stage's sizes + two candidate joins — without the
     # persist each reference re-executes the shingle explode and the
@@ -713,8 +713,24 @@ def prefix_filter_jaccard_pairs(
     # operators.artifacts for long-lived-session release.
     from ctcityscraper_spark.operators.artifacts import persist_tracked
 
-    sh = persist_tracked(_drop_hot(sh, "shingle", df_cap, df_cap_sketched))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
+    if df_cap is not None and not df_cap_sketched:
+        # FUSED exact path: ONE groupBy(shingle) yields both the hot
+        # drop list (dfq > cap) and the document-frequency order table
+        # (dfq <= cap) — dropping hot shingles doesn't change any other
+        # shingle's count, so the filtered counts ARE the post-drop
+        # dfreq, and the old second aggregation over the capped stream
+        # is pure duplicate work. (The sketched mode keeps its two-tier
+        # CMS pre-pass — its whole point is never shuffling the full
+        # distinct-term table.)
+        counts = persist_tracked(
+            sh0.groupBy("shingle").agg(F.count("*").alias("dfq"))
+        )
+        hot = counts.filter(F.col("dfq") > df_cap).select("shingle")
+        sh = persist_tracked(sh0.join(F.broadcast(hot), "shingle", "left_anti"))
+        dfreq = counts.filter(F.col("dfq") <= df_cap)
+    else:
+        sh = persist_tracked(_drop_hot(sh0, "shingle", df_cap, df_cap_sketched))
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
     prefix = _prefix_rows(sh, dfreq, threshold_pct)
     candidates = _prefix_candidates(prefix, prefix, threshold_pct, self_join=True)
     # verify over the ALREADY-capped index (cap=None: `sh` has the hot
@@ -979,25 +995,38 @@ def incremental_prefix_pairs(
         )
     sh_c = doc_shingles(corpus_docs, text, id_col, n)
     sh_b = doc_shingles(new_docs, text, id_col, n)
-    if df_cap is not None:
-        # the drop list is the CORPUS's (a frozen stored artifact —
-        # batch-emergent hot shingles wait for the next index rebuild,
-        # like the frozen hot-segment list of the incremental prep DAG).
-        # Persisted: it feeds BOTH sides' anti-joins, and without the
-        # persist materializing the batch side re-runs the whole corpus
-        # explode + hot aggregation a second time.
-        hot = persist_tracked(
-            hot_terms(sh_c, "shingle", df_cap, sketched=df_cap_sketched)
+    if df_cap is not None and not df_cap_sketched:
+        # FUSED exact path (see prefix_filter_jaccard_pairs): one corpus
+        # groupBy yields the frozen drop list AND the frozen (shingle,
+        # dfq) order table — both stored artifacts in production, both
+        # the tail of the same aggregation. Batch-emergent hot shingles
+        # wait for the next index rebuild, like the frozen hot-segment
+        # list of the incremental prep DAG.
+        counts = persist_tracked(
+            sh_c.groupBy("shingle").agg(F.count("*").alias("dfq"))
         )
+        hot = counts.filter(F.col("dfq") > df_cap).select("shingle")
         sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
         sh_b = sh_b.join(F.broadcast(hot), "shingle", "left_anti")
-    sh_c = persist_tracked(sh_c)
-    sh_b = persist_tracked(sh_b)
-    # dfreq feeds both _prefix_rows calls — persist so the corpus df
-    # aggregation runs once
-    dfreq = persist_tracked(
-        sh_c.groupBy("shingle").agg(F.count("*").alias("dfq"))
-    )
+        sh_c = persist_tracked(sh_c)
+        sh_b = persist_tracked(sh_b)
+        dfreq = counts.filter(F.col("dfq") <= df_cap)
+    else:
+        if df_cap is not None:
+            # sketched drop list: the CMS two-tier pre-pass — persisted
+            # because it feeds BOTH sides' anti-joins
+            hot = persist_tracked(
+                hot_terms(sh_c, "shingle", df_cap, sketched=df_cap_sketched)
+            )
+            sh_c = sh_c.join(F.broadcast(hot), "shingle", "left_anti")
+            sh_b = sh_b.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_c = persist_tracked(sh_c)
+        sh_b = persist_tracked(sh_b)
+        # dfreq feeds both _prefix_rows calls — persist so the corpus df
+        # aggregation runs once
+        dfreq = persist_tracked(
+            sh_c.groupBy("shingle").agg(F.count("*").alias("dfq"))
+        )
     idx = _prefix_rows(sh_c, dfreq, threshold_pct)  # the stored artifact
     probe = _prefix_rows(sh_b, dfreq, threshold_pct)
     cand = _prefix_candidates(probe, idx, threshold_pct, self_join=False)
