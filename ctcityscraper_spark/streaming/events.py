@@ -1789,22 +1789,22 @@ def streaming_ivf(
     bucketed on ``list_id``, so right after compaction probe joins are
     shuffle-free on the index side.
 
-    With ``stats_dir`` set, every batch also appends one occupancy
-    monitor row (n_vectors, max_list, imbalance, n_empty_lists —
-    ``ivf_list_stats`` summarized) over the index AS OF THE END of the
-    batch: the stream that maintains the index emits its own retrain
-    trigger (imbalance = max list over mean list; rising = the incoming
-    distribution wandered from the frozen centroids). Cost: one groupBy
-    over the index rows into an n_lists-row frame, then a 1-row
-    aggregate. Returns the StreamingQuery handle; caller stops it."""
+    With ``stats_dir`` set, every batch also appends its PER-LIST
+    assignment counts ``(list_id, n)`` — a SUM-mergeable occupancy
+    ledger (each vector belongs to exactly one batch, so summing any
+    window of deltas IS ``ivf_list_stats``'s count column over that
+    window). Per-batch cost is one groupBy over the BATCH's own
+    assignments — the stored index is never re-read, the
+    state-sized-monitor rule the other ledgers follow. Read it back
+    with :func:`ivf_occupancy_summary` (n_vectors, max_list, imbalance,
+    n_empty_lists — the retrain trigger: imbalance rising means the
+    incoming distribution wandered from the frozen centroids). Returns
+    the StreamingQuery handle; caller stops it."""
     import hashlib
 
     from pyspark.sql import functions as SF
 
-    from ctcityscraper_spark.operators.similarity import (
-        assign_ivf_lists,
-        ivf_list_stats,
-    )
+    from ctcityscraper_spark.operators.similarity import assign_ivf_lists
 
     n_lists = len(centroids)
     dims = len(centroids[0]) if centroids else 0
@@ -1836,23 +1836,8 @@ def streaming_ivf(
                 f"{index_dir}/batch_id={batch_id}"
             )
             if stats_dir is not None:
-                hist = read_incremental_zone(
-                    spark, index_dir, batch_id, tbl_prefix
-                )
-                now = (
-                    assigned.select("list_id")
-                    if hist is None
-                    else hist.select("list_id").unionByName(
-                        assigned.select("list_id")
-                    )
-                )
-                ivf_list_stats(now, n_lists).agg(
-                    SF.sum("n").alias("n_vectors"),
-                    SF.max("n").alias("max_list"),
-                    SF.max("imbalance").alias("imbalance"),
-                    SF.sum((SF.col("n") == 0).cast("int")).alias(
-                        "n_empty_lists"
-                    ),
+                assigned.groupBy("list_id").agg(
+                    SF.count("*").alias("n")
                 ).write.mode("overwrite").parquet(
                     f"{stats_dir}/batch_id={batch_id}"
                 )
@@ -1864,6 +1849,45 @@ def streaming_ivf(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def ivf_occupancy_summary(
+    spark: SparkSession,
+    stats_dir: str,
+    n_lists: int,
+    before_batch: int = 2**62,
+) -> DataFrame | None:
+    """The IVF occupancy monitor from :func:`streaming_ivf`'s per-batch
+    ``(list_id, n)`` count ledger: one row ``(n_vectors, max_list,
+    imbalance, n_empty_lists)`` over everything assigned in batches
+    strictly before ``before_batch`` (default: all). SUM-merging the
+    deltas IS ``ivf_list_stats``'s count column over the same window
+    (each vector belongs to exactly one batch); empty lists come back
+    via the full 0..n_lists-1 grid, so an emptying list is a real
+    ``n = 0``, never a dropped row. ``imbalance`` = max list over mean
+    list (mean includes empty lists) — the retrain trigger. Cost: a SUM
+    over ≤ n_lists × batches ledger rows; the index itself is never
+    read. None when the ledger is empty."""
+    from pyspark.sql import functions as SF
+
+    rows = read_incremental_zone(spark, stats_dir, before_batch)
+    if rows is None:
+        return None
+    merged = rows.groupBy("list_id").agg(SF.sum("n").alias("n"))
+    grid = spark.range(int(n_lists)).selectExpr(
+        "cast(id as int) as list_id"
+    )
+    full = grid.join(merged, "list_id", "left").select(
+        "list_id", SF.coalesce(SF.col("n"), SF.lit(0)).alias("n")
+    )
+    return full.agg(
+        SF.sum("n").alias("n_vectors"),
+        SF.max("n").alias("max_list"),
+        (
+            SF.max("n") * SF.lit(int(n_lists)) / SF.sum("n")
+        ).alias("imbalance"),
+        SF.sum((SF.col("n") == 0).cast("int")).alias("n_empty_lists"),
     )
 
 

@@ -2042,25 +2042,38 @@ class TestStreamingIvfPq:
             k=2, n_probe=3,
         ).collect()
         assert {r.query_id for r in probes} == {1, 2}
-        # the occupancy monitor rides a per-batch stats zone: n_vectors
-        # grows with the stream, and the final row matches the one-shot
-        # ivf_list_stats summary over the full index
-        srows = {
-            r.batch_id: r
-            for r in spark.read.parquet(str(tmp_path / "ivf_stats")).collect()
-        }
-        assert set(srows) == {0, 1, 2}
-        assert [srows[b].n_vectors for b in (0, 1, 2)] == [2, 4, 6]
+        # the occupancy monitor rides a per-batch (list_id, n) count
+        # ledger — SUM-mergeable, so the summary over any window never
+        # re-reads the index. Whole-window summary == one-shot
+        # ivf_list_stats over the merged index; a before_batch window
+        # sees only the earlier batches' vectors.
+        from ctcityscraper_spark.streaming.events import (
+            ivf_occupancy_summary,
+        )
+
+        summ = ivf_occupancy_summary(
+            spark, str(tmp_path / "ivf_stats"), 3
+        ).collect()[0]
         full = ivf_list_stats(idx, 3).collect()
-        assert srows[2].max_list == max(r.n for r in full)
-        assert srows[2].imbalance == max(r.n for r in full) * 3 / 6
-        assert srows[2].n_empty_lists == sum(1 for r in full if r.n == 0)
+        assert summ.n_vectors == 6
+        assert summ.max_list == max(r.n for r in full)
+        assert summ.imbalance == max(r.n for r in full) * 3 / 6
+        assert summ.n_empty_lists == sum(1 for r in full if r.n == 0)
+        first = ivf_occupancy_summary(
+            spark, str(tmp_path / "ivf_stats"), 3, before_batch=1
+        ).collect()[0]
+        assert first.n_vectors == 2
+        assert ivf_occupancy_summary(
+            spark, str(tmp_path / "nope"), 3
+        ) is None
         # restart with the same checkpoint: nothing reprocesses
         n_before = idx.count()
         run(ctrs)
         idx2, _ = read_ivf_index(spark, str(tmp_path / "ivf"))
         assert idx2.count() == n_before
-        assert spark.read.parquet(str(tmp_path / "ivf_stats")).count() == 3
+        assert ivf_occupancy_summary(
+            spark, str(tmp_path / "ivf_stats"), 3
+        ).collect()[0].n_vectors == 6
         # resume under DIFFERENT centroids: first new batch dies loudly
         import time as _time
 
