@@ -816,3 +816,44 @@ class TestIncrementalPrefixExactRecall:
             )
         )
         assert got == ref
+
+
+class TestPrefixFilterRecallProperty:
+    """The prefix-filter join's recall=1 claim under ARBITRARY corpora:
+    for random small-alphabet documents (duplication- and near-miss-dense
+    by construction) and random thresholds, prefix_filter_jaccard_pairs
+    must be row-identical to the naive inverted-index join — the PPJoin
+    positional + length filters prune candidates, never results."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.text(alphabet="abc ", min_size=1, max_size=40),
+            min_size=2, max_size=6,
+        ),
+        tp=st.sampled_from([25, 40, 50, 60, 75, 100]),
+    )
+    def test_identical_to_naive_on_random_corpora(self, spark, texts, tp):
+        from ctcityscraper_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(
+                df, n=1, threshold_pct=tp, df_cap=None
+            ).collect()
+        )
+        ref = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, n=1, threshold=tp / 100, df_cap=None
+            ).collect()
+        )
+        assert got == ref
