@@ -81,20 +81,31 @@ def calibrate_shuffle(spark, trials: int = 3, rows: int = 32_000_000) -> float:
 # so BENCH_rN vs BENCH_rN-1 is one field-to-field read instead of hand
 # adjudication of which queries both rounds share and how calibration
 # moved between boots.
-PRIOR_ROUND = "r11"
+PRIOR_ROUND = "r12"
 PRIOR_ROUND_QUERY_SET = [
     "ann_cosine_topk_vectorized", "corpus_segment_dedup",
     "corpus_substring_spans", "dedup_bloom_chase",
     "dedup_bloom_membership", "dedup_groups_connected",
-    "dedup_minhash_lsh", "events_tumbling_6h", "ingest_load_2000",
+    "dedup_minhash_lsh", "dedup_prefix_filter_join",
+    "events_tumbling_6h", "ingest_load_2000",
     "join_agg_by_segment", "pricing_summary", "scd2_latest_state",
     "subq_outer_join_order_counts", "top_revenue_orders",
 ]
 
-# Headline queries promoted THIS round (r12): not in the prior set, so
+# Headline queries promoted THIS round (r13): not in the prior set, so
 # they never pollute comparable_subtotal; recorded explicitly so the set
 # growth is visible in the JSON rather than inferred by diffing rounds.
-NEW_HEADLINE_QUERIES = ["corpus_e2e_prep", "dedup_prefix_filter_join"]
+NEW_HEADLINE_QUERIES = ["ann_pq_retrain_cycle"]
+
+# In the headline set and in r12's record, but EXCLUDED from the r13
+# comparable subtotal because its SEMANTICS changed this round (the
+# trained quality gate landed between the contamination stage and
+# packing, adding a training collect + a gate filter to the plan): a
+# like-for-like r12 comparison would read the new stage as a
+# regression. Its r13-vs-r12 trend is adjudicated in SCALE.md instead
+# (the gate's cost is corpus-size-independent; 10x ratio IMPROVED
+# 2.4x -> 1.65x).
+SEMANTICS_CHANGED_EXCLUDED = ["corpus_e2e_prep"]
 
 # Expected normalized cost per query (multiples of the fixed CPU
 # calibration job) — the anomaly-detection reference, NOT a metric input.
@@ -111,27 +122,32 @@ NEW_HEADLINE_QUERIES = ["corpus_e2e_prep", "dedup_prefix_filter_join"]
 # adjudication (which r10 and r11 both needed).
 ANOMALY_FACTOR = 2.0
 EXPECTED_NORMALIZED = {
-    "pricing_summary": 3.4,
-    "join_agg_by_segment": 2.4,
-    "scd2_latest_state": 2.3,
-    "events_tumbling_6h": 2.1,
-    "top_revenue_orders": 4.0,
-    "dedup_bloom_membership": 5.3,
-    "dedup_bloom_chase": 7.7,
-    "dedup_minhash_lsh": 6.1,
-    "dedup_groups_connected": 12.6,
-    "ann_cosine_topk_vectorized": 2.0,
-    "corpus_segment_dedup": 5.1,
-    "corpus_substring_spans": 8.9,
-    "subq_outer_join_order_counts": 1.9,
-    "ingest_load_2000": 6.4,
-    # r12 promotions, measured at sf0.1 this round (calibration 0.223)
-    # AFTER the r12 lineage-cut fix (checkpoint_tracked in kmv_overlap +
-    # the small audit frames: 25.4 s -> 6.8 s raw; the cost was
-    # data-independent DRIVER plan re-analysis, see checkpoint_tracked's
-    # docstring)
-    "corpus_e2e_prep": 31.0,
-    "dedup_prefix_filter_join": 13.5,
+    # r13 refresh: midpoint of the r12 record (calibration 0.273) and
+    # this round's clean run (calibration 0.233) — two boots, same code
+    # for the shared set
+    "pricing_summary": 3.1,
+    "join_agg_by_segment": 2.3,
+    "scd2_latest_state": 1.8,
+    "events_tumbling_6h": 1.7,
+    "top_revenue_orders": 3.2,
+    "dedup_bloom_membership": 5.5,
+    "dedup_bloom_chase": 6.6,
+    "dedup_minhash_lsh": 4.6,
+    "dedup_groups_connected": 9.3,
+    "ann_cosine_topk_vectorized": 1.9,
+    "corpus_segment_dedup": 4.5,
+    "corpus_substring_spans": 8.1,
+    "subq_outer_join_order_counts": 1.5,
+    "ingest_load_2000": 4.9,
+    # fused hot-list/dfreq aggregation this round (3.56 -> 3.06 s raw)
+    "dedup_prefix_filter_join": 13.1,
+    # grew the quality-gate stage this round (r13): one sample_n
+    # training collect + a literal-folded logit filter
+    "corpus_e2e_prep": 33.0,
+    # r13 promotion: detect -> retrain -> verify (two sample-bounded
+    # codebook trainings + two fixed-point drift legs), measured 2.7 s
+    # raw at calibration 0.233
+    "ann_pq_retrain_cycle": 11.8,
 }
 
 
@@ -301,6 +317,12 @@ def build_output(
             # does not — read trends off the subtotal
             "new_queries_excluded": sorted(
                 set(NEW_HEADLINE_QUERIES) & set(timings)
+            ),
+            # in both rounds' sets but semantics changed this round —
+            # excluded so the subtotal stays like-for-like (see the
+            # SEMANTICS_CHANGED_EXCLUDED comment)
+            "semantics_changed_excluded": sorted(
+                set(SEMANTICS_CHANGED_EXCLUDED) & set(timings)
             ),
         }
         if calibration_sec:

@@ -2475,7 +2475,7 @@ def _pq_retrain_oracle(dims: int, n_sub: int = 8, k: int = 16) -> str:
     """
 
 
-@query("ann_pq_retrain_cycle", oracle=_pq_retrain_oracle(EMB_DIMS))
+@query("ann_pq_retrain_cycle", oracle=_pq_retrain_oracle(EMB_DIMS), headline=True)
 def q_ann_pq_retrain_cycle(spark, sf_dir):
     """The PQ index-maintenance loop, closed: detect (pq_recon_drift
     under the OLD codebook trained on the base epoch flags a delta
