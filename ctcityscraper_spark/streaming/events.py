@@ -1129,6 +1129,7 @@ def streaming_quantile(
     value_col: str = "val",
     id_col: str = "doc_id",
     compact_every: int | None = None,
+    stats_dir: str | None = None,
 ):
     """Continuously-maintained quantile sample over a document stream —
     the FOURTH instance of the delta-zone recipe
@@ -1147,10 +1148,18 @@ def streaming_quantile(
     ``compact_every=N`` sample epochs re-merge to ≤ k rows, so stored
     state stays sketch-sized at any stream length (a ≤ k-row zone is
     broadcast-sized by construction — no probe join ever needs a
-    co-located layout). Returns the StreamingQuery handle; caller
-    stops it."""
+    co-located layout).
+
+    With ``stats_dir`` set, every batch also appends the
+    ``quantile_estimate`` rows (pct, n_kept, est) over the merged sample
+    AS OF THE END of the batch — a per-batch percentile ledger;
+    consecutive batches' rows subtracted per pct IS ``quantile_drift``
+    over the stream's own history, so the distribution monitor reads the
+    ledger, never the raw stream. Cost: one ≤ k-row merge + window per
+    batch. Returns the StreamingQuery handle; caller stops it."""
     from ctcityscraper_spark.operators.text import (
         merge_quantile_sketches,
+        quantile_estimate,
         quantile_sketch,
     )
 
@@ -1170,9 +1179,26 @@ def streaming_quantile(
                     spark, sample_dir, batch_id,
                     transform=lambda df: merge_quantile_sketches(df, k),
                 )
-        quantile_sketch(
+        delta = quantile_sketch(
             batch_df, value_col, id_col, k=k, seed=seed
-        ).write.mode("overwrite").parquet(f"{sample_dir}/batch_id={batch_id}")
+        ).persist()
+        try:
+            delta.write.mode("overwrite").parquet(
+                f"{sample_dir}/batch_id={batch_id}"
+            )
+            if stats_dir is not None:
+                hist = read_incremental_zone(spark, sample_dir, batch_id)
+                now = merge_quantile_sketches(
+                    delta if hist is None else hist.unionByName(
+                        delta.select(*hist.columns)
+                    ),
+                    k,
+                )
+                quantile_estimate(now).write.mode("overwrite").parquet(
+                    f"{stats_dir}/batch_id={batch_id}"
+                )
+        finally:
+            delta.unpersist()
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -1567,6 +1567,7 @@ class TestStreamingQuantile:
             checkpoint_dir=str(tmp_path / "ckpt"),
             k=k,
             compact_every=2,
+            stats_dir=str(tmp_path / "qstats"),
         )
         q = streaming_quantile(
             stream_from_directory(
@@ -1625,6 +1626,21 @@ class TestStreamingQuantile:
             spark, kwargs["sample_dir"], seed="qsk"
         ).count() == k
 
+        # the percentile ledger rides a per-batch stats zone: the final
+        # batch's rows equal quantile_estimate over the full merged
+        # sample (state as of the end of the stream), and consecutive
+        # rows per pct ARE the quantile_drift series
+        ledger = {
+            (r.batch_id, r.pct): r.est
+            for r in spark.read.parquet(str(tmp_path / "qstats")).collect()
+        }
+        assert {b for b, _ in ledger} == {0, 1, 2, 3}
+        for p in (25, 50, 75, 90, 99):
+            assert ledger[(3, p)] == est[p][1]
+        # batch 0's ledger row is the estimate over batch 0 alone
+        b0 = sorted(v for _, v in batches[0])
+        assert ledger[(0, 50)] == b0[(50 * 2 + 99) // 100 - 1]
+
         # checkpoint replay: nothing reprocessed
         q2 = streaming_quantile(
             stream_from_directory(
@@ -1640,6 +1656,7 @@ class TestStreamingQuantile:
             for r in read_quantile_sample(spark, kwargs["sample_dir"]).collect()
         )
         assert got2 == fresh
+        assert spark.read.parquet(str(tmp_path / "qstats")).count() == 20
 
 
 class TestStreamingCorpusPrep:
