@@ -685,6 +685,48 @@ def merge_cms_cells(cells):
     )
 
 
+def cms_health(cells, width: int, depth: int):
+    """Saturation / accuracy health of a stored Count-Min sketch — the
+    FREQUENCY member of the monitor family (the CMS analogue of
+    ``dedup.bloom_saturation``): one row ``(width, depth, n_items,
+    max_cell, nonzero_cells, fill, err_bound)``.
+
+    ``n_items`` is the total stream count (row 0's cell sum — every item
+    increments exactly one cell per row, so any row's sum is N, and row
+    0 makes the rule deterministic). ``fill`` (nonzero cells over
+    width·depth) and ``err_bound`` (the classic CMS overcount guarantee
+    ``2·N/width``, here as an exact integer ``(2·n_items) div width``)
+    both only ever RISE for an append-only sketch: when err_bound
+    crosses the count scale you care about, estimates stop separating
+    hot from cold and the fix is a wider rebuild. A nightly check of
+    this one row is what keeps ``cms_estimate``-based df_cap chasing and
+    ``cms_drift`` candidate screens honest as the corpus grows. Pure
+    integer sums/counts + two exact divisions — DuckDB reproduces every
+    field bit-for-bit. Accepts UNMERGED per-batch delta rows
+    (:func:`merge_cms_cells` runs first, so overlapping cells are never
+    double-counted; idempotent on merged tables). Cost: one aggregate
+    over the ≤ depth·width-row cell table — nothing corpus-sized."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width and depth must be >= 1, got ({width}, {depth})")
+    merged = merge_cms_cells(cells)
+    agg = merged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 0, F.col("n"))), F.lit(0)
+        ).alias("n_items"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_cell"),
+        F.count(F.when(F.col("n") > 0, 1)).alias("nonzero_cells"),
+    )
+    return agg.select(
+        F.lit(int(width)).alias("width"),
+        F.lit(int(depth)).alias("depth"),
+        "n_items",
+        "max_cell",
+        "nonzero_cells",
+        (F.col("nonzero_cells") / F.lit(int(width * depth))).alias("fill"),
+        F.expr(f"(2 * n_items) div {int(width)}").alias("err_bound"),
+    )
+
+
 def cms_drift(
     sketch_a,
     sketch_b,

@@ -773,6 +773,50 @@ def q_text_cms_drift(spark, sf_dir):
     )
 
 
+@query(
+    "text_cms_saturation",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({TOKS}) AS term FROM documents),
+    t AS (SELECT term FROM toks WHERE term != ''),
+    cells AS ({_CMS_CELLS}),
+    sketch AS (
+        SELECT r, c, COUNT(*)::BIGINT AS n FROM cells GROUP BY r, c),
+    agg AS (
+        SELECT COALESCE(SUM(n) FILTER (WHERE r = 0), 0)::BIGINT AS n_items,
+               COALESCE(MAX(n), 0)::BIGINT AS max_cell,
+               COUNT(*) FILTER (WHERE n > 0)::BIGINT AS nonzero_cells
+        FROM sketch)
+    SELECT {_CMS_W} AS width, {_CMS_D} AS depth,
+           n_items, max_cell, nonzero_cells,
+           nonzero_cells / {_CMS_W * _CMS_D} AS fill,
+           (2 * n_items) // {_CMS_W} AS err_bound
+    FROM agg
+    """,
+)
+def q_text_cms_saturation(spark, sf_dir):
+    """Count-Min sketch saturation / accuracy monitor (operators/text.
+    cms_health) — the FREQUENCY member of the saturation-monitor family
+    (dedup_bloom_saturation is the membership member): one row with the
+    total stream count (row 0's cell sum — each item increments exactly
+    one cell per row), the hottest cell, the nonzero-cell fill fraction,
+    and the classic CMS overcount guarantee ``2·N/width`` as an exact
+    integer err_bound. fill and err_bound only ever RISE for an
+    append-only sketch: when err_bound crosses the count scale a df_cap
+    chase or drift screen cares about, estimates stop separating hot
+    from cold and the fix is a wider rebuild. Pure integer sums/counts +
+    two exact divisions over the ≤ depth×width cell table — DuckDB
+    rebuilds the sketch and every monitor field bit-for-bit."""
+    from ctcityscraper_spark.operators.text import (
+        cms_health,
+        count_min_sketch,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    sketch = count_min_sketch(docs, width=_CMS_W, depth=_CMS_D)
+    return cms_health(sketch, _CMS_W, _CMS_D)
+
+
 _BUDGET_TOKENS = 40_000
 _BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
 

@@ -805,6 +805,7 @@ def streaming_cms(
     compact_every: int | None = None,
     compact_buckets: int = 4,
     compact_table_prefix: str | None = None,
+    stats_dir: str | None = None,
 ):
     """Continuously-maintained Count-Min sketch over a document stream —
     the streaming twin of ``text.count_min_sketch`` and the second
@@ -819,12 +820,21 @@ def streaming_cms(
     merged state equals a fresh build over everything ingested, exactly.
     With ``compact_every=N`` cell epochs re-aggregate (sum transform) to
     ≤ depth·width rows bucketed on (r, c), so stored state stays
-    sketch-sized at any stream length. Returns the StreamingQuery
-    handle; caller stops it.
+    sketch-sized at any stream length.
+
+    With ``stats_dir`` set, every batch also appends one
+    ``text_cms_saturation`` monitor row (``text.cms_health``: n_items,
+    max_cell, nonzero-cell fill, 2·N/width err_bound) over the sketch
+    AS OF THE END of the batch — fill and err_bound only rise, and when
+    err_bound crosses the count scale the probes care about the sketch
+    needs a wider rebuild. Cost: one aggregate over ≤ depth·width
+    merged cells per batch. Returns the StreamingQuery handle; caller
+    stops it.
     """
     import hashlib
 
     from ctcityscraper_spark.operators.text import (
+        cms_health,
         count_min_sketch,
         merge_cms_cells,
     )
@@ -852,9 +862,29 @@ def streaming_cms(
                     bucket_keys=["r", "c"], buckets=compact_buckets,
                     sort=["r", "c"], transform=merge_cms_cells,
                 )
-        count_min_sketch(
+        delta = count_min_sketch(
             batch_df, width=width, depth=depth, seed=seed
-        ).write.mode("overwrite").parquet(f"{cells_dir}/batch_id={batch_id}")
+        ).persist()
+        try:
+            delta.write.mode("overwrite").parquet(
+                f"{cells_dir}/batch_id={batch_id}"
+            )
+            if stats_dir is not None:
+                hist = read_incremental_zone(
+                    spark, cells_dir, batch_id, tbl_prefix
+                )
+                now = (
+                    delta
+                    if hist is None
+                    else hist.select("r", "c", "n").unionByName(
+                        delta.select("r", "c", "n")
+                    )
+                )
+                cms_health(now, width, depth).write.mode(
+                    "overwrite"
+                ).parquet(f"{stats_dir}/batch_id={batch_id}")
+        finally:
+            delta.unpersist()
 
     return (
         stream.writeStream.foreachBatch(sink)

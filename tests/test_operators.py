@@ -2366,6 +2366,45 @@ class TestBloomSaturation:
         assert raw_row.fill <= 1.0
 
 
+class TestCmsHealth:
+    def test_unmerged_empty_and_validation(self, spark):
+        """cms_health: accepts unmerged per-batch delta rows (merge runs
+        first, so overlapping cells never double-count), reads loud
+        zeros on an empty sketch, validates params, and n_items equals
+        the true token count (every item increments exactly one cell in
+        row 0)."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.text import (
+            cms_health,
+            count_min_sketch,
+            merge_cms_cells,
+        )
+
+        w, d = 64, 3
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c a"), Row(doc_id=2, text="a d")]
+        )
+        sk = count_min_sketch(docs, width=w, depth=d)
+        unmerged = sk.unionByName(sk)  # two identical deltas
+        merged_row = cms_health(merge_cms_cells(unmerged), w, d).collect()[0]
+        raw_row = cms_health(unmerged, w, d).collect()[0]
+        # double the stream: counts double, nonzero cells identical
+        assert raw_row.n_items == 2 * 6 and merged_row.n_items == raw_row.n_items
+        assert raw_row.nonzero_cells == merged_row.nonzero_cells
+        one = cms_health(sk, w, d).collect()[0]
+        assert one.n_items == 6  # 6 tokens total
+        assert one.err_bound == (2 * 6) // w
+        assert 0 < one.fill <= 1.0
+        empty = cms_health(sk.filter("1 = 0"), w, d).collect()[0]
+        assert (empty.n_items, empty.max_cell, empty.nonzero_cells,
+                empty.fill, empty.err_bound) == (0, 0, 0, 0.0, 0)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="width and depth"):
+            cms_health(sk, 0, d)
+
+
 class TestCmsDrift:
     def test_identical_epochs_zero_drift_and_one_sided(self, spark):
         from pyspark.sql import Row

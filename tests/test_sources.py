@@ -1069,6 +1069,7 @@ class TestStreamingCms:
             depth=d,
             compact_every=2,
             compact_table_prefix="t_cms_cells",
+            stats_dir=str(tmp_path / "cstats"),
         )
         try:
             q = streaming_cms(
@@ -1105,6 +1106,27 @@ class TestStreamingCms:
             )
             est = cms_estimate(truth, merged, width=w, depth=d)
             assert est.filter("estimate < true_count").count() == 0
+
+            # the saturation monitor rides a per-batch stats zone:
+            # n_items / fill / err_bound only rise, and the final row
+            # equals cms_health over the fresh one-shot sketch
+            from ctcityscraper_spark.operators.text import cms_health
+
+            srows = {
+                r.batch_id: r
+                for r in spark.read.parquet(str(tmp_path / "cstats")).collect()
+            }
+            assert set(srows) == {0, 1, 2, 3}
+            items = [srows[b].n_items for b in (0, 1, 2, 3)]
+            assert items == sorted(items) and items[0] > 0
+            want = cms_health(
+                count_min_sketch(all_docs, width=w, depth=d), w, d
+            ).collect()[0]
+            fields = ("width", "depth", "n_items", "max_cell",
+                      "nonzero_cells", "fill", "err_bound")
+            assert tuple(srows[3][f] for f in fields) == tuple(
+                want[f] for f in fields
+            )
 
             # checkpoint replay: nothing reprocessed
             q2 = streaming_cms(
