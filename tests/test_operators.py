@@ -2867,3 +2867,102 @@ class TestPqRetrainCycle:
         # fires BEFORE recall visibly collapses — which is precisely why
         # the maintenance loop keys off pq_recon_drift, not off a recall
         # audit that needs the exact oracle to even compute
+
+
+class TestIvfRetrainCycle:
+    """The IVF half of the maintenance loop (TestPqRetrainCycle is the
+    PQ half): the imbalance monitor DETECTS a delta distribution the
+    frozen centroids collapse into one list, retrain refits the coarse
+    quantizer off the imbalance threshold, and recovery is VERIFIED by
+    the monitor. Note what imbalance protects: PROBE COST (a query
+    reading the jumbo list scans a corpus-fraction, not 1/n_lists) —
+    recall itself stays high under pure collapse because the query maps
+    to the same jumbo list as its neighbors (asserted: the retrain must
+    not DEGRADE recall; the accuracy half of the maintenance story is
+    the PQ cycle's recon-drift leg)."""
+
+    DIMS = 8
+    THRESH = 3.0  # imbalance = max list / mean list; 1.0 = balanced
+
+    def _base(self, spark):
+        # spread across directions so hash-picked centroids cover it
+        rows = [
+            (i, [((i * 29 + d * 13) % 19) / 19.0 - 0.5 for d in range(self.DIMS)])
+            for i in range(60)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _delta(self, spark):
+        # one tight cluster of 40 FAR outside the base ball: under base
+        # centroids every delta vector argmins into the same list
+        rows = [
+            (
+                200 + m,
+                [20.0 + 0.1 * (((m * 11 + d * 3) % 5) - 2)
+                 for d in range(self.DIMS)],
+            )
+            for m in range(40)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _recall(self, spark, corpus, queries, centroids, k=4, n_probe=2):
+        from ctcityscraper_spark.operators.similarity import (
+            cosine_topk,
+            ivf_flat_topk,
+        )
+
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_flat_topk(
+                corpus, queries, centroids, k=k, n_probe=n_probe
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(corpus, queries, k=k).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    def test_detect_retrain_verify(self, spark):
+        from ctcityscraper_spark.operators.similarity import (
+            assign_ivf_lists,
+            hash_pick_centroids,
+            ivf_list_stats,
+        )
+
+        n_lists = 8
+        base, delta = self._base(spark), self._delta(spark)
+        both = base.unionByName(delta)
+        ctrs_old = hash_pick_centroids(base, n_lists)
+
+        def imbalance(df, ctrs):
+            return (
+                ivf_list_stats(assign_ivf_lists(df, ctrs), n_lists)
+                .select("imbalance")
+                .first()
+                .imbalance
+            )
+
+        # DON'T-RETRAIN arm: the base epoch itself stays under threshold
+        assert imbalance(base, ctrs_old) < self.THRESH
+
+        # DETECT: the shifted delta collapses into one list — the
+        # monitor fires on the merged index
+        imb_old = imbalance(both, ctrs_old)
+        assert imb_old > self.THRESH, imb_old
+        recall_old = self._recall(spark, both, delta, ctrs_old)
+
+        # RETRAIN off the threshold (build_ivf_index is the same one-off
+        # job as the original build — here the hash-picked quantizer)
+        ctrs_new = ctrs_old
+        if imb_old > self.THRESH:
+            ctrs_new = hash_pick_centroids(both, n_lists)
+        assert ctrs_new != ctrs_old
+
+        # VERIFY: occupancy recovers (back under threshold — the probe
+        # cost protection) and recall did not degrade
+        imb_new = imbalance(both, ctrs_new)
+        assert imb_new < imb_old and imb_new < self.THRESH, (imb_new, imb_old)
+        recall_new = self._recall(spark, both, delta, ctrs_new)
+        assert recall_new >= recall_old, (recall_new, recall_old)
+        assert recall_new >= 0.9, recall_new
