@@ -278,6 +278,45 @@ def update_bloom_index(
     return merge_bloom_words(bloom.unionByName(delta))
 
 
+def rebuild_bloom_from_fingerprints(
+    fps: DataFrame, m_bits: int, k: int, fingerprint: str = "fingerprint"
+) -> DataFrame:
+    """Rebuild the Bloom word table at NEW ``(m_bits, k)`` from the
+    stored md5-fingerprint index — the response arm of the
+    :func:`bloom_saturation` monitor, closing the Bloom maintenance
+    loop (detect saturation → WIDER rebuild → verify) without ever
+    re-reading the corpus.
+
+    Exactness: :func:`build_bloom_index` hashes documents through
+    ``md5(text)`` and the two-tier chase stores exactly that md5 as the
+    fingerprint index (``bloom_chased_duplicates`` /
+    ``streaming_corpus_prep``'s ``fingerprints`` zone), so probing
+    positions derived from the STORED fingerprints is bit-for-bit the
+    fresh build over the original texts at the new parameters — no
+    false negative can be introduced, because the rebuilt filter covers
+    precisely the document set the fingerprint index covers (pinned by
+    test). Cost: one explode + bit_or over the fingerprint index (one
+    row per distinct document content — corpus-shaped but a single
+    scan-stage pass; the texts themselves are never touched). A filter
+    CANNOT be widened from its own word table (positions don't map
+    between m values) — the fingerprint index is what makes cheap
+    re-parameterization possible, which is why the two-tier design
+    stores it."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(fingerprint), m_bits, k))
+    ).alias("pos")
+    return (
+        fps.filter(F.col(fingerprint).isNotNull())
+        .select(pos)
+        .selectExpr(
+            "CAST(pos DIV 32 AS BIGINT) AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
 def bloom_might_contain(
     batch: DataFrame,
     bloom: DataFrame,

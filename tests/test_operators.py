@@ -2341,6 +2341,42 @@ class TestBloomSaturation:
         with pytest.raises(ValueError, match="m_bits and k"):
             bloom_saturation(b1, 0, k)
 
+    def test_rebuild_wider_from_fingerprints(self, spark):
+        """The Bloom maintenance loop: saturation fires on a deliberately
+        tiny filter, rebuild_bloom_from_fingerprints re-parameterizes
+        from the STORED md5 index (texts never re-read), the rebuilt
+        table is bit-for-bit the fresh build at the new (m, k), and
+        saturation verifies recovery — with no false negative (every
+        indexed doc still flags)."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.dedup import (
+            bloom_might_contain,
+            bloom_saturation,
+            build_bloom_index,
+            rebuild_bloom_from_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"document {i}") for i in range(80)]
+        )
+        fps = docs.select(F.md5("text").alias("fingerprint")).distinct()
+        small = build_bloom_index(docs, 256, 3)
+        sat = bloom_saturation(small, 256, 3).collect()[0]
+        assert sat.fill > 0.5  # DETECT: saturated
+        # RETRAIN: widen 16x from the fingerprint index alone
+        wide = rebuild_bloom_from_fingerprints(fps, 4096, 3)
+        fresh = build_bloom_index(docs, 4096, 3)
+        assert {
+            (r.word_idx, r.word) for r in wide.collect()
+        } == {(r.word_idx, r.word) for r in fresh.collect()}
+        # VERIFY: saturation recovered, no false negatives through the
+        # rebuilt filter
+        sat2 = bloom_saturation(wide, 4096, 3).collect()[0]
+        assert sat2.fill < sat.fill / 4
+        flags = bloom_might_contain(docs, wide, 4096, 3).collect()
+        assert all(r.might_contain for r in flags)
+
     def test_unmerged_delta_rows_not_double_counted(self, spark):
         """Fed per-batch delta rows (overlapping bits per word_idx, the
         natural output of a streaming bloom zone read WITHOUT the merge),
