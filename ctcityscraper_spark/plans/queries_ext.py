@@ -305,6 +305,38 @@ def q_dedup_bloom_saturation(spark, sf_dir):
 
 
 @query(
+    "dedup_bloom_rebuild",
+    oracle=_bloom_saturation_oracle(4 * _BLOOM_M, _BLOOM_K),
+)
+def q_dedup_bloom_rebuild(spark, sf_dir):
+    """The Bloom maintenance loop's RESPONSE arm (operators/dedup.
+    rebuild_bloom_from_fingerprints): widen the filter 4× from the
+    STORED md5-fingerprint index — the corpus text is never re-read —
+    and report the rebuilt filter's saturation row. The oracle builds
+    the 4×-wide filter FRESH from the documents themselves, so the hash
+    match is the cross-engine proof that rebuild-from-fingerprints ≡
+    fresh-build at the new parameters (positions derive from the md5
+    both paths share; a drift in either engine's position math or in
+    the fingerprint contract mismatches loudly). Completes the
+    detect (dedup_bloom_saturation) → rebuild (this) → verify (the
+    same monitor on the wide table) cycle — the Bloom sibling of
+    ann_pq_retrain_cycle."""
+    from ctcityscraper_spark.operators.dedup import (
+        bloom_saturation,
+        rebuild_bloom_from_fingerprints,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    fps = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    wide = rebuild_bloom_from_fingerprints(fps, 4 * _BLOOM_M, _BLOOM_K)
+    return bloom_saturation(wide, 4 * _BLOOM_M, _BLOOM_K)
+
+
+@query(
     "dedup_bloom_membership",
     headline=True,  # build + probe cost of the stored-Bloom pre-filter
     # (one explode+bit_or build, word-join probe) benched round-over-round
