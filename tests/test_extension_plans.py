@@ -220,6 +220,74 @@ class TestExtensionPlans:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_span_idx")
 
+    def test_prefix_index_bucketed_probe_skips_index_shuffle(self, spark, tmp_path):
+        """The stored corpus prefix index (incremental_prefix_pairs'
+        production artifact: _prefix_rows over the frozen df order)
+        written bucketed on shingle joins a batch's prefix probe with NO
+        Exchange on the index side — the corpus-sized side of the
+        nightly exact-dedup probe never re-shuffles at query time (the
+        same layout contract as the span / bloom / IVF stored
+        indexes)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import (
+            _prefix_candidates,
+            _prefix_rows,
+            doc_shingles,
+        )
+        from ctcityscraper_spark.sources.bucketed import write_bucketed
+
+        corpus = spark.createDataFrame(
+            [(i, f"shared tokens alpha beta gamma u{i}a u{i}b") for i in range(40)],
+            "doc_id long, text string",
+        )
+        sh_c = doc_shingles(corpus, "text", "doc_id", 1)
+        dfreq = sh_c.groupBy("shingle").agg(F.count("*").alias("dfq"))
+        idx = _prefix_rows(sh_c, dfreq, 50)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                idx, "t_prefix_idx", ["shingle"], 4, sort=["shingle"],
+                path=str(tmp_path / "prefix_idx"),
+            )
+            batch = spark.createDataFrame(
+                [(99, "shared tokens alpha beta gamma fresh")],
+                "doc_id long, text string",
+            )
+            probe = _prefix_rows(
+                doc_shingles(batch, "text", "doc_id", 1), dfreq, 50
+            )
+            # the apples-to-apples baseline: the SAME stored index as
+            # plain (unbucketed) parquet — both plans read a
+            # materialized artifact; the only difference can be the
+            # index-side join Exchange
+            idx.write.mode("overwrite").parquet(str(tmp_path / "idx_plain"))
+            idx_plain = spark.read.parquet(str(tmp_path / "idx_plain"))
+
+            cand = _prefix_candidates(
+                probe, spark.table("t_prefix_idx"), 50, self_join=False
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+            cand_plain = _prefix_candidates(
+                probe, idx_plain, 50, self_join=False
+            )
+            plan_u = cand_plain._jdf.queryExecution().executedPlan().toString()
+            n_plain = len(re.findall(r"Exchange hashpartitioning", plan_u))
+            # bucketing removes EXACTLY the index side's join Exchange
+            assert n_exchanges == n_plain - 1, (n_exchanges, n_plain)
+            # and the candidates are identical either way
+            assert sorted(map(tuple, cand.collect())) == sorted(
+                map(tuple, cand_plain.collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_prefix_idx")
+
     def test_bloom_words_bucketed_probe_skips_index_shuffle(self, spark, tmp_path):
         """A stored Bloom word table bucketed on word_idx joins batch
         probes with NO Exchange on the bloom side — only the small batch
