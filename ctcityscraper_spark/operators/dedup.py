@@ -1016,7 +1016,12 @@ def incremental_prefix_pairs(
     a broadcast hot-list anti-join, its own prefix ranking against the
     stored order (tokens the corpus has never seen rank as df 0), the
     prefix-probe equi-join, and candidate-bounded exact verification.
-    Cost ∝ |batch| × index, never corpus × corpus.
+    Cost ∝ |batch| × index, never corpus × corpus. Store the prefix
+    index BUCKETED on shingle (sources/bucketed.py): the probe join
+    then plans with no Exchange on the corpus-sized side — only the
+    batch probe re-buckets (plan-asserted in
+    tests/test_extension_plans.py, the same layout contract as the
+    span/bloom/IVF stored indexes).
 
     Exactness: both sides' prefixes use the SAME fixed global order
     (corpus dfq, ties by shingle) over the SAME capped universe (the
