@@ -386,6 +386,89 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Top-k documents for a bag-of-terms query by BM25 — the LEXICAL
+    retrieval leg (the ANN operators are the semantic leg; production
+    hybrid search unions both shortlists and re-ranks).
+
+    Made transcendental-free so it is bit-portable across engines (the
+    module rule): the idf is the QUANTIZED surrogate
+    ``length(bin(n_docs div df_t))`` — the integer bit-width of the
+    inverse document frequency, monotone in rarity like
+    :func:`unigram_surprisal`'s quantized self-information — and the
+    per-term saturation/length factor is the classic
+    ``tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))`` computed as pure
+    rational arithmetic over exact integer inputs (``dl/avgdl`` =
+    ``dl·n_docs/total_tokens``, one exact division; ``1−b`` and
+    ``k1+1`` fold to literals driver-side so both engines parse the
+    same doubles). Each term's score is fixed-point-quantized
+    (``floor(·10⁶)`` bigint) BEFORE the per-document SUM, so the score
+    is aggregation-order-independent — the same rule as the flagship
+    cents aggregation and the PQ SSE ledger.
+
+    Shuffles: one (doc, term) groupBy restricted to the QUERY's terms
+    (the scan filters to them — at 100 TB this is the inverted-index
+    probe shape, cost ∝ matched postings, never the corpus vocabulary),
+    one per-doc length groupBy, a broadcast term-stats attach, one
+    per-doc sum, and a global top-k (TakeOrderedAndProject). Returns
+    (doc_id, n_terms_matched, score_micros, rank), ties by doc_id."""
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = toks.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+    )
+    hit = toks.filter(F.col("term").isin(terms))
+    tf = hit.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = hit.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    one_minus_b, k1_plus_1 = float(1.0 - b), float(k1 + 1.0)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_bits",
+            F.length(F.bin(F.expr("n_docs DIV df_t"))).cast("long"),
+        )
+        .withColumn(
+            "score_micros",
+            F.expr(
+                f"CAST(floor(((idf_bits * (tf * {k1_plus_1!r})) / "
+                f"(tf + {float(k1)!r} * ({one_minus_b!r} + {float(b)!r} * "
+                f"((dl * n_docs) / total_tokens)))) * 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.sum("score_micros").alias("score_micros"),
+        )
+        .orderBy(F.col("score_micros").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_micros").desc(), "doc_id")
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_terms_matched", "score_micros", "rank"
+    )
+
+
 def unigram_surprisal(
     df,
     text: str = "text",

@@ -817,6 +817,63 @@ def q_text_cms_saturation(spark, sf_dir):
     return cms_health(sketch, _CMS_W, _CMS_D)
 
 
+_BM25_TERMS = ("hash", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1p1, omb = float(_BM25_K1 + 1.0), float(1.0 - _BM25_B)
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term != ''),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+                     count(*)::BIGINT AS total_tokens FROM t),
+    hit AS (SELECT doc_id, term FROM t WHERE term IN ({terms})),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM hit GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+            FROM hit GROUP BY term),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(floor(((length(bin(n_docs // df_t)) * (tf * {k1p1!r})) /
+                    (tf + {float(_BM25_K1)!r} * ({omb!r} + {float(_BM25_B)!r} *
+                     ((dl * n_docs) / total_tokens)))) * 1000000.0)
+                    AS BIGINT) AS sm
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats)
+    SELECT doc_id, n_terms_matched, score_micros, rank FROM (
+        SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+               CAST(sum(sm) AS BIGINT) AS score_micros,
+               ROW_NUMBER() OVER (ORDER BY sum(sm) DESC, doc_id) AS rank
+        FROM sc GROUP BY doc_id)
+    WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/text.bm25_topk) — the keyword
+    leg of hybrid search (the ANN catalog queries are the semantic leg;
+    production unions both shortlists and re-ranks). Transcendental-free
+    BM25: quantized bit-width idf (length(bin(n_docs div df)), the
+    unigram_surprisal rule), rational saturation/length normalization
+    over exact integer inputs with literals folded driver-side so both
+    engines parse identical doubles, and per-term scores fixed-point
+    floored to micros BEFORE the per-doc SUM (aggregation-order-
+    independent — the flagship cents rule). 100 TB shape: the scan
+    filters to the query's terms before any shuffle (the inverted-probe
+    shape — cost ∝ matched postings, never the vocabulary), doc-length
+    and corpus stats are aggregation-shaped, top-k is
+    TakeOrderedAndProject."""
+    from ctcityscraper_spark.operators.text import bm25_topk
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return bm25_topk(
+        docs, list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 _BUDGET_TOKENS = 40_000
 _BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
 

@@ -3002,3 +3002,46 @@ class TestIvfRetrainCycle:
         recall_new = self._recall(spark, both, delta, ctrs_new)
         assert recall_new >= recall_old, (recall_new, recall_old)
         assert recall_new >= 0.9, recall_new
+
+
+class TestBm25:
+    def test_hand_computed_ranking_and_contract(self, spark):
+        """bm25_topk on a 4-doc corpus: rarity (quantized idf) beats raw
+        term frequency, matched-terms-only docs score, fixed-point sum
+        is exact, ties break by doc_id, and empty query is refused."""
+        import math
+
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="rare common common common"),
+            Row(doc_id=2, text="common common common common"),
+            Row(doc_id=3, text="common filler filler filler"),
+            Row(doc_id=4, text="filler filler filler filler"),
+        ])
+        out = {r.doc_id: r for r in bm25_topk(
+            docs, ["rare", "common"], k=10
+        ).collect()}
+        # doc 4 matches nothing -> absent; docs 1-3 present
+        assert set(out) == {1, 2, 3}
+        # doc 1 holds the only 'rare' (idf_bits(4 div 1)=3 vs
+        # idf_bits(4 div 3)=1 for 'common') -> ranks first despite doc 2
+        # having more total matches
+        assert out[1].rank == 1 and out[1].n_terms_matched == 2
+        assert out[2].rank == 2 and out[3].rank == 3
+
+        # exact replication of the operator's arithmetic for doc 3:
+        # tf=1, df_t(common)=3, n_docs=4, dl=4, total=16
+        k1, b = 1.2, 0.75
+        idf_bits = len(bin(4 // 3)) - 2  # '0b1' -> 1
+        score = (idf_bits * (1 * (k1 + 1.0))) / (
+            1 + k1 * ((1.0 - b) + b * ((4 * 4) / 16))
+        )
+        assert out[3].score_micros == math.floor(score * 1_000_000)
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="at least one query term"):
+            bm25_topk(docs, [])
