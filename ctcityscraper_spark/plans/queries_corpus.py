@@ -874,6 +874,122 @@ def q_text_bm25_topk(spark, sf_dir):
     )
 
 
+_RRF_K0 = 60  # the standard reciprocal-rank-fusion damping constant
+_HYBRID_SHORTLIST = 20
+_HYBRID_QUERY_VEC = 7  # queries-from-corpus, the ann_* convention
+
+
+def _hybrid_oracle() -> str:
+    from ctcityscraper_spark.plans.queries_ext import (
+        EMB_DIMS,
+        EMB_VALID,
+        fold_dot_sql,
+        fold_norm_sql,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1p1, omb = float(_BM25_K1 + 1.0), float(1.0 - _BM25_B)
+    cos = (
+        f"{fold_dot_sql('q.embedding', 'c.embedding', EMB_DIMS)}"
+        f" / ({fold_norm_sql('q.embedding', EMB_DIMS)}"
+        f" * {fold_norm_sql('c.embedding', EMB_DIMS)})"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term != ''),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+                     count(*)::BIGINT AS total_tokens FROM t),
+    hit AS (SELECT doc_id, term FROM t WHERE term IN ({terms})),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM hit GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+            FROM hit GROUP BY term),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(floor(((length(bin(n_docs // df_t)) * (tf * {k1p1!r})) /
+                    (tf + {float(_BM25_K1)!r} * ({omb!r} + {float(_BM25_B)!r} *
+                     ((dl * n_docs) / total_tokens)))) * 1000000.0)
+                    AS BIGINT) AS sm
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+    lex AS (
+        SELECT doc_id, rank AS lex_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY sum(sm) DESC, doc_id) AS rank
+            FROM sc GROUP BY doc_id)
+        WHERE rank <= {_HYBRID_SHORTLIST}),
+    sem AS (
+        SELECT neighbor_id AS doc_id, rank AS sem_rank FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.vec_id) AS rank
+            FROM {EMB_VALID} q, {EMB_VALID} c
+            WHERE q.vec_id = {_HYBRID_QUERY_VEC}
+              AND c.vec_id != q.vec_id)
+        WHERE rank <= {_HYBRID_SHORTLIST}),
+    fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               lex_rank, sem_rank,
+               coalesce(1.0 / ({_RRF_K0} + lex_rank), 0.0)
+                   + coalesce(1.0 / ({_RRF_K0} + sem_rank), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused)
+    WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@query("hybrid_rrf_topk", oracle=_hybrid_oracle())
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval — the composition production search actually
+    runs: the BM25 lexical shortlist (text.bm25_topk over documents)
+    and the exact-cosine semantic shortlist (similarity.cosine_topk
+    over the aligned embeddings, query = corpus vector 7 — the
+    queries-from-corpus convention) fused by Reciprocal Rank Fusion
+    ``Σ 1/(k0 + rank)`` (Cormack et al.'s robust rank-only fusion — no
+    score normalization across incomparable scales needed). The fusion
+    is a full-outer join of two ≤ shortlist-row frames plus one
+    fixed-two-term double expression — no aggregation, so no sum-order
+    hazard; both legs' ranks are already oracle-pinned by their own
+    catalog queries, and this query pins the JOIN + fusion arithmetic.
+    At 100 TB each leg keeps its own documented shape (inverted-probe
+    scan for BM25; the ANN leg swaps cosine_topk for the IVF/PQ/LSH
+    operators at scale) and the fusion cost is shortlist-sized."""
+    from ctcityscraper_spark.operators.similarity import cosine_topk
+    from ctcityscraper_spark.operators.text import bm25_topk
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, list(_BM25_TERMS), k=_HYBRID_SHORTLIST,
+        k1=_BM25_K1, b=_BM25_B,
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    sem = (
+        cosine_topk(
+            emb, emb.filter(F.col("vec_id") == _HYBRID_QUERY_VEC),
+            k=_HYBRID_SHORTLIST,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").alias("sem_rank"))
+    )
+    from pyspark.sql import Window
+
+    k0 = F.lit(float(_RRF_K0))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "sem_rank",
+        (
+            F.coalesce(F.lit(1.0) / (k0 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (k0 + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf", "rank")
+    )
+
+
 _BUDGET_TOKENS = 40_000
 _BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
 
