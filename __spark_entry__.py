@@ -85,8 +85,10 @@ DRIVER_PRIORITY = [
 # dedup_prefix_filter_join / dedup_incremental_prefix changed INTERNALS
 # this round (PPJoin positional filter) with output proven identical by
 # the in-repo naive-join oracle gate, so their r12 rows stand. The
-# late-r13 additions text_cms_saturation / dedup_bloom_rebuild / text_bm25_topk /
-# hybrid_rrf_topk sit
+# late-r13 additions text_cms_saturation / dedup_bloom_rebuild /
+# text_bm25_topk / hybrid_rrf_topk / ann_kmeans_centroids /
+# corpus_cluster_balanced_sample / corpus_dsir_importance /
+# corpus_dsir_shift sit
 # after the 50-row window (in-repo + adversarial gated this round)
 # and lead the r14 rotation per the within-a-round-or-two policy. Names
 # added to DRIVER_PRIORITY must exist in the catalog at commit time —

@@ -1,0 +1,251 @@
+"""Fixed-point Lloyd's k-means and cluster-balanced sampling.
+
+The IVF family (operators/similarity.py) already clusters with
+``pyspark.ml`` k-means, but those centroids are float means whose
+shuffle-order-dependent summation cannot be reproduced bit-for-bit by an
+external engine — so the oracle gate there checks only the downstream
+exact-reranked top-k, never the fitted state itself. This module is the
+determinism-first sibling: embeddings are quantized to integer micros
+(``floor(x * 1e6)`` — floor is exact on doubles, no transcendental), the
+L2 distances and centroid updates stay in int64 arithmetic (sums of
+longs are order-independent; the centroid mean is a truncating integer
+division, identical semantics in Spark ``DIV`` and DuckDB ``//``), and
+the hash-picked initialization reuses the cross-engine ``hash64``
+primitive. The FITTED CENTROIDS are therefore themselves
+oracle-checkable: DuckDB can replay every Lloyd iteration and match the
+k x d centroid table bit-for-bit (plans/queries_ext.py
+``ann_kmeans_centroids``).
+
+Quantization error is bounded by 1e-6 per dimension — three orders of
+magnitude below the float32 embedding noise floor — so the clustering
+quality is indistinguishable from the float fit; what it buys is a
+cluster assignment that an independent engine, a restarted job, or a
+re-partitioned 1000-executor run reproduces EXACTLY, which is what a
+curation pipeline needs when cluster ids feed downstream sampling
+decisions that must be auditable.
+
+100 TB shapes:
+
+- ``kmeans_fit_micros``: per iteration one corpus scan + one k-row
+  groupBy (map-side partial aggregation of d+1 longs per cluster — the
+  classic mergeable-state Lloyd step), collecting exactly k x (d+1)
+  integers to the driver. Iterations are driver-coordinated but each
+  moves only kilobytes; the corpus is persisted once across iterations.
+- ``assign_clusters``: the argmin over k centroid literals is ONE
+  single-parse scan-stage expression (the pq_encode_expr py4j lesson) —
+  zero shuffle, zero Python.
+- ``cluster_balanced_sample``: two-phase top-k. A window over bare
+  ``list_id`` would funnel the whole corpus into k partitions (k ~ 8 —
+  a guaranteed straggler at scale), so phase 1 ranks within
+  (input-partition, list) — a shuffle over P x k keys, no skew — and
+  keeps ``per_cluster`` rows each; phase 2 ranks the surviving
+  P x k x per_cluster rows globally per list. Exact: the global
+  per-list top-``per_cluster`` by hash order is a subset of the union
+  of per-partition tops.
+
+The reference engine (carlospreising/ctcityscraper) has no clustering —
+this module serves the training-data-curation extension surface
+(cluster-balanced corpus subsampling, SemDeDup-style per-cluster work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ctcityscraper_spark.functions.hashing import hash64
+from ctcityscraper_spark.operators.artifacts import persist_tracked
+from ctcityscraper_spark.operators.similarity import valid_vectors
+
+MICROS = 1_000_000
+
+
+def _int_array_lit_sql(values: list) -> str:
+    """SQL bigint-array literal: ``array(15L, -3L, ...)``."""
+    return "array(" + ", ".join(f"{int(v)}L" for v in values) + ")"
+
+
+def quantize_micros_col(vec) -> F.Column:
+    """``array<float> -> array<bigint>`` fixed-point quantization:
+    ``floor(x * 1e6)`` per element. float32 -> float64 widening is exact,
+    the multiply is one deterministic IEEE op, floor is exact — DuckDB's
+    ``list_transform(v, x -> CAST(floor(x::DOUBLE * 1000000.0) AS
+    BIGINT))`` reproduces it bit-for-bit."""
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+    )
+
+
+def l2int_argmin_expr(vm_sql: str, centroids: list) -> F.Column:
+    """``list_id`` of the nearest centroid under integer L2, as ONE
+    ``F.expr`` over a named ``array<bigint>`` column.
+
+    Distances are int64 folds against centroid literals — order-exact in
+    any engine (integer addition is associative); ties break on the
+    lower ``list_id`` via the struct sort, mirroring DuckDB's
+    ``ROW_NUMBER() OVER (ORDER BY d, list_id)``. Magnitude: unit-norm
+    embeddings quantize to |v| <= 1e6, so a squared diff is <= 4e12 and
+    a 64-dim sum <= 2.6e14 — five orders below int64 overflow.
+    """
+    structs = ", ".join(
+        "named_struct('d', aggregate(zip_with("
+        f"{vm_sql}, {_int_array_lit_sql(ctr)}, (x, c) -> (x - c) * (x - c)),"
+        f" 0L, (acc, x) -> acc + x), 'list_id', {i})"
+        for i, ctr in enumerate(centroids)
+    )
+    return F.expr(f"array_sort(array({structs}))")[0]["list_id"]
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — the semantics Spark ``DIV``
+    and DuckDB ``//`` share (both give -7/2 -> -3); Python ``//`` floors,
+    hence the sign fold."""
+    q = abs(int(s)) // int(n)
+    return -q if s < 0 else q
+
+
+def hash_init_centroids_micros(
+    corpus: DataFrame,
+    n_clusters: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "kmctr",
+) -> list:
+    """Deterministic init: the ``n_clusters`` valid vectors with the
+    smallest ``(hash64(id, seed), id)``, quantized to micros — the
+    integer twin of similarity.hash_pick_centroids. Bounded: a
+    distributed TakeOrderedAndProject of exactly ``n_clusters`` rows."""
+    rows = (
+        valid_vectors(corpus, vec)
+        .select(F.col(id_col).alias("vid"), quantize_micros_col(vec).alias("vm"))
+        .orderBy(hash64(F.col("vid"), seed), "vid")
+        .limit(n_clusters)
+        .collect()
+    )
+    return [list(r.vm) for r in rows]
+
+
+def kmeans_fit_micros(
+    corpus: DataFrame,
+    n_clusters: int,
+    iters: int = 2,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "kmctr",
+) -> list:
+    """Lloyd's k-means in exact integer arithmetic; returns the fitted
+    centroids as a list of ``n_clusters`` micro-int arrays (``[]`` on an
+    empty/all-invalid corpus; fewer than ``n_clusters`` entries when the
+    corpus holds fewer valid vectors).
+
+    Per iteration: assign every vector to its argmin centroid (scan-stage
+    literal expression), then one groupBy(list_id) computing ``count``
+    plus d per-dimension long sums (map-side partial — the mergeable
+    Lloyd state), collect k rows, and update each centroid to
+    ``sum DIV n`` (truncating division). A cluster that captured no
+    vectors keeps its previous centroid — the same rule the SQL oracle
+    applies, so empty clusters stay bit-aligned too.
+    """
+    v = valid_vectors(corpus, vec).select(
+        F.col(id_col).alias("vid"), quantize_micros_col(vec).alias("vm")
+    )
+    centroids = hash_init_centroids_micros(corpus, n_clusters, vec, id_col, seed)
+    if not centroids or iters <= 0:
+        return centroids
+    dims = len(centroids[0])
+    v = persist_tracked(v)
+    for _ in range(iters):
+        assigned = v.select(
+            l2int_argmin_expr("vm", centroids).alias("list_id"), "vm"
+        )
+        rows = (
+            assigned.groupBy("list_id")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("vm", d + 1)).alias(f"s{d}")
+                    for d in range(dims)
+                ],
+            )
+            .collect()
+        )
+        by_list = {r["list_id"]: r for r in rows}
+        centroids = [
+            [_tdiv(by_list[i][f"s{d}"], by_list[i]["n"]) for d in range(dims)]
+            if i in by_list
+            else centroids[i]
+            for i in range(len(centroids))
+        ]
+    return centroids
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, list_id)`` for every valid vector under fixed centroid
+    literals — one scan-stage expression, no shuffle, no Python."""
+    return (
+        valid_vectors(corpus, vec)
+        .select(F.col(id_col), quantize_micros_col(vec).alias("vm"))
+        .select(id_col, l2int_argmin_expr("vm", centroids).alias("list_id"))
+    )
+
+
+def cluster_sizes(
+    corpus: DataFrame,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(list_id, n_assigned)`` over the FULL centroid grid (empty
+    clusters emit ``n_assigned = 0``) — the audit row the centroid
+    catalog query attaches."""
+    spark = corpus.sparkSession
+    grid = spark.range(len(centroids)).select(
+        F.col("id").cast("int").alias("list_id")
+    )
+    counts = assign_clusters(corpus, centroids, vec, id_col).groupBy(
+        "list_id"
+    ).agg(F.count("*").alias("n_assigned"))
+    return grid.join(counts, "list_id", "left").select(
+        "list_id", F.coalesce("n_assigned", F.lit(0)).alias("n_assigned")
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: list,
+    per_cluster: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "kmsample",
+) -> DataFrame:
+    """Deterministic ``per_cluster`` vectors from every k-means cluster:
+    ``(list_id, pick_rank, id_col)`` ranked by ``(hash64(id, seed), id)``
+    within each cluster — the diversity-preserving subsample (uniform per
+    cluster ~ density-flattening over the embedding space).
+
+    Two-phase exact top-k (module header): phase 1 ranks within
+    (spark_partition_id, list_id) and prunes to ``per_cluster`` rows per
+    cell, phase 2 ranks the survivors per list — no k-partition funnel.
+    """
+    a = assign_clusters(corpus, centroids, vec, id_col).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    order = [hash64(F.col(id_col), seed), F.col(id_col)]
+    local = Window.partitionBy("_part", "list_id").orderBy(*order)
+    survivors = (
+        a.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= per_cluster)
+        .drop("_lrk", "_part")
+    )
+    w = Window.partitionBy("list_id").orderBy(*order)
+    return (
+        survivors.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= per_cluster)
+        .select("list_id", "pick_rank", id_col)
+    )

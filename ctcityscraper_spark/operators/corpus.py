@@ -1169,3 +1169,117 @@ def global_quality_rank(
             (F.floor((F.col("rank") - 1) * deciles / F.lit(total)) + 1).cast("int"),
         )
     return ranked
+
+
+DSIR_BUCKETS = 2048  # hashed-feature space (DSIR's "hashed n-grams")
+
+
+def dsir_importance(
+    df: DataFrame,
+    target,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights: rank raw documents by how much more
+    likely they are under a hashed unigram model of a TARGET domain than
+    under the raw-corpus model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling").
+
+    ``target`` is a boolean Column marking the in-domain exemplar docs
+    (NULL counts as not-target). Tokens hash into ``n_buckets`` buckets
+    via the cross-engine ``hash64`` (nonnegative 60-bit, so a plain
+    ``%`` agrees between engines); both bucket models get add-one
+    smoothing. The true log-ratio ``log2 p_t(b) - log2 p_r(b)`` is not
+    bit-portable (module determinism rule: no transcendentals across the
+    oracle boundary), so each bucket's log-prob is QUANTIZED to its
+    integer bit-width — the unigram_surprisal rule::
+
+        bits_X(b) = length(bin((T_X + n_buckets) DIV (c_X(b) + 1)))
+
+    and the document weight is the exact integer::
+
+        weight_bits(d) = sum_b c_db * (bits_r(b) - bits_t(b))
+
+    (positive = more target-like: buckets cheap under the target model
+    and expensive under the raw model pull the weight up). Monotone in
+    the true ratio at bucket granularity — all the downstream selection
+    (top-m resampling, mixture reweighting) consumes.
+
+    100 TB shape: one (doc, bucket) groupBy and one bucket groupBy (both
+    map-side partial — the bucket model state is <= n_buckets mergeable
+    rows), the two scalar totals broadcast, the <= n_buckets-row model
+    table broadcast back onto the per-doc buckets, one per-doc
+    aggregation. Nothing is vocabulary-sized: hashing bounds the model
+    at n_buckets rows regardless of corpus vocabulary. No Python, no
+    driver collect.
+
+    Returns (doc_id, n_tokens, weight_bits) — one row per document with
+    at least one nonempty token.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target, F.lit(False)).alias("is_target"),
+        F.explode(tokens_col(text)).alias("term"),
+    ).filter(F.col("term") != "")
+    toks = toks.withColumn("b", hash64(F.col("term"), seed) % n_buckets)
+    doc_b = toks.groupBy("doc_id", "b").agg(F.count("*").alias("c_db"))
+    raw = toks.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.sum(F.col("is_target").cast("long")).alias("c_t"),
+    )
+    tot = raw.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+    )
+    bits = (
+        raw.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bits_r",
+            F.length(F.bin(F.expr(f"(t_r + {n_buckets}) DIV (c_r + 1)"))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "bits_t",
+            F.length(F.bin(F.expr(f"(t_t + {n_buckets}) DIV (c_t + 1)"))).cast(
+                "long"
+            ),
+        )
+        .select("b", "bits_r", "bits_t")
+    )
+    return (
+        doc_b.join(F.broadcast(bits), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_db").alias("n_tokens"),
+            F.sum(
+                F.col("c_db") * (F.col("bits_r") - F.col("bits_t"))
+            ).alias("weight_bits"),
+        )
+    )
+
+
+def dsir_select_top(
+    df: DataFrame,
+    target,
+    m: int,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+) -> DataFrame:
+    """The resampling half of DSIR: the ``m`` most target-like raw
+    documents by (weight_bits DESC, id) — a distributed top-k
+    (TakeOrderedAndProject), never a global sort. Returns
+    (doc_id, n_tokens, weight_bits, rank)."""
+    from pyspark.sql import Window
+
+    scored = dsir_importance(df, target, n_buckets, text, id_col, seed)
+    top = scored.orderBy(
+        F.col("weight_bits").desc(), F.col("doc_id")
+    ).limit(m)
+    w = Window.orderBy(F.col("weight_bits").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_tokens", "weight_bits", "rank"
+    )

@@ -2461,3 +2461,110 @@ def q_quality_classifier_eval(spark, sf_dir):
         "tn",
         ((F.col("tp") + F.col("tn")) / F.col("n_eval")).alias("accuracy"),
     )
+
+
+# ================================================================== DSIR
+
+
+_DSIR_B = 2048
+# The catalog's target domain: English documents (NULL lang = not target).
+_DSIR_TGT = "coalesce(lang = 'en', FALSE)"
+
+
+def _dsir_scored_sql(n_buckets: int, tgt_pred: str) -> str:
+    """WITH-chain replaying corpus.dsir_importance: hashed-bucket token
+    stream, raw + target bucket models with add-one smoothing, per-bucket
+    quantized bit-widths, per-doc exact integer weight. Ends at CTE
+    ``scored`` = (doc_id, n_tokens, weight_bits)."""
+    return f"""toks0 AS (
+        SELECT doc_id, {tgt_pred} AS is_target, unnest({TOKS}) AS term
+        FROM documents),
+    toks AS (
+        SELECT doc_id, is_target,
+               {hash64_sql('term', 'dsir')} % {n_buckets} AS b
+        FROM toks0 WHERE term != ''),
+    doc_b AS (
+        SELECT doc_id, b, count(*) AS c_db FROM toks GROUP BY doc_id, b),
+    model AS (
+        SELECT b, count(*) AS c_r,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+        FROM toks GROUP BY b),
+    tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM model),
+    bits AS (
+        SELECT b,
+               length(bin((t_r + {n_buckets}) // (c_r + 1)))::BIGINT AS bits_r,
+               length(bin((t_t + {n_buckets}) // (c_t + 1)))::BIGINT AS bits_t
+        FROM model CROSS JOIN tot),
+    scored AS (
+        SELECT doc_id,
+               SUM(c_db)::BIGINT AS n_tokens,
+               SUM(c_db * (bits_r - bits_t))::BIGINT AS weight_bits
+        FROM doc_b JOIN bits USING (b) GROUP BY doc_id)"""
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH {_dsir_scored_sql(_DSIR_B, _DSIR_TGT)}
+    SELECT doc_id, n_tokens, weight_bits, rk::INT AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY weight_bits DESC, doc_id) AS rk FROM scored)
+    WHERE rk <= 100 ORDER BY rank
+    """,
+)
+def q_corpus_dsir_importance(spark, sf_dir):
+    """DSIR importance resampling (operators/corpus.dsir_importance — Xie
+    et al. 2023): score every raw document by the quantized log-ratio of
+    a hashed-unigram TARGET model (English docs here) over the raw-corpus
+    model, keep the top 100 — the data-selection primitive for "find me
+    more text like my high-quality seed set" at pretraining scale. The
+    log-probs are quantized to integer bit-widths (the unigram_surprisal
+    rule) so the weights are exact integers, bit-identical in DuckDB.
+    Shapes: two mergeable groupBys (per-doc-bucket, <=B-row model),
+    broadcast model join, distributed top-k."""
+    from ctcityscraper_spark.operators.corpus import dsir_select_top
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return dsir_select_top(
+        docs, F.col("lang") == "en", m=100, n_buckets=_DSIR_B
+    ).repartition(1).sortWithinPartitions("rank")
+
+
+@query(
+    "corpus_dsir_shift",
+    oracle=f"""
+    WITH {_dsir_scored_sql(_DSIR_B, _DSIR_TGT)},
+    sel AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY weight_bits DESC, doc_id) AS rk FROM scored)
+        WHERE rk <= 150)
+    SELECT d.lang, count(*)::BIGINT AS n_docs,
+           count(s.doc_id)::BIGINT AS n_selected
+    FROM documents d LEFT JOIN sel s USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang NULLS FIRST
+    """,
+)
+def q_corpus_dsir_shift(spark, sf_dir):
+    """Selection-shift audit for DSIR: per-language corpus counts vs
+    how many of each language the top-150 importance selection kept —
+    the one-look sanity check that the selection actually moved toward
+    the target domain (n_selected concentrates on the target language)
+    instead of sampling uniformly. Anti-join-free: one left join of the
+    bounded selection ids onto the corpus and a language groupBy."""
+    from ctcityscraper_spark.operators.corpus import dsir_select_top
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    sel = dsir_select_top(
+        docs, F.col("lang") == "en", m=150, n_buckets=_DSIR_B
+    ).select("doc_id")
+    return (
+        docs.join(sel.withColumn("_s", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_s").alias("n_selected"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.col("lang").asc_nulls_first())
+    )

@@ -2777,3 +2777,158 @@ def q_dedup_keep_best(spark, sf_dir):
     out = keep_best_representative(docs, comp, quality_score_col("text"))
     unpersist_rdd_ids(spark, sh0_ids)
     return out.repartition(1).sortWithinPartitions("drop_id")
+
+
+# ================================================================== k-means
+
+
+_KM_K, _KM_ITERS = 8, 2
+
+
+def _km_l2_sql(a: str, b: str, dims: int) -> str:
+    """Integer L2 between two BIGINT[] columns — int64 fold, order-exact."""
+    return (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _km_assign_cte(name: str, ctr: str, dims: int) -> str:
+    """Assignment CTE: every valid quantized vector to its integer-L2
+    argmin centroid in ``ctr`` (ties to the lower list_id) — the DuckDB
+    twin of clustering.l2int_argmin_expr."""
+    return f"""{name} AS (
+      SELECT vid, vm, list_id FROM (
+        SELECT v.vid, v.vm, p.list_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                                  ORDER BY {_km_l2_sql('v.vm', 'p.c', dims)},
+                                           p.list_id) AS rn
+        FROM v CROSS JOIN {ctr} p) WHERE rn = 1)"""
+
+
+def _km_update_cte(name: str, prev_assign: str, prev_ctr: str, dims: int, k: int) -> str:
+    """Lloyd update CTE: per-dim truncating integer mean (``//`` — same
+    toward-zero semantics as Spark ``DIV`` and clustering._tdiv); clusters
+    that captured nothing keep their previous centroid."""
+    cl = ", ".join(
+        f"CAST(sum(vm[{d + 1}]) // count(*) AS BIGINT)" for d in range(dims)
+    )
+    return f"""{name} AS (
+      SELECT g.list_id, CASE WHEN s.n IS NULL THEN p.c ELSE s.cl END AS c
+      FROM (SELECT unnest(range(0, {k}))::INT AS list_id) g
+      LEFT JOIN (SELECT list_id, count(*) AS n, [{cl}] AS cl
+                 FROM {prev_assign} GROUP BY list_id) s USING (list_id)
+      JOIN {prev_ctr} p USING (list_id))"""
+
+
+def _kmeans_chain_sql(dims: int, k: int, iters: int, seed: str = "kmctr") -> str:
+    """The full WITH-chain replaying clustering.kmeans_fit_micros: quantize
+    (v), hash-picked init (c0), then ``iters`` unrolled assign/update
+    rounds ending at centroid CTE ``cf`` and a final assignment ``af``."""
+    parts = [
+        f"""v AS (SELECT vec_id AS vid,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS vm
+           FROM {EMB_VALID} embeddings)""",
+        f"""c0 AS (SELECT rn - 1 AS list_id, vm AS c FROM (
+           SELECT vid, vm, ROW_NUMBER() OVER (
+               ORDER BY {hash64_sql('vid', seed)}, vid) AS rn FROM v)
+         WHERE rn <= {k})""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(_km_assign_cte(f"a{i}", prev, dims))
+        parts.append(_km_update_cte(f"c{i}", f"a{i}", prev, dims, k))
+        prev = f"c{i}"
+    parts.append(f"cf AS (SELECT * FROM {prev})")
+    parts.append(_km_assign_cte("af", "cf", dims))
+    return ",\n".join(parts)
+
+
+@query(
+    "ann_kmeans_centroids",
+    oracle=f"""
+    WITH {_kmeans_chain_sql(EMB_DIMS, _KM_K, _KM_ITERS)},
+    cnt AS (
+      SELECT g.list_id, count(af.vid)::BIGINT AS n_assigned
+      FROM (SELECT unnest(range(0, {_KM_K}))::INT AS list_id) g
+      LEFT JOIN af USING (list_id) GROUP BY g.list_id),
+    dg AS (SELECT unnest(range(0, {EMB_DIMS}))::INT AS dim)
+    SELECT cf.list_id::INT AS list_id, dg.dim,
+           CAST(cf.c[dg.dim + 1] AS BIGINT) AS c_micros, cnt.n_assigned
+    FROM cf JOIN cnt USING (list_id) CROSS JOIN dg
+    ORDER BY list_id, dim
+    """,
+)
+def q_ann_kmeans_centroids(spark, sf_dir):
+    """Fixed-point Lloyd's k-means whose FITTED STATE is itself under the
+    oracle gate (operators/clustering.kmeans_fit_micros): embeddings
+    quantize to integer micros, distances/updates stay in int64 (long
+    sums are order-independent; the centroid mean is a truncating
+    integer division — Spark DIV == DuckDB //), init is hash-picked, so
+    DuckDB replays both Lloyd iterations and matches every centroid
+    coordinate bit-for-bit — a stronger guarantee than the IVF family's
+    downstream-top-k-only gate, and the auditability a curation pipeline
+    needs when cluster ids drive keep/drop decisions. Output: the k x d
+    centroid table exploded to (list_id, dim, c_micros) rows with each
+    cluster's final population attached. Per iteration: one corpus scan
+    + one k-row mergeable groupBy (d+1 longs per cluster)."""
+    from ctcityscraper_spark.operators.clustering import (
+        cluster_sizes,
+        kmeans_fit_micros,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    ctr = kmeans_fit_micros(emb, _KM_K, iters=_KM_ITERS)
+    sizes = cluster_sizes(emb, ctr)
+    grid = spark.createDataFrame(
+        [
+            (i, d, int(ctr[i][d]))
+            for i in range(len(ctr))
+            for d in range(len(ctr[i]))
+        ],
+        "list_id int, dim int, c_micros long",
+    )
+    return (
+        grid.join(F.broadcast(sizes), "list_id")
+        .select("list_id", "dim", "c_micros", "n_assigned")
+        .repartition(1)
+        .sortWithinPartitions("list_id", "dim")
+    )
+
+
+@query(
+    "corpus_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_kmeans_chain_sql(EMB_DIMS, _KM_K, _KM_ITERS)}
+    SELECT list_id::INT AS list_id, rk::INT AS pick_rank, vid AS vec_id
+    FROM (
+      SELECT list_id, vid, ROW_NUMBER() OVER (
+          PARTITION BY list_id
+          ORDER BY {hash64_sql('vid', 'kmsample')}, vid) AS rk
+      FROM af)
+    WHERE rk <= 5 ORDER BY list_id, pick_rank
+    """,
+)
+def q_corpus_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus subsampling (operators/clustering.
+    cluster_balanced_sample): fit the deterministic k-means, assign every
+    vector scan-side, keep 5 hash-ranked representatives per cluster —
+    the density-flattening curation sample (uniform per cluster instead
+    of uniform per row, so dense regions of embedding space don't
+    dominate the subset; the cluster-level half of SemDeDup-style
+    curation). Two-phase exact top-k: local rank within (input-partition,
+    cluster) prunes before the per-cluster rank, so no k-partition
+    straggler at 100 TB. Oracle replays the fit and the hash ranking."""
+    from ctcityscraper_spark.operators.clustering import (
+        cluster_balanced_sample,
+        kmeans_fit_micros,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    ctr = kmeans_fit_micros(emb, _KM_K, iters=_KM_ITERS)
+    return (
+        cluster_balanced_sample(emb, ctr, per_cluster=5)
+        .repartition(1)
+        .sortWithinPartitions("list_id", "pick_rank")
+    )

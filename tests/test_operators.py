@@ -3045,3 +3045,213 @@ class TestBm25:
 
         with _pytest.raises(ValueError, match="at least one query term"):
             bm25_topk(docs, [])
+
+
+class TestFixedPointKmeans:
+    """operators/clustering: cross-engine-exact Lloyd's k-means."""
+
+    def _emb(self, spark, n=60, dims=8, seed=5):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        # two well-separated blobs so convergence is checkable
+        rows = []
+        for i in range(n):
+            center = 3.0 if i % 2 == 0 else -3.0
+            v = (rng.randn(dims) * 0.1 + center).astype("float32")
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_fit_separates_blobs(self, spark):
+        from ctcityscraper_spark.operators.clustering import (
+            assign_clusters,
+            kmeans_fit_micros,
+        )
+
+        emb = self._emb(spark)
+        ctr = kmeans_fit_micros(emb, 2, iters=3)
+        assert len(ctr) == 2
+        # each centroid sits near one blob (+-3e6 micros)
+        means = sorted(sum(c) / len(c) for c in ctr)
+        assert means[0] < -2_000_000 and means[1] > 2_000_000
+        # assignment is pure: even ids together, odd ids together
+        a = {r.vec_id: r.list_id for r in assign_clusters(emb, ctr).collect()}
+        evens = {a[i] for i in range(0, 60, 2)}
+        odds = {a[i] for i in range(1, 60, 2)}
+        assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+    def test_fit_matches_duckdb_replay(self, spark):
+        """The oracle-gate property on a local fixture: DuckDB replays the
+        quantize/init/assign/update chain and lands on identical
+        centroids (the catalog query pins this at sf; this pins it on a
+        blob fixture where clusters actually move across iterations)."""
+        import duckdb
+        import pyarrow as pa
+
+        from ctcityscraper_spark.operators.clustering import kmeans_fit_micros
+        from ctcityscraper_spark.plans.queries_ext import _kmeans_chain_sql
+
+        emb = self._emb(spark, n=50)
+        ctr = kmeans_fit_micros(emb, 4, iters=2)
+        rows = emb.collect()
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r.vec_id for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r.embedding for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        chain = _kmeans_chain_sql(8, 4, 2)
+        duck = con.execute(
+            f"WITH {chain} SELECT list_id, c FROM cf ORDER BY list_id"
+        ).fetchall()
+        con.close()
+        assert [[int(x) for x in c] for _, c in duck] == [
+            [int(x) for x in c] for c in ctr
+        ]
+
+    def test_empty_and_undersized_corpus(self, spark):
+        from ctcityscraper_spark.operators.clustering import (
+            assign_clusters,
+            kmeans_fit_micros,
+        )
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert kmeans_fit_micros(empty, 4, iters=2) == []
+        few = self._emb(spark, n=3)
+        ctr = kmeans_fit_micros(few, 8, iters=2)
+        assert 0 < len(ctr) <= 3
+        assert assign_clusters(few, ctr).count() == 3
+
+    def test_empty_cluster_keeps_centroid(self, spark):
+        """A centroid that captures nothing must keep its coordinates —
+        the rule both engines apply, so it stays bit-aligned."""
+        from ctcityscraper_spark.operators.clustering import (
+            hash_init_centroids_micros,
+            kmeans_fit_micros,
+        )
+
+        # all 20 vectors identical: every point goes to ONE centroid,
+        # the rest must survive verbatim
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        init = hash_init_centroids_micros(emb, 3)
+        ctr = kmeans_fit_micros(emb, 3, iters=2)
+        # identical vectors: init centroids are all the same point too,
+        # ties go to list 0; lists 1-2 keep their (identical) init coords
+        assert ctr[1] == init[1] and ctr[2] == init[2]
+        assert ctr[0] == [1_000_000, 2_000_000, 3_000_000, 4_000_000]
+
+    def test_balanced_sample_partitioning_invariant(self, spark):
+        """The two-phase top-k must give the same picks regardless of the
+        input's physical partitioning (phase 1 prunes per input
+        partition; the union of per-partition tops contains the global
+        top)."""
+        from ctcityscraper_spark.operators.clustering import (
+            cluster_balanced_sample,
+            kmeans_fit_micros,
+        )
+
+        emb = self._emb(spark, n=80)
+        ctr = kmeans_fit_micros(emb, 2, iters=2)
+        a = cluster_balanced_sample(emb.repartition(1), ctr, 5).collect()
+        b = cluster_balanced_sample(emb.repartition(13), ctr, 5).collect()
+        key = lambda r: (r.list_id, r.pick_rank, r.vec_id)
+        assert sorted(map(key, a)) == sorted(map(key, b))
+        assert len(a) == 10  # 5 per cluster, 2 clusters
+        per = {}
+        for r in a:
+            per.setdefault(r.list_id, []).append(r.pick_rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+    def test_invalid_vectors_excluded(self, spark):
+        from ctcityscraper_spark.operators.clustering import (
+            assign_clusters,
+            kmeans_fit_micros,
+        )
+
+        rows = [(0, [1.0, 1.0]), (1, [2.0, 2.0]), (2, None),
+                (3, [0.0, 0.0]), (4, [float("nan"), 1.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        ctr = kmeans_fit_micros(emb, 2, iters=1)
+        assert len(ctr) == 2
+        got = {r.vec_id for r in assign_clusters(emb, ctr).collect()}
+        assert got == {0, 1}
+
+
+class TestDsirImportance:
+    """operators/corpus: DSIR hashed-unigram importance weights."""
+
+    def _docs(self, spark):
+        rows = [
+            # target exemplars: "alpha beta" vocabulary
+            (0, "alpha beta alpha beta alpha", "en", "s0", 10),
+            (1, "beta alpha beta alpha", "en", "s0", 10),
+            # raw docs resembling the target
+            (2, "alpha beta alpha", "zh", "s1", 10),
+            # raw docs far from the target
+            (3, "gamma delta gamma delta gamma", "zh", "s1", 10),
+            (4, "delta gamma delta", "fr", "s1", 10),
+            # hostile rows
+            (5, None, "en", "s2", None),
+            (6, "   ", None, "s2", 3),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def test_target_like_docs_rank_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+
+        docs = self._docs(spark)
+        w = {
+            r.doc_id: r.weight_bits
+            for r in dsir_importance(docs, F.col("lang") == "en").collect()
+        }
+        # docs with no tokens emit no row
+        assert set(w) == {0, 1, 2, 3, 4}
+        # the target-vocabulary raw doc outranks the off-domain docs
+        assert w[2] > w[3] and w[2] > w[4]
+        # exemplars themselves score highest
+        assert min(w[0], w[1]) >= w[2]
+
+    def test_weights_are_exact_integers_and_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+
+        docs = self._docs(spark)
+        a = dsir_importance(docs, F.col("lang") == "en")
+        assert dict(a.dtypes)["weight_bits"] == "bigint"
+        b = dsir_importance(docs.repartition(7), F.col("lang") == "en")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_select_top_rank_contract(self, spark):
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_select_top
+
+        docs = self._docs(spark)
+        top = dsir_select_top(docs, F.col("lang") == "en", m=3).collect()
+        assert [r.rank for r in top] == [1, 2, 3]
+        ws = [r.weight_bits for r in top]
+        assert ws == sorted(ws, reverse=True)
+
+    def test_empty_and_no_target_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        assert dsir_importance(empty, F.col("lang") == "en").count() == 0
+        # no target docs at all: smoothing keeps every bucket defined
+        docs = self._docs(spark)
+        out = dsir_importance(docs, F.col("lang") == "xx").collect()
+        assert len(out) == 5
