@@ -87,7 +87,8 @@ DRIVER_PRIORITY = [
 # the in-repo naive-join oracle gate, so their r12 rows stand. The
 # late-r13 additions text_cms_saturation / dedup_bloom_rebuild /
 # text_bm25_topk / hybrid_rrf_topk / ann_kmeans_centroids /
-# corpus_cluster_balanced_sample / corpus_dsir_importance /
+# ann_kmeans_update / corpus_cluster_balanced_sample /
+# corpus_prototype_prune / corpus_dsir_importance /
 # corpus_dsir_shift sit
 # after the 50-row window (in-repo + adversarial gated this round)
 # and lead the r14 rotation per the within-a-round-or-two policy. Names

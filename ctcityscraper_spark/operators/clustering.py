@@ -77,9 +77,9 @@ def quantize_micros_col(vec) -> F.Column:
     )
 
 
-def l2int_argmin_expr(vm_sql: str, centroids: list) -> F.Column:
-    """``list_id`` of the nearest centroid under integer L2, as ONE
-    ``F.expr`` over a named ``array<bigint>`` column.
+def l2int_best_expr(vm_sql: str, centroids: list) -> F.Column:
+    """The ``(d, list_id)`` struct of the nearest centroid under integer
+    L2, as ONE ``F.expr`` over a named ``array<bigint>`` column.
 
     Distances are int64 folds against centroid literals — order-exact in
     any engine (integer addition is associative); ties break on the
@@ -94,7 +94,12 @@ def l2int_argmin_expr(vm_sql: str, centroids: list) -> F.Column:
         f" 0L, (acc, x) -> acc + x), 'list_id', {i})"
         for i, ctr in enumerate(centroids)
     )
-    return F.expr(f"array_sort(array({structs}))")[0]["list_id"]
+    return F.expr(f"array_sort(array({structs}))")[0]
+
+
+def l2int_argmin_expr(vm_sql: str, centroids: list) -> F.Column:
+    """``list_id`` of the nearest centroid — see :func:`l2int_best_expr`."""
+    return l2int_best_expr(vm_sql, centroids)["list_id"]
 
 
 def _tdiv(s: int, n: int) -> int:
@@ -126,6 +131,69 @@ def hash_init_centroids_micros(
     return [list(r.vm) for r in rows]
 
 
+def kmeans_partial_state(
+    corpus: DataFrame,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The mergeable Lloyd state of ``corpus`` under FROZEN centroids:
+    ``(list_id, n, s0..s{d-1})`` — per-cluster count plus d per-dimension
+    long sums, one map-side-partial groupBy. SUM-mergeable across
+    batches/epochs (long addition is associative and order-free), which
+    is what makes the incremental update exact: state(base) + state
+    (delta) == state(base ∪ delta) bit-for-bit, the delta-zone recipe's
+    contract."""
+    return _state_from_vm(
+        valid_vectors(corpus, vec).select(quantize_micros_col(vec).alias("vm")),
+        centroids,
+    )
+
+
+def _state_from_vm(vm_df: DataFrame, centroids: list) -> DataFrame:
+    """Lloyd state over an already-quantized ``vm`` column."""
+    dims = len(centroids[0])
+    return (
+        vm_df.select(l2int_argmin_expr("vm", centroids).alias("list_id"), "vm")
+        .groupBy("list_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at("vm", d + 1)).alias(f"s{d}")
+                for d in range(dims)
+            ],
+        )
+    )
+
+
+def merge_kmeans_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SUM-merge two Lloyd state tables (idempotent on columns, exact)."""
+    dims = len([c for c in a.columns if c.startswith("s")])
+    return (
+        a.unionByName(b)
+        .groupBy("list_id")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dims)],
+        )
+    )
+
+
+def centroids_from_state(state: DataFrame, prev_centroids: list) -> list:
+    """One Lloyd update from a state table: ``sum DIV n`` per dimension
+    (truncating division — clustering module header); clusters with no
+    captured vectors keep their previous centroid. Collects exactly
+    <= k rows of d+1 longs."""
+    dims = len(prev_centroids[0]) if prev_centroids else 0
+    by_list = {r["list_id"]: r for r in state.collect()}
+    return [
+        [_tdiv(by_list[i][f"s{d}"], by_list[i]["n"]) for d in range(dims)]
+        if i in by_list and by_list[i]["n"] > 0
+        else prev_centroids[i]
+        for i in range(len(prev_centroids))
+    ]
+
+
 def kmeans_fit_micros(
     corpus: DataFrame,
     n_clusters: int,
@@ -140,43 +208,24 @@ def kmeans_fit_micros(
     corpus holds fewer valid vectors).
 
     Per iteration: assign every vector to its argmin centroid (scan-stage
-    literal expression), then one groupBy(list_id) computing ``count``
-    plus d per-dimension long sums (map-side partial — the mergeable
-    Lloyd state), collect k rows, and update each centroid to
-    ``sum DIV n`` (truncating division). A cluster that captured no
-    vectors keeps its previous centroid — the same rule the SQL oracle
-    applies, so empty clusters stay bit-aligned too.
+    literal expression), aggregate the mergeable Lloyd state
+    (:func:`kmeans_partial_state`), collect k rows, and update each
+    centroid to ``sum DIV n`` (truncating division). A cluster that
+    captured no vectors keeps its previous centroid — the same rule the
+    SQL oracle applies, so empty clusters stay bit-aligned too.
     """
-    v = valid_vectors(corpus, vec).select(
-        F.col(id_col).alias("vid"), quantize_micros_col(vec).alias("vm")
-    )
     centroids = hash_init_centroids_micros(corpus, n_clusters, vec, id_col, seed)
     if not centroids or iters <= 0:
         return centroids
-    dims = len(centroids[0])
-    v = persist_tracked(v)
+    v = persist_tracked(
+        valid_vectors(corpus, vec).select(
+            F.col(id_col).alias("vid"), quantize_micros_col(vec).alias("vm")
+        )
+    )
     for _ in range(iters):
-        assigned = v.select(
-            l2int_argmin_expr("vm", centroids).alias("list_id"), "vm"
+        centroids = centroids_from_state(
+            _state_from_vm(v.select("vm"), centroids), centroids
         )
-        rows = (
-            assigned.groupBy("list_id")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("vm", d + 1)).alias(f"s{d}")
-                    for d in range(dims)
-                ],
-            )
-            .collect()
-        )
-        by_list = {r["list_id"]: r for r in rows}
-        centroids = [
-            [_tdiv(by_list[i][f"s{d}"], by_list[i]["n"]) for d in range(dims)]
-            if i in by_list
-            else centroids[i]
-            for i in range(len(centroids))
-        ]
     return centroids
 
 
@@ -192,6 +241,82 @@ def assign_clusters(
         valid_vectors(corpus, vec)
         .select(F.col(id_col), quantize_micros_col(vec).alias("vm"))
         .select(id_col, l2int_argmin_expr("vm", centroids).alias("list_id"))
+    )
+
+
+def assign_with_distance(
+    corpus: DataFrame,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, list_id, d2)`` — nearest centroid plus the exact integer
+    squared distance (micros^2) to it, still one scan-stage expression
+    (the argmin struct sort already computes every distance; this just
+    keeps ``d`` instead of discarding it)."""
+    vm = (
+        valid_vectors(corpus, vec)
+        .select(F.col(id_col), quantize_micros_col(vec).alias("vm"))
+    )
+    best = l2int_best_expr("vm", centroids)
+    return vm.select(
+        id_col,
+        best["list_id"].alias("list_id"),
+        best["d"].alias("d2"),
+    )
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    centroids: list,
+    drop_pct: int = 20,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """D4-style prototype pruning (Tirumala et al. 2023: SemDeDup removes
+    near-duplicates, SSL-prototypes removes the most PROTOTYPICAL points
+    — the ones closest to their cluster centroid, which carry the least
+    marginal information): per cluster, the drop list of the
+    ``floor(n_c * drop_pct / 100)`` vectors with the smallest exact
+    integer squared distance to their centroid (ties to the lower id).
+    Returns ``(list_id, proto_rank, id_col, d2)``.
+
+    Distances are int64 micros^2 (exact cross-engine); the per-cluster
+    quota is one truncating division of integer counts. Exact ranking
+    uses the same two-phase shape as cluster_balanced_sample — local
+    rank per (input-partition, cluster) prunes to the quota before the
+    per-cluster rank. NOTE the quota here is a FRACTION of the cluster,
+    so phase 1 caps each input partition's contribution at K_c rather
+    than shrinking the total by much; at 100 TB the production variant
+    is a per-cluster d2 THRESHOLD from the mergeable quantile-sketch
+    family (operators/text.quantile_sketch) applied as a scan-side
+    filter — approximate at the quota boundary, zero global ranking.
+    This operator is the oracle-exact reference implementation.
+    """
+    a = assign_with_distance(corpus, centroids, vec, id_col)
+    quotas = (
+        a.groupBy("list_id")
+        .agg(F.count("*").alias("n_c"))
+        .select(
+            "list_id",
+            F.expr(f"(n_c * {int(drop_pct)}) DIV 100").alias("quota"),
+        )
+    )
+    a = a.join(F.broadcast(quotas), "list_id").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    order = [F.col("d2"), F.col(id_col)]
+    local = Window.partitionBy("_part", "list_id").orderBy(*order)
+    survivors = (
+        a.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= F.col("quota"))
+        .drop("_lrk", "_part")
+    )
+    w = Window.partitionBy("list_id").orderBy(*order)
+    return (
+        survivors.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= F.col("quota"))
+        .select("list_id", "proto_rank", id_col, "d2")
     )
 
 

@@ -2793,17 +2793,18 @@ def _km_l2_sql(a: str, b: str, dims: int) -> str:
     )
 
 
-def _km_assign_cte(name: str, ctr: str, dims: int) -> str:
-    """Assignment CTE: every valid quantized vector to its integer-L2
-    argmin centroid in ``ctr`` (ties to the lower list_id) — the DuckDB
-    twin of clustering.l2int_argmin_expr."""
+def _km_assign_cte(name: str, ctr: str, dims: int, src: str = "v") -> str:
+    """Assignment CTE: every valid quantized vector in ``src`` to its
+    integer-L2 argmin centroid in ``ctr`` (ties to the lower list_id),
+    keeping the distance — the DuckDB twin of
+    clustering.l2int_best_expr."""
     return f"""{name} AS (
-      SELECT vid, vm, list_id FROM (
-        SELECT v.vid, v.vm, p.list_id,
-               ROW_NUMBER() OVER (PARTITION BY v.vid
-                                  ORDER BY {_km_l2_sql('v.vm', 'p.c', dims)},
+      SELECT vid, vm, list_id, d FROM (
+        SELECT s.vid, s.vm, p.list_id, {_km_l2_sql('s.vm', 'p.c', dims)} AS d,
+               ROW_NUMBER() OVER (PARTITION BY s.vid
+                                  ORDER BY {_km_l2_sql('s.vm', 'p.c', dims)},
                                            p.list_id) AS rn
-        FROM v CROSS JOIN {ctr} p) WHERE rn = 1)"""
+        FROM {src} s CROSS JOIN {ctr} p) WHERE rn = 1)"""
 
 
 def _km_update_cte(name: str, prev_assign: str, prev_ctr: str, dims: int, k: int) -> str:
@@ -2821,23 +2822,38 @@ def _km_update_cte(name: str, prev_assign: str, prev_ctr: str, dims: int, k: int
       JOIN {prev_ctr} p USING (list_id))"""
 
 
-def _kmeans_chain_sql(dims: int, k: int, iters: int, seed: str = "kmctr") -> str:
+def _kmeans_chain_sql(
+    dims: int,
+    k: int,
+    iters: int,
+    seed: str = "kmctr",
+    fit_where: str | None = None,
+) -> str:
     """The full WITH-chain replaying clustering.kmeans_fit_micros: quantize
     (v), hash-picked init (c0), then ``iters`` unrolled assign/update
-    rounds ending at centroid CTE ``cf`` and a final assignment ``af``."""
+    rounds ending at centroid CTE ``cf`` and a final assignment ``af``
+    over the FULL corpus. With ``fit_where``, init and the Lloyd rounds
+    run over the filtered subset ``vb`` (the incremental-update oracle:
+    fit on the base split, final state over base + delta)."""
     parts = [
         f"""v AS (SELECT vec_id AS vid,
              list_transform(embedding,
                             x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS vm
            FROM {EMB_VALID} embeddings)""",
+    ]
+    fit_src = "v"
+    if fit_where is not None:
+        parts.append(f"vb AS (SELECT * FROM v WHERE {fit_where})")
+        fit_src = "vb"
+    parts.append(
         f"""c0 AS (SELECT rn - 1 AS list_id, vm AS c FROM (
            SELECT vid, vm, ROW_NUMBER() OVER (
-               ORDER BY {hash64_sql('vid', seed)}, vid) AS rn FROM v)
-         WHERE rn <= {k})""",
-    ]
+               ORDER BY {hash64_sql('vid', seed)}, vid) AS rn FROM {fit_src})
+         WHERE rn <= {k})"""
+    )
     prev = "c0"
     for i in range(1, iters + 1):
-        parts.append(_km_assign_cte(f"a{i}", prev, dims))
+        parts.append(_km_assign_cte(f"a{i}", prev, dims, src=fit_src))
         parts.append(_km_update_cte(f"c{i}", f"a{i}", prev, dims, k))
         prev = f"c{i}"
     parts.append(f"cf AS (SELECT * FROM {prev})")
@@ -2931,4 +2947,108 @@ def q_corpus_cluster_balanced_sample(spark, sf_dir):
         cluster_balanced_sample(emb, ctr, per_cluster=5)
         .repartition(1)
         .sortWithinPartitions("list_id", "pick_rank")
+    )
+
+
+@query(
+    "ann_kmeans_update",
+    oracle=f"""
+    WITH {_kmeans_chain_sql(EMB_DIMS, _KM_K, _KM_ITERS,
+                            fit_where=f"{hash64_sql('vid', 'kmsplit')} % 5 != 0")},
+    st AS (
+      SELECT list_id, count(*) AS n,
+             {', '.join(f'sum(vm[{d + 1}]) AS s{d}' for d in range(EMB_DIMS))}
+      FROM af GROUP BY list_id),
+    cn AS (
+      SELECT g.list_id,
+             CASE WHEN st.n IS NULL THEN cf.c
+                  ELSE [{', '.join(f'CAST(st.s{d} // st.n AS BIGINT)'
+                                   for d in range(EMB_DIMS))}] END AS c,
+             COALESCE(st.n, 0)::BIGINT AS n_assigned
+      FROM (SELECT unnest(range(0, {_KM_K}))::INT AS list_id) g
+      LEFT JOIN st USING (list_id) JOIN cf USING (list_id)),
+    dg AS (SELECT unnest(range(0, {EMB_DIMS}))::INT AS dim)
+    SELECT cn.list_id::INT AS list_id, dg.dim,
+           CAST(cn.c[dg.dim + 1] AS BIGINT) AS c_micros, cn.n_assigned
+    FROM cn CROSS JOIN dg
+    ORDER BY list_id, dim
+    """,
+)
+def q_ann_kmeans_update(spark, sf_dir):
+    """Incremental k-means maintenance (operators/clustering
+    .kmeans_partial_state / merge_kmeans_states / centroids_from_state):
+    the centroids are fitted on an 80% base split, the Lloyd state
+    (per-cluster count + d per-dim long sums — SUM-mergeable) is
+    aggregated separately for base and for the 20% delta batch under the
+    FROZEN centroids, merged, and one update step produces the refreshed
+    centroids. The oracle replays the fit and takes the same update step
+    over base-union-delta in one pass — a value-hash match therefore
+    proves state(base) + state(delta) == state(base ∪ delta) bit-for-bit
+    (the delta-zone contract: the nightly refresh pays one batch-sized
+    assignment, never a corpus re-scan). Output shape matches
+    ann_kmeans_centroids; n_assigned is the merged-state population."""
+    from ctcityscraper_spark.operators.clustering import (
+        centroids_from_state,
+        kmeans_fit_micros,
+        kmeans_partial_state,
+        merge_kmeans_states,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    bucket = hash64(F.col("vec_id"), "kmsplit") % 5
+    base, delta = emb.filter(bucket != 0), emb.filter(bucket == 0)
+    ctr = kmeans_fit_micros(base, _KM_K, iters=_KM_ITERS)
+    merged = merge_kmeans_states(
+        kmeans_partial_state(base, ctr), kmeans_partial_state(delta, ctr)
+    )
+    rows = {r["list_id"]: r for r in merged.collect()}
+    new_ctr = centroids_from_state(merged, ctr)
+    grid = spark.createDataFrame(
+        [
+            (i, d, int(new_ctr[i][d]), int(rows[i]["n"]) if i in rows else 0)
+            for i in range(len(new_ctr))
+            for d in range(len(new_ctr[i]))
+        ],
+        "list_id int, dim int, c_micros long, n_assigned long",
+    )
+    return grid.repartition(1).sortWithinPartitions("list_id", "dim")
+
+
+@query(
+    "corpus_prototype_prune",
+    oracle=f"""
+    WITH {_kmeans_chain_sql(EMB_DIMS, _KM_K, _KM_ITERS)},
+    qt AS (SELECT list_id, (count(*) * 20) // 100 AS quota
+           FROM af GROUP BY list_id)
+    SELECT list_id::INT AS list_id, rk::INT AS proto_rank,
+           vid AS vec_id, d AS d2
+    FROM (
+      SELECT af.list_id, af.vid, af.d, qt.quota, ROW_NUMBER() OVER (
+          PARTITION BY af.list_id ORDER BY af.d, af.vid) AS rk
+      FROM af JOIN qt USING (list_id))
+    WHERE rk <= quota ORDER BY list_id, proto_rank
+    """,
+)
+def q_corpus_prototype_prune(spark, sf_dir):
+    """D4-style prototype pruning (operators/clustering.prototype_prune —
+    Tirumala et al. 2023): per k-means cluster, the drop list of the 20%
+    of vectors CLOSEST to their centroid (the most prototypical, least
+    informative examples; dropping them is the SSL-prototypes half of
+    the D4 curation recipe, complementing dedup_semdedup_drop_list's
+    near-duplicate half). Distances are exact int64 micros^2, the quota
+    one truncating integer division, the ranking the two-phase exact
+    per-cluster top-k — and the docstring's 100 TB variant swaps the
+    global rank for a mergeable quantile-sketch d2 threshold applied
+    scan-side."""
+    from ctcityscraper_spark.operators.clustering import (
+        kmeans_fit_micros,
+        prototype_prune,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    ctr = kmeans_fit_micros(emb, _KM_K, iters=_KM_ITERS)
+    return (
+        prototype_prune(emb, ctr, drop_pct=20)
+        .repartition(1)
+        .sortWithinPartitions("list_id", "proto_rank")
     )

@@ -3255,3 +3255,113 @@ class TestDsirImportance:
         docs = self._docs(spark)
         out = dsir_importance(docs, F.col("lang") == "xx").collect()
         assert len(out) == 5
+
+
+class TestKmeansMaintenance:
+    """operators/clustering: mergeable Lloyd state + prototype pruning."""
+
+    def _emb(self, spark, n=60, dims=6, seed=9):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, [float(x) for x in rng.randn(dims).astype("float32")])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_merged_state_equals_fresh_state(self, spark):
+        """state(base) + state(delta) == state(base ∪ delta), and the
+        centroids updated from either are identical — the delta-zone
+        exactness contract."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.clustering import (
+            centroids_from_state,
+            kmeans_fit_micros,
+            kmeans_partial_state,
+            merge_kmeans_states,
+        )
+
+        emb = self._emb(spark)
+        bucket = hash64(F.col("vec_id"), "t") % 4
+        base, delta = emb.filter(bucket != 0), emb.filter(bucket == 0)
+        ctr = kmeans_fit_micros(base, 3, iters=2)
+        merged = merge_kmeans_states(
+            kmeans_partial_state(base, ctr), kmeans_partial_state(delta, ctr)
+        )
+        fresh = kmeans_partial_state(emb, ctr)
+        key = lambda r: tuple(r[c] for c in sorted(r.asDict()))
+        assert sorted(map(key, merged.collect())) == sorted(
+            map(key, fresh.collect())
+        )
+        assert centroids_from_state(merged, ctr) == centroids_from_state(
+            fresh, ctr
+        )
+
+    def test_state_counts_cover_all_valid_vectors(self, spark):
+        from ctcityscraper_spark.operators.clustering import (
+            kmeans_fit_micros,
+            kmeans_partial_state,
+        )
+
+        emb = self._emb(spark, n=40)
+        ctr = kmeans_fit_micros(emb, 4, iters=1)
+        total = (
+            kmeans_partial_state(emb, ctr).agg({"n": "sum"}).collect()[0][0]
+        )
+        assert total == 40
+
+    def test_prototype_prune_quota_and_order(self, spark):
+        from ctcityscraper_spark.operators.clustering import (
+            assign_with_distance,
+            kmeans_fit_micros,
+            prototype_prune,
+        )
+
+        emb = self._emb(spark, n=50)
+        ctr = kmeans_fit_micros(emb, 2, iters=2)
+        sizes = {
+            r.list_id: r.n
+            for r in assign_with_distance(emb, ctr)
+            .groupBy("list_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        out = prototype_prune(emb, ctr, drop_pct=20).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.list_id, []).append(r)
+        for lid, rows in per.items():
+            assert len(rows) == (sizes[lid] * 20) // 100
+            ds = [r.d2 for r in sorted(rows, key=lambda r: r.proto_rank)]
+            assert ds == sorted(ds)  # closest-first
+        # dropped points really are the closest ones: every kept point in
+        # the same cluster is at least as far as the dropped max
+        a = {
+            (r.list_id, r.vec_id): r.d2
+            for r in assign_with_distance(emb, ctr).collect()
+        }
+        for lid, rows in per.items():
+            dropped = {r.vec_id for r in rows}
+            max_dropped = max(r.d2 for r in rows)
+            kept = [
+                d2
+                for (l, vid), d2 in a.items()
+                if l == lid and vid not in dropped
+            ]
+            assert all(d2 >= max_dropped for d2 in kept) or not kept
+
+    def test_prototype_prune_partitioning_invariant(self, spark):
+        from ctcityscraper_spark.operators.clustering import (
+            kmeans_fit_micros,
+            prototype_prune,
+        )
+
+        emb = self._emb(spark, n=70)
+        ctr = kmeans_fit_micros(emb, 3, iters=2)
+        key = lambda r: (r.list_id, r.proto_rank, r.vec_id, r.d2)
+        a = sorted(map(key, prototype_prune(emb.repartition(1), ctr, 20).collect()))
+        b = sorted(map(key, prototype_prune(emb.repartition(11), ctr, 20).collect()))
+        assert a == b and a
