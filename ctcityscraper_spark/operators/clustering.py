@@ -293,7 +293,10 @@ def prototype_prune(
     filter — approximate at the quota boundary, zero global ranking.
     This operator is the oracle-exact reference implementation.
     """
-    a = assign_with_distance(corpus, centroids, vec, id_col)
+    # referenced twice (quota aggregation + the ranked main branch): persist
+    # the narrow (id, list_id, d2) frame or the second reference re-scans
+    # the corpus and re-runs the argmin pass (the kmv_overlap lesson)
+    a = persist_tracked(assign_with_distance(corpus, centroids, vec, id_col))
     quotas = (
         a.groupBy("list_id")
         .agg(F.count("*").alias("n_c"))
