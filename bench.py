@@ -95,7 +95,7 @@ PRIOR_ROUND_QUERY_SET = [
 # Headline queries promoted THIS round (r13): not in the prior set, so
 # they never pollute comparable_subtotal; recorded explicitly so the set
 # growth is visible in the JSON rather than inferred by diffing rounds.
-NEW_HEADLINE_QUERIES = ["ann_pq_retrain_cycle"]
+NEW_HEADLINE_QUERIES = ["ann_pq_retrain_cycle", "ann_kmeans_centroids"]
 
 # In the headline set and in r12's record, but EXCLUDED from the r13
 # comparable subtotal because its SEMANTICS changed this round (the
@@ -148,6 +148,10 @@ EXPECTED_NORMALIZED = {
     # codebook trainings + two fixed-point drift legs), measured 2.7 s
     # raw at calibration 0.233
     "ann_pq_retrain_cycle": 11.8,
+    # r13 promotion: fixed-point Lloyd fit (2 iters: per-iter scan-stage
+    # argmin + k-row mergeable groupBy) + full-grid population audit,
+    # measured 2.83/3.06 s raw on two runs at calibration ~0.27
+    "ann_kmeans_centroids": 10.9,
 }
 
 

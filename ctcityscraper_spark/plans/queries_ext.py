@@ -2875,6 +2875,7 @@ def _kmeans_chain_sql(
     FROM cf JOIN cnt USING (list_id) CROSS JOIN dg
     ORDER BY list_id, dim
     """,
+    headline=True,
 )
 def q_ann_kmeans_centroids(spark, sf_dir):
     """Fixed-point Lloyd's k-means whose FITTED STATE is itself under the
