@@ -166,17 +166,20 @@ def _state_from_vm(vm_df: DataFrame, centroids: list) -> DataFrame:
     )
 
 
-def merge_kmeans_states(a: DataFrame, b: DataFrame) -> DataFrame:
-    """SUM-merge two Lloyd state tables (idempotent on columns, exact)."""
-    dims = len([c for c in a.columns if c.startswith("s")])
-    return (
-        a.unionByName(b)
-        .groupBy("list_id")
-        .agg(
-            F.sum("n").alias("n"),
-            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dims)],
-        )
+def sum_kmeans_state(state: DataFrame) -> DataFrame:
+    """SUM-collapse a Lloyd state table that may hold several delta rows
+    per list (per-batch zone rows) into one row per list — exact (long
+    sums), idempotent on an already-collapsed table."""
+    dims = len([c for c in state.columns if c.startswith("s")])
+    return state.groupBy("list_id").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dims)],
     )
+
+
+def merge_kmeans_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SUM-merge two Lloyd state tables (exact, commutative)."""
+    return sum_kmeans_state(a.unionByName(b))
 
 
 def centroids_from_state(state: DataFrame, prev_centroids: list) -> list:

@@ -2043,3 +2043,129 @@ def streaming_pq(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _kmeans_zone_meta(centroids_micros: list) -> dict:
+    k = len(centroids_micros)
+    dims = len(centroids_micros[0]) if centroids_micros else 0
+    return {"kind": "kmeans_state", "format_version": 1,
+            "k": k, "dims": dims, "centroids_micros": centroids_micros}
+
+
+_KMEANS_REBUILD_HINT = (
+    "Re-aggregate the state under the current centroids "
+    "(clustering.kmeans_partial_state over the corpus) or restart the "
+    "stream with a fresh state_dir."
+)
+
+
+def read_kmeans_state(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int = 2**62,
+) -> tuple[DataFrame | None, list | None]:
+    """The Lloyd state rows for batches strictly before ``before_batch``
+    plus the zone's FROZEN centroids (integer micros):
+    ``(state_rows | None, centroids | None)``. The rows are per-batch
+    deltas — SUM-collapse with ``clustering.sum_kmeans_state`` before
+    consuming; the collapsed table IS ``kmeans_partial_state`` over
+    everything ingested, exactly (each vector contributes to exactly one
+    batch and long sums are order-free). Marker validation as in
+    :func:`read_ivf_index`: state aggregated under different centroids
+    must never merge — the sums would mix assignment regimes."""
+    rows, ctrs = _read_validated_zone(
+        spark, state_dir, "kmeans_state", "centroids_micros",
+        _KMEANS_REBUILD_HINT, before_batch,
+    )
+    if ctrs is not None:
+        ctrs = [[int(x) for x in c] for c in ctrs]
+    return rows, ctrs
+
+
+def refreshed_kmeans_centroids(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int = 2**62,
+) -> list | None:
+    """One Lloyd update step from the streamed state zone: collapse the
+    delta rows and take ``sum DIV n`` per dimension against the zone's
+    frozen centroids (empty clusters keep their coordinates) — the
+    nightly centroid refresh, computed from ≤ k × batches ledger rows
+    without ever re-reading the corpus. The caller decides whether to
+    ADOPT the refresh (restarting the zone under the new centroids —
+    the detect → retrain → verify loop); the running stream keeps
+    aggregating under its frozen contract either way. None when the
+    zone is absent or empty."""
+    from ctcityscraper_spark.operators.clustering import (
+        centroids_from_state,
+        sum_kmeans_state,
+    )
+
+    rows, ctrs = read_kmeans_state(spark, state_dir, before_batch)
+    if rows is None or ctrs is None:
+        return None
+    return centroids_from_state(sum_kmeans_state(rows), ctrs)
+
+
+def streaming_kmeans_state(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    centroids: list,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained Lloyd k-means state over an embedding
+    stream — the CLUSTERING instance of the delta-zone recipe, and the
+    cleanest one: the entire zone is ≤ k rows of (count, d long sums)
+    per batch, every column SUM-mergeable, so exactly-once composes with
+    bit-exact merging for free.
+
+    Every micro-batch assigns its vectors under the FROZEN integer-micro
+    ``centroids`` (clustering.kmeans_partial_state — one scan-stage
+    argmin pass over the batch, never a stored-state scan) and appends
+    the ≤ k-row delta state to ``state_dir/batch_id=N`` (exactly-once:
+    per-batch overwrite + the streaming checkpoint). The centroids ARE
+    the zone's format contract (``_zone_meta.json``): state aggregated
+    under different centroids would mix assignment regimes, so a resumed
+    stream with a different quantizer dies on its first batch.
+
+    The zone doubles as its own occupancy ledger (the ``n`` column) and
+    feeds :func:`refreshed_kmeans_centroids` — one update step, corpus
+    never re-read. With ``compact_every=N`` the zone periodically
+    SUM-collapses to ≤ k rows total (clustering.sum_kmeans_state is
+    idempotent, the compaction-transform contract), so stored state
+    stays k-row-sized at any stream length. Returns the StreamingQuery
+    handle; caller stops it."""
+    from ctcityscraper_spark.operators.clustering import (
+        kmeans_partial_state,
+        sum_kmeans_state,
+    )
+
+    ctrs = [[int(x) for x in c] for c in centroids]
+    meta = _kmeans_zone_meta(ctrs)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(spark, state_dir, meta, _KMEANS_REBUILD_HINT)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, state_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, state_dir, batch_id,
+                    transform=sum_kmeans_state,
+                )
+        kmeans_partial_state(
+            batch_df, ctrs, vec=vec, id_col=id_col
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

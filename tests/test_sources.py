@@ -2194,3 +2194,97 @@ class TestStreamingIvfPq:
             read_pq_codes(spark, str(d))
         # absent zone: clean None
         assert read_ivf_index(spark, str(tmp_path / "nope")) == (None, None)
+
+
+class TestStreamingKmeansState:
+    """streaming_kmeans_state: the clustering instance of the delta-zone
+    recipe — per-batch ≤ k-row SUM-mergeable Lloyd state under FROZEN
+    integer-micro centroids recorded as the zone's format contract."""
+
+    SCHEMA = "vec_id long, embedding array<double>"
+    BATCHES = [
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 0.0, -1.0, 0.5])],
+        [(3, [0.1, 0.2, 0.3, 0.4]), (4, [-1.0, -2.0, 1.0, 2.0])],
+        [(5, [5.0, 4.0, 3.0, 2.0]), (6, [1.0, 1.0, 1.0, 1.0])],
+    ]
+
+    def _write_batches(self, spark, src):
+        import time as _time
+
+        for rows in self.BATCHES:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+    def test_streamed_state_equals_one_shot(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.clustering import (
+            centroids_from_state,
+            hash_init_centroids_micros,
+            kmeans_partial_state,
+            sum_kmeans_state,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_kmeans_state,
+            refreshed_kmeans_centroids,
+            stream_from_directory,
+            streaming_kmeans_state,
+        )
+
+        src = tmp_path / "incoming"
+        self._write_batches(spark, src)
+        allv = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], self.SCHEMA
+        )
+        ctrs = hash_init_centroids_micros(allv, 3)
+
+        def run(centroids):
+            q = streaming_kmeans_state(
+                stream_from_directory(
+                    spark, str(src), self.SCHEMA, max_files_per_trigger=1
+                ),
+                state_dir=str(tmp_path / "km"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                centroids=centroids,
+                compact_every=2,
+            )
+            q.awaitTermination(180)
+
+        run(ctrs)
+        rows, stored = read_kmeans_state(spark, str(tmp_path / "km"))
+        assert stored == [[int(x) for x in c] for c in ctrs]
+        key = lambda r: tuple(r[c] for c in sorted(r.asDict()))
+        got = sorted(map(key, sum_kmeans_state(rows).collect()))
+        want = sorted(
+            map(key, kmeans_partial_state(allv, ctrs).collect())
+        )
+        assert got == want  # merged deltas == one-shot full-corpus state
+        # the refresh helper takes one exact Lloyd step off the ledger
+        assert refreshed_kmeans_centroids(
+            spark, str(tmp_path / "km")
+        ) == centroids_from_state(kmeans_partial_state(allv, ctrs), ctrs)
+        # sub-epoch windowed reads are unavailable once compaction folded
+        # those batches into an epoch (upto=2 here): rows come back None
+        # rather than silently over-counting
+        early, _ = read_kmeans_state(spark, str(tmp_path / "km"), 1)
+        assert early is None
+        # restart with the same checkpoint: nothing reprocesses
+        run(ctrs)
+        rows2, _ = read_kmeans_state(spark, str(tmp_path / "km"))
+        assert sorted(map(key, sum_kmeans_state(rows2).collect())) == got
+        # resume under DIFFERENT centroids: first new batch dies loudly
+        import time as _time
+
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(9, [9.0, 9.0, 9.0, 9.0])], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        with _pytest.raises(Exception, match="zone|kmeans"):
+            run([[0] * 4] * 3)
+        # absent zone reads as (None, None)
+        assert read_kmeans_state(spark, str(tmp_path / "nope")) == (
+            None,
+            None,
+        )
