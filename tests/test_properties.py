@@ -857,3 +857,60 @@ class TestPrefixFilterRecallProperty:
             ).collect()
         )
         assert got == ref
+
+
+class TestKmeansCrossEngineProperties:
+    """The fixed-point k-means determinism seams — floor quantization on
+    arbitrary float32 (incl. negatives), truncating integer division on
+    negative sums, argmin tie-breaks on duplicate vectors — must agree
+    with the DuckDB replay on ARBITRARY corpora, not just the fixtures
+    the unit tests pin."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        data=st.lists(
+            st.lists(
+                st.floats(min_value=-4.0, max_value=4.0,
+                          allow_nan=False, allow_infinity=False,
+                          width=32),
+                min_size=3, max_size=3,
+            ),
+            min_size=4, max_size=20,
+        ),
+        k=st.integers(min_value=1, max_value=3),
+        iters=st.integers(min_value=1, max_value=2),
+        dup_first=st.booleans(),
+    )
+    def test_fit_matches_duckdb_replay(self, spark, data, k, iters, dup_first):
+        import duckdb as _duckdb
+        import pyarrow as pa
+
+        from ctcityscraper_spark.operators.clustering import kmeans_fit_micros
+        from ctcityscraper_spark.plans.queries_ext import _kmeans_chain_sql
+
+        if dup_first:  # duplicate vectors: pure tie-break territory
+            data = data + [data[0]] * 2
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        ctr = kmeans_fit_micros(df, k, iters=iters)
+
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
+        con = _duckdb.connect()
+        con.register("embeddings", tbl)
+        chain = _kmeans_chain_sql(3, k, iters)
+        duck = con.execute(
+            f"WITH {chain} SELECT list_id, c FROM cf ORDER BY list_id"
+        ).fetchall()
+        con.close()
+        assert [[int(x) for x in c] for _, c in duck] == [
+            [int(x) for x in c] for c in ctr
+        ]
