@@ -3365,3 +3365,94 @@ class TestKmeansMaintenance:
         a = sorted(map(key, prototype_prune(emb.repartition(1), ctr, 20).collect()))
         b = sorted(map(key, prototype_prune(emb.repartition(11), ctr, 20).collect()))
         assert a == b and a
+
+
+class TestKmeansMaintenanceCycle:
+    """The k-means third of the maintenance loop (IVF = probe cost,
+    PQ = quantization accuracy; this one = CLUSTER QUALITY of the
+    curation clustering): a shifted delta distribution collapses into
+    one list under the frozen centroids — the streamed Lloyd-state
+    ledger's occupancy detects it, ONE exact Lloyd step off the ledger
+    (refreshed_kmeans_centroids — corpus never re-read) is adopted, and
+    recovery is verified by the within-cluster SSE dropping. Lloyd
+    monotonicity makes the verify leg deterministic: an update step plus
+    re-assignment can only lower SSE."""
+
+    DIMS = 6
+
+    def _sse(self, corpus, centroids):
+        from ctcityscraper_spark.operators.clustering import (
+            assign_with_distance,
+        )
+
+        return (
+            assign_with_distance(corpus, centroids)
+            .agg(F.sum("d2").alias("sse"))
+            .collect()[0]
+            .sse
+        )
+
+    def test_detect_refresh_verify(self, spark, tmp_path):
+        import time as _time
+
+        from ctcityscraper_spark.operators.clustering import (
+            kmeans_fit_micros,
+            sum_kmeans_state,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_kmeans_state,
+            refreshed_kmeans_centroids,
+            stream_from_directory,
+            streaming_kmeans_state,
+        )
+
+        base_rows = [
+            (i, [((i * 29 + d * 13) % 19) / 19.0 - 0.5
+                 for d in range(self.DIMS)])
+            for i in range(60)
+        ]
+        delta_rows = [
+            (200 + m, [20.0 + 0.1 * (((m * 11 + d * 3) % 5) - 2)
+                       for d in range(self.DIMS)])
+            for m in range(40)
+        ]
+        schema = "vec_id long, embedding array<double>"
+        base = spark.createDataFrame(base_rows, schema)
+        ctr = kmeans_fit_micros(base, 4, iters=2)
+
+        src = tmp_path / "incoming"
+        base.coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+        spark.createDataFrame(delta_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+        q = streaming_kmeans_state(
+            stream_from_directory(spark, str(src), schema,
+                                  max_files_per_trigger=1),
+            state_dir=str(tmp_path / "km"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            centroids=ctr,
+        )
+        q.awaitTermination(180)
+
+        # DETECT: the far-away delta blob argmins into one list — the
+        # ledger's occupancy shows a jumbo list without touching vectors
+        rows, frozen = read_kmeans_state(spark, str(tmp_path / "km"))
+        occ = {r.list_id: r.n for r in sum_kmeans_state(rows).collect()}
+        total, k = sum(occ.values()), len(frozen)
+        imbalance = max(occ.values()) * k / total
+        assert total == 100 and imbalance > 1.5
+
+        # RESPOND: one exact Lloyd step off the ledger (no corpus read)
+        refreshed = refreshed_kmeans_centroids(spark, str(tmp_path / "km"))
+        assert refreshed is not None and refreshed != frozen
+
+        # VERIFY: within-cluster SSE over base ∪ delta drops
+        allv = spark.createDataFrame(base_rows + delta_rows, schema)
+        sse_frozen = self._sse(allv, frozen)
+        sse_new = self._sse(allv, refreshed)
+        assert sse_new < sse_frozen
+        # and the refreshed centroids separate the shifted blob: some
+        # centroid moved into its vicinity (coordinate ~20e6 micros)
+        assert any(max(c) > 5_000_000 for c in refreshed)
