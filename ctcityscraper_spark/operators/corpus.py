@@ -1174,6 +1174,41 @@ def global_quality_rank(
 DSIR_BUCKETS = 2048  # hashed-feature space (DSIR's "hashed n-grams")
 
 
+def _dsir_term_stream(
+    df: DataFrame, target, ngram: int, text: str, id_col: str
+) -> DataFrame:
+    """(doc_id, is_target, term) token instances for the DSIR models:
+    nonempty unigrams, plus — at ``ngram=2``, the paper's feature space —
+    the adjacent bigrams over the SAME empty-filtered token sequence
+    (filter first, so both engines pair identical neighbors)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target, F.lit(False)).alias("is_target"),
+        F.filter(tokens_col(text), lambda t: t != "").alias("_tk"),
+    )
+    uni = base.select(
+        "doc_id", "is_target", F.explode("_tk").alias("term")
+    )
+    if ngram == 1:
+        return uni
+    if ngram != 2:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    # sequence(1, 0) DESCENDS in Spark, so gate on size >= 2 instead
+    big = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_tk) >= 2 THEN transform("
+                "sequence(1, size(_tk) - 1), "
+                "i -> concat(_tk[i - 1], ' ', _tk[i])) "
+                "ELSE array() END"
+            )
+        ).alias("term"),
+    )
+    return uni.unionByName(big)
+
+
 def dsir_importance(
     df: DataFrame,
     target,
@@ -1181,6 +1216,7 @@ def dsir_importance(
     text: str = "text",
     id_col: str = "doc_id",
     seed: str = "dsir",
+    ngram: int = 1,
 ) -> DataFrame:
     """DSIR-style importance weights: rank raw documents by how much more
     likely they are under a hashed unigram model of a TARGET domain than
@@ -1215,14 +1251,14 @@ def dsir_importance(
     at n_buckets rows regardless of corpus vocabulary. No Python, no
     driver collect.
 
-    Returns (doc_id, n_tokens, weight_bits) — one row per document with
-    at least one nonempty token.
+    ``ngram=2`` switches to the paper's actual feature space — hashed
+    unigrams AND adjacent bigrams sharing the bucket space (the bigram
+    leg roughly doubles the token stream; every shape bound above is
+    unchanged). Returns (doc_id, n_tokens, weight_bits) — one row per
+    document with at least one nonempty token; n_tokens counts hashed
+    FEATURE instances (unigrams + bigrams at ngram=2).
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(target, F.lit(False)).alias("is_target"),
-        F.explode(tokens_col(text)).alias("term"),
-    ).filter(F.col("term") != "")
+    toks = _dsir_term_stream(df, target, ngram, text, id_col)
     toks = toks.withColumn("b", hash64(F.col("term"), seed) % n_buckets)
     doc_b = toks.groupBy("doc_id", "b").agg(F.count("*").alias("c_db"))
     raw = toks.groupBy("b").agg(
@@ -1268,6 +1304,7 @@ def dsir_select_top(
     text: str = "text",
     id_col: str = "doc_id",
     seed: str = "dsir",
+    ngram: int = 1,
 ) -> DataFrame:
     """The resampling half of DSIR: the ``m`` most target-like raw
     documents by (weight_bits DESC, id) — a distributed top-k
@@ -1275,7 +1312,7 @@ def dsir_select_top(
     (doc_id, n_tokens, weight_bits, rank)."""
     from pyspark.sql import Window
 
-    scored = dsir_importance(df, target, n_buckets, text, id_col, seed)
+    scored = dsir_importance(df, target, n_buckets, text, id_col, seed, ngram)
     top = scored.orderBy(
         F.col("weight_bits").desc(), F.col("doc_id")
     ).limit(m)

@@ -2471,18 +2471,30 @@ _DSIR_B = 2048
 _DSIR_TGT = "coalesce(lang = 'en', FALSE)"
 
 
-def _dsir_scored_sql(n_buckets: int, tgt_pred: str) -> str:
-    """WITH-chain replaying corpus.dsir_importance: hashed-bucket token
-    stream, raw + target bucket models with add-one smoothing, per-bucket
+def _dsir_scored_sql(n_buckets: int, tgt_pred: str, ngram: int = 1) -> str:
+    """WITH-chain replaying corpus.dsir_importance: hashed-bucket feature
+    stream (nonempty unigrams; plus adjacent bigrams over the same
+    filtered token list at ``ngram=2`` — corpus._dsir_term_stream's
+    twin), raw + target bucket models with add-one smoothing, per-bucket
     quantized bit-widths, per-doc exact integer weight. Ends at CTE
     ``scored`` = (doc_id, n_tokens, weight_bits)."""
-    return f"""toks0 AS (
-        SELECT doc_id, {tgt_pred} AS is_target, unnest({TOKS}) AS term
+    bigram_leg = f"""
+        UNION ALL
+        SELECT doc_id, is_target,
+               unnest(list_transform(
+                   range(1, greatest(len(tk) - 1, 0) + 1),
+                   i -> tk[i] || ' ' || tk[i + 1])) AS term
+        FROM tkf""" if ngram == 2 else ""
+    return f"""tkf AS (
+        SELECT doc_id, {tgt_pred} AS is_target,
+               list_filter({TOKS}, t -> t != '') AS tk
         FROM documents),
+    toks0 AS (
+        SELECT doc_id, is_target, unnest(tk) AS term FROM tkf{bigram_leg}),
     toks AS (
         SELECT doc_id, is_target,
                {hash64_sql('term', 'dsir')} % {n_buckets} AS b
-        FROM toks0 WHERE term != ''),
+        FROM toks0),
     doc_b AS (
         SELECT doc_id, b, count(*) AS c_db FROM toks GROUP BY doc_id, b),
     model AS (
@@ -2568,3 +2580,29 @@ def q_corpus_dsir_shift(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions(F.col("lang").asc_nulls_first())
     )
+
+
+@query(
+    "corpus_dsir_bigram",
+    oracle=f"""
+    WITH {_dsir_scored_sql(_DSIR_B, _DSIR_TGT, ngram=2)}
+    SELECT doc_id, n_tokens, weight_bits, rk::INT AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY weight_bits DESC, doc_id) AS rk FROM scored)
+    WHERE rk <= 100 ORDER BY rank
+    """,
+)
+def q_corpus_dsir_bigram(spark, sf_dir):
+    """DSIR at the paper's actual feature space (Xie et al. 2023 hash
+    unigrams AND adjacent bigrams into one bucket space): the same
+    quantized importance weights as corpus_dsir_importance with
+    ngram=2 — bigrams sharpen the domain signal because word ORDER is
+    domain-specific where bag-of-words is not. The feature stream
+    roughly doubles; the model state stays ≤ n_buckets rows (hashing
+    bounds it), so every 100 TB shape bound is unchanged."""
+    from ctcityscraper_spark.operators.corpus import dsir_select_top
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return dsir_select_top(
+        docs, F.col("lang") == "en", m=100, n_buckets=_DSIR_B, ngram=2
+    ).repartition(1).sortWithinPartitions("rank")

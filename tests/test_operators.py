@@ -3456,3 +3456,68 @@ class TestKmeansMaintenanceCycle:
         # and the refreshed centroids separate the shifted blob: some
         # centroid moved into its vicinity (coordinate ~20e6 micros)
         assert any(max(c) > 5_000_000 for c in refreshed)
+
+
+class TestDsirBigram:
+    def test_bigram_features_sharpen_order_signal(self, spark):
+        """Two docs with identical bags of words but different word ORDER:
+        unigram DSIR cannot tell them apart; bigram DSIR ranks the one
+        sharing the target's ordering higher."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+
+        rows = [
+            (0, "x y s x y s x y s", "en", "s0", 1),
+            (1, "x y s x y s", "en", "s0", 1),
+            # same bag as doc 3, TARGET ordering (bigrams "x y","y s","s x")
+            (2, "x y s x y s", "zh", "s1", 1),
+            # same bag, reversed ordering — none of its bigrams
+            # ("y x","x s","s y") ever occur in the target
+            (3, "y x s y x s", "zh", "s1", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        uni = {
+            r.doc_id: r.weight_bits
+            for r in dsir_importance(docs, F.col("lang") == "en").collect()
+        }
+        assert uni[2] == uni[3]  # bag-of-words is order-blind
+        big = {
+            r.doc_id: r.weight_bits
+            for r in dsir_importance(
+                docs, F.col("lang") == "en", ngram=2
+            ).collect()
+        }
+        assert big[2] > big[3]  # bigrams see the ordering
+
+    def test_feature_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+
+        docs = spark.createDataFrame(
+            [(0, "a b c", "en", "s", 5), (1, "x", "zh", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = {
+            r.doc_id: r.n_tokens
+            for r in dsir_importance(
+                docs, F.col("lang") == "en", ngram=2
+            ).collect()
+        }
+        assert out == {0: 5, 1: 1}  # 3 unigrams + 2 bigrams; 1 + 0
+
+    def test_ngram_validation(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+
+        docs = spark.createDataFrame(
+            [(0, "a b", "en", "s", 3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with _pytest.raises(ValueError, match="ngram"):
+            dsir_importance(docs, F.col("lang") == "en", ngram=3).collect()
