@@ -326,6 +326,54 @@ def prototype_prune(
     )
 
 
+def prototype_prune_threshold(
+    corpus: DataFrame,
+    centroids: list,
+    drop_pct: int = 20,
+    sketch_k: int = 256,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "ppq",
+) -> DataFrame:
+    """The 100 TB variant of :func:`prototype_prune` (its docstring's
+    promised scale path, made concrete): the per-cluster d2 CUTOFF comes
+    from the mergeable quantile-sketch family (operators/text
+    .quantile_sketch_by — ≤ partitions × k × k_clusters bounded shuffle)
+    and is applied as a broadcast scan-side filter — no global
+    per-cluster ranking of the corpus ever happens. Returns
+    ``(list_id, id_col, d2)`` for the dropped (most prototypical) rows.
+
+    Approximation contract: the cutoff is the sketch's ``drop_pct``-th
+    percentile (rank ``ceil(p·n/100)`` among the sketch's sample), and
+    the filter keeps ALL rows at or below it — so the drop count per
+    cluster is ``ceil`` rather than the exact variant's ``floor`` quota,
+    plus sketch resolution error when ``sketch_k`` < cluster size, plus
+    every boundary tie. With ``sketch_k >= cluster size`` and distinct
+    d2 values the drop set is exactly the ``ceil(p·n/100)`` closest rows
+    per cluster — a superset-by-at-most-one of the exact prune (pinned
+    in tests). At fraction-sized quotas this trade is the right one: the
+    exact variant's output-sized ranking is the thing that doesn't scale.
+    """
+    a = persist_tracked(assign_with_distance(corpus, centroids, vec, id_col))
+    from ctcityscraper_spark.operators.text import (
+        quantile_estimate_by,
+        quantile_sketch_by,
+    )
+
+    sk = quantile_sketch_by(
+        a, keys=["list_id"], value_col="d2", id_col=id_col,
+        k=sketch_k, seed=seed,
+    )
+    thr = quantile_estimate_by(sk, ["list_id"], percentiles=(drop_pct,)).select(
+        "list_id", F.col("est").alias("d2_cut")
+    )
+    return (
+        a.join(F.broadcast(thr), "list_id")
+        .filter(F.col("d2") <= F.col("d2_cut"))
+        .select("list_id", id_col, "d2")
+    )
+
+
 def cluster_sizes(
     corpus: DataFrame,
     centroids: list,

@@ -3521,3 +3521,86 @@ class TestDsirBigram:
         )
         with _pytest.raises(ValueError, match="ngram"):
             dsir_importance(docs, F.col("lang") == "en", ngram=3).collect()
+
+
+class TestPrototypePruneThreshold:
+    """prototype_prune_threshold: the sketch-cutoff scale variant must
+    agree with the exact ranking variant up to its documented
+    ceil-vs-floor boundary contract when the sketch is exact."""
+
+    def _emb(self, spark, n=60, dims=5, seed=21):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, [float(x) for x in rng.randn(dims).astype("float32")])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_exact_sketch_matches_exact_prune(self, spark):
+        import math
+
+        from ctcityscraper_spark.operators.clustering import (
+            assign_with_distance,
+            kmeans_fit_micros,
+            prototype_prune,
+            prototype_prune_threshold,
+        )
+
+        emb = self._emb(spark)
+        ctr = kmeans_fit_micros(emb, 2, iters=2)
+        # random gaussians: d2 values are distinct with probability 1
+        d2s = [r.d2 for r in assign_with_distance(emb, ctr).collect()]
+        assert len(set(d2s)) == len(d2s)
+        sizes = {}
+        for r in assign_with_distance(emb, ctr).collect():
+            sizes[r.list_id] = sizes.get(r.list_id, 0) + 1
+
+        exact = {
+            (r.list_id, r.vec_id)
+            for r in prototype_prune(emb, ctr, drop_pct=20).collect()
+        }
+        thr = {
+            (r.list_id, r.vec_id)
+            for r in prototype_prune_threshold(
+                emb, ctr, drop_pct=20, sketch_k=1000
+            ).collect()
+        }
+        # superset by exactly the ceil-floor difference per cluster
+        assert thr >= exact
+        per = {}
+        for lid, _ in thr:
+            per[lid] = per.get(lid, 0) + 1
+        for lid, n_c in sizes.items():
+            assert per.get(lid, 0) == math.ceil(n_c * 20 / 100)
+
+    def test_small_sketch_stays_cluster_local(self, spark):
+        """With a small sketch the cutoff is approximate, but every
+        dropped row still sits at or below ITS OWN cluster's cutoff and
+        clusters never bleed into each other."""
+        from ctcityscraper_spark.operators.clustering import (
+            assign_with_distance,
+            kmeans_fit_micros,
+            prototype_prune_threshold,
+        )
+
+        emb = self._emb(spark, n=80)
+        ctr = kmeans_fit_micros(emb, 3, iters=2)
+        drop = prototype_prune_threshold(
+            emb, ctr, drop_pct=25, sketch_k=8
+        ).collect()
+        assert drop
+        assigned = {
+            r.vec_id: r.list_id
+            for r in assign_with_distance(emb, ctr).collect()
+        }
+        max_drop = {}
+        for r in drop:
+            assert assigned[r.vec_id] == r.list_id
+            max_drop[r.list_id] = max(max_drop.get(r.list_id, 0), r.d2)
+        # within each cluster, no kept row is closer than a dropped row
+        dropped_ids = {r.vec_id for r in drop}
+        for r in assign_with_distance(emb, ctr).collect():
+            if r.vec_id not in dropped_ids and r.list_id in max_drop:
+                assert r.d2 > max_drop[r.list_id]
