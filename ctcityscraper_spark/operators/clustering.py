@@ -34,14 +34,14 @@ decisions that must be auditable.
 - ``assign_clusters``: the argmin over k centroid literals is ONE
   single-parse scan-stage expression (the pq_encode_expr py4j lesson) —
   zero shuffle, zero Python.
-- ``cluster_balanced_sample``: two-phase top-k. A window over bare
-  ``list_id`` would funnel the whole corpus into k partitions (k ~ 8 —
-  a guaranteed straggler at scale), so phase 1 ranks within
-  (input-partition, list) — a shuffle over P x k keys, no skew — and
-  keeps ``per_cluster`` rows each; phase 2 ranks the surviving
-  P x k x per_cluster rows globally per list. Exact: the global
-  per-list top-``per_cluster`` by hash order is a subset of the union
-  of per-partition tops.
+- ``cluster_balanced_sample``: a per-cluster window with a LITERAL
+  ``rank <= per_cluster`` filter, which Catalyst's InferWindowGroupLimit
+  turns into partial-group-limit → exchange → final — each input
+  partition forwards at most ``per_cluster`` rows per cluster before
+  the shuffle, so k ~ 8 window partitions never see the corpus
+  (plan-asserted). ``prototype_prune``'s quota is a COLUMN (fraction of
+  the cluster), which that rule cannot take, hence its hand-rolled
+  two-phase ranking — and its sketch-threshold sibling for real scale.
 
 The reference engine (carlospreising/ctcityscraper) has no clustering —
 this module serves the training-data-curation extension surface
@@ -408,23 +408,21 @@ def cluster_balanced_sample(
     within each cluster — the diversity-preserving subsample (uniform per
     cluster ~ density-flattening over the embedding space).
 
-    Two-phase exact top-k (module header): phase 1 ranks within
-    (spark_partition_id, list_id) and prunes to ``per_cluster`` rows per
-    cell, phase 2 ranks the survivors per list — no k-partition funnel.
-    """
-    a = assign_clusters(corpus, centroids, vec, id_col).withColumn(
-        "_part", F.spark_partition_id()
+    Scale shape (module header): k ~ 8 clusters would make a naive
+    per-cluster window a k-partition funnel, but the LITERAL
+    ``rank <= per_cluster`` filter lets Catalyst's InferWindowGroupLimit
+    plan a PARTIAL WindowGroupLimit before the exchange — each input
+    partition forwards at most ``per_cluster`` rows per cluster, so the
+    k post-shuffle partitions see ≤ partitions × per_cluster rows each,
+    in ONE exchange (plan-asserted in tests/test_extension_plans.py; a
+    hand-rolled two-phase window does the same prune with an extra
+    shuffle, which is why this is a single window)."""
+    a = assign_clusters(corpus, centroids, vec, id_col)
+    w = Window.partitionBy("list_id").orderBy(
+        hash64(F.col(id_col), seed), F.col(id_col)
     )
-    order = [hash64(F.col(id_col), seed), F.col(id_col)]
-    local = Window.partitionBy("_part", "list_id").orderBy(*order)
-    survivors = (
-        a.withColumn("_lrk", F.row_number().over(local))
-        .filter(F.col("_lrk") <= per_cluster)
-        .drop("_lrk", "_part")
-    )
-    w = Window.partitionBy("list_id").orderBy(*order)
     return (
-        survivors.withColumn("pick_rank", F.row_number().over(w))
+        a.withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= per_cluster)
         .select("list_id", "pick_rank", id_col)
     )

@@ -807,3 +807,81 @@ class TestE2ePrepPlan:
         assert "CartesianProduct" not in plan
         # hash joins present for the real stage joins
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+class TestClusteringPlans:
+    """Physical-plan gates for the fixed-point k-means family: the
+    claims in operators/clustering.py's scale notes, asserted."""
+
+    def _ctr(self, spark):
+        from ctcityscraper_spark.operators.clustering import (
+            kmeans_fit_micros,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        return emb, kmeans_fit_micros(emb, 4, iters=1)
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_assignment_is_scan_stage(self, spark):
+        """assign_clusters: the argmin over centroid literals must stay
+        in the scan stage — ZERO exchanges, zero Python."""
+        from ctcityscraper_spark.operators.clustering import assign_clusters
+
+        emb, ctr = self._ctr(spark)
+        plan = self._plan(assign_clusters(emb, ctr))
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "MapInPandas" not in plan
+
+    def test_lloyd_state_is_one_partial_aggregated_shuffle(self, spark):
+        """kmeans_partial_state: exactly one exchange, with map-side
+        partial aggregation (the mergeable Lloyd state)."""
+        from ctcityscraper_spark.operators.clustering import (
+            kmeans_partial_state,
+        )
+
+        emb, ctr = self._ctr(spark)
+        plan = self._plan(kmeans_partial_state(emb, ctr))
+        assert plan.count("Exchange") == 1
+        assert plan.count("HashAggregate") == 2  # partial + final
+
+    def test_balanced_sample_gets_window_group_limit(self, spark):
+        """cluster_balanced_sample: the literal rank filter must trigger
+        InferWindowGroupLimit — a PARTIAL group limit before the single
+        exchange, so the k window partitions never receive the corpus."""
+        from ctcityscraper_spark.operators.clustering import (
+            cluster_balanced_sample,
+        )
+
+        emb, ctr = self._ctr(spark)
+        plan = self._plan(cluster_balanced_sample(emb, ctr, 5))
+        assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+        assert plan.count("Exchange") == 1
+
+    def test_threshold_prune_cutoff_is_broadcast(self, spark):
+        """prototype_prune_threshold: the per-cluster cutoff lands as a
+        broadcast hash join onto the assignment scan — never a shuffle
+        of the corpus on list_id, never a cartesian."""
+        from ctcityscraper_spark.operators.clustering import (
+            prototype_prune_threshold,
+        )
+
+        emb, ctr = self._ctr(spark)
+        plan = self._plan(prototype_prune_threshold(emb, ctr, 20, sketch_k=16))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dsir_model_join_is_broadcast(self, spark):
+        """dsir_importance: the ≤ n_buckets-row model joins back onto the
+        per-doc buckets as a broadcast hash join; the only nested-loop
+        shape is the documented 1-row totals attach."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = self._plan(dsir_importance(docs, F.col("lang") == "en"))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1  # totals attach
