@@ -2999,8 +2999,12 @@ def q_ann_kmeans_update(spark, sf_dir):
     bucket = hash64(F.col("vec_id"), "kmsplit") % 5
     base, delta = emb.filter(bucket != 0), emb.filter(bucket == 0)
     ctr = kmeans_fit_micros(base, _KM_K, iters=_KM_ITERS)
-    merged = merge_kmeans_states(
-        kmeans_partial_state(base, ctr), kmeans_partial_state(delta, ctr)
+    # consumed twice (population readout + the update step): persist, or
+    # the second action re-runs both corpus-assignment passes
+    merged = _persist(
+        merge_kmeans_states(
+            kmeans_partial_state(base, ctr), kmeans_partial_state(delta, ctr)
+        )
     )
     rows = {r["list_id"]: r for r in merged.collect()}
     new_ctr = centroids_from_state(merged, ctr)
