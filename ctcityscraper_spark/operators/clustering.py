@@ -1,4 +1,6 @@
-"""Fixed-point Lloyd's k-means and cluster-balanced sampling.
+"""Fixed-point Lloyd's k-means and the cluster-driven curation family:
+mergeable/incremental Lloyd state, cluster-balanced sampling, and D4
+prototype pruning (exact and sketch-threshold variants).
 
 The IVF family (operators/similarity.py) already clusters with
 ``pyspark.ml`` k-means, but those centroids are float means whose
@@ -285,12 +287,14 @@ def prototype_prune(
     Returns ``(list_id, proto_rank, id_col, d2)``.
 
     Distances are int64 micros^2 (exact cross-engine); the per-cluster
-    quota is one truncating division of integer counts. Exact ranking
-    uses the same two-phase shape as cluster_balanced_sample — local
-    rank per (input-partition, cluster) prunes to the quota before the
-    per-cluster rank. NOTE the quota here is a FRACTION of the cluster,
-    so phase 1 caps each input partition's contribution at K_c rather
-    than shrinking the total by much; at 100 TB the production variant
+    quota is one truncating division of integer counts. Exact ranking is
+    hand-rolled two-phase (the quota is a COLUMN, so Catalyst's
+    InferWindowGroupLimit — the rule that makes cluster_balanced_sample
+    a single window — cannot fire): local rank per (input-partition,
+    cluster) prunes to the quota before the per-cluster rank. NOTE the
+    quota is a FRACTION of the cluster, so phase 1 caps each input
+    partition's contribution at K_c rather than shrinking the total by
+    much; at 100 TB the production variant
     is a per-cluster d2 THRESHOLD from the mergeable quantile-sketch
     family (operators/text.quantile_sketch) applied as a scan-side
     filter — approximate at the quota boundary, zero global ranking.
