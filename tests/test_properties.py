@@ -914,3 +914,62 @@ class TestKmeansCrossEngineProperties:
         assert [[int(x) for x in c] for _, c in duck] == [
             [int(x) for x in c] for c in ctr
         ]
+
+
+class TestDsirCrossEngineProperties:
+    """The DSIR determinism seams — whitespace tokenization on arbitrary
+    unicode, the shared hash64-bucket mapping, bigram pairing over the
+    empty-filtered token list, quantized bit-width arithmetic — must
+    agree with the DuckDB twin on ARBITRARY corpora."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(printable, min_size=2, max_size=8),
+        ngram=st.sampled_from([1, 2]),
+    )
+    def test_importance_matches_duckdb_twin(self, spark, texts, ngram):
+        import duckdb as _duckdb
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import dsir_importance
+        from ctcityscraper_spark.plans.queries_corpus import _dsir_scored_sql
+
+        langs = ["en", "zh", None]
+        rows = [
+            (i, t, langs[i % 3], "s", len(t)) for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.weight_bits)
+            for r in dsir_importance(
+                df, F.col("lang") == "en", n_buckets=64, ngram=ngram
+            ).collect()
+        }
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+        con = _duckdb.connect()
+        con.register("documents", tbl)
+        tgt = "coalesce(lang = 'en', FALSE)"
+        sql = (
+            f"WITH {_dsir_scored_sql(64, tgt, ngram=ngram)} "
+            "SELECT doc_id, n_tokens, weight_bits FROM scored"
+        )
+        want = {
+            int(r[0]): (int(r[1]), int(r[2]))
+            for r in con.execute(sql).fetchall()
+        }
+        con.close()
+        assert got == want
