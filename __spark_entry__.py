@@ -89,7 +89,7 @@ DRIVER_PRIORITY = [
 # text_bm25_topk / hybrid_rrf_topk / ann_kmeans_centroids /
 # ann_kmeans_update / corpus_cluster_balanced_sample /
 # corpus_prototype_prune / corpus_dsir_importance /
-# corpus_dsir_shift / corpus_dsir_bigram sit
+# corpus_dsir_shift / corpus_dsir_bigram / corpus_dsir_incremental sit
 # after the 50-row window (in-repo + adversarial gated this round)
 # and lead the r14 rotation per the within-a-round-or-two policy. Names
 # added to DRIVER_PRIORITY must exist in the catalog at commit time —

@@ -1209,6 +1209,105 @@ def _dsir_term_stream(
     return uni.unionByName(big)
 
 
+def _dsir_bits_expr(total_col: str, count_col, n_buckets: int):
+    """Quantized bit-width of a smoothed inverse bucket probability —
+    THE single definition of the DSIR bit rule (scoring, the stored-model
+    path, and the unseen-bucket floor all use it)."""
+    return F.length(
+        F.bin(F.expr(f"({total_col} + {n_buckets}) DIV ({count_col} + 1)"))
+    ).cast("long")
+
+
+def dsir_bucket_model(
+    df: DataFrame,
+    target,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    ngram: int = 1,
+) -> DataFrame:
+    """The DSIR hashed-feature models as DATA: ``(b, c_r, c_t)`` — per
+    hashed bucket, the raw-corpus feature count and the target-subset
+    feature count. ≤ n_buckets rows, and SUM-MERGEABLE across
+    batches/epochs (counts of disjoint batches add), which makes the
+    selection model incrementally maintainable: model(base) +
+    model(delta) == model(base ∪ delta) bit-for-bit — the delta-zone
+    contract (`streaming_dsir` is the streaming instance). One
+    map-side-partial groupBy over the batch's own token stream."""
+    toks = _dsir_term_stream(df, target, ngram, text, id_col)
+    return (
+        toks.withColumn("b", hash64(F.col("term"), seed) % n_buckets)
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.sum(F.col("is_target").cast("long")).alias("c_t"),
+        )
+    )
+
+
+def sum_dsir_models(models: DataFrame) -> DataFrame:
+    """SUM-collapse a model table holding several delta rows per bucket
+    into one row per bucket — exact, idempotent on a collapsed table."""
+    return models.groupBy("b").agg(
+        F.sum("c_r").alias("c_r"), F.sum("c_t").alias("c_t")
+    )
+
+
+def dsir_score_with_model(
+    df: DataFrame,
+    model: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    ngram: int = 1,
+) -> DataFrame:
+    """Score documents against a STORED bucket model — the serving half
+    of incremental DSIR: the model is built/maintained once
+    (:func:`dsir_bucket_model` / `streaming_dsir`), and any batch scores
+    against it with one token pass + a broadcast join, never re-reading
+    the model's corpus. Buckets the model never saw take the smoothing
+    floor (count 0 → ``bits(T + B)``), so out-of-model features read as
+    maximally surprising under BOTH models — identical arithmetic to
+    scoring in :func:`dsir_importance` when the model was built from the
+    same corpus (every doc bucket exists there; pinned in tests).
+    Returns (doc_id, n_tokens, weight_bits)."""
+    toks = _dsir_term_stream(df, F.lit(False), ngram, text, id_col)
+    doc_b = (
+        toks.withColumn("b", hash64(F.col("term"), seed) % n_buckets)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c_db"))
+    )
+    m = sum_dsir_models(model)
+    tot = m.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
+    bits = (
+        m.crossJoin(F.broadcast(tot))
+        .withColumn("bits_r", _dsir_bits_expr("t_r", "c_r", n_buckets))
+        .withColumn("bits_t", _dsir_bits_expr("t_t", "c_t", n_buckets))
+        .select("b", "bits_r", "bits_t")
+    )
+    floor = (
+        F.broadcast(tot)
+        .withColumn("floor_r", _dsir_bits_expr("t_r", "0", n_buckets))
+        .withColumn("floor_t", _dsir_bits_expr("t_t", "0", n_buckets))
+        .select("floor_r", "floor_t")
+    )
+    return (
+        doc_b.join(F.broadcast(bits), "b", "left")
+        .crossJoin(F.broadcast(floor))
+        .withColumn("bits_r", F.coalesce("bits_r", "floor_r"))
+        .withColumn("bits_t", F.coalesce("bits_t", "floor_t"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_db").alias("n_tokens"),
+            F.sum(
+                F.col("c_db") * (F.col("bits_r") - F.col("bits_t"))
+            ).alias("weight_bits"),
+        )
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target,
@@ -1270,18 +1369,8 @@ def dsir_importance(
     )
     bits = (
         raw.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "bits_r",
-            F.length(F.bin(F.expr(f"(t_r + {n_buckets}) DIV (c_r + 1)"))).cast(
-                "long"
-            ),
-        )
-        .withColumn(
-            "bits_t",
-            F.length(F.bin(F.expr(f"(t_t + {n_buckets}) DIV (c_t + 1)"))).cast(
-                "long"
-            ),
-        )
+        .withColumn("bits_r", _dsir_bits_expr("t_r", "c_r", n_buckets))
+        .withColumn("bits_t", _dsir_bits_expr("t_t", "c_t", n_buckets))
         .select("b", "bits_r", "bits_t")
     )
     return (

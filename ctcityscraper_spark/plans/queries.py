@@ -589,7 +589,7 @@ def q_money_roundtrip(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(
-               lower(trim(source || ' Area:')), '[\\s:]+$', ''), '&', 'and'), '\\s+', '_', 'g')
+               lower(trim(source || ' Area:')), '[ \t\n\v\f\r:]+$', ''), '&', 'and'), '[ \t\n\v\f\r]+', '_', 'g')
                AS norm_key,
            length(trim(text)) AS text_len
     FROM documents WHERE doc_id < 100 ORDER BY doc_id

@@ -316,7 +316,7 @@ def q_corpus_contamination(spark, sf_dir):
     WITH toks AS (
         SELECT doc_id,
                ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
-               len(regexp_extract_all(text, ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+               len(regexp_extract_all(text, ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
         FROM documents),
     spans AS (
         SELECT doc_id, shard_id, n_tok,
@@ -991,7 +991,7 @@ def q_hybrid_rrf_topk(spark, sf_dir):
 
 
 _BUDGET_TOKENS = 40_000
-_BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
+_BPE_RE_SQL = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+"
 
 
 @query(
@@ -1726,7 +1726,7 @@ def _qclf_logit_sql(text_expr: str) -> str:
         SELECT doc_id,
                ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
-                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
         FROM trainq),
     spans AS (
         SELECT doc_id, shard_id, n_tok,
@@ -2020,7 +2020,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
     pt_s AS (
         SELECT ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
-                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
         FROM strainq),
     cur AS (SELECT shard_id, SUM(n_tok)::BIGINT AS base_off FROM pt_s
             WHERE n_tok > 0 GROUP BY shard_id),
@@ -2028,7 +2028,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
         SELECT doc_id,
                ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
-                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tok
+                   ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
         FROM btrainq),
     spans AS (
         SELECT p.doc_id, p.shard_id, p.n_tok,
@@ -2606,3 +2606,53 @@ def q_corpus_dsir_bigram(spark, sf_dir):
     return dsir_select_top(
         docs, F.col("lang") == "en", m=100, n_buckets=_DSIR_B, ngram=2
     ).repartition(1).sortWithinPartitions("rank")
+
+
+@query(
+    "corpus_dsir_incremental",
+    oracle=f"""
+    WITH {_dsir_scored_sql(_DSIR_B, _DSIR_TGT)}
+    SELECT doc_id, n_tokens, weight_bits, rk::INT AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY weight_bits DESC, doc_id) AS rk FROM scored)
+    WHERE rk <= 100 ORDER BY rank
+    """,
+)
+def q_corpus_dsir_incremental(spark, sf_dir):
+    """Incremental DSIR maintenance (operators/corpus.dsir_bucket_model /
+    sum_dsir_models / dsir_score_with_model): the selection model is
+    built on an 80% base split, the 20% delta batch contributes its own
+    ≤ B-row model delta (one token pass over the batch — the base corpus
+    is never re-read), the two merge by SUM, and the corpus is scored
+    against the merged stored model. The oracle is the ONE-SHOT
+    corpus_dsir_importance replay — a value-hash match therefore proves
+    model(base) + model(delta) == model(base ∪ delta) bit-for-bit AND
+    that stored-model scoring (left join + smoothing floor) equals
+    direct scoring. Output shape matches corpus_dsir_importance."""
+    from pyspark.sql import Window
+
+    from ctcityscraper_spark.functions.hashing import hash64
+    from ctcityscraper_spark.operators.corpus import (
+        dsir_bucket_model,
+        dsir_score_with_model,
+        sum_dsir_models,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    tgt = F.col("lang") == "en"
+    bucket = hash64(F.col("doc_id"), "dsirsplit") % 5
+    base, delta = docs.filter(bucket != 0), docs.filter(bucket == 0)
+    model = sum_dsir_models(
+        dsir_bucket_model(base, tgt, n_buckets=_DSIR_B).unionByName(
+            dsir_bucket_model(delta, tgt, n_buckets=_DSIR_B)
+        )
+    )
+    scored = dsir_score_with_model(docs, model, n_buckets=_DSIR_B)
+    top = scored.orderBy(F.col("weight_bits").desc(), "doc_id").limit(100)
+    w = Window.orderBy(F.col("weight_bits").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "n_tokens", "weight_bits", "rank")
+        .repartition(1)
+        .sortWithinPartitions("rank")
+    )

@@ -89,12 +89,19 @@ EMB_VALID = "(SELECT * FROM embeddings WHERE " + VALID_EMB_PRED + ")"
 
 # ------------------------------------------------------------- SQL fragments
 
-TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# Whitespace class, spelled out: Java regex \s (the Spark side's
+# tokenizer/fingerprint class) is exactly [ \t\n\x0B\f\r], but RE2's \s
+# LACKS \x0B (vertical tab) — '0\x0b0' tokenized as 2 tokens in Spark and
+# 1 in DuckDB until every SQL twin switched to the explicit class (\v is
+# RE2's \x0B). Found by hypothesis (TestDsirCrossEngineProperties);
+# pinned by the \x0b adversarial fixture row. Keep the two sides in
+# lockstep: any new oracle regex must use the explicit class, never \s.
+TOKS = "regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')"
 
 
 def shingle_sql(n: int, col: str = "text") -> str:
     """DuckDB twin of operators.dedup.shingles_col over column ``col``."""
-    toks = f"regexp_split_to_array(trim({col}), '\\s+')"
+    toks = f"regexp_split_to_array(trim({col}), '[ \t\n\v\f\r]+')"
     return (
         f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n - 1}, 0)), "
         f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')))"
@@ -142,7 +149,7 @@ def fold_norm_sql(a: str, dims: int) -> str:
     oracle=f"""
     SELECT doc_id,
            len({TOKS}) AS n_tokens,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           md5(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))) AS fingerprint,
            {quality_score_sql('text')} AS quality,
            {lang_id_sql('text')} AS lang_pred
     FROM documents WHERE doc_id < 300 ORDER BY doc_id
@@ -189,7 +196,7 @@ def q_text_lang_confusion(spark, sf_dir):
            COUNT(*) FILTER (WHERE n_docs > 1) AS n_dup_groups,
            CAST(MIN(keep_id) AS BIGINT) AS first_keep
     FROM (
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))) AS fp,
                COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         FROM documents GROUP BY fp
     )
@@ -208,7 +215,7 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-_FP_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+_FP_SQL = r"md5(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')))"
 
 
 @query(
@@ -740,7 +747,7 @@ def winnow_fps_sql(k: int, window: int, where: str = "") -> str:
     gh = f"('0x' || substring(md5('winnow' || substring(c, i, {k})), 1, 15))::BIGINT"
     return f"""
     WITH norm AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+        SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')) AS c
         FROM documents {where}
     ), fplists AS (
         SELECT doc_id,
@@ -1094,8 +1101,8 @@ def q_quality_filter_pipeline(spark, sf_dir):
     "text_bpe_token_count",
     oracle=r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+')) AS bpe_tokens,
-           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens
+           len(regexp_extract_all(text, ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+')) AS bpe_tokens,
+           len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS ws_tokens
     FROM documents WHERE doc_id < 500 ORDER BY doc_id
     """,
 )

@@ -2169,3 +2169,103 @@ def streaming_kmeans_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _dsir_zone_meta(config: dict) -> dict:
+    return {"kind": "dsir_model", "format_version": 1, "config": config}
+
+
+_DSIR_REBUILD_HINT = (
+    "Rebuild the model under the current config "
+    "(corpus.dsir_bucket_model over the corpus) or restart the stream "
+    "with a fresh model_dir."
+)
+
+
+def read_dsir_model(
+    spark: SparkSession,
+    model_dir: str,
+    before_batch: int = 2**62,
+) -> tuple[DataFrame | None, dict | None]:
+    """The DSIR model delta rows for batches strictly before
+    ``before_batch`` plus the zone's frozen config:
+    ``(model_rows | None, config | None)``. SUM-collapse with
+    ``corpus.sum_dsir_models`` before consuming (idempotent); the
+    collapsed table IS ``dsir_bucket_model`` over everything ingested,
+    exactly. Marker validation as in :func:`read_ivf_index`: counts
+    hashed under a different bucket count / seed / ngram / target
+    predicate must never merge."""
+    return _read_validated_zone(
+        spark, model_dir, "dsir_model", "config", _DSIR_REBUILD_HINT,
+        before_batch,
+    )
+
+
+def streaming_dsir(
+    stream: DataFrame,
+    model_dir: str,
+    checkpoint_dir: str,
+    target_sql: str,
+    n_buckets: int = 2048,
+    seed: str = "dsir",
+    ngram: int = 1,
+    text: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained DSIR selection model over a document
+    stream — the data-selection instance of the delta-zone recipe: the
+    hashed-feature bucket model is ≤ n_buckets SUM-mergeable rows, so
+    every micro-batch appends its own model delta
+    (``corpus.dsir_bucket_model`` — one token pass over the batch) to
+    ``model_dir/batch_id=N`` and the merged zone equals the one-shot
+    model over everything ingested, exactly. Score any corpus or batch
+    against the live model with :func:`read_dsir_model` +
+    ``corpus.sum_dsir_models`` + ``corpus.dsir_score_with_model`` —
+    model maintenance never re-reads scored data and scoring never
+    re-reads the model's corpus.
+
+    The model parameters — bucket count, hash seed, ngram order, and the
+    TARGET PREDICATE (passed as a SQL string so it is serializable into
+    ``_zone_meta.json``) — are the zone's format contract: counts hashed
+    under different parameters or a different target definition must
+    never merge, so a resumed stream with a changed config dies on its
+    first batch. With ``compact_every=N`` the zone SUM-collapses to
+    ≤ n_buckets rows total (``sum_dsir_models`` is idempotent — the
+    compaction-transform contract). Returns the StreamingQuery handle;
+    caller stops it."""
+    from ctcityscraper_spark.operators.corpus import (
+        dsir_bucket_model,
+        sum_dsir_models,
+    )
+    from pyspark.sql import functions as SF
+
+    config = {
+        "n_buckets": int(n_buckets), "seed": seed, "ngram": int(ngram),
+        "text": text, "id_col": id_col, "target_sql": target_sql,
+    }
+    meta = _dsir_zone_meta(config)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(spark, model_dir, meta, _DSIR_REBUILD_HINT)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, model_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, model_dir, batch_id, transform=sum_dsir_models,
+                )
+        dsir_bucket_model(
+            batch_df, SF.expr(target_sql), n_buckets=n_buckets,
+            text=text, id_col=id_col, seed=seed, ngram=ngram,
+        ).write.mode("overwrite").parquet(f"{model_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -74,6 +74,9 @@ def _adversarial_documents() -> pa.Table:
         (402, "   ", "en", None, 3),            # whitespace-only
         (403, "a", None, "src2", 1),            # single token, NULL lang
         (404, "café 日本語 naïve tab\tsep", "ja", "src3", 24),
+        # vertical tab: Java \s includes \x0B, RE2's does not — the class
+        # every oracle regex must spell out (queries_ext.TOKS comment)
+        (405, "vtab\x0bsep and\x0bmore dup", "en", "src4", 22),
     ]
     # span-pathological rows (catalog span window = 40 chars): duplicate
     # passages aligned exactly at doc boundaries, texts one char below /

@@ -2288,3 +2288,109 @@ class TestStreamingKmeansState:
             None,
             None,
         )
+
+
+class TestStreamingDsir:
+    """streaming_dsir: the data-selection instance of the delta-zone
+    recipe — per-batch ≤ B-row SUM-mergeable bucket-model deltas under a
+    frozen (buckets, seed, ngram, target) config contract."""
+
+    SCHEMA = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    BATCHES = [
+        [(0, "alpha beta alpha", "en", "s0", 10),
+         (1, "gamma delta", "zh", "s1", 8)],
+        [(2, "beta alpha beta", "en", "s0", 10),
+         (3, "delta gamma delta", "fr", "s1", 12)],
+        [(4, "alpha beta gamma", "zh", "s1", 10)],
+    ]
+
+    def test_streamed_model_equals_one_shot_and_scores(self, spark, tmp_path):
+        import time as _time
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import (
+            dsir_bucket_model,
+            dsir_importance,
+            dsir_score_with_model,
+            sum_dsir_models,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_dsir_model,
+            stream_from_directory,
+            streaming_dsir,
+        )
+
+        src = tmp_path / "incoming"
+        for rows in self.BATCHES:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+        allv = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], self.SCHEMA
+        )
+
+        def run(target_sql):
+            q = streaming_dsir(
+                stream_from_directory(
+                    spark, str(src), self.SCHEMA, max_files_per_trigger=1
+                ),
+                model_dir=str(tmp_path / "dsir"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                target_sql=target_sql,
+                n_buckets=64,
+                compact_every=2,
+            )
+            q.awaitTermination(180)
+
+        run("coalesce(lang = 'en', FALSE)")
+        rows, cfg = read_dsir_model(spark, str(tmp_path / "dsir"))
+        assert cfg["n_buckets"] == 64 and cfg["target_sql"].startswith("coalesce")
+        key = lambda r: (r.b, r.c_r, r.c_t)
+        got = sorted(map(key, sum_dsir_models(rows).collect()))
+        want = sorted(
+            map(
+                key,
+                dsir_bucket_model(
+                    allv, F.col("lang") == "en", n_buckets=64
+                ).collect(),
+            )
+        )
+        assert got == want  # merged deltas == one-shot full-corpus model
+        # scoring against the streamed model == direct dsir_importance
+        scored = {
+            r.doc_id: (r.n_tokens, r.weight_bits)
+            for r in dsir_score_with_model(
+                allv, sum_dsir_models(rows), n_buckets=64
+            ).collect()
+        }
+        direct = {
+            r.doc_id: (r.n_tokens, r.weight_bits)
+            for r in dsir_importance(
+                allv, F.col("lang") == "en", n_buckets=64
+            ).collect()
+        }
+        assert scored == direct
+        # out-of-model features take the smoothing floor, not a crash
+        fresh = spark.createDataFrame(
+            [(99, "omicron upsilon", "en", "s9", 8)], self.SCHEMA
+        )
+        out = dsir_score_with_model(
+            fresh, sum_dsir_models(rows), n_buckets=64
+        ).collect()
+        assert len(out) == 1 and out[0].n_tokens == 2
+        # restart with the same checkpoint: nothing reprocesses
+        run("coalesce(lang = 'en', FALSE)")
+        rows2, _ = read_dsir_model(spark, str(tmp_path / "dsir"))
+        assert sorted(map(key, sum_dsir_models(rows2).collect())) == got
+        # resume under a DIFFERENT target predicate: dies on first batch
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(100, "tail doc", "en", "s0", 8)], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        with _pytest.raises(Exception, match="zone|dsir"):
+            run("coalesce(lang = 'zh', FALSE)")
