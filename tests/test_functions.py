@@ -229,3 +229,33 @@ class TestSqlFunctionTwins:
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
         # codegen stages print as *(n) markers in executedPlan.toString()
         assert "*(1)" in plan
+
+
+def test_known_lower_casing_divergence(spark):
+    """Documents the PROBED engine-library boundary of the oracle-equality
+    contract (queries_ext.TOKS comment): Spark (Java/ICU casing tables)
+    and DuckDB agree on lower() for common scripts, ligatures, fullwidth
+    forms and sharp-s, but DIVERGE on context-sensitive casing — Greek
+    word-final sigma and Turkish dotted capital I. This test pins BOTH
+    sides of the boundary so an engine upgrade that moves it is noticed
+    (if the divergent cases start agreeing, tighten the contract; if an
+    agreeing case breaks, a twin relying on lower() may silently split).
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    agree = ["I", "ı", "ẞ", "ß", "ﬁ", "Σ", "Ａ", "ǅ", "MASSE", "CAFÉ"]
+    diverge = ["ΑΣ", "İstanbul", "ΌΣΟΣ"]
+    rows = [(i, t) for i, t in enumerate(agree + diverge)]
+    got = {
+        r.id: r.l
+        for r in spark.createDataFrame(rows, "id long, t string")
+        .select("id", F.lower("t").alias("l"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(agree):
+        assert got[i] == con.execute("SELECT lower(?)", [t]).fetchone()[0], t
+    for j, t in enumerate(diverge, start=len(agree)):
+        assert got[j] != con.execute("SELECT lower(?)", [t]).fetchone()[0], t
+    con.close()
