@@ -35,67 +35,58 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # Round-13 rotation (r12 VERDICT item 3: lead with the oldest-green
-    # cohort; reserve slots only for queries that exist at commit time —
-    # _ordered below enforces that).
+    # Round-14 rotation (r13 VERDICT item 3: the 12 never-driver-verified
+    # late-r13 additions lead; the remaining 38 slots come from the
+    # 39-row last-green-r11 cohort, oldest rows first; reserve slots only
+    # for queries that exist at commit time — _ordered below enforces
+    # that).
     #
-    # IN — the two r13 additions, never driver-verified (each was
-    # implemented + in-repo oracle-gated in the same commit that added
-    # its name here) ...
-    "layout_zorder_cells", "ann_pq_retrain_cycle",
+    # IN — the 12 late-r13 additions, never driver-verified (each was
+    # in-repo + adversarially oracle-gated in the commit that built
+    # it) ...
+    "dedup_bloom_rebuild", "ann_kmeans_centroids", "ann_kmeans_update",
+    "corpus_cluster_balanced_sample", "corpus_prototype_prune",
+    "text_cms_saturation", "text_bm25_topk", "hybrid_rrf_topk",
+    "corpus_dsir_importance", "corpus_dsir_shift", "corpus_dsir_bigram",
+    "corpus_dsir_incremental",
     # ... the two composed DAGs whose SEMANTICS changed this round (the
-    # trained quality gate + n_quality_dropped column landed between the
-    # contamination stage and packing — their r12 green rows verify the
-    # OLD shape, so fresh rows are load-bearing) ...
+    # DSIR selection stage + n_dsir_dropped column landed between the
+    # quality gate and packing — their r13 green rows verify the OLD
+    # shape, so fresh rows are load-bearing; same treatment the quality
+    # gate got in the r13 window) ...
     "corpus_e2e_prep", "corpus_e2e_prep_incremental",
-    # ... the seven r12 additions kept for a second verified round (the
-    # established one-round-keeper convention; their only green row is
-    # r12) ...
-    "ann_ivf_imbalance", "quality_classifier_score", "ann_pq_recon_drift",
-    "dedup_incremental_embedding", "quality_classifier_eval",
-    "text_cms_drift", "dedup_bloom_saturation",
-    # ... and the full last-green-r10 cohort (39 rows — recomputed from
-    # CORRECTNESS_r01–r12: every query whose newest driver row is r10),
-    # back for a fresh row. 2 + 2 + 7 + 39 = 50 = the window exactly;
-    # the 39-row last-green-r11 cohort holds the next-oldest rows and
-    # leads the r14 rotation.
-    "ann_cosine_topk_vectorized", "ann_int8_gram_matrix", "ann_ivf_topk",
-    "ann_pq_rerank_topk", "anti_join_customers_without_orders",
-    "corpus_pack_sequences", "corpus_segment_dedup",
-    "corpus_substring_spans", "dedup_bloom_chase", "dedup_bloom_update",
-    "dedup_cascade_confirmed", "dedup_embedding_blocked",
-    "dedup_exact_summary", "dedup_incremental_lsh",
-    "dedup_jaccard_cms_capped", "dedup_lsh_recall", "dedup_minhash_lsh",
-    "distinct_sort", "engine_scd2_changed_since", "engine_scd2_current",
-    "events_sessionization", "groupby_rollup", "join_agg_by_segment",
-    "join_star_three_way", "range_join_surge_windows",
-    "scan_filter_project", "scd2_as_of", "scd2_history_versions",
-    "semi_join_parts_in_lineitem", "subq_exists_late_shipment",
-    "subq_outer_join_order_counts", "subq_rich_inactive_customers",
-    "subq_scalar_avg_quantity", "text_cms_heavy_hitters",
-    "text_tfidf_top_terms", "text_unigram_surprisal",
-    "timeseries_gapfill_locf", "topk_orders", "window_frame_stats",
+    # ... and 36 of the 39-row last-green-r11 cohort (recomputed from
+    # CORRECTNESS_r01–r13: every query whose newest driver row is r11),
+    # back for a fresh row. 12 + 2 + 36 = 50 = the window exactly; the
+    # three that do not fit (top_revenue_orders, union_by_name,
+    # window_running_total — last alphabetically) plus any r14 additions
+    # lead the r15 rotation.
+    "ann_cosine_topk", "ann_gram_update", "ann_ivf_recall",
+    "ann_ivf_update", "ann_pca_ivf_recall", "ann_pq_adc_topk",
+    "asof_join_last_purchase", "corpus_cut_spans",
+    "corpus_incremental_spans", "date_bucket_monthly", "dedup_drop_list",
+    "dedup_embedding_neardup", "dedup_ngram_jaccard",
+    "dedup_simhash_signatures", "dedup_winnow_pairs",
+    "entity_uuid_identity", "events_cohort_retention",
+    "events_funnel_ordered", "except_lapsed_customers", "groupby_cube",
+    "groupby_grouping_sets", "money_roundtrip", "multimodal_bytes_meta",
+    "quality_filter_pipeline", "quantiles_by_status",
+    "regex_extract_tokens", "regional_customer_revenue",
+    "row_hash_content", "string_normalize", "text_bpe_token_count",
+    "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
+    "text_kmv_overlap", "text_kmv_update", "text_lang_confusion",
+    "text_winnow_fingerprints",
 ]
-# Verification record (matches CORRECTNESS_r01–r12): all 128 catalog
-# queries at r12 HEAD hold >= 1 driver-verified green row — last-green
-# cohorts: 39 at r10, 39 at r11, 50 at r12 (recomputed from the files).
-# The two r13 additions above hold no driver row yet, and the two
-# composed DAGs' r12 rows predate their quality-gate stage — all four
-# are first in the window precisely so this round's run records theirs.
-# dedup_prefix_filter_join / dedup_incremental_prefix changed INTERNALS
-# this round (PPJoin positional filter) with output proven identical by
-# the in-repo naive-join oracle gate, so their r12 rows stand. The
-# late-r13 additions text_cms_saturation / dedup_bloom_rebuild /
-# text_bm25_topk / hybrid_rrf_topk / ann_kmeans_centroids /
-# ann_kmeans_update / corpus_cluster_balanced_sample /
-# corpus_prototype_prune / corpus_dsir_importance /
-# corpus_dsir_shift / corpus_dsir_bigram / corpus_dsir_incremental sit
-# after the 50-row window (in-repo + adversarial gated this round)
-# and lead the r14 rotation per the within-a-round-or-two policy. Names
-# added to DRIVER_PRIORITY must exist in the catalog at commit time —
-# _ordered raises on unknown names so a typo (or a planned-but-unbuilt
-# query) cannot silently fall out of the window. Everything outside
-# the window remains in-repo + adversarial oracle-gated every run.
+# Verification record (matches CORRECTNESS_r01–r13): at r13 HEAD all
+# 130 pre-r13 catalog queries hold >= 1 driver-verified green row —
+# last-green cohorts: 39 at r11, 41 at r12, 50 at r13 (recomputed from
+# the files). The 12 late-r13 additions above hold no driver row yet
+# and lead the window precisely so this round's run records theirs.
+# Names added to DRIVER_PRIORITY must exist in the catalog at commit
+# time — _ordered raises on unknown names so a typo (or a
+# planned-but-unbuilt query) cannot silently fall out of the window.
+# Everything outside the window remains in-repo + adversarial
+# oracle-gated every run.
 
 
 def _ordered(catalog: dict) -> dict:

@@ -1,7 +1,18 @@
 """Benchmark runner: headline catalog queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+The LAST stdout line is the primary record — ONE compact JSON line:
 ``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Record layout (round-14: the r13 primary line grew past the driver's
+2000-char tail capture and the official BENCH_r13.json landed with
+``parsed: null``): the primary line now carries only the load-bearing
+fields — raw per-query seconds, the three calibration scalars, the
+anomaly list, and ``comparable_subtotal`` — and is length-guarded under
+:data:`PRIMARY_LINE_BUDGET`. Everything derivable or diagnostic
+(``queries_normalized`` = queries / calibration_sec;
+``calibration_track``) moves to a PRECEDING ``bench_diagnostics`` line
+and to the ``BENCH_FULL_LATEST.json`` sidecar at the repo root, which
+holds the complete merged record for the judge.
 
 Each query is executed twice: a warm-up is NOT used (cold numbers are the
 honest ones at this scale); timing covers plan + execution + a count-style
@@ -19,6 +30,20 @@ pure-CPU calibration job is timed first and every query is reported both
 raw (``queries``/``value``) and divided by it (``queries_normalized``/
 ``value_normalized`` — unitless machine-relative cost; read trends off
 these).
+
+Two-term boot model (round-14, after r13's +12 % phantom regression on
+git-identical code): a boot's cost has a per-query FIXED component (job
+submission, planning, parquet-reader init, commit protocol) and a
+VARIABLE compute rate, and they move independently — on the r13 driver
+boot fixed overhead grew ~2x while the CPU calibration grew only 1.23x,
+so the single-scalar normalization undercorrected and identical plans
+read as slower.  :func:`calibrate_probe` times a FROZEN overhead-
+dominated probe job each round (``probe_sec`` — the fixed-cost axis,
+never change the probe's plan), and ``comparable_subtotal`` gains
+``value_affine`` = sum(max(raw_q - probe_sec, 0)) / calibration_sec:
+each query is charged one fixed-overhead quantum priced by the probe,
+and only the remaining variable part is normalized by the CPU rate.
+Methodology + validation in SCALE.md ("Cross-boot normalization").
 """
 
 from __future__ import annotations
@@ -75,15 +100,47 @@ def calibrate_shuffle(spark, trials: int = 3, rows: int = 32_000_000) -> float:
     return round(best, 4)
 
 
+def calibrate_probe(spark, sf_dir: str, trials: int = 3) -> float:
+    """FROZEN fixed-overhead probe — the second axis of the two-term boot
+    model (see module docstring). A deliberately tiny end-to-end job whose
+    cost is ~all per-query fixed overhead (driver round-trip, planning,
+    parquet reader init, noop commit) and ~no data work: scan the 5-row
+    region table, filter, project, noop-write. Same shape as a timed
+    query (``fn(spark, sf_dir)`` + noop write) so it prices the same
+    fixed path the queries pay.
+
+    NEVER change this plan: ``probe_sec`` is only meaningful across
+    rounds if the probe is byte-identical round to round. Min of
+    ``trials``, GC drained before each — same policy as
+    :func:`calibrate`."""
+    best = None
+    for _ in range(trials):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .filter("r_regionkey >= 0")
+            .selectExpr("r_regionkey", "upper(r_name) AS r_name_u")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 # The query set of the PREVIOUS round's BENCH_r{N}.json (update at round
 # close when the headline set changes). build_output emits a
 # ``comparable_subtotal`` over exactly this set — raw and normalized —
 # so BENCH_rN vs BENCH_rN-1 is one field-to-field read instead of hand
 # adjudication of which queries both rounds share and how calibration
 # moved between boots.
-PRIOR_ROUND = "r12"
+PRIOR_ROUND = "r13"
 PRIOR_ROUND_QUERY_SET = [
-    "ann_cosine_topk_vectorized", "corpus_segment_dedup",
+    "ann_cosine_topk_vectorized", "ann_kmeans_centroids",
+    "ann_pq_retrain_cycle", "corpus_e2e_prep", "corpus_segment_dedup",
     "corpus_substring_spans", "dedup_bloom_chase",
     "dedup_bloom_membership", "dedup_groups_connected",
     "dedup_minhash_lsh", "dedup_prefix_filter_join",
@@ -92,19 +149,17 @@ PRIOR_ROUND_QUERY_SET = [
     "subq_outer_join_order_counts", "top_revenue_orders",
 ]
 
-# Headline queries promoted THIS round (r13): not in the prior set, so
+# Headline queries promoted THIS round (r14): not in the prior set, so
 # they never pollute comparable_subtotal; recorded explicitly so the set
 # growth is visible in the JSON rather than inferred by diffing rounds.
-NEW_HEADLINE_QUERIES = ["ann_pq_retrain_cycle", "ann_kmeans_centroids"]
+NEW_HEADLINE_QUERIES: list[str] = []
 
-# In the headline set and in r12's record, but EXCLUDED from the r13
+# In the headline set and in r13's record, but EXCLUDED from the r14
 # comparable subtotal because its SEMANTICS changed this round (the
-# trained quality gate landed between the contamination stage and
-# packing, adding a training collect + a gate filter to the plan): a
-# like-for-like r12 comparison would read the new stage as a
-# regression. Its r13-vs-r12 trend is adjudicated in SCALE.md instead
-# (the gate's cost is corpus-size-independent; 10x ratio IMPROVED
-# 2.4x -> 1.65x).
+# DSIR domain-selection stage landed between the quality gate and
+# packing — r13 VERDICT item 6): a like-for-like r13 comparison would
+# read the new stage as a regression. Its r14-vs-r13 trend is
+# adjudicated in SCALE.md instead.
 SEMANTICS_CHANGED_EXCLUDED = ["corpus_e2e_prep"]
 
 # Expected normalized cost per query (multiples of the fixed CPU
@@ -264,6 +319,13 @@ def run_headline(
     return timings, errors, calibration_track, anomalous
 
 
+# Hard budget for the primary (final) stdout line. The driver records
+# only the last 2000 chars of bench stdout; r13's single line hit ~2400
+# chars and the official record landed with ``parsed: null``. 1900
+# leaves headroom for the trailing newline and capture slack.
+PRIMARY_LINE_BUDGET = 1900
+
+
 def build_output(
     timings: dict,
     errors: dict,
@@ -272,7 +334,13 @@ def build_output(
     calibration_shuffle_sec: float | None = None,
     calibration_track: dict | None = None,
     anomalous: list | None = None,
-) -> dict:
+    probe_sec: float | None = None,
+) -> tuple[dict, dict]:
+    """Returns ``(primary, diagnostics)``. ``primary`` is the compact
+    final-line record the driver parses (length-guarded against
+    :data:`PRIMARY_LINE_BUDGET`); ``diagnostics`` carries everything
+    derivable or advisory and is printed as a preceding line + written
+    to the ``BENCH_FULL_LATEST.json`` sidecar."""
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -283,26 +351,34 @@ def build_output(
         # full headline set must never read as a round-over-round speedup
         "comparable": not errors,
     }
+    diagnostics: dict = {"record": "bench_diagnostics"}
     if calibration_sec:
         # raw seconds AND machine-normalized ratios: cross-round trends
         # should be read off the normalized numbers (unit: multiples of
         # the fixed CPU calibration job on the same boot), raw seconds
-        # stay for within-round comparisons
+        # stay for within-round comparisons. Per-query normalized values
+        # are derivable (queries / calibration_sec) and live in the
+        # diagnostics record only — r13 lesson: they doubled the primary
+        # line and cost the round its parsed record.
         out["calibration_sec"] = calibration_sec
         out["value_normalized"] = round(out["value"] / calibration_sec, 4)
-        out["queries_normalized"] = {
+        diagnostics["queries_normalized"] = {
             k: round(v / calibration_sec, 4) for k, v in timings.items()
         }
     if calibration_shuffle_sec:
         # second normalization axis (shuffle/exchange path) — recorded,
         # not used in the normalized metrics, so trends stay continuous
         out["calibration_shuffle_sec"] = calibration_shuffle_sec
+    if probe_sec is not None:
+        # fixed-overhead axis of the two-term boot model (module
+        # docstring): the frozen probe's cost on THIS boot
+        out["probe_sec"] = probe_sec
     if calibration_track:
         # per-query boot repricing (1-trial CPU calibration taken right
         # after each query): lets a reader see a mid-run pressure window
         # the start-of-run calibration cannot — diagnostic only, the
         # normalized metrics stay defined on calibration_sec
-        out["calibration_track"] = calibration_track
+        diagnostics["calibration_track"] = calibration_track
     # always present so its absence can never be read as "not checked":
     # names whose cost stayed >ANOMALY_FACTOR x EXPECTED_NORMALIZED even
     # after a drain + re-trial under BOTH calibrations (see run_headline)
@@ -310,8 +386,15 @@ def build_output(
     # round-over-round comparable subtotal: the sum over EXACTLY the
     # prior round's query set, only when every one of them completed —
     # the one-field answer to "did shared code get faster or slower"
-    prior = {n: timings[n] for n in PRIOR_ROUND_QUERY_SET if n in timings}
-    if len(prior) == len(PRIOR_ROUND_QUERY_SET):
+    prior = {
+        n: timings[n]
+        for n in PRIOR_ROUND_QUERY_SET
+        if n in timings and n not in SEMANTICS_CHANGED_EXCLUDED
+    }
+    expected = [
+        n for n in PRIOR_ROUND_QUERY_SET if n not in SEMANTICS_CHANGED_EXCLUDED
+    ]
+    if len(prior) == len(expected):
         out["comparable_subtotal"] = {
             "vs_round": PRIOR_ROUND,
             "n_queries": len(prior),
@@ -333,6 +416,18 @@ def build_output(
             out["comparable_subtotal"]["value_normalized"] = round(
                 sum(prior.values()) / calibration_sec, 4
             )
+        if calibration_sec and probe_sec is not None:
+            # two-term corrected subtotal (module docstring): charge each
+            # query one fixed-overhead quantum (probe_sec) and normalize
+            # only the variable remainder by the CPU rate. On a boot
+            # where fixed overhead inflates 2x but compute only 1.2x
+            # (the r13 driver boot), this stays flat where
+            # value_normalized reads +12 % on identical code.
+            out["comparable_subtotal"]["value_affine"] = round(
+                sum(max(v - probe_sec, 0.0) for v in prior.values())
+                / calibration_sec,
+                4,
+            )
         # same flagging policy as the headline total: a prior-set query
         # that kept a first-trial timing but errored on a later trial
         # may carry an anomalous single-trial number — never let that
@@ -346,7 +441,16 @@ def build_output(
         # flag it rather than letting a smaller sum read as a speedup
         out["errors"] = errors
         out["partial"] = True
-    return out
+    # Length guard: the primary line MUST parse from a 2000-char tail
+    # capture. Demote optional fields (never the required schema:
+    # metric/value/unit/queries/sf) to diagnostics until it fits.
+    for field in ("errors", "comparable_subtotal", "anomalous"):
+        if len(json.dumps(out)) <= PRIMARY_LINE_BUDGET:
+            break
+        if field in out:
+            diagnostics[field] = out.pop(field)
+            diagnostics.setdefault("demoted_for_length", []).append(field)
+    return out, diagnostics
 
 
 def main() -> None:
@@ -377,6 +481,7 @@ def main() -> None:
     # prices this boot's hardware so cross-round numbers stay comparable
     calibration_sec = calibrate(spark)
     calibration_shuffle_sec = calibrate_shuffle(spark)
+    probe_sec = calibrate_probe(spark, sf_dir)
 
     timings, errors, calibration_track, anomalous = run_headline(
         spark, sf_dir, QUERIES, calibration_sec
@@ -447,19 +552,32 @@ def main() -> None:
                 anomalous.append("ingest_load_2000")
         timings["ingest_load_2000"] = best
 
-    print(
-        json.dumps(
-            build_output(
-                timings,
-                errors,
-                sf,
-                calibration_sec,
-                calibration_shuffle_sec,
-                calibration_track,
-                anomalous,
-            )
-        )
+    primary, diagnostics = build_output(
+        timings,
+        errors,
+        sf,
+        calibration_sec,
+        calibration_shuffle_sec,
+        calibration_track,
+        anomalous,
+        probe_sec,
     )
+    # Full merged record to the sidecar (committed at round close) so the
+    # judge gets every field even though the driver captures only a
+    # 2000-char stdout tail.
+    full = dict(primary)
+    full.update({k: v for k, v in diagnostics.items() if k != "record"})
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL_LATEST.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    # diagnostics line FIRST — the primary record must be the last line
+    print(json.dumps(diagnostics))
+    line = json.dumps(primary)
+    print(line)
 
 
 if __name__ == "__main__":

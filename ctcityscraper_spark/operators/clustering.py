@@ -89,6 +89,20 @@ def l2int_best_expr(vm_sql: str, centroids: list) -> F.Column:
     ``ROW_NUMBER() OVER (ORDER BY d, list_id)``. Magnitude: unit-norm
     embeddings quantize to |v| <= 1e6, so a squared diff is <= 4e12 and
     a 64-dim sum <= 2.6e14 — five orders below int64 overflow.
+
+    Magnitude CONTRACT (r13 ADVICE): that no-overflow bound is a
+    property of roughly-unit-norm inputs, not of the fold — callers
+    feeding unnormalized vectors can push ``sum((x-c)^2)`` past int64.
+    At 64 dims the fold stays in-range while |micros| <= ~1.9e8 per
+    element (64 * (2M)^2 <= 2^63 - 1), i.e. |x| <= ~190 — two orders
+    of headroom over unit norm. It is deliberately NOT clamp-enforced
+    per row (a scan-side clamp would tax every 100 TB assignment pass
+    for an out-of-contract caller bug); instead both engines are
+    relied on to fail loudly — Spark runs under ANSI mode (the Spark 4
+    default; session.py never disables it) so int64 overflow RAISES
+    rather than wrapping, and DuckDB raises natively. Out-of-contract
+    magnitudes therefore produce an overflow error, never a silent
+    wrong centroid or a confusing Spark-vs-oracle divergence.
     """
     structs = ", ".join(
         "named_struct('d', aggregate(zip_with("
@@ -357,6 +371,17 @@ def prototype_prune_threshold(
     per cluster — a superset-by-at-most-one of the exact prune (pinned
     in tests). At fraction-sized quotas this trade is the right one: the
     exact variant's output-sized ranking is the thing that doesn't scale.
+
+    Exactness bound (r13 ADVICE): quantile_sketch_by routes the int64
+    ``d2`` values through a double-typed sketch, exact only below 2^53
+    — a TIGHTER bound than the fold's int64 range (at 64 dims:
+    d2 < 2^53 needs |micros| <= ~5.9e6 per element, ~6x unit norm,
+    vs ~1.9e8 for the fold — see :func:`l2int_best_expr`). A vector in
+    the gap would compute d2 fine but could silently round the cutoff,
+    so the sketch input carries a lazy ``d2 < 2^53`` assert (one
+    integer comparison per row on the already-persisted narrow frame):
+    out-of-bound magnitudes raise with the contract named instead of
+    rounding the quantile.
     """
     a = persist_tracked(assign_with_distance(corpus, centroids, vec, id_col))
     from ctcityscraper_spark.operators.text import (
@@ -364,8 +389,22 @@ def prototype_prune_threshold(
         quantile_sketch_by,
     )
 
+    guarded = a.withColumn(
+        "d2",
+        F.coalesce(
+            F.when(F.col("d2") < F.lit(1 << 53), F.col("d2")),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "prototype_prune_threshold: d2 >= 2^53 — embedding "
+                    "magnitude out of the |micros| <= ~5.9e6 contract; "
+                    "the double-typed quantile sketch would round"
+                ),
+            ).cast("long"),
+        ),
+    )
     sk = quantile_sketch_by(
-        a, keys=["list_id"], value_col="d2", id_col=id_col,
+        guarded, keys=["list_id"], value_col="d2", id_col=id_col,
         k=sketch_k, seed=seed,
     )
     thr = quantile_estimate_by(sk, ["list_id"], percentiles=(drop_pct,)).select(

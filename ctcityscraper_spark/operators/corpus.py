@@ -1272,7 +1272,14 @@ def dsir_score_with_model(
     maximally surprising under BOTH models — identical arithmetic to
     scoring in :func:`dsir_importance` when the model was built from the
     same corpus (every doc bucket exists there; pinned in tests).
-    Returns (doc_id, n_tokens, weight_bits)."""
+    Returns (doc_id, n_tokens, weight_bits).
+
+    Degenerate-model guard (r13 ADVICE): an ABSENT model zone fails
+    loudly in the zone reader, but a present-but-EMPTY model table
+    would make the ``tot`` aggregation return NULL totals and every
+    ``weight_bits`` silently NULL. The totals are therefore wrapped in
+    a lazy ``assert_true`` that raises at execution time — same
+    loud-failure posture, no eager job on the scoring path."""
     toks = _dsir_term_stream(df, F.lit(False), ngram, text, id_col)
     doc_b = (
         toks.withColumn("b", hash64(F.col("term"), seed) % n_buckets)
@@ -1280,7 +1287,26 @@ def dsir_score_with_model(
         .agg(F.count("*").alias("c_db"))
     )
     m = sum_dsir_models(model)
-    tot = m.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
+
+    def _nonempty(name: str):
+        # sum() over zero rows is NULL: convert the silent NULL into a
+        # runtime error naming the cause (coalesce's second arm only
+        # evaluates — and raises — when the first is NULL)
+        return F.coalesce(
+            F.col(name),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "dsir_score_with_model: stored model table has no "
+                    "rows — build it with dsir_bucket_model / "
+                    "streaming_dsir before scoring"
+                ),
+            ).cast("long"),
+        ).alias(name)
+
+    tot = m.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+    ).select(_nonempty("t_r"), _nonempty("t_t"))
     bits = (
         m.crossJoin(F.broadcast(tot))
         .withColumn("bits_r", _dsir_bits_expr("t_r", "c_r", n_buckets))

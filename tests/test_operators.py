@@ -3256,6 +3256,37 @@ class TestDsirImportance:
         out = dsir_importance(docs, F.col("lang") == "xx").collect()
         assert len(out) == 5
 
+    def test_empty_stored_model_fails_loudly(self, spark):
+        """r13 ADVICE: a present-but-EMPTY model table must raise the
+        named error at execution, never return silently-NULL weights
+        (an ABSENT zone already fails in the zone reader)."""
+        import pytest
+
+        from ctcityscraper_spark.operators.corpus import (
+            dsir_score_with_model,
+        )
+
+        docs = self._docs(spark)
+        empty_model = spark.createDataFrame([], "b long, c_r long, c_t long")
+        with pytest.raises(Exception, match="no\\s+rows|dsir_bucket_model"):
+            dsir_score_with_model(docs, empty_model).collect()
+
+    def test_score_with_model_no_null_weights(self, spark):
+        """Complement of the loud-failure test: a NONEMPTY model always
+        yields fully-defined integer weights (the silent-NULL channel
+        the guard closes is the only NULL source)."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.corpus import (
+            dsir_bucket_model,
+            dsir_score_with_model,
+        )
+
+        docs = self._docs(spark)
+        model = dsir_bucket_model(docs, F.col("lang") == "en")
+        out = dsir_score_with_model(docs, model).collect()
+        assert out and all(r.weight_bits is not None for r in out)
+
 
 class TestKmeansMaintenance:
     """operators/clustering: mergeable Lloyd state + prototype pruning."""
@@ -3604,3 +3635,43 @@ class TestPrototypePruneThreshold:
         for r in assign_with_distance(emb, ctr).collect():
             if r.vec_id not in dropped_ids and r.list_id in max_drop:
                 assert r.d2 > max_drop[r.list_id]
+
+    def test_out_of_contract_magnitude_raises_not_rounds(self, spark):
+        """r13 ADVICE: the quantile sketch casts int64 d2 to double —
+        exact only below 2^53, a TIGHTER bound than the distance fold's
+        int64 range. A vector in that gap must raise the named contract
+        error, never silently round the cutoff."""
+        import pytest
+
+        from ctcityscraper_spark.operators.clustering import (
+            prototype_prune_threshold,
+        )
+
+        # |x| ~ 100 -> 1e8 micros -> squared diff ~1e16 per element:
+        # past 2^53 (9.0e15) so the sketch WOULD round, yet orders below
+        # the fold's int64 range — exactly the silent-rounding gap
+        big = spark.createDataFrame(
+            [(i, [100.0 + i, -100.0, 100.0]) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        ctr = [[0, 0, 0], [1_000_000, 0, 0]]
+        with pytest.raises(Exception, match="2\\^53|micros"):
+            prototype_prune_threshold(
+                big, ctr, drop_pct=50, sketch_k=16
+            ).collect()
+
+    def test_in_contract_magnitude_passes_guard(self, spark):
+        """The guard is a no-op for in-contract (unit-norm-ish) inputs —
+        same output as before it existed (covered in depth by
+        test_exact_sketch_matches_exact_prune; this pins the guard
+        specifically against false positives on the boundary side)."""
+        from ctcityscraper_spark.operators.clustering import (
+            kmeans_fit_micros,
+            prototype_prune_threshold,
+        )
+
+        emb = self._emb(spark, n=30)
+        ctr = kmeans_fit_micros(emb, 2, iters=1)
+        assert prototype_prune_threshold(
+            emb, ctr, drop_pct=30, sketch_k=64
+        ).count() > 0
