@@ -436,24 +436,39 @@ def bm25_topk(
     dfreq = hit.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df_t")
     )
-    one_minus_b, k1_plus_1 = float(1.0 - b), float(k1 + 1.0)
-    scored = (
+    scored = _bm25_score(
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf_bits",
-            F.length(F.bin(F.expr("n_docs DIV df_t"))).cast("long"),
-        )
-        .withColumn(
-            "score_micros",
-            F.expr(
-                f"CAST(floor(((idf_bits * (tf * {k1_plus_1!r})) / "
-                f"(tf + {float(k1)!r} * ({one_minus_b!r} + {float(b)!r} * "
-                f"((dl * n_docs) / total_tokens)))) * 1000000.0) AS BIGINT)"
-            ),
-        )
+        .crossJoin(F.broadcast(stats)),
+        k1, b,
     )
+    return _bm25_rank(scored, k)
+
+
+def _bm25_score(frame: DataFrame, k1: float, b: float) -> DataFrame:
+    """Attach ``idf_bits`` + fixed-point ``score_micros`` to a frame that
+    carries (tf, df_t, dl, n_docs, total_tokens) — the ONE scoring
+    expression both the rescan path (:func:`bm25_topk`) and the stored-
+    index probe (:func:`bm25_topk_from_index`) share, so index-served
+    scores are definitionally the rescan's (the incremental catalog
+    query then hash-proves the INPUTS agree too)."""
+    one_minus_b, k1_plus_1 = float(1.0 - b), float(k1 + 1.0)
+    return frame.withColumn(
+        "idf_bits",
+        F.length(F.bin(F.expr("n_docs DIV df_t"))).cast("long"),
+    ).withColumn(
+        "score_micros",
+        F.expr(
+            f"CAST(floor(((idf_bits * (tf * {k1_plus_1!r})) / "
+            f"(tf + {float(k1)!r} * ({one_minus_b!r} + {float(b)!r} * "
+            f"((dl * n_docs) / total_tokens)))) * 1000000.0) AS BIGINT)"
+        ),
+    )
+
+
+def _bm25_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Per-doc sum + global top-k (TakeOrderedAndProject) + dense 1..k
+    rank — shared tail of both BM25 paths."""
     ranked = (
         scored.groupBy("doc_id")
         .agg(
@@ -467,6 +482,125 @@ def bm25_topk(
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_terms_matched", "score_micros", "rank"
     )
+
+
+def bm25_index_delta(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build one batch's DELTA of the stored BM25 index — retrieval's
+    entry into the stored-state pattern every other index family
+    follows (Bloom words, LSH bands, IVF lists, DSIR buckets): persist
+    once, probe per query, maintain per batch, never re-read the
+    corpus at serve time.
+
+    Returns three frames:
+
+    - ``postings`` ``(term, doc_id, tf, dl)`` — the inverted index,
+      denormalized with the doc's length so a probe needs NO join
+      against a corpus-sized doc-length table (dl is immutable once
+      the doc is tokenized, so carrying it per posting costs one long
+      and kills the probe's only big join). Append-only.
+    - ``term_stats`` ``(term, df_t)`` — per-term document frequency.
+      SUM-mergeable delta rows (:func:`sum_bm25_term_stats`).
+    - ``totals`` ``(n_docs, total_tokens)`` — one SUM-mergeable row.
+
+    Append-only contract: each document must enter the index in
+    EXACTLY one batch (the engine's append-only ingest invariant) —
+    df_t/n_docs sum per-batch distinct counts, so a doc split across
+    batches would double-count. Docs with zero nonempty tokens
+    contribute nothing anywhere (same contract as :func:`bm25_topk`'s
+    in-plan stats).
+
+    100 TB shape: postings bucket/partition by ``term`` on write so a
+    probe prunes to the query's terms; term_stats and totals are
+    vocabulary- and 1-row-sized mergeable states; per-batch upkeep is
+    one tokenize + three aggregations of the BATCH, independent of
+    corpus size."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+    )
+    term_stats = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    totals = toks.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+    )
+    return postings, term_stats, totals
+
+
+def sum_bm25_term_stats(term_stats: DataFrame) -> DataFrame:
+    """SUM-collapse delta ``(term, df_t)`` rows — exact under the
+    append-only contract, idempotent on collapsed input."""
+    return term_stats.groupBy("term").agg(F.sum("df_t").alias("df_t"))
+
+
+def sum_bm25_totals(totals: DataFrame) -> DataFrame:
+    """SUM-collapse delta totals rows to the one serving row, with the
+    DSIR-style loud guard: an EMPTY stored totals table would make the
+    sums NULL and every downstream score silently NULL — raise with
+    the cause named instead (lazy, no job on the probe path)."""
+
+    def _nonempty(name: str):
+        return F.coalesce(
+            F.col(name),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "bm25 stored index: totals table has no rows — build "
+                    "it with bm25_index_delta before probing"
+                ),
+            ).cast("long"),
+        ).alias(name)
+
+    return totals.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    ).select(_nonempty("n_docs"), _nonempty("total_tokens"))
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    totals: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a BM25 query as a PROBE against the stored index — the
+    query never touches the corpus. Same output contract as
+    :func:`bm25_topk` (``(doc_id, n_terms_matched, score_micros,
+    rank)``), and bit-identical to it when the index deltas cover
+    exactly the same corpus (the ``text_bm25_incremental`` catalog
+    query hash-proves this cross-engine).
+
+    Probe shape: filter postings to the query's terms (partition
+    pruning when the zone is term-bucketed — cost ∝ matched postings),
+    broadcast the ≤|query| summed term stats and the 1-row totals,
+    score scan-side, TakeOrderedAndProject top-k. The only shuffle is
+    the per-doc sum over matched postings."""
+    if not query_terms:
+        raise ValueError("bm25_topk_from_index needs at least one query term")
+    terms = sorted(set(query_terms))
+    dfq = sum_bm25_term_stats(term_stats.filter(F.col("term").isin(terms)))
+    tot = sum_bm25_totals(totals)
+    scored = _bm25_score(
+        postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(tot)),
+        k1, b,
+    )
+    return _bm25_rank(scored, k)
 
 
 def unigram_surprisal(

@@ -113,6 +113,17 @@ class TestExtensionPlans:
         assert "Window" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_bm25_index_probe_shape(self, spark):
+        """The stored-index BM25 probe must keep the inverted-probe
+        shape: the term-stats attach is a BROADCAST hash join (≤|query|
+        rows after the term filter), the 1-row totals attach is the
+        only nested-loop allowed, top-k is TakeOrderedAndProject, and
+        no cartesian of real tables anywhere."""
+        plan = plan_of(spark, "text_bm25_incremental")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
     @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs"])
     def test_band_join_is_real_join(self, spark, name):
         plan = plan_of(spark, name)

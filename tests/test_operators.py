@@ -3047,6 +3047,109 @@ class TestBm25:
             bm25_topk(docs, [])
 
 
+class TestBm25StoredIndex:
+    """operators/text: the stored BM25 index (bm25_index_delta /
+    bm25_topk_from_index) — retrieval's instance of the stored-state
+    pattern. Cross-engine incremental ≡ fresh is hash-proven by the
+    text_bm25_incremental catalog query; these pin the operator-level
+    contracts."""
+
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(doc_id=1, text="rare common common common"),
+            Row(doc_id=2, text="common common common common"),
+            Row(doc_id=3, text="common filler filler filler"),
+            Row(doc_id=4, text="filler filler filler filler"),
+            Row(doc_id=5, text=None),
+            Row(doc_id=6, text="   "),
+        ])
+
+    def test_single_delta_probe_equals_rescan(self, spark):
+        from ctcityscraper_spark.operators.text import (
+            bm25_index_delta,
+            bm25_topk,
+            bm25_topk_from_index,
+        )
+
+        docs = self._docs(spark)
+        p, t, s = bm25_index_delta(docs)
+        fresh = sorted(map(tuple, bm25_topk(docs, ["rare", "common"]).collect()))
+        probe = sorted(map(tuple, bm25_topk_from_index(
+            p, t, s, ["rare", "common"]
+        ).collect()))
+        assert probe == fresh and probe
+
+    def test_merged_deltas_equal_one_build(self, spark):
+        """Two batch deltas unioned == one build of the union — the
+        SUM-mergeability that makes per-batch upkeep exact."""
+        from ctcityscraper_spark.operators.text import (
+            bm25_index_delta,
+            bm25_topk_from_index,
+            sum_bm25_term_stats,
+            sum_bm25_totals,
+        )
+
+        docs = self._docs(spark)
+        a, b = docs.filter("doc_id <= 2"), docs.filter("doc_id > 2")
+        pa_, ta, sa = bm25_index_delta(a)
+        pb, tb, sb = bm25_index_delta(b)
+        p0, t0, s0 = bm25_index_delta(docs)
+        merged_stats = sorted(map(tuple, sum_bm25_term_stats(
+            ta.unionByName(tb)
+        ).collect()))
+        assert merged_stats == sorted(map(tuple, t0.collect()))
+        assert sum_bm25_totals(sa.unionByName(sb)).collect() == (
+            s0.collect()
+        )
+        got = sorted(map(tuple, bm25_topk_from_index(
+            pa_.unionByName(pb), ta.unionByName(tb), sa.unionByName(sb),
+            ["rare", "common", "filler"],
+        ).collect()))
+        want = sorted(map(tuple, bm25_topk_from_index(
+            p0, t0, s0, ["rare", "common", "filler"]
+        ).collect()))
+        assert got == want and got
+
+    def test_tokenless_docs_contribute_nothing(self, spark):
+        from ctcityscraper_spark.operators.text import bm25_index_delta
+
+        docs = self._docs(spark)
+        p, t, s = bm25_index_delta(docs)
+        assert {r.doc_id for r in p.collect()} == {1, 2, 3, 4}
+        row = s.collect()[0]
+        assert row.n_docs == 4 and row.total_tokens == 16
+
+    def test_empty_stored_totals_fails_loudly(self, spark):
+        """Same loud-failure posture as the DSIR model guard: an empty
+        totals zone raises the named error, never NULL scores."""
+        import pytest
+
+        from ctcityscraper_spark.operators.text import (
+            bm25_index_delta,
+            bm25_topk_from_index,
+        )
+
+        docs = self._docs(spark)
+        p, t, _ = bm25_index_delta(docs)
+        empty = spark.createDataFrame([], "n_docs long, total_tokens long")
+        with pytest.raises(Exception, match="no rows|bm25_index_delta"):
+            bm25_topk_from_index(p, t, empty, ["common"]).collect()
+
+    def test_empty_query_refused(self, spark):
+        import pytest
+
+        from ctcityscraper_spark.operators.text import (
+            bm25_index_delta,
+            bm25_topk_from_index,
+        )
+
+        p, t, s = bm25_index_delta(self._docs(spark))
+        with pytest.raises(ValueError, match="at least one query term"):
+            bm25_topk_from_index(p, t, s, [])
+
+
 class TestFixedPointKmeans:
     """operators/clustering: cross-engine-exact Lloyd's k-means."""
 
