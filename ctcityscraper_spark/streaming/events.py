@@ -1242,11 +1242,12 @@ def _prep_zone_meta(
     width: int, min_docs: int, m_bits: int, k: int,
     shingle_n: int, test_mod: int, seq_len: int, num_shards: int,
     quality_gate: bool, quality_teacher: float, kmv_k: int,
+    seg_tail_min: int, seg_tail_k: int,
 ) -> dict:
     from ctcityscraper_spark.operators.dedup import BLOOM_FORMAT_VERSION
 
     return {
-        "kind": "corpus_prep_pipeline", "format_version": 2,
+        "kind": "corpus_prep_pipeline", "format_version": 3,
         "bloom_format_version": BLOOM_FORMAT_VERSION,
         "width": width, "min_docs": min_docs, "m_bits": m_bits, "k": k,
         "shingle_n": shingle_n, "test_mod": test_mod,
@@ -1254,6 +1255,11 @@ def _prep_zone_meta(
         "quality_gate": bool(quality_gate),
         "quality_teacher": float(quality_teacher),
         "kmv_k": int(kmv_k),
+        # the seg_counts snapshot-prune contract (r13 VERDICT item 4):
+        # frozen because a resume under different pruning would change
+        # which segments can ever become hot
+        "seg_tail_min": int(seg_tail_min),
+        "seg_tail_k": int(seg_tail_k),
     }
 
 
@@ -1279,6 +1285,8 @@ def streaming_corpus_prep(
     quality_gate: bool = False,
     quality_teacher: float = 0.45,
     kmv_k: int = 256,
+    seg_tail_min: int = 2,
+    seg_tail_k: int = 256,
 ):
     """The nightly pretraining-prep DAG (``corpus_e2e_prep``) as ONE
     continuously-running stream: boilerplate removal -> Bloom-chased
@@ -1295,6 +1303,23 @@ def streaming_corpus_prep(
       previously ingested. Batch N's hot list = merged counts >=
       ``min_docs`` (batch 1 sees no hot list — new boilerplate waits one
       batch, the same refresh-cadence trade the batch twin documents).
+      BOUNDED at compaction (r13 VERDICT item 4 — this zone was the
+      pipeline's one vocabulary-sized state): the compaction snapshot
+      keeps (a) every segment with merged count >= ``seg_tail_min``
+      (the hot list plus the recurring below-threshold tail) and (b) a
+      KMV-style hash-ranked sample of at most ``seg_tail_k`` of the
+      remaining sub-``seg_tail_min`` segments (the smallest
+      ``hash64(segment, 'segtail')`` — deterministic under replay,
+      unbiased over the dropped tail). COUNT-LOSS CONTRACT: a segment
+      below ``seg_tail_min`` occurrences at a compaction boundary and
+      outside the sample loses its partial count — to ever become hot
+      it must recur ``seg_tail_min`` times within one compaction epoch
+      (or ride the sample). Boilerplate by definition recurs fast, so
+      the hot list a deployment actually converges to is unchanged;
+      what is given up is credit for ultra-slow accumulation across
+      epochs. Both knobs are ``_zone_meta``-frozen — a resume under
+      different pruning dies loudly instead of silently changing which
+      segments can become hot.
     - ``bloom_words`` + ``fingerprints``: the two-tier exact-dedup state
       (:func:`streaming_bloom_membership`'s zone + the md5 chase index).
       The batch probes strictly-before words; only flagged rows join the
@@ -1360,26 +1385,28 @@ def streaming_corpus_prep(
 
     100 TB shape: per batch the corpus-sized state is touched through
     the Bloom word probe (~m/32 rows), the flagged-rows-only fingerprint
-    join, the test-shingle equi-join, AND the hot-list rebuild — be
-    precise about that last one: ``seg_counts`` holds one row per
-    distinct boilerplate segment ever seen, i.e. it is
-    corpus-VOCABULARY-sized, not bounded, and every micro-batch re-runs
-    a full-zone groupBy over it to derive the hot list. Only the
-    post-filter ``>= min_docs`` result is broadcast-sized. The cursor
-    frame IS bounded (``num_shards`` rows after merge). The zones follow
-    the same compaction recipe as the per-stage streams: with
-    ``compact_every=N`` every state zone periodically rewrites into one
-    consolidated epoch with its own merge transform — seg_counts and
-    cursors re-aggregate by SUM, fingerprints and test_shingles by
-    DISTINCT, bloom_words by bit_or (bucketed on word_idx) — which
-    bounds FILE count at any stream length, not seg_counts' ROW count;
-    at true 100 TB vocabulary scale the deployment lever is a larger
-    ``compact_every`` plus a coarser segment ``width`` (fewer distinct
-    segments), or snapshotting the post-filter hot list itself as the
-    zone (a semantics change: segments below min_docs at snapshot time
-    lose their partial counts — not done here). The packs and stats
-    OUTPUT zones never compact (they are the run's ledger, one partition
-    per batch is the contract).
+    join, and the test-shingle equi-join. The hot-list rebuild is now
+    BOUNDED (r13 VERDICT item 4 delivered — previously the one honest
+    vocabulary-sized exception): with ``compact_every=N`` the
+    seg_counts read at batch B merges the last compaction snapshot
+    (<= |count >= seg_tail_min| + seg_tail_k rows — the pruning
+    contract above) plus at most N batch-sized deltas, so stage-1 cost
+    is hot-list + recurring-tail + sample + N batches, independent of
+    how many distinct segments the stream has ever seen. (The
+    recurring tail — segments seen >= seg_tail_min but < min_docs
+    times within recent epochs — is the one data-dependent term;
+    raising ``seg_tail_min`` is the deployment lever if a pathological
+    corpus makes it large. Without compaction the zone reverts to
+    growing per-batch deltas — compaction IS the bounding mechanism.)
+    The cursor frame IS bounded (``num_shards`` rows after merge). The
+    zones follow the same compaction recipe as the per-stage streams:
+    with ``compact_every=N`` every state zone periodically rewrites
+    into one consolidated epoch with its own merge transform —
+    seg_counts by the pruning SUM-snapshot, cursors by SUM,
+    fingerprints and test_shingles by DISTINCT, bloom_words by bit_or
+    (bucketed on word_idx). The packs and stats OUTPUT zones never
+    compact (they are the run's ledger, one partition per batch is the
+    contract).
     """
     from pyspark.sql import functions as SF
 
@@ -1415,7 +1442,7 @@ def streaming_corpus_prep(
     ns = num_shards or PACK_SHARDS
     meta = _prep_zone_meta(
         w, md, m_bits, k, shingle_n, test_mod, sl, ns,
-        quality_gate, quality_teacher, kmv_k,
+        quality_gate, quality_teacher, kmv_k, seg_tail_min, seg_tail_k,
     )
     bloom_tbl_prefix = (
         "prep_bloom_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
@@ -1437,7 +1464,22 @@ def streaming_corpus_prep(
         # (packs/stats) stay per-batch. The <= epoch guard matches the
         # other sinks: finish pending cleanup on replay.
         def seg_merge(df):
-            return df.groupBy("segment").agg(SF.sum("n_docs").alias("n_docs"))
+            # the bounding snapshot (zone docstring's count-loss
+            # contract): SUM-merge, keep counts >= seg_tail_min, plus a
+            # deterministic hash-ranked sample of <= seg_tail_k of the
+            # dropped singleton tail (TakeOrderedAndProject — bounded)
+            merged = df.groupBy("segment").agg(
+                SF.sum("n_docs").alias("n_docs")
+            )
+            kept_rows = merged.filter(SF.col("n_docs") >= seg_tail_min)
+            if seg_tail_k <= 0:
+                return kept_rows
+            sampled = (
+                merged.filter(SF.col("n_docs") < seg_tail_min)
+                .orderBy(hash64(SF.col("segment"), "segtail"), "segment")
+                .limit(seg_tail_k)
+            )
+            return kept_rows.unionByName(sampled)
 
         def cur_merge(df):
             return df.groupBy("shard_id").agg(

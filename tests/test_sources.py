@@ -1829,8 +1829,12 @@ class TestStreamingCorpusPrep:
         """compact_every=2 over the same 3 batches: the state zones
         re-aggregate into epochs with their per-zone merges, and the
         pipeline's OUTPUTS (stats, packs) are identical to the
-        uncompacted run — compaction is a layout change, never a
-        semantics change."""
+        uncompacted run. r14: seg_counts' compaction snapshot PRUNES
+        (the bounded-state contract) — but at this scale every
+        singleton fits inside the default seg_tail_k=256 sample, so
+        results are still bit-identical to the uncompacted run (the
+        count-loss case is pinned separately in
+        test_seg_snapshot_count_loss_contract)."""
         import time as _time
 
         from ctcityscraper_spark.streaming.events import (
@@ -1881,6 +1885,81 @@ class TestStreamingCorpusPrep:
         # outputs never compact — one partition per batch is the ledger
         assert not _compacted_epochs(spark, f"{base}/packs")
         assert not _compacted_epochs(spark, f"{base}/stats")
+
+    def test_seg_snapshot_count_loss_contract(self, spark, tmp_path):
+        """The bounded seg_counts snapshot (r13 VERDICT item 4): with
+        seg_tail_k=0 the compaction keeps ONLY segments at
+        >= seg_tail_min occurrences — pre-compaction singletons lose
+        their counts (the documented count-loss contract), recurring
+        segments keep exact counts, the hot list converges identically,
+        restart stays exactly-once, and resuming under different
+        pruning knobs dies on the zone marker."""
+        import time as _time
+
+        import pytest as _pytest
+
+        src = str(tmp_path / "incoming")
+        base = str(tmp_path / "prep")
+        ckpt = str(tmp_path / "ckpt")
+        for batch in (self.B1, self.B2, self.B3):
+            spark.createDataFrame(
+                batch, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+        self._run(spark, src, base, ckpt, compact_every=2, seg_tail_k=0)
+
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_incremental_zone,
+        )
+
+        assert _compacted_epochs(spark, f"{base}/seg_counts")
+        seg = {
+            r.segment: r.n
+            for r in read_incremental_zone(spark, f"{base}/seg_counts")
+            .groupBy("segment")
+            .agg(F.sum("n_docs").alias("n"))
+            .collect()
+        }
+        # the hot segment keeps its exact cumulative count (4 at the
+        # batch-2 compaction boundary + doc 30's delta)
+        assert seg["B1 B2 B3"] == 5
+        # pre-compaction singletons are GONE (count-loss contract):
+        # doc 2's tail segment was seen once in batches 0-1
+        assert "a1 a2 a3" not in seg
+        # recurring below-hot segments survive the snapshot with exact
+        # counts (docs 5+6 share the 'p1 p2 p3' prefix segment)
+        assert seg.get("p1 p2 p3") == 2
+        # batch 2's own post-snapshot singletons are still intact in
+        # their un-compacted delta (pruning happens only at snapshots)
+        assert seg.get("y1 y2 y3") == 1
+        # outputs are unaffected — pruning touches only who can become
+        # hot later, never the already-derived hot list or the packs
+        packed = {
+            r.doc_id for r in spark.read.parquet(f"{base}/packs").collect()
+        }
+        assert packed == {d for d, _ in self.SURVIVORS}
+
+        # restart, same knobs: exactly-once, zone rows unchanged (read
+        # through the zone reader — the compacted epoch layout is not a
+        # flat parquet dir)
+        before = read_incremental_zone(spark, f"{base}/seg_counts").count()
+        self._run(spark, src, base, ckpt, compact_every=2, seg_tail_k=0)
+        assert (
+            read_incremental_zone(spark, f"{base}/seg_counts").count()
+            == before
+        )
+
+        # resume under different pruning: must die on the marker, not
+        # silently change which segments can ever become hot
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(60, "r1 r2 r3")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        with _pytest.raises(Exception, match="corpus_prep_pipeline|zone"):
+            self._run(
+                spark, src, base, ckpt, compact_every=2, seg_tail_k=9
+            )
 
     def test_config_drift_fails_loudly(self, spark, tmp_path):
         import time as _time
