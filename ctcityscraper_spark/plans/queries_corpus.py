@@ -1650,15 +1650,110 @@ def q_text_quantile_drift(spark, sf_dir):
 # =========================================================================
 # corpus_e2e_prep — the composed nightly pretraining-prep DAG: boilerplate
 # removal -> bloom-chased exact dedup -> contamination gate (with a KMV-
-# overlap residual audit) -> trained quality gate -> sequence packing, as
-# ONE oracle-gated plan. Every stage is an already-oracle-gated operator;
-# composing them in one query regression-guards the stage INTERFACES
-# against each other (a change in any stage shifts every downstream pack
-# offset and the hash match catches it).
+# overlap residual audit) -> trained quality gate -> DSIR domain-selection
+# gate -> sequence packing, as ONE oracle-gated plan. Every stage is an
+# already-oracle-gated operator; composing them in one query
+# regression-guards the stage INTERFACES against each other (a change in
+# any stage shifts every downstream pack offset and the hash match
+# catches it).
 # =========================================================================
 
 _E2E_CLEAN_SH8 = shingle_sql(8, "clean_text")
 _E2E_CLEAN_SH3 = shingle_sql(3, "clean_text")
+
+# DSIR selection stage (r13 VERDICT item 6): the composed DAGs gate on
+# DOMAIN between the quality gate and packing. Threshold is per-token
+# (weight_bits scales with document length): keep docs whose mean
+# per-token quantized bit gap is >= NUM/DEN — pure integer cross-
+# multiplication, exact in both engines. -2/5 measured to keep ~60-80%
+# of the corpus at sf0.001/0.01 under the lang='en' target (a real
+# selection rate with nonzero attrition at every gate scale).
+_E2E_DSIR_B = 2048
+_E2E_DSIR_NUM = -2
+_E2E_DSIR_DEN = 5
+_E2E_DSIR_TGT = "coalesce(lang = 'en', FALSE)"
+_E2E_CLEAN_TOKS = TOKS.replace("trim(text)", "trim(clean_text)")
+assert _E2E_CLEAN_TOKS != TOKS
+
+
+def _e2e_dsir_model_sql(model_docs: str, prefix: str) -> str:
+    """CTE chain replaying the DAGs' DSIR bucket model: hashed-unigram
+    (b, c_r, c_t) counts over ``model_docs``'s clean_text with target
+    labels joined from documents.lang, totals, and per-bucket quantized
+    bit-widths. Ends at ``{prefix}bits`` (+ ``{prefix}tot``)."""
+    B = _E2E_DSIR_B
+    return f"""{prefix}mtk AS (
+        SELECT k.doc_id,
+               coalesce(d.lang = 'en', FALSE) AS is_target,
+               list_filter({_E2E_CLEAN_TOKS}, t -> t != '') AS tk
+        FROM {model_docs} k JOIN documents d USING (doc_id)),
+    {prefix}mt0 AS (
+        SELECT doc_id, is_target, unnest(tk) AS term FROM {prefix}mtk),
+    {prefix}mt AS (
+        SELECT doc_id, is_target,
+               {hash64_sql('term', 'dsir')} % {B} AS b
+        FROM {prefix}mt0),
+    {prefix}model AS (
+        SELECT b, count(*) AS c_r,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+        FROM {prefix}mt GROUP BY b),
+    {prefix}tot AS (
+        SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM {prefix}model),
+    {prefix}bits AS (
+        SELECT b,
+               length(bin((t_r + {B}) // (c_r + 1)))::BIGINT AS bits_r,
+               length(bin((t_t + {B}) // (c_t + 1)))::BIGINT AS bits_t
+        FROM {prefix}model CROSS JOIN {prefix}tot)"""
+
+
+def _e2e_dsir_score_sql(
+    score_docs: str, prefix: str, model_prefix: str, with_floor: bool = False
+) -> str:
+    """CTE chain scoring ``score_docs`` against the ``model_prefix``
+    model CTEs (:func:`_e2e_dsir_model_sql`) and applying the per-token
+    threshold. ``with_floor=True`` replays dsir_score_with_model's
+    unseen-bucket smoothing floor (needed when score_docs is NOT a
+    subset of the model corpus — the incremental DAG's frozen stored
+    model); otherwise every scored bucket exists in the model and a
+    plain join suffices. Ends at ``{prefix}drop`` = doc_ids failing
+    the threshold."""
+    B = _E2E_DSIR_B
+    floor_cte = f"""{prefix}floor AS (
+        SELECT length(bin((t_r + {B}) // 1))::BIGINT AS fl_r,
+               length(bin((t_t + {B}) // 1))::BIGINT AS fl_t
+        FROM {model_prefix}tot),
+    """
+    join_kind = "LEFT JOIN" if with_floor else "JOIN"
+    bits_r = "coalesce(bits_r, fl_r)" if with_floor else "bits_r"
+    bits_t = "coalesce(bits_t, fl_t)" if with_floor else "bits_t"
+    floor_src = f", {prefix}floor" if with_floor else ""
+    return f"""{floor_cte if with_floor else ''}{prefix}stk AS (
+        SELECT doc_id, list_filter({_E2E_CLEAN_TOKS}, t -> t != '') AS tk
+        FROM {score_docs}),
+    {prefix}sdb AS (
+        SELECT doc_id, b, count(*) AS c_db FROM (
+            SELECT doc_id, {hash64_sql('term', 'dsir')} % {B} AS b
+            FROM (SELECT doc_id, unnest(tk) AS term FROM {prefix}stk))
+        GROUP BY doc_id, b),
+    {prefix}sc AS (
+        SELECT doc_id, SUM(c_db)::BIGINT AS n_tok_d,
+               SUM(c_db * ({bits_r} - {bits_t}))::BIGINT AS wb
+        FROM {prefix}sdb {join_kind} {model_prefix}bits USING (b){floor_src}
+        GROUP BY doc_id),
+    {prefix}drop AS (
+        SELECT doc_id FROM {prefix}sc
+        WHERE wb * {_E2E_DSIR_DEN} < {_E2E_DSIR_NUM} * n_tok_d)"""
+
+
+def _e2e_dsir_sql(
+    model_docs: str, score_docs: str, prefix: str, with_floor: bool = False
+) -> str:
+    """Model + score in one chain (the batch DAG's shape)."""
+    return (
+        _e2e_dsir_model_sql(model_docs, prefix)
+        + ",\n    "
+        + _e2e_dsir_score_sql(score_docs, prefix, prefix, with_floor)
+    )
 
 # The composed DAGs' quality-gate sidecars (one per query — gate queries
 # never race on one file, the quality_classifier_score convention). The
@@ -1735,8 +1830,12 @@ def _qclf_logit_sql(text_expr: str) -> str:
           FROM read_json('{_E2E_QCLF_SIDECAR}')),
     trainq AS (SELECT doc_id, clean_text FROM trainf, w
                WHERE ({_qclf_logit_sql('clean_text')}) > 0),
+    {_e2e_dsir_sql('kept', 'trainq', 'd')},
+    trains AS (SELECT t.doc_id, t.clean_text FROM trainq t
+               WHERE NOT EXISTS (SELECT 1 FROM ddrop x
+                                 WHERE x.doc_id = t.doc_id)),
     ta AS (SELECT DISTINCT term FROM (
-               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM trainq)),
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM trains)),
     tb AS (SELECT DISTINCT term FROM (
                SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM testd)),
     ha AS (SELECT DISTINCT {hash64_sql('term', 'kmv')} AS h FROM ta),
@@ -1768,13 +1867,14 @@ def _qclf_logit_sql(text_expr: str) -> str:
                (SELECT count(*) FROM contam) AS n_contam_dropped,
                (SELECT count(*) FROM trainf, w
                 WHERE NOT (({_qclf_logit_sql('clean_text')}) > 0))
-                   AS n_quality_dropped),
+                   AS n_quality_dropped,
+               (SELECT count(*) FROM ddrop) AS n_dsir_dropped),
     ptoks AS (
         SELECT doc_id,
                ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
                    ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
-        FROM trainq),
+        FROM trains),
     spans AS (
         SELECT doc_id, shard_id, n_tok,
                (SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
@@ -1790,7 +1890,8 @@ def _qclf_logit_sql(text_expr: str) -> str:
            LEAST(end_off, (pack_id + 1) * 512)
                - GREATEST(start_off, pack_id * 512) AS n_tokens,
            n_docs_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
-           n_quality_dropped, resid_inter_est, resid_jaccard_est
+           n_quality_dropped, n_dsir_dropped,
+           resid_inter_est, resid_jaccard_est
     FROM expl, cnts, audit
     WHERE EXISTS (
         SELECT 1
@@ -1834,12 +1935,20 @@ def q_corpus_e2e_prep(spark, sf_dir):
        decontamination and packing. Only the bounded numpy fit stays
        outside the hash match; the keep decision replays in DuckDB
        bit-for-bit from the sidecar weights.
-    5. pack_sequences — the surviving train docs packed into fixed
+    5. DSIR domain-selection gate (r13 VERDICT item 6 — the stored-
+       model-probe form): dsir_bucket_model over the kept corpus
+       (target = documents.lang = 'en'), dsir_score_with_model over the
+       quality-kept train stream, drop docs whose mean per-token
+       quantized bit gap falls below _E2E_DSIR_NUM/_E2E_DSIR_DEN —
+       exact integer cross-multiplication, model + scores + threshold
+       all replayed bit-for-bit by the oracle.
+    6. pack_sequences — the surviving train docs packed into fixed
        512-token sequences per hash shard.
 
     Output: the loader's pack-assignment table with the stage-attrition
     audit columns (n_docs_in / n_dup_dropped / n_test_held_out /
-    n_contam_dropped / n_quality_dropped) and the residual-overlap
+    n_contam_dropped / n_quality_dropped / n_dsir_dropped) and the
+    residual-overlap
     estimates attached via 1-row broadcast audit joins (BNLJ with 1-row
     build sides — the allowed summary shape; the plan gate pins no
     CartesianProduct and hash-join shapes for every real join). Scale:
@@ -1931,11 +2040,48 @@ def q_corpus_e2e_prep(spark, sf_dir):
     # codegen filters over the cached frame — no extra materialization
     train_q = train_f.filter(logit > 0)
 
+    # stage 4.5: DSIR domain-selection gate (r13 VERDICT item 6) — the
+    # stored-model-probe form: the ≤ B-row bucket model is built once
+    # over the KEPT corpus (target labels = documents.lang, joined in
+    # only on this one model-building pass), the quality-kept train
+    # stream is scored against it (dsir_score_with_model — one token
+    # pass + broadcast model join), and docs whose mean per-token bit
+    # gap falls below _E2E_DSIR_NUM/_E2E_DSIR_DEN are dropped before
+    # packing. Pure integer cross-multiplication — DuckDB replays the
+    # model, the scores, and the threshold bit-for-bit. Docs with zero
+    # tokens score no row and pass through (packing drops them anyway).
+    from ctcityscraper_spark.operators.corpus import (
+        dsir_bucket_model,
+        dsir_score_with_model,
+        sum_dsir_models,
+    )
+
+    dsir_model = sum_dsir_models(
+        dsir_bucket_model(
+            kept.join(docs.select("doc_id", "lang"), "doc_id"),
+            F.col("lang") == "en",
+            n_buckets=_E2E_DSIR_B,
+            text="clean_text",
+        )
+    )
+    dscored = dsir_score_with_model(
+        train_q, dsir_model, n_buckets=_E2E_DSIR_B, text="clean_text"
+    )
+    # tiny id list at the tail of the whole model+scoring lineage —
+    # eager lineage cut, feeds the anti-join AND the attrition count
+    dsir_drop = checkpoint_tracked(
+        dscored.filter(
+            F.col("weight_bits") * _E2E_DSIR_DEN
+            < _E2E_DSIR_NUM * F.col("n_tokens")
+        ).select("doc_id")
+    )
+    train_s = train_q.join(dsir_drop, "doc_id", "left_anti")
+
     sh3 = lambda d: d.select(
         F.explode(shingles_col("clean_text", 3)).alias("term")
     )
     resid = kmv_overlap(
-        kmv_sketch_terms(sh3(train_q), "term", k=_KMV_K),
+        kmv_sketch_terms(sh3(train_s), "term", k=_KMV_K),
         kmv_sketch_terms(sh3(test_d), "term", k=_KMV_K),
         _KMV_K,
     ).select(
@@ -1952,10 +2098,11 @@ def q_corpus_e2e_prep(spark, sf_dir):
                 F.count("*").alias("n_quality_dropped")
             )
         )
+        .crossJoin(dsir_drop.agg(F.count("*").alias("n_dsir_dropped")))
     )
 
-    # stage 5: pack the surviving training stream
-    packs = pack_sequences(train_q, text="clean_text")
+    # stage 5: pack the surviving training stream (post-DSIR)
+    packs = pack_sequences(train_s, text="clean_text")
     return (
         packs.crossJoin(F.broadcast(cnts.crossJoin(resid)))
         .repartition(1)
@@ -2027,10 +2174,19 @@ def q_corpus_e2e_prep(spark, sf_dir):
                 WHERE ({_qclf_logit_sql('clean_text')}) > 0),
     btrainq AS (SELECT doc_id, clean_text FROM btrainf, w
                 WHERE ({_qclf_logit_sql('clean_text')}) > 0),
+    {_e2e_dsir_model_sql('(SELECT doc_id, clean_text FROM corp)', 'i')},
+    {_e2e_dsir_score_sql('strainq', 'ds', 'i')},
+    strains AS (SELECT t.doc_id, t.clean_text FROM strainq t
+                WHERE NOT EXISTS (SELECT 1 FROM dsdrop x
+                                  WHERE x.doc_id = t.doc_id)),
+    {_e2e_dsir_score_sql('btrainq', 'db', 'i', with_floor=True)},
+    btrains AS (SELECT t.doc_id, t.clean_text FROM btrainq t
+                WHERE NOT EXISTS (SELECT 1 FROM dbdrop x
+                                  WHERE x.doc_id = t.doc_id)),
     ta AS (SELECT DISTINCT term FROM (
-               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM strainq
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM strains
                UNION ALL
-               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM btrainq)),
+               SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM btrains)),
     tb AS (SELECT DISTINCT term FROM (
                SELECT unnest({_E2E_CLEAN_SH3}) AS term FROM corp
                WHERE is_test)),
@@ -2063,12 +2219,13 @@ def q_corpus_e2e_prep(spark, sf_dir):
                (SELECT count(*) FROM bcontam) AS n_contam_dropped,
                (SELECT count(*) FROM btrainf, w
                 WHERE NOT (({_qclf_logit_sql('clean_text')}) > 0))
-                   AS n_quality_dropped),
+                   AS n_quality_dropped,
+               (SELECT count(*) FROM dbdrop) AS n_dsir_dropped),
     pt_s AS (
         SELECT ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
                    ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
-        FROM strainq),
+        FROM strains),
     cur AS (SELECT shard_id, SUM(n_tok)::BIGINT AS base_off FROM pt_s
             WHERE n_tok > 0 GROUP BY shard_id),
     pt_b AS (
@@ -2076,7 +2233,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
                ({hash64_sql('doc_id', 'pack')} % 8)::INT AS shard_id,
                len(regexp_extract_all(clean_text,
                    ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
-        FROM btrainq),
+        FROM btrains),
     spans AS (
         SELECT p.doc_id, p.shard_id, p.n_tok,
                ((SUM(p.n_tok) OVER (PARTITION BY p.shard_id ORDER BY p.doc_id
@@ -2094,7 +2251,8 @@ def q_corpus_e2e_prep(spark, sf_dir):
            LEAST(end_off, (pack_id + 1) * 512)
                - GREATEST(start_off, pack_id * 512) AS n_tokens,
            n_batch_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
-           n_quality_dropped, resid_inter_est, resid_jaccard_est
+           n_quality_dropped, n_dsir_dropped,
+           resid_inter_est, resid_jaccard_est
     FROM expl, cnts, audit
     WHERE EXISTS (
         SELECT 1
@@ -2125,16 +2283,22 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     5. Quality gate: the classifier weights are last night's artifact
        (trained on the stored corpus's clean text, frozen tonight —
        the hot-list refresh-cadence policy); the batch's train
-       survivors keep only logit > 0. The stored train stream (KMV
-       sketch, pack cursor) is the quality-KEPT stream because last
-       night's run packed through the same gate.
-    6. Packing: pack_sequences(base_offsets=stored per-shard cursors)
+       survivors keep only logit > 0.
+    6. DSIR domain gate: the selection model is last night's artifact
+       too (dsir_bucket_model over the stored corpus, frozen tonight);
+       the batch's survivors score against it via
+       dsir_score_with_model — batch buckets the stored model never
+       saw take the smoothing floor, which the oracle replays exactly
+       (the floor leg of _e2e_dsir_score_sql). The stored train stream
+       (KMV sketch, pack cursor) is the quality- AND DSIR-kept stream
+       because last night's run packed through the same gates.
+    7. Packing: pack_sequences(base_offsets=stored per-shard cursors)
        appends the batch to the existing token stream — a batch doc can
        land mid-way through the stored run's last partial pack.
 
     Output schema matches corpus_e2e_prep with batch-scoped attrition
     counts (n_batch_in / n_dup_dropped / n_test_held_out /
-    n_contam_dropped / n_quality_dropped). The stored artifacts are derived in-plan because
+    n_contam_dropped / n_quality_dropped / n_dsir_dropped). The stored artifacts are derived in-plan because
     the gate query must be self-contained (the dedup_bloom_chase
     convention); in production each is read from its persisted form and
     the batch never touches corpus-sized state except through
@@ -2228,15 +2392,52 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     logit = quality_classifier_logit_col("clean_text", weights)
     strainq = strainf.filter(logit > 0)
 
+    # the DSIR selection model is LAST NIGHT's artifact too: the
+    # ≤ B-row bucket model over the stored corpus's clean text (target
+    # labels from the raw split's lang), frozen for tonight's batch —
+    # the same refresh-cadence policy as the hot list and the quality
+    # weights. The stored train stream (KMV sketch, pack cursor) is the
+    # DSIR-KEPT stream, because last night's run packed through the
+    # same gate.
+    from ctcityscraper_spark.operators.corpus import (
+        dsir_bucket_model,
+        dsir_score_with_model,
+        sum_dsir_models,
+    )
+
+    dsir_model = checkpoint_tracked(
+        sum_dsir_models(
+            dsir_bucket_model(
+                stored.join(stored_raw.select("doc_id", "lang"), "doc_id"),
+                F.col("lang") == "en",
+                n_buckets=_E2E_DSIR_B,
+                text="clean_text",
+            )
+        )
+    )
+
+    def _dsir_drop_ids(frame):
+        scored = dsir_score_with_model(
+            frame, dsir_model, n_buckets=_E2E_DSIR_B, text="clean_text"
+        )
+        return checkpoint_tracked(
+            scored.filter(
+                F.col("weight_bits") * _E2E_DSIR_DEN
+                < _E2E_DSIR_NUM * F.col("n_tokens")
+            ).select("doc_id")
+        )
+
+    strain_s = strainq.join(_dsir_drop_ids(strainq), "doc_id", "left_anti")
+
     sh3 = lambda d: d.select(
         F.explode(shingles_col("clean_text", 3)).alias("term")
     )
-    stored_train_kmv = kmv_sketch_terms(sh3(strainq), "term", k=_KMV_K)
+    stored_train_kmv = kmv_sketch_terms(sh3(strain_s), "term", k=_KMV_K)
     stored_test_kmv = kmv_sketch_terms(
         sh3(stored.filter(is_test)), "term", k=_KMV_K
     )
     cursor = checkpoint_tracked(
-        pack_sequences(strainq, text="clean_text")
+        pack_sequences(strain_s, text="clean_text")
         .groupBy("shard_id")
         .agg(F.sum("n_tokens").alias("base_off"))
     )
@@ -2262,8 +2463,15 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     # tonight's batch passes through the FROZEN quality gate (weights
     # above) — batch-scoped attrition, like the other counts
     btrainq = btrainf.filter(logit > 0)
+    # ... and through the FROZEN DSIR model: batch buckets the stored
+    # model never saw take dsir_score_with_model's smoothing floor
+    # (out-of-model features read maximally surprising under BOTH
+    # models — the documented serving contract, replayed by the
+    # oracle's floor leg)
+    bdsir_drop = _dsir_drop_ids(btrainq)
+    btrain_s = btrainq.join(bdsir_drop, "doc_id", "left_anti")
     resid = kmv_overlap(
-        update_kmv_sketch(stored_train_kmv, sh3(btrainq), "term", k=_KMV_K),
+        update_kmv_sketch(stored_train_kmv, sh3(btrain_s), "term", k=_KMV_K),
         stored_test_kmv,
         _KMV_K,
     ).select(
@@ -2282,8 +2490,9 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
                 F.count("*").alias("n_quality_dropped")
             )
         )
+        .crossJoin(bdsir_drop.agg(F.count("*").alias("n_dsir_dropped")))
     )
-    packs = pack_sequences(btrainq, text="clean_text", base_offsets=cursor)
+    packs = pack_sequences(btrain_s, text="clean_text", base_offsets=cursor)
     return (
         packs.crossJoin(F.broadcast(cnts.crossJoin(resid)))
         .repartition(1)

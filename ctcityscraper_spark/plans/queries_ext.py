@@ -3075,3 +3075,63 @@ def q_corpus_prototype_prune(spark, sf_dir):
         .repartition(1)
         .sortWithinPartitions("list_id", "proto_rank")
     )
+
+
+# sketch capacity >= the whole embeddings table at every gated sf (500 at
+# sf0.001/0.01, 2000 at sf0.1, ~303 adversarial), so the hash-ranked
+# sample IS the full cluster and the sketch cutoff is the exact
+# ceil-rank percentile — the regime where the operator's documented
+# superset-by-at-most-one contract vs the exact prune is provable
+_PPQ_SKETCH_K = 2048
+
+
+@query(
+    "corpus_prototype_prune_threshold",
+    oracle=f"""
+    WITH {_kmeans_chain_sql(EMB_DIMS, _KM_K, _KM_ITERS)},
+    rs AS (
+      SELECT list_id, {hash64_sql('vid', 'ppq')} AS h, d,
+             ROW_NUMBER() OVER (
+                 PARTITION BY list_id ORDER BY d::DOUBLE, {hash64_sql('vid', 'ppq')}
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY list_id) AS n_kept
+      FROM af),
+    cut AS (SELECT list_id, d AS d2_cut FROM rs
+            WHERE rn = (20 * n_kept + 99) // 100)
+    SELECT af.list_id::INT AS list_id, af.vid AS vec_id, af.d AS d2
+    FROM af JOIN cut USING (list_id)
+    WHERE af.d <= cut.d2_cut
+    ORDER BY list_id, vec_id
+    """,
+)
+def q_corpus_prototype_prune_threshold(spark, sf_dir):
+    """The 100 TB variant of prototype pruning (operators/clustering.
+    prototype_prune_threshold — r13 VERDICT item 7): the per-cluster d2
+    CUTOFF comes from the mergeable hash-ranked quantile sketch
+    (quantile_sketch_by / quantile_estimate_by — ceil-rank percentile
+    over (val, h) order) and is applied as a broadcast scan-side filter
+    — no global per-cluster ranking of the corpus. With sketch capacity
+    >= cluster size (guaranteed at every gated sf, see _PPQ_SKETCH_K)
+    the sample is the full cluster, so the oracle replays the cutoff
+    EXACTLY: rank ceil(20·n/100) of the int64 distances, all boundary
+    ties kept. Together with corpus_prototype_prune's green hash (the
+    exact floor-quota ranking of the SAME fitted assignment), this pins
+    the superset-by-at-most-one contract cross-engine: ceil vs floor
+    rank of one shared order differ by at most the boundary row per
+    cluster. The d2 < 2^53 sketch-exactness guard is part of the scored
+    plan (clustering.py — out-of-contract magnitudes raise, never
+    round)."""
+    from ctcityscraper_spark.operators.clustering import (
+        kmeans_fit_micros,
+        prototype_prune_threshold,
+    )
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    ctr = kmeans_fit_micros(emb, _KM_K, iters=_KM_ITERS)
+    return (
+        prototype_prune_threshold(
+            emb, ctr, drop_pct=20, sketch_k=_PPQ_SKETCH_K
+        )
+        .repartition(1)
+        .sortWithinPartitions("list_id", "vec_id")
+    )

@@ -1287,6 +1287,11 @@ def streaming_corpus_prep(
     kmv_k: int = 256,
     seg_tail_min: int = 2,
     seg_tail_k: int = 256,
+    dsir_gate: bool = False,
+    dsir_target: str | None = None,
+    dsir_buckets: int = 2048,
+    dsir_min_num: int = -2,
+    dsir_min_den: int = 5,
 ):
     """The nightly pretraining-prep DAG (``corpus_e2e_prep``) as ONE
     continuously-running stream: boilerplate removal -> Bloom-chased
@@ -1357,12 +1362,25 @@ def streaming_corpus_prep(
       shingles — per-batch deltas merged by ``merge_kmv`` (min-k-of-
       distinct is associative/idempotent, so merged ≡ fresh build). They
       exist to feed the residual-contamination monitor on the stats row.
+    - ``dsir_model`` (state, ``dsir_gate=True`` only): the DSIR
+      selection model's ≤ ``dsir_buckets``-row (b, c_r, c_t) deltas —
+      the batch-twin's domain gate as a zone (corpus.dsir_bucket_model
+      over each batch's kept docs; target labels =
+      ``F.expr(dsir_target)`` over the RAW batch columns, so the
+      predicate survives the doc_id/clean_text narrowing).
+      SUM-mergeable (sum_dsir_models at compaction). Batch N scores
+      its quality-kept train docs against the strictly-before merged
+      model (dsir_score_with_model — unseen batch buckets take the
+      smoothing floor) and drops docs whose per-token bit gap falls
+      below ``dsir_min_num/dsir_min_den``; batch 0 passes ungated (no
+      model yet — the hot-list one-batch-lag policy).
     - ``packs`` (output): the per-batch assignment table
       (shard_id, pack_id, doc_id, offset_in_pack, n_tokens).
     - ``stats`` (output): one row per batch — the attrition line
       (n_batch_in, n_dup_dropped, n_test_held_out, n_contam_dropped,
-      n_quality_dropped; the last is 0 when the gate is off or not yet
-      armed) PLUS the health-monitor columns describing stored state AS
+      n_quality_dropped, n_dsir_dropped; the last two are 0 when their
+      gate is off or not yet armed) PLUS the health-monitor columns
+      describing stored state AS
       OF THE END of the batch: ``bloom_fill`` / ``bloom_est_fpp`` (the
       dedup_bloom_saturation monitor over the word zone incl. this
       batch's delta — fill only rises; when fill^k nears the design
@@ -1436,6 +1454,11 @@ def streaming_corpus_prep(
 
     import hashlib
 
+    if dsir_gate and not dsir_target:
+        raise ValueError(
+            "dsir_gate=True needs dsir_target (a SQL boolean expression "
+            "over the stream's columns marking the in-domain exemplars)"
+        )
     w = width or SEGMENT_WIDTH
     md = min_docs if min_docs is not None else BOILER_MIN_DOCS
     sl = seq_len or PACK_SEQ_LEN
@@ -1444,6 +1467,16 @@ def streaming_corpus_prep(
         w, md, m_bits, k, shingle_n, test_mod, sl, ns,
         quality_gate, quality_teacher, kmv_k, seg_tail_min, seg_tail_k,
     )
+    # the DSIR gate's parameters are zone-frozen too: counts hashed
+    # under a different bucket count / target predicate / threshold
+    # must never merge or silently change who gets packed
+    meta.update({
+        "dsir_gate": bool(dsir_gate),
+        "dsir_target": dsir_target,
+        "dsir_buckets": int(dsir_buckets),
+        "dsir_min_num": int(dsir_min_num),
+        "dsir_min_den": int(dsir_min_den),
+    })
     bloom_tbl_prefix = (
         "prep_bloom_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
     )
@@ -1452,7 +1485,7 @@ def streaming_corpus_prep(
         for name in (
             "seg_counts", "bloom_words", "fingerprints",
             "test_shingles", "cursors", "packs", "stats",
-            "qclf_weights", "train_kmv", "test_kmv",
+            "qclf_weights", "train_kmv", "test_kmv", "dsir_model",
         )
     }
 
@@ -1486,6 +1519,7 @@ def streaming_corpus_prep(
                 SF.sum("n_tokens").alias("n_tokens")
             )
 
+        from ctcityscraper_spark.operators.corpus import sum_dsir_models
         from ctcityscraper_spark.operators.dedup import merge_bloom_words
         from ctcityscraper_spark.operators.text import merge_kmv
 
@@ -1496,6 +1530,7 @@ def streaming_corpus_prep(
             ("test_shingles", dict(transform=lambda df: df.distinct())),
             ("train_kmv", dict(transform=lambda df: merge_kmv(df, kmv_k))),
             ("test_kmv", dict(transform=lambda df: merge_kmv(df, kmv_k))),
+            ("dsir_model", dict(transform=sum_dsir_models)),
             (
                 "bloom_words",
                 dict(
@@ -1527,10 +1562,30 @@ def streaming_corpus_prep(
         # unpersists in the finally — never clearCache (it would drop
         # caller-owned caches too)
         persisted: list[DataFrame] = []
+        ckpt_rdd_ids: set[int] = set()
 
         def _p(df: DataFrame) -> DataFrame:
             persisted.append(df.persist())
             return df
+
+        def _cut(df: DataFrame) -> DataFrame:
+            # eager lineage CUT for a small frame about to be joined
+            # back against its own deep upstream (the batch twin's
+            # checkpoint_tracked move): persist caches data but every
+            # consumer still re-analyzes the full logical tree, and a
+            # stage that doubles the tree (gate ids anti-joined into
+            # the stream they came from) can overflow the driver's
+            # analysis stack. The checkpoint blocks are freed in the
+            # finally, so the zero-driver-state invariant
+            # (TestStreamingDriverState) holds across batches.
+            from ctcityscraper_spark.operators.graph import (
+                persistent_rdd_ids,
+            )
+
+            before_ids = persistent_rdd_ids(spark)
+            out = df.localCheckpoint(eager=True)
+            ckpt_rdd_ids.update(persistent_rdd_ids(spark) - before_ids)
+            return out
 
         try:
             # -- stage 1: boilerplate (hot list = strictly-before merge) --
@@ -1659,6 +1714,52 @@ def streaming_corpus_prep(
                         batch_id,
                     )
 
+            # -- stage 3.7: DSIR domain gate (opt-in). Score against the
+            # strictly-before merged model zone (unseen batch buckets
+            # take dsir_score_with_model's smoothing floor); batch 0
+            # passes ungated (no model yet — the one-batch lag); every
+            # batch appends its own ≤ dsir_buckets-row model delta
+            # (target labels evaluated on the RAW batch columns before
+            # the doc_id/clean_text narrowing). --
+            traind = trainq
+            ddrop_df = None
+            if dsir_gate:
+                from ctcityscraper_spark.operators.corpus import (
+                    dsir_bucket_model,
+                    dsir_score_with_model,
+                    sum_dsir_models,
+                )
+
+                mz = read_incremental_zone(spark, z["dsir_model"], batch_id)
+                if mz is not None:
+                    scored = dsir_score_with_model(
+                        trainq, sum_dsir_models(mz),
+                        n_buckets=dsir_buckets, text="clean_text",
+                    )
+                    drop_ids = _cut(
+                        scored.filter(
+                            SF.col("weight_bits") * dsir_min_den
+                            < dsir_min_num * SF.col("n_tokens")
+                        ).select("doc_id")
+                    )
+                    traind = _p(trainq.join(drop_ids, "doc_id", "left_anti"))
+                    ddrop_df = drop_ids.agg(
+                        SF.count("*").cast("long").alias("n_dsir_dropped")
+                    )
+                labels = batch_df.select(
+                    "doc_id", SF.expr(dsir_target).alias("is_target")
+                )
+                _put(
+                    dsir_bucket_model(
+                        kept.join(labels, "doc_id", "left"),
+                        SF.col("is_target"),
+                        n_buckets=dsir_buckets,
+                        text="clean_text",
+                    ),
+                    "dsir_model",
+                    batch_id,
+                )
+
             # -- stage 4: pack continuation from strictly-before cursors --
             cur_hist = read_incremental_zone(spark, z["cursors"], batch_id)
             cursor = (
@@ -1669,7 +1770,7 @@ def streaming_corpus_prep(
             )
             packs = _p(
                 pack_sequences(
-                    trainq, text="clean_text", seq_len=sl, num_shards=ns,
+                    traind, text="clean_text", seq_len=sl, num_shards=ns,
                     base_offsets=cursor,
                 )
             )
@@ -1708,8 +1809,10 @@ def streaming_corpus_prep(
             sh3 = lambda d: d.select(
                 SF.explode(shingles_col("clean_text", 3)).alias("term")
             )
+            # the train sketch tracks the stream that is actually
+            # PACKED — post-quality AND post-DSIR
             train_kmv_delta = _p(
-                kmv_sketch_terms(sh3(trainq), "term", k=kmv_k)
+                kmv_sketch_terms(sh3(traind), "term", k=kmv_k)
             )
             test_kmv_delta = _p(
                 kmv_sketch_terms(sh3(kept.filter(is_test)), "term", k=kmv_k)
@@ -1723,6 +1826,12 @@ def streaming_corpus_prep(
             if qdrop_df is None:
                 qdrop_df = spark.range(1).select(
                     SF.lit(0).cast("long").alias("n_quality_dropped")
+                )
+            if ddrop_df is None:
+                # 0 when the DSIR gate is off or not yet armed (batch 0)
+                # — same always-present convention as n_quality_dropped
+                ddrop_df = spark.range(1).select(
+                    SF.lit(0).cast("long").alias("n_dsir_dropped")
                 )
             bloom_now = (
                 bloom_delta
@@ -1767,6 +1876,7 @@ def streaming_corpus_prep(
                     contam.agg(SF.count("*").alias("n_contam_dropped"))
                 )
                 .crossJoin(qdrop_df)
+                .crossJoin(ddrop_df)
                 .crossJoin(saturation)
                 .crossJoin(resid)
             )
@@ -1775,6 +1885,12 @@ def streaming_corpus_prep(
             batch_df.unpersist()
             for df in persisted:
                 df.unpersist()
+            if ckpt_rdd_ids:
+                from ctcityscraper_spark.operators.graph import (
+                    unpersist_rdd_ids,
+                )
+
+                unpersist_rdd_ids(spark, ckpt_rdd_ids)
 
     return (
         stream.writeStream.foreachBatch(sink)

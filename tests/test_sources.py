@@ -1725,21 +1725,32 @@ class TestStreamingCorpusPrep:
         (32, "y1 y2 y3"),
     ]
 
-    def _run(self, spark, src, base, ckpt, **kw):
+    def _run(
+        self, spark, src, base, ckpt,
+        schema="doc_id long, text string", wait=180, **kw,
+    ):
         from ctcityscraper_spark.streaming.events import (
             stream_from_directory,
             streaming_corpus_prep,
         )
 
         stream = stream_from_directory(
-            spark, src, "doc_id long, text string", max_files_per_trigger=1
+            spark, src, schema, max_files_per_trigger=1
         )
         q = streaming_corpus_prep(
             stream, base, ckpt,
             width=3, min_docs=3, shingle_n=3, seq_len=4, num_shards=2,
             **kw,
         )
-        q.awaitTermination(180)
+        finished = q.awaitTermination(wait)
+        if not finished:
+            # a timed-out availableNow run leaves batches unprocessed —
+            # fail HERE with the cause named instead of downstream with
+            # a confusing missing-batch assert
+            q.stop()
+            raise TimeoutError(
+                f"streaming_corpus_prep did not drain within {wait}s"
+            )
         return q
 
     def test_three_batches_end_to_end_then_restart(self, spark, tmp_path):
@@ -1885,6 +1896,120 @@ class TestStreamingCorpusPrep:
         # outputs never compact — one partition per batch is the ledger
         assert not _compacted_epochs(spark, f"{base}/packs")
         assert not _compacted_epochs(spark, f"{base}/stats")
+
+    def test_dsir_gate_model_zone_and_attrition(self, spark, tmp_path):
+        """dsir_gate=True (r13 VERDICT item 6): every batch appends its
+        ≤ buckets-row model delta to the dsir_model zone; batch 0
+        passes ungated (no strictly-before model — the one-batch lag);
+        batches >= 1 score against the merged zone. Pinned at both
+        threshold extremes so the mechanism is asserted without
+        replicating the scoring (the quality-gate test convention):
+        an always-keep threshold leaves packs identical to the gate-off
+        run with n_dsir_dropped all 0; an always-drop threshold drops
+        every scored train doc from batch 1 on. Restart stays
+        exactly-once; resuming under a different target predicate dies
+        on the zone marker."""
+        import time as _time
+
+        import pytest as _pytest
+
+        src = str(tmp_path / "incoming")
+        langs = {23: "zh"}  # the test-split doc; everything else en
+        for batch in (self.B1, self.B2, self.B3):
+            spark.createDataFrame(
+                [(d, t, langs.get(d, "en")) for d, t in batch],
+                "doc_id long, text string, lang string",
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+
+        # --- keep-everything threshold: plumbing is a no-op on results ---
+        base_k = str(tmp_path / "prep_keep")
+        self._run(
+            spark, src, base_k, str(tmp_path / "ck1"),
+            schema="doc_id long, text string, lang string",
+            wait=420, dsir_gate=True, dsir_target="lang = 'en'",
+            dsir_buckets=64, dsir_min_num=-1000, dsir_min_den=1,
+        )
+        stats = {
+            r.batch_id: r.n_dsir_dropped
+            for r in spark.read.parquet(f"{base_k}/stats").collect()
+        }
+        assert stats == {0: 0, 1: 0, 2: 0}
+        packed = {
+            r.doc_id
+            for r in spark.read.parquet(f"{base_k}/packs").collect()
+        }
+        assert packed == {d for d, _ in self.SURVIVORS}
+        # one ≤ buckets-row model delta per batch, SUM-mergeable
+        mz = spark.read.parquet(f"{base_k}/dsir_model")
+        assert set(r.batch_id for r in mz.select("batch_id").collect()) == {
+            0, 1, 2
+        }
+        from ctcityscraper_spark.operators.corpus import sum_dsir_models
+
+        merged = sum_dsir_models(mz.drop("batch_id"))
+        assert 0 < merged.count() <= 64
+        # raw counts cover target counts, and the en-dominant fixture
+        # has target mass in the model
+        row = merged.agg(
+            F.sum("c_r").alias("r"), F.sum("c_t").alias("t")
+        ).collect()[0]
+        assert row.r >= row.t > 0
+
+        # --- drop-everything threshold: batches >= 1 lose every train doc ---
+        base_d = str(tmp_path / "prep_drop")
+        self._run(
+            spark, src, base_d, str(tmp_path / "ck2"),
+            schema="doc_id long, text string, lang string",
+            wait=420, dsir_gate=True, dsir_target="lang = 'en'",
+            dsir_buckets=64, dsir_min_num=1000, dsir_min_den=1,
+        )
+        stats = {
+            r.batch_id: r.n_dsir_dropped
+            for r in spark.read.parquet(f"{base_d}/stats").collect()
+        }
+        # batch 1's post-contam train survivors are docs 7 and 9; batch
+        # 2's is doc 32 (see SURVIVORS); batch 0 is ungated
+        assert stats == {0: 0, 1: 2, 2: 1}
+        packed = {
+            r.doc_id
+            for r in spark.read.parquet(f"{base_d}/packs").collect()
+        }
+        assert packed == {2, 3, 4, 5}
+
+        # restart with the same checkpoint: nothing reprocesses
+        before = spark.read.parquet(f"{base_d}/stats").count()
+        self._run(
+            spark, src, base_d, str(tmp_path / "ck2"),
+            schema="doc_id long, text string, lang string",
+            wait=420, dsir_gate=True, dsir_target="lang = 'en'",
+            dsir_buckets=64, dsir_min_num=1000, dsir_min_den=1,
+        )
+        assert spark.read.parquet(f"{base_d}/stats").count() == before
+
+        # resuming under a DIFFERENT target predicate dies on the marker
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(70, "s1 s2 s3", "en")], "doc_id long, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        with _pytest.raises(Exception, match="corpus_prep_pipeline|zone"):
+            self._run(
+                spark, src, base_d, str(tmp_path / "ck2"),
+                schema="doc_id long, text string, lang string",
+                wait=420, dsir_gate=True, dsir_target="lang = 'zh'",
+                dsir_buckets=64, dsir_min_num=1000, dsir_min_den=1,
+            )
+
+        # the gate demands a target predicate up front
+        from ctcityscraper_spark.streaming.events import (
+            streaming_corpus_prep,
+        )
+
+        with _pytest.raises(ValueError, match="dsir_target"):
+            streaming_corpus_prep(
+                None, str(tmp_path / "x"), str(tmp_path / "y"),
+                dsir_gate=True,
+            )
 
     def test_seg_snapshot_count_loss_contract(self, spark, tmp_path):
         """The bounded seg_counts snapshot (r13 VERDICT item 4): with
