@@ -196,9 +196,11 @@ EXPECTED_NORMALIZED = {
     "ingest_load_2000": 4.9,
     # fused hot-list/dfreq aggregation this round (3.56 -> 3.06 s raw)
     "dedup_prefix_filter_join": 13.1,
-    # grew the quality-gate stage this round (r13): one sample_n
-    # training collect + a literal-folded logit filter
-    "corpus_e2e_prep": 33.0,
+    # r14 refresh: the DSIR selection stage landed this round and the
+    # r13 driver record + this round's fresh-process measurement agree
+    # at ~42 normalized (41.98 at cal 0.338 / 42.02 at cal 0.422 — the
+    # new stage's model-sized legs are absorbed; SCALE.md r14 table)
+    "corpus_e2e_prep": 42.0,
     # r13 promotion: detect -> retrain -> verify (two sample-bounded
     # codebook trainings + two fixed-point drift legs), measured 2.7 s
     # raw at calibration 0.233

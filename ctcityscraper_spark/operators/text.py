@@ -538,6 +538,33 @@ def bm25_index_delta(
     return postings, term_stats, totals
 
 
+BM25_TERM_BUCKETS = 256
+
+
+def bm25_bucket_of(term: str, n_buckets: int = BM25_TERM_BUCKETS) -> int:
+    """Driver-side twin of the ``term_bucket`` column (same md5-prefix
+    rule as functions.hashing.hash64 with seed ``bm25bkt``) — lets the
+    probe fold the query's bucket ids into a PARTITION filter."""
+    import hashlib
+
+    h = int(hashlib.md5(("bm25bkt" + term).encode()).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def bm25_bucket_postings(
+    postings: DataFrame, n_buckets: int = BM25_TERM_BUCKETS
+) -> DataFrame:
+    """Attach the ``term_bucket`` layout column. Write the result
+    ``partitionBy("term_bucket")`` (bounded directory fan-out —
+    ``n_buckets`` dirs, not |vocabulary|): a probe then reaches the
+    scan as a partition filter and reads only the query terms' buckets
+    — the inverted-index pruning that makes serve cost ∝ matched
+    postings at 100 TB instead of ∝ corpus."""
+    return postings.withColumn(
+        "term_bucket", (hash64(F.col("term"), "bm25bkt") % n_buckets)
+    )
+
+
 def sum_bm25_term_stats(term_stats: DataFrame) -> DataFrame:
     """SUM-collapse delta ``(term, df_t)`` rows — exact under the
     append-only contract, idempotent on collapsed input."""
@@ -576,6 +603,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    n_term_buckets: int = BM25_TERM_BUCKETS,
 ) -> DataFrame:
     """Serve a BM25 query as a PROBE against the stored index — the
     query never touches the corpus. Same output contract as
@@ -584,18 +612,28 @@ def bm25_topk_from_index(
     exactly the same corpus (the ``text_bm25_incremental`` catalog
     query hash-proves this cross-engine).
 
-    Probe shape: filter postings to the query's terms (partition
-    pruning when the zone is term-bucketed — cost ∝ matched postings),
-    broadcast the ≤|query| summed term stats and the 1-row totals,
-    score scan-side, TakeOrderedAndProject top-k. The only shuffle is
-    the per-doc sum over matched postings."""
+    Probe shape: filter postings to the query's terms — and, when the
+    zone carries the :func:`bm25_bucket_postings` layout column, to the
+    query terms' ``term_bucket`` values first, which a
+    ``partitionBy("term_bucket")`` layout turns into PARTITION PRUNING
+    at the scan (plan-asserted in tests): serve cost ∝ matched
+    postings, never ∝ corpus. Then broadcast the ≤|query| summed term
+    stats and the 1-row totals, score scan-side, TakeOrderedAndProject
+    top-k. The only shuffle is the per-doc sum over matched postings.
+
+    ``n_term_buckets``: the bucket count the postings were laid out
+    with (only consulted when a ``term_bucket`` column is present)."""
     if not query_terms:
         raise ValueError("bm25_topk_from_index needs at least one query term")
     terms = sorted(set(query_terms))
+    hit = postings
+    if "term_bucket" in postings.columns:
+        bkts = sorted({bm25_bucket_of(t, n_term_buckets) for t in terms})
+        hit = hit.filter(F.col("term_bucket").isin(bkts)).drop("term_bucket")
     dfq = sum_bm25_term_stats(term_stats.filter(F.col("term").isin(terms)))
     tot = sum_bm25_totals(totals)
     scored = _bm25_score(
-        postings.filter(F.col("term").isin(terms))
+        hit.filter(F.col("term").isin(terms))
         .join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(tot)),
         k1, b,

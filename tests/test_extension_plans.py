@@ -113,6 +113,48 @@ class TestExtensionPlans:
         assert "Window" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_bm25_bucketed_postings_prune_partitions(self, spark, tmp_path):
+        """The stored-postings layout contract: postings written
+        partitionBy(term_bucket) + a probe that folds the query terms'
+        bucket ids into the filter → the scan reads ONLY those buckets
+        (PartitionFilters on term_bucket), and the pruned probe returns
+        exactly the rescan's rows."""
+        from pyspark.sql import Row
+
+        from ctcityscraper_spark.operators.text import (
+            bm25_bucket_of,
+            bm25_bucket_postings,
+            bm25_index_delta,
+            bm25_topk,
+            bm25_topk_from_index,
+        )
+
+        docs = spark.createDataFrame([
+            Row(doc_id=i, text=f"term{i % 7} common filler{i}")
+            for i in range(40)
+        ])
+        p, t, s = bm25_index_delta(docs)
+        d = str(tmp_path / "postings")
+        bm25_bucket_postings(p, 16).write.partitionBy(
+            "term_bucket"
+        ).mode("overwrite").parquet(d)
+        stored = spark.read.parquet(d)
+        q = bm25_topk_from_index(
+            stored, t, s, ["common", "term3"], n_term_buckets=16
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "term_bucket" in plan and "PartitionFilters" in plan
+        want_bkts = sorted(
+            {bm25_bucket_of(x, 16) for x in ("common", "term3")}
+        )
+        # the driver-side bucket twin matches the column rule, so the
+        # partition filter names exactly the query terms' buckets
+        assert all(str(bk) in plan for bk in want_bkts)
+        fresh = sorted(map(tuple, bm25_topk(
+            docs, ["common", "term3"]
+        ).collect()))
+        assert sorted(map(tuple, q.collect())) == fresh and fresh
+
     def test_bm25_index_probe_shape(self, spark):
         """The stored-index BM25 probe must keep the inverted-probe
         shape: the term-stats attach is a BROADCAST hash join (≤|query|
