@@ -172,6 +172,12 @@ def _list_batch_dirs(
         if bid >= before_batch:
             continue
         parts = fs.globStatus(path_cls(str(st.getPath()) + "/*.parquet"))
+        if not parts:
+            # partition-laid-out deltas (the BM25 postings'
+            # term_bucket=M subdirs) hold their files one level down
+            parts = fs.globStatus(
+                path_cls(str(st.getPath()) + "/*/*.parquet")
+            )
         if parts is not None and len(parts) > 0:
             out.append((bid, str(st.getPath())))
     return sorted(out)
@@ -357,7 +363,12 @@ def read_incremental_zone(
             frames.append(spark.read.parquet(path))
     tail = [p for bid, p in _list_batch_dirs(spark, base, before_batch) if bid >= low]
     if tail:
-        frames.append(spark.read.parquet(*tail))
+        # one read per batch dir, unioned: a single multi-path read
+        # trips CONFLICTING_DIRECTORY_STRUCTURES when the deltas carry
+        # their own partition layout (the BM25 postings' term_bucket=M
+        # subdirs); per-dir reads keep identical rows and schemas for
+        # flat deltas and the tail length is bounded by compact_every
+        frames.extend(spark.read.parquet(p) for p in tail)
     if not frames:
         return None
     df = frames[0]
@@ -375,6 +386,7 @@ def compact_incremental_zone(
     buckets: int = 8,
     sort: list[str] | None = None,
     transform=None,
+    partition_by: list[str] | None = None,
 ) -> bool:
     """Rewrite all data for batches < ``upto`` into one consolidated epoch.
 
@@ -429,6 +441,13 @@ def compact_incremental_zone(
                 full, _epoch_table(table_prefix, upto), bucket_keys, buckets,
                 sort=sort, path=path,
             )
+        elif partition_by:
+            # preserve a directory-pruning layout across compaction
+            # (the BM25 postings' term_bucket dirs): an epoch written
+            # flat would silently cost probes their partition filters
+            full.write.partitionBy(*partition_by).mode(
+                "overwrite"
+            ).parquet(path)
         else:
             full.write.mode("overwrite").parquet(path)
     # cleanup strictly after the new epoch committed
@@ -2420,6 +2439,146 @@ def streaming_dsir(
             batch_df, SF.expr(target_sql), n_buckets=n_buckets,
             text=text, id_col=id_col, seed=seed, ngram=ngram,
         ).write.mode("overwrite").parquet(f"{model_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _bm25_index_zone_meta(n_term_buckets: int, text: str, id_col: str) -> dict:
+    return {
+        "kind": "bm25_index", "format_version": 1,
+        "n_term_buckets": int(n_term_buckets), "text": text,
+        "id_col": id_col,
+    }
+
+
+_BM25_INDEX_REBUILD_HINT = (
+    "Rebuild the index from the corpus (text.bm25_index_delta over "
+    "everything ingested) or restart the stream with a fresh index_dir."
+)
+
+
+def read_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    before_batch: int = 2**62,
+) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, dict | None]:
+    """The stored BM25 index for batches strictly before ``before_batch``:
+    ``(postings, term_stats, totals, config)`` — postings carry the
+    ``term_bucket`` layout column so :func:`text.bm25_topk_from_index`
+    folds a query's bucket ids into a partition filter; term_stats and
+    totals are delta rows (SUM-collapse happens inside the probe). An
+    absent zone is all-None; a data-bearing zone with no marker, a wrong
+    kind, or drifted layout parameters raises with the rebuild hint —
+    postings bucketed under a different ``n_term_buckets`` must never
+    serve a probe that folds buckets under the current one."""
+    meta = read_zone_meta(spark, index_dir)
+    zones = [f"{index_dir}/{n}" for n in ("postings", "term_stats", "totals")]
+    if meta is None:
+        if any(_zone_has_data(spark, zdir) for zdir in zones):
+            raise ValueError(
+                f"stored zone {index_dir} has data but no {ZONE_META_FILE} "
+                f"— unversioned stored state. {_BM25_INDEX_REBUILD_HINT}"
+            )
+        return None, None, None, None
+    if meta.get("kind") != "bm25_index" or meta.get("format_version") != 1:
+        raise ValueError(
+            f"stored zone {index_dir} was written under "
+            f"{meta.get('kind')!r} format_version="
+            f"{meta.get('format_version')!r}; this reader expects "
+            f"bm25_index v1. {_BM25_INDEX_REBUILD_HINT}"
+        )
+    frames = [
+        read_incremental_zone(spark, zdir, before_batch) for zdir in zones
+    ]
+    return (*frames, meta)
+
+
+def streaming_bm25_index(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_term_buckets: int | None = None,
+    compact_every: int | None = None,
+):
+    """Continuously-maintained BM25 inverted index over a document
+    stream — the RETRIEVAL instance of the delta-zone recipe, closing
+    the stored-state pattern for the lexical search leg: every
+    micro-batch tokenizes ITSELF once (``text.bm25_index_delta``) and
+    appends three deltas under ``index_dir`` —
+
+    - ``postings/batch_id=N`` — (term, doc_id, tf, dl) written
+      ``partitionBy(term_bucket)`` (``text.bm25_bucket_postings``), so
+      a probe's bucket filter prunes directories in every batch delta
+      AND in compacted epochs (compaction preserves the layout via
+      ``partition_by`` — see :func:`compact_incremental_zone`);
+    - ``term_stats/batch_id=N`` — per-term df deltas, SUM-mergeable;
+    - ``totals/batch_id=N`` — one (n_docs, total_tokens) row,
+      SUM-mergeable.
+
+    Serve any query against the live index with :func:`read_bm25_index`
+    + ``text.bm25_topk_from_index`` — upkeep never re-reads indexed
+    data, and serving never re-reads the corpus. Append-only contract
+    (text.bm25_index_delta docstring): each document must arrive in
+    exactly one micro-batch; df/n_docs sum per-batch distinct counts.
+
+    The layout parameters ride ``_zone_meta.json`` on ``index_dir``:
+    postings bucketed under a different ``n_term_buckets`` or a
+    different text/id column must never merge, so a resumed stream with
+    a drifted config dies on its first batch. With ``compact_every=N``
+    the stats zones SUM-collapse and the postings epoch rewrites under
+    the SAME term_bucket directory layout, so file count stays bounded
+    at any stream length while probes keep their partition filters.
+    Returns the StreamingQuery handle; caller stops it."""
+    from ctcityscraper_spark.operators.text import (
+        BM25_TERM_BUCKETS,
+        bm25_bucket_postings,
+        bm25_index_delta,
+        sum_bm25_term_stats,
+        sum_bm25_totals,
+    )
+
+    nb = int(n_term_buckets or BM25_TERM_BUCKETS)
+    meta = _bm25_index_zone_meta(nb, text, id_col)
+    z = {n: f"{index_dir}/{n}" for n in ("postings", "term_stats", "totals")}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(
+            spark, index_dir, meta, _BM25_INDEX_REBUILD_HINT,
+            data_dirs=list(z.values()),
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            plans = [
+                ("postings", dict(partition_by=["term_bucket"])),
+                ("term_stats", dict(transform=sum_bm25_term_stats)),
+                ("totals", dict(transform=sum_bm25_totals)),
+            ]
+            for zone, kw in plans:
+                epochs = _compacted_epochs(spark, z[zone])
+                # <=: finish pending cleanup on replay (see bloom sink)
+                if not epochs or epochs[-1][0] <= batch_id:
+                    compact_incremental_zone(spark, z[zone], batch_id, **kw)
+        postings, term_stats, totals = bm25_index_delta(
+            batch_df, text=text, id_col=id_col
+        )
+        bm25_bucket_postings(postings, nb).write.partitionBy(
+            "term_bucket"
+        ).mode("overwrite").parquet(f"{z['postings']}/batch_id={batch_id}")
+        term_stats.write.mode("overwrite").parquet(
+            f"{z['term_stats']}/batch_id={batch_id}"
+        )
+        totals.write.mode("overwrite").parquet(
+            f"{z['totals']}/batch_id={batch_id}"
+        )
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -1727,7 +1727,7 @@ class TestStreamingCorpusPrep:
 
     def _run(
         self, spark, src, base, ckpt,
-        schema="doc_id long, text string", wait=180, **kw,
+        schema="doc_id long, text string", wait=1200, **kw,
     ):
         from ctcityscraper_spark.streaming.events import (
             stream_from_directory,
@@ -1927,7 +1927,7 @@ class TestStreamingCorpusPrep:
         self._run(
             spark, src, base_k, str(tmp_path / "ck1"),
             schema="doc_id long, text string, lang string",
-            wait=420, dsir_gate=True, dsir_target="lang = 'en'",
+            wait=1200, dsir_gate=True, dsir_target="lang = 'en'",
             dsir_buckets=64, dsir_min_num=-1000, dsir_min_den=1,
         )
         stats = {
@@ -1961,7 +1961,7 @@ class TestStreamingCorpusPrep:
         self._run(
             spark, src, base_d, str(tmp_path / "ck2"),
             schema="doc_id long, text string, lang string",
-            wait=420, dsir_gate=True, dsir_target="lang = 'en'",
+            wait=1200, dsir_gate=True, dsir_target="lang = 'en'",
             dsir_buckets=64, dsir_min_num=1000, dsir_min_den=1,
         )
         stats = {
@@ -1982,7 +1982,7 @@ class TestStreamingCorpusPrep:
         self._run(
             spark, src, base_d, str(tmp_path / "ck2"),
             schema="doc_id long, text string, lang string",
-            wait=420, dsir_gate=True, dsir_target="lang = 'en'",
+            wait=1200, dsir_gate=True, dsir_target="lang = 'en'",
             dsir_buckets=64, dsir_min_num=1000, dsir_min_den=1,
         )
         assert spark.read.parquet(f"{base_d}/stats").count() == before
@@ -1996,7 +1996,7 @@ class TestStreamingCorpusPrep:
             self._run(
                 spark, src, base_d, str(tmp_path / "ck2"),
                 schema="doc_id long, text string, lang string",
-                wait=420, dsir_gate=True, dsir_target="lang = 'zh'",
+                wait=1200, dsir_gate=True, dsir_target="lang = 'zh'",
                 dsir_buckets=64, dsir_min_num=1000, dsir_min_den=1,
             )
 
@@ -2598,3 +2598,100 @@ class TestStreamingDsir:
         ).coalesce(1).write.mode("append").parquet(str(src))
         with _pytest.raises(Exception, match="zone|dsir"):
             run("coalesce(lang = 'zh', FALSE)")
+
+
+class TestStreamingBm25Index:
+    """streaming_bm25_index: the RETRIEVAL instance of the delta-zone
+    recipe — per-batch inverted-index deltas (term-bucket-partitioned
+    postings + SUM-mergeable stats) under a frozen layout contract,
+    served by text.bm25_topk_from_index without re-reading the corpus."""
+
+    SCHEMA = "doc_id long, text string"
+    BATCHES = [
+        [(0, "rare common common common"), (1, "common filler tail")],
+        [(2, "common common common common"), (3, "filler filler filler")],
+        [(4, "rare tail common")],
+    ]
+    TERMS = ["rare", "common"]
+
+    def test_streamed_index_serves_and_restarts(self, spark, tmp_path):
+        import time as _time
+
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.text import (
+            bm25_topk,
+            bm25_topk_from_index,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            _compacted_epochs,
+            read_bm25_index,
+            stream_from_directory,
+            streaming_bm25_index,
+        )
+
+        src = tmp_path / "incoming"
+        for rows in self.BATCHES:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+        allv = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], self.SCHEMA
+        )
+
+        def run(nb=16):
+            q = streaming_bm25_index(
+                stream_from_directory(
+                    spark, str(src), self.SCHEMA, max_files_per_trigger=1
+                ),
+                index_dir=str(tmp_path / "bm25"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                n_term_buckets=nb,
+                compact_every=2,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("stream did not drain")
+
+        run()
+        p, t, s, cfg = read_bm25_index(spark, str(tmp_path / "bm25"))
+        assert cfg["n_term_buckets"] == 16
+        assert "term_bucket" in p.columns
+        # the batch-2 compaction epoch keeps the pruning layout
+        epochs = _compacted_epochs(spark, str(tmp_path / "bm25" / "postings"))
+        assert epochs
+        import os
+
+        epoch_dir = epochs[-1][1].removeprefix("file:")
+        assert any(
+            d.startswith("term_bucket=") for d in os.listdir(epoch_dir)
+        )
+        served = bm25_topk_from_index(
+            p, t, s, self.TERMS, n_term_buckets=16
+        )
+        # the bucket filter reaches the scan as a partition filter
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "term_bucket" in plan and "PartitionFilters" in plan
+        fresh = sorted(map(tuple, bm25_topk(allv, self.TERMS).collect()))
+        assert sorted(map(tuple, served.collect())) == fresh and fresh
+
+        # restart with the same checkpoint: nothing reprocesses
+        run()
+        p2, t2, s2, _ = read_bm25_index(spark, str(tmp_path / "bm25"))
+        assert sorted(map(tuple, bm25_topk_from_index(
+            p2, t2, s2, self.TERMS, n_term_buckets=16
+        ).collect())) == fresh
+
+        # resume under a DIFFERENT bucket layout: dies on first batch
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(9, "tail common doc")], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        with _pytest.raises(Exception, match="zone|bm25"):
+            run(nb=32)
+
+        # absent zone reads as all-None
+        assert read_bm25_index(spark, str(tmp_path / "nope")) == (
+            None, None, None, None,
+        )
