@@ -35,53 +35,53 @@ from ctcityscraper_spark.plans.queries import (  # noqa: E402
 # DuckDB oracle gate, tests/test_queries_oracle.py) follows in catalog
 # order. See README "Correctness verification" for the two tiers.
 DRIVER_PRIORITY = [
-    # Round-14 rotation (r13 VERDICT item 3: the 12 never-driver-verified
-    # late-r13 additions lead; the remaining 38 slots come from the
-    # 39-row last-green-r11 cohort, oldest rows first; reserve slots only
-    # for queries that exist at commit time — _ordered below enforces
-    # that).
+    # Round-15 rotation (same policy as r13/r14: never-driver-verified
+    # queries lead, then the oldest last-green cohorts, oldest first,
+    # alphabetical within a cohort; reserve slots only for queries that
+    # exist at commit time — _ordered below enforces that).
     #
-    # IN — the 12 late-r13 additions, never driver-verified (each was
+    # IN — the 2 late-r14 additions, never driver-verified (each was
     # in-repo + adversarially oracle-gated in the commit that built
-    # it) ...
-    "dedup_bloom_rebuild", "ann_kmeans_centroids", "ann_kmeans_update",
-    "corpus_cluster_balanced_sample", "corpus_prototype_prune",
-    "text_cms_saturation", "text_bm25_topk", "hybrid_rrf_topk",
-    "corpus_dsir_importance", "corpus_dsir_shift", "corpus_dsir_bigram",
-    "corpus_dsir_incremental",
-    # ... the two composed DAGs whose SEMANTICS changed this round (the
-    # DSIR selection stage + n_dsir_dropped column landed between the
-    # quality gate and packing — their r13 green rows verify the OLD
-    # shape, so fresh rows are load-bearing; same treatment the quality
-    # gate got in the r13 window) ...
-    "corpus_e2e_prep", "corpus_e2e_prep_incremental",
-    # ... and 36 of the 39-row last-green-r11 cohort (recomputed from
-    # CORRECTNESS_r01–r13: every query whose newest driver row is r11),
-    # back for a fresh row. 12 + 2 + 36 = 50 = the window exactly; the
-    # three that do not fit (top_revenue_orders, union_by_name,
-    # window_running_total — last alphabetically) plus any r14 additions
-    # lead the r15 rotation.
-    "ann_cosine_topk", "ann_gram_update", "ann_ivf_recall",
-    "ann_ivf_update", "ann_pca_ivf_recall", "ann_pq_adc_topk",
-    "asof_join_last_purchase", "corpus_cut_spans",
-    "corpus_incremental_spans", "date_bucket_monthly", "dedup_drop_list",
-    "dedup_embedding_neardup", "dedup_ngram_jaccard",
-    "dedup_simhash_signatures", "dedup_winnow_pairs",
-    "entity_uuid_identity", "events_cohort_retention",
-    "events_funnel_ordered", "except_lapsed_customers", "groupby_cube",
-    "groupby_grouping_sets", "money_roundtrip", "multimodal_bytes_meta",
-    "quality_filter_pipeline", "quantiles_by_status",
-    "regex_extract_tokens", "regional_customer_revenue",
-    "row_hash_content", "string_normalize", "text_bpe_token_count",
-    "text_kmv_distinct_shingles", "text_kmv_lang_cardinality",
-    "text_kmv_overlap", "text_kmv_update", "text_lang_confusion",
-    "text_winnow_fingerprints",
+    # it), plus any queries added THIS round (inserted here as they
+    # land) ...
+    "corpus_prototype_prune_threshold", "text_bm25_incremental",
+    # ... the 3-row last-green-r11 cohort that did not fit in the r14
+    # window (promised there to lead r15) ...
+    "top_revenue_orders", "union_by_name", "window_running_total",
+    # ... the full 41-row last-green-r12 cohort (recomputed from
+    # CORRECTNESS_r01–r14: every query whose newest driver row is r12),
+    # alphabetical ...
+    "ann_int8_topk", "ann_pq_recall", "ann_pq_update",
+    "ann_srp_lsh_topk", "ann_srp_multiprobe_topk",
+    "approx_aggregates_check", "conditional_pivot_agg",
+    "corpus_boilerplate_segments", "corpus_contamination",
+    "corpus_mixture_resample", "corpus_pii_scrub",
+    "corpus_quality_deciles", "corpus_repetition_signals",
+    "corpus_sample_k_per_group", "corpus_shard_stats",
+    "corpus_stratified_sample", "corpus_token_budget",
+    "dedup_bloom_membership", "dedup_groups_connected",
+    "dedup_incremental_exact", "dedup_incremental_prefix",
+    "dedup_keep_best", "dedup_prefix_filter_join",
+    "dedup_semdedup_drop_list", "dedup_simhash_pairs",
+    "events_sliding_1h_30m", "events_tumbling_6h",
+    "groupby_salted_skew", "join_salted_skew", "json_extract_props",
+    "multimodal_frame_sample", "pricing_summary", "scd2_changed_since",
+    "scd2_latest_state", "text_profile", "text_quantile_by_source",
+    "text_quantile_drift", "text_quantile_sketch", "text_quantile_update",
+    "text_top_bigrams", "text_vocab_coverage",
+    # ... and the first 4 of the 48-row last-green-r13 cohort
+    # (alphabetical) to fill the window: 2 + 3 + 41 + 4 = 50. Queries
+    # ADDED this round are inserted at the head as they land, displacing
+    # these fills first (they cycle back soonest anyway).
+    "ann_cosine_topk_vectorized", "ann_int8_gram_matrix",
+    "ann_ivf_imbalance", "ann_ivf_topk",
 ]
-# Verification record (matches CORRECTNESS_r01–r13): at r13 HEAD all
-# 130 pre-r13 catalog queries hold >= 1 driver-verified green row —
-# last-green cohorts: 39 at r11, 41 at r12, 50 at r13 (recomputed from
-# the files). The 12 late-r13 additions above hold no driver row yet
-# and lead the window precisely so this round's run records theirs.
+# Verification record (recomputed from CORRECTNESS_r01–r14 at r15 start):
+# every one of the 144 r14-close catalog queries except the 2 late-r14
+# additions above holds >= 1 driver-verified green row — last-green
+# cohorts: 3 at r11, 41 at r12, 48 at r13, 50 at r14. The 44 remaining
+# r13-cohort rows plus any r15 additions that miss this window's cut
+# lead the r16 rotation.
 # Names added to DRIVER_PRIORITY must exist in the catalog at commit
 # time — _ordered raises on unknown names so a typo (or a
 # planned-but-unbuilt query) cannot silently fall out of the window.
