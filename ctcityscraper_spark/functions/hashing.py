@@ -201,3 +201,15 @@ def hash64(c: Column | str, seed: int | str = "") -> Column:
     col = F.col(c) if isinstance(c, str) else c
     payload = F.concat(F.lit(str(seed)), col.cast("string"))
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def hash64_py(value: str, seed: int | str = "") -> int:
+    """Driver-side twin of :func:`hash64` — the SAME md5-prefix rule,
+    computed in Python. Probes that fold a literal key into a partition
+    filter (e.g. the BM25 term-bucket prune) MUST use this instead of
+    re-implementing the rule, or filter/layout drift silently excludes
+    the true buckets."""
+    import hashlib
+
+    h = hashlib.md5((str(seed) + str(value)).encode("utf-8")).hexdigest()
+    return int(h[:15], 16)

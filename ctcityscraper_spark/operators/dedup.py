@@ -41,12 +41,12 @@ MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
 
 def _perm_constants(k: int) -> list[tuple[int, int]]:
-    import hashlib
+    from ctcityscraper_spark.functions.hashing import hash64_py
 
     out = []
     for i in range(k):
-        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
-        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        a = hash64_py(f"a{i}") % (MINHASH_P - 1) + 1
+        b = hash64_py(f"b{i}") % MINHASH_P
         out.append((a, b))
     return out
 

@@ -222,3 +222,118 @@ def connected_components(
 
         _track_checkpoint(spark, {max(created)})
     return labels.select("node", "component")
+
+
+def incremental_components(
+    assignments: DataFrame | None,
+    delta_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    changed_only: bool = False,
+    **cc_kwargs,
+) -> DataFrame:
+    """Maintain a stored (node, component) assignment under a batch of
+    NEW edges without re-running connected components over the full
+    graph — the CC member of the incremental-dedup family (exact /
+    MinHash / prefix / embedding already have delta forms).
+
+    ``assignments`` is the output of a previous :func:`connected_components`
+    / ``incremental_components`` run (component = min node id, the
+    invariant both maintain); ``delta_edges`` is tonight's pair batch —
+    new-vs-new and new-vs-corpus edges from any incremental candidate
+    generator. Returns the UPDATED full assignment (or, with
+    ``changed_only=True``, just the rows that are new or relabeled —
+    the bounded delta a stored zone appends).
+
+    Algorithm (the standard contracted-graph update):
+
+    1. Map each delta endpoint through the stored assignment
+       (``coalesce(component, node)``) — edges collapse onto component
+       ROOTS; edges landing inside one existing component become
+       self-loops and drop.
+    2. Run :func:`connected_components` on the contracted edges — a
+       graph over (touched roots + new nodes) only, so the iterative
+       fixpoint costs O(delta), never O(corpus).
+    3. Relabel: old rows join the root->new-root merge map (broadcast —
+       bounded by delta endpoints); new nodes take their contracted
+       label directly.
+
+    Correctness: contracting a component to its root preserves
+    connectivity, and every old root is the min id of its old members,
+    so min-label over the contracted graph equals min-label over the
+    union graph — ``incremental == fresh`` exactly (hash-gated in the
+    catalog and pinned on adversarial graphs in tests).
+
+    100 TB shape: step 1 is one equi-join of the (small) delta against
+    the assignment zone; step 3's merge map is delta-bounded and
+    broadcast, so relabeling is a map-side pass over assignments with
+    NO shuffle of the corpus-sized side; with ``changed_only=True``
+    nothing corpus-sized is even written back. The fixpoint (the only
+    iterative part) never sees the corpus.
+    """
+    if assignments is None:
+        out = connected_components(delta_edges, src, dst, **cc_kwargs)
+        return out
+    # materialize the delta ONCE: it is read by the contraction joins
+    # AND the self-loop singleton pass, and is often the output of an
+    # expensive candidate pipeline. Tracked via operators.artifacts so
+    # long-lived sessions can free it after materializing results.
+    spark = delta_edges.sparkSession
+    ids0 = persistent_rdd_ids(spark)
+    edges = (
+        delta_edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    from ctcityscraper_spark.operators.artifacts import _track_checkpoint
+
+    _track_checkpoint(spark, persistent_rdd_ids(spark) - ids0)
+    amap_s = assignments.select(
+        F.col("node").alias("_s"), F.col("component").alias("_cs")
+    )
+    amap_d = assignments.select(
+        F.col("node").alias("_d"), F.col("component").alias("_cd")
+    )
+    contracted = (
+        edges.join(amap_s, "_s", "left")
+        .join(amap_d, "_d", "left")
+        .select(
+            F.coalesce("_cs", "_s").alias("doc_a"),
+            F.coalesce("_cd", "_d").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    reduced = connected_components(contracted, "doc_a", "doc_b", **cc_kwargs)
+    # merge map: old roots whose component id changed. reduced's node set
+    # is (touched old roots) ∪ (new node ids); assignments.component only
+    # ever holds old roots, so the join below touches exactly the merged
+    # components. Delta-bounded — broadcast.
+    root_map = reduced.select(
+        F.col("node").alias("component"), F.col("component").alias("_new")
+    ).filter(F.col("component") != F.col("_new"))
+    relabeled = assignments.join(
+        F.broadcast(root_map), "component", "left"
+    ).select(
+        "node", F.coalesce("_new", "component").alias("component"),
+        F.col("_new").isNotNull().alias("_changed"),
+    )
+    new_nodes = reduced.join(
+        assignments.select("node"), "node", "left_anti"
+    ).withColumn("_changed", F.lit(True))
+    # delta endpoints that survive in NEITHER assignments nor the
+    # contracted run are new nodes whose only delta edges were
+    # self-loops — fresh connected_components registers those as
+    # singleton components, so incremental == fresh must too
+    singles = (
+        edges.select(F.col("_s").alias("node"))
+        .unionByName(edges.select(F.col("_d").alias("node")))
+        .distinct()
+        .join(assignments.select("node"), "node", "left_anti")
+        .join(reduced.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+        .withColumn("_changed", F.lit(True))
+    )
+    full = relabeled.unionByName(new_nodes).unionByName(singles)
+    if changed_only:
+        full = full.filter(F.col("_changed"))
+    return full.select("node", "component")

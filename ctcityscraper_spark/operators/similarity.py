@@ -212,10 +212,9 @@ def plane_weight(bit: int, dim: int) -> float:
     500 — computed driver-side so the plane matrix embeds as literals in both
     the Spark plan and the DuckDB oracle SQL (no state shipped to executors).
     """
-    import hashlib
+    from ctcityscraper_spark.functions.hashing import hash64_py
 
-    h = hashlib.md5(f"{bit},{dim}".encode()).hexdigest()
-    return float(int(h[:15], 16) % 1000 - 500)
+    return float(hash64_py(f"{bit},{dim}") % 1000 - 500)
 
 
 def srp_bucket_col(vec, dims: int, bits: int = SRP_BITS):
@@ -1074,10 +1073,9 @@ def pq_codeword_val(m: int, j: int, d: int) -> float:
     compute literals from (m, j, d) alone. For production use, train with
     pq_train_codebooks instead — the operators accept either codebook.
     """
-    import hashlib
+    from ctcityscraper_spark.functions.hashing import hash64_py
 
-    h = hashlib.md5(f"pq:{m},{j},{d}".encode()).hexdigest()
-    return (int(h[:15], 16) % 601 - 300) / 1000.0
+    return (hash64_py(f"pq:{m},{j},{d}") % 601 - 300) / 1000.0
 
 
 def pq_codebook(dims: int, n_sub: int = PQ_M, k: int = PQ_K) -> list:

@@ -542,13 +542,13 @@ BM25_TERM_BUCKETS = 256
 
 
 def bm25_bucket_of(term: str, n_buckets: int = BM25_TERM_BUCKETS) -> int:
-    """Driver-side twin of the ``term_bucket`` column (same md5-prefix
-    rule as functions.hashing.hash64 with seed ``bm25bkt``) — lets the
-    probe fold the query's bucket ids into a PARTITION filter."""
-    import hashlib
+    """Driver-side twin of the ``term_bucket`` column — delegates to
+    :func:`functions.hashing.hash64_py` (ONE shared implementation of
+    the md5-prefix rule, seed ``bm25bkt``) so the probe's partition
+    filter can never drift from the stored layout."""
+    from ctcityscraper_spark.functions.hashing import hash64_py
 
-    h = int(hashlib.md5(("bm25bkt" + term).encode()).hexdigest()[:15], 16)
-    return h % n_buckets
+    return hash64_py(term, "bm25bkt") % n_buckets
 
 
 def bm25_bucket_postings(

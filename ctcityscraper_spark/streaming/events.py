@@ -158,10 +158,21 @@ def _list_batch_dirs(
 ) -> list[tuple[int, str]]:
     """Sorted (batch_id, dir) for ``base/batch_id=N`` children with
     ``N < before_batch`` holding at least one parquet file."""
+    return [(bid, p) for bid, p, _ in _list_batch_dirs_flat(
+        spark, base, before_batch)]
+
+
+def _list_batch_dirs_flat(
+    spark: SparkSession, base: str, before_batch: int
+) -> list[tuple[int, str, bool]]:
+    """Sorted (batch_id, dir, flat) for ``base/batch_id=N`` children with
+    ``N < before_batch`` holding at least one parquet file; ``flat`` is
+    False when the delta carries its own partition layout (files one
+    level down, e.g. the BM25 postings' ``term_bucket=M`` subdirs)."""
     fs, path_cls = _hadoop_fs(spark, base)
     if not fs.exists(path_cls(base)):
         return []
-    out: list[tuple[int, str]] = []
+    out: list[tuple[int, str, bool]] = []
     for st in fs.globStatus(path_cls(base + "/batch_id=*")) or []:
         if not st.isDirectory():
             continue
@@ -171,15 +182,16 @@ def _list_batch_dirs(
             continue
         if bid >= before_batch:
             continue
+        flat = True
         parts = fs.globStatus(path_cls(str(st.getPath()) + "/*.parquet"))
         if not parts:
-            # partition-laid-out deltas (the BM25 postings'
-            # term_bucket=M subdirs) hold their files one level down
+            # partition-laid-out deltas hold their files one level down
+            flat = False
             parts = fs.globStatus(
                 path_cls(str(st.getPath()) + "/*/*.parquet")
             )
         if parts is not None and len(parts) > 0:
-            out.append((bid, str(st.getPath())))
+            out.append((bid, str(st.getPath()), flat))
     return sorted(out)
 
 
@@ -361,14 +373,26 @@ def read_incremental_zone(
             frames.append(spark.table(tbl))
         else:
             frames.append(spark.read.parquet(path))
-    tail = [p for bid, p in _list_batch_dirs(spark, base, before_batch) if bid >= low]
+    tail = [
+        (p, flat)
+        for bid, p, flat in _list_batch_dirs_flat(spark, base, before_batch)
+        if bid >= low
+    ]
     if tail:
-        # one read per batch dir, unioned: a single multi-path read
-        # trips CONFLICTING_DIRECTORY_STRUCTURES when the deltas carry
-        # their own partition layout (the BM25 postings' term_bucket=M
-        # subdirs); per-dir reads keep identical rows and schemas for
-        # flat deltas and the tail length is bounded by compact_every
-        frames.extend(spark.read.parquet(p) for p in tail)
+        # flat deltas (files directly under batch_id=N) group into ONE
+        # multi-path read — with compaction disabled the tail is every
+        # batch ever written, and per-dir reads would grow driver-side
+        # planning/schema-inference cost linearly with stream length.
+        # Partition-laid-out deltas (the BM25 postings' term_bucket=M
+        # subdirs) still read per-dir: a multi-path read over them trips
+        # CONFLICTING_DIRECTORY_STRUCTURES, and their tail length is
+        # bounded by compact_every in the sinks that write them
+        flat_paths = [p for p, flat in tail if flat]
+        if flat_paths:
+            frames.append(spark.read.parquet(*flat_paths))
+        frames.extend(
+            spark.read.parquet(p) for p, flat in tail if not flat
+        )
     if not frames:
         return None
     df = frames[0]
@@ -1480,6 +1504,18 @@ def streaming_corpus_prep(
         )
     w = width or SEGMENT_WIDTH
     md = min_docs if min_docs is not None else BOILER_MIN_DOCS
+    if seg_tail_min > md:
+        # the compaction snapshot keeps only counts >= seg_tail_min plus
+        # a hash sample of the tail; with seg_tail_min > min_docs,
+        # already-HOT segments (count in [min_docs, seg_tail_min)) would
+        # be silently dropped and the hot list would flap across
+        # compaction epochs — beyond the documented count-loss contract,
+        # which concedes only sub-threshold tail credit
+        raise ValueError(
+            f"seg_tail_min ({seg_tail_min}) must be <= min_docs ({md}): "
+            "the compaction snapshot must retain every segment that is "
+            "already hot or the hot list flaps across epochs"
+        )
     sl = seq_len or PACK_SEQ_LEN
     ns = num_shards or PACK_SHARDS
     meta = _prep_zone_meta(
@@ -2495,6 +2531,22 @@ def read_bm25_index(
     frames = [
         read_incremental_zone(spark, zdir, before_batch) for zdir in zones
     ]
+    if all(f is None for f in frames):
+        # marker stamped but no delta committed yet (crash between
+        # ensure_zone_meta and the first batch write, or an empty
+        # source) — return all-None so callers take the same "no index
+        # yet" branch as the meta-is-None case, instead of feeding None
+        # frames to bm25_topk_from_index and dying on AttributeError
+        return None, None, None, None
+    if any(f is None for f in frames):
+        missing = [
+            n for n, f in zip(("postings", "term_stats", "totals"), frames)
+            if f is None
+        ]
+        raise ValueError(
+            f"stored zone {index_dir} is missing {missing} while sibling "
+            f"zones have data — torn index state. {_BM25_INDEX_REBUILD_HINT}"
+        )
     return (*frames, meta)
 
 

@@ -160,6 +160,44 @@ class TestHash64:
             ).fetchone()
             assert got[v] == exp, v
 
+    def test_python_twin_matches_column(self, spark):
+        """hash64_py is the ONE driver-side implementation of the
+        md5-prefix rule — every probe that folds a literal key into a
+        partition filter derives from it, so it must agree bit-for-bit
+        with the Spark column on adversarial values and seeds."""
+        from ctcityscraper_spark.functions.hashing import hash64, hash64_py
+
+        vals = ["alpha", "", "a,b", "ünïcödé", "0", "bm25bktterm"]
+        for seed in ["", 3, "bm25bkt", "segtail"]:
+            df = spark.createDataFrame([Row(v=v) for v in vals])
+            got = {
+                r.v: r.h
+                for r in df.select(
+                    "v", hash64("v", seed=seed).alias("h")
+                ).collect()
+            }
+            for v in vals:
+                assert got[v] == hash64_py(v, seed), (v, seed)
+
+    def test_bm25_bucket_of_matches_stored_layout(self, spark):
+        """ADVICE r14: the probe's driver-side bucket must equal the
+        term_bucket column the index was WRITTEN under — drift would
+        silently exclude the true buckets from the partition filter."""
+        from ctcityscraper_spark.functions.hashing import hash64
+        from ctcityscraper_spark.operators.text import bm25_bucket_of
+
+        terms = ["rare", "common", "the", "ünïcödé", ""]
+        for n in (16, 256):
+            df = spark.createDataFrame([Row(t=t) for t in terms])
+            col_buckets = {
+                r.t: r.b
+                for r in df.select(
+                    "t", (hash64(F.col("t"), "bm25bkt") % n).alias("b")
+                ).collect()
+            }
+            for t in terms:
+                assert bm25_bucket_of(t, n) == col_buckets[t], (t, n)
+
 
 class TestSqlFunctionTwins:
     """The SQL-UDF surface (functions/sqlfuncs.py) must agree value-for-value

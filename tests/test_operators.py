@@ -623,6 +623,145 @@ class TestConnectedComponentsNullEdges:
         assert driver == dist == expected
 
 
+class TestIncrementalComponents:
+    """incremental_components: stored-assignment maintenance under delta
+    edges must equal a fresh connected_components run over the union
+    graph — the CC member of the incremental == fresh family."""
+
+    def _cc(self, spark, rows):
+        from ctcityscraper_spark.operators.graph import connected_components
+
+        return connected_components(
+            spark.createDataFrame(rows, "doc_a long, doc_b long")
+        )
+
+    def test_bridge_edge_merges_two_stored_components(self, spark):
+        from ctcityscraper_spark.operators.graph import (
+            incremental_components,
+        )
+
+        assignments = self._cc(spark, [(1, 2), (2, 3), (10, 11)])
+        delta = spark.createDataFrame([(3, 10)], "doc_a long, doc_b long")
+        got = {
+            r.node: r.component
+            for r in incremental_components(assignments, delta).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+        changed = sorted(
+            map(
+                tuple,
+                incremental_components(
+                    assignments, delta, changed_only=True
+                ).collect(),
+            )
+        )
+        # exactly the relabeled component's rows — nothing corpus-sized
+        assert changed == [(10, 1), (11, 1)]
+
+    def test_new_node_with_smaller_id_becomes_root(self, spark):
+        from ctcityscraper_spark.operators.graph import (
+            incremental_components,
+        )
+
+        assignments = self._cc(spark, [(5, 6)])
+        delta = spark.createDataFrame([(2, 6)], "doc_a long, doc_b long")
+        got = {
+            r.node: r.component
+            for r in incremental_components(assignments, delta).collect()
+        }
+        assert got == {2: 2, 5: 2, 6: 2}
+
+    def test_intra_component_delta_is_noop(self, spark):
+        from ctcityscraper_spark.operators.graph import (
+            incremental_components,
+        )
+
+        assignments = self._cc(spark, [(1, 2), (2, 3)])
+        delta = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+        full = sorted(
+            map(tuple, incremental_components(assignments, delta).collect())
+        )
+        assert full == [(1, 1), (2, 1), (3, 1)]
+        assert (
+            incremental_components(
+                assignments, delta, changed_only=True
+            ).count()
+            == 0
+        )
+
+    def test_none_assignments_equals_fresh(self, spark):
+        from ctcityscraper_spark.operators.graph import (
+            incremental_components,
+        )
+
+        delta = spark.createDataFrame(
+            [(1, 2), (4, 5)], "doc_a long, doc_b long"
+        )
+        got = sorted(
+            map(tuple, incremental_components(None, delta).collect())
+        )
+        assert got == [(1, 1), (2, 1), (4, 4), (5, 4)]
+
+    def test_null_delta_endpoints_drop(self, spark):
+        from ctcityscraper_spark.operators.graph import (
+            incremental_components,
+        )
+
+        assignments = self._cc(spark, [(1, 2)])
+        delta = spark.createDataFrame(
+            [(None, 1), (2, None), (1, 7)], "doc_a long, doc_b long"
+        )
+        got = sorted(
+            map(tuple, incremental_components(assignments, delta).collect())
+        )
+        assert got == [(1, 1), (2, 1), (7, 1)]
+
+    def test_incremental_equals_fresh_on_random_graphs(self, spark):
+        """The load-bearing equivalence: CC(base) maintained under the
+        delta slice equals fresh CC over all edges — random graphs,
+        random splits, including deltas that chain MULTIPLE old
+        components through a path of new nodes."""
+        import random
+
+        from ctcityscraper_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        for seed in (3, 11, 42):
+            rng = random.Random(seed)
+            all_edges = [
+                (rng.randrange(60), rng.randrange(60)) for _ in range(50)
+            ]
+            cut = rng.randrange(10, 40)
+            base, delta = all_edges[:cut], all_edges[cut:]
+            fresh = sorted(
+                map(
+                    tuple,
+                    connected_components(
+                        spark.createDataFrame(
+                            all_edges, "doc_a long, doc_b long"
+                        )
+                    ).collect(),
+                )
+            )
+            assignments = connected_components(
+                spark.createDataFrame(base, "doc_a long, doc_b long")
+            )
+            inc = sorted(
+                map(
+                    tuple,
+                    incremental_components(
+                        assignments,
+                        spark.createDataFrame(
+                            delta, "doc_a long, doc_b long"
+                        ),
+                    ).collect(),
+                )
+            )
+            assert inc == fresh, seed
+
+
 class TestSkewHelpers:
     def test_salted_agg_matches_plain(self, spark):
         from ctcityscraper_spark.operators.skew import salted_agg

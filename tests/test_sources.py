@@ -2695,3 +2695,137 @@ class TestStreamingBm25Index:
         assert read_bm25_index(spark, str(tmp_path / "nope")) == (
             None, None, None, None,
         )
+
+    def test_stamped_marker_without_deltas_reads_all_none(
+        self, spark, tmp_path
+    ):
+        """Marker stamped but no delta committed (crash between
+        ensure_zone_meta and the first batch write, or an empty source):
+        read_bm25_index returns all-None — the same "no index yet"
+        branch as an absent zone — instead of (None, None, None, meta)
+        frames that would die inside bm25_topk_from_index."""
+        from ctcityscraper_spark.streaming.events import (
+            _BM25_INDEX_REBUILD_HINT,
+            _bm25_index_zone_meta,
+            ensure_zone_meta,
+            read_bm25_index,
+        )
+
+        d = str(tmp_path / "bm25")
+        ensure_zone_meta(
+            spark, d, _bm25_index_zone_meta(16, "text", "doc_id"),
+            _BM25_INDEX_REBUILD_HINT,
+            data_dirs=[f"{d}/{n}" for n in ("postings", "term_stats", "totals")],
+        )
+        assert read_bm25_index(spark, d) == (None, None, None, None)
+
+    def test_torn_index_state_raises(self, spark, tmp_path):
+        """One zone has data while a sibling is empty — torn stored
+        state raises with the rebuild hint rather than serving a
+        partial index."""
+        import pytest as _pytest
+
+        from ctcityscraper_spark.streaming.events import (
+            _BM25_INDEX_REBUILD_HINT,
+            _bm25_index_zone_meta,
+            ensure_zone_meta,
+            read_bm25_index,
+        )
+
+        d = str(tmp_path / "bm25")
+        ensure_zone_meta(
+            spark, d, _bm25_index_zone_meta(16, "text", "doc_id"),
+            _BM25_INDEX_REBUILD_HINT,
+            data_dirs=[f"{d}/{n}" for n in ("postings", "term_stats", "totals")],
+        )
+        spark.createDataFrame(
+            [(5, 7, 100)], "n_docs long, x long, total_tokens long"
+        ).write.parquet(f"{d}/totals/batch_id=0")
+        with _pytest.raises(ValueError, match="torn index state"):
+            read_bm25_index(spark, d)
+
+
+class TestIncrementalZoneTailReads:
+    """read_incremental_zone groups FLAT tail dirs into one multi-path
+    read (driver planning cost stays O(1) in stream length when
+    compaction is off) and falls back to per-dir reads only for deltas
+    carrying their own partition layout."""
+
+    def test_flat_tail_single_multipath_read(self, spark, tmp_path):
+        from unittest import mock
+
+        from pyspark.sql.readwriter import DataFrameReader
+
+        from ctcityscraper_spark.streaming.events import (
+            read_incremental_zone,
+        )
+
+        base = str(tmp_path / "zone")
+        for bid in range(5):
+            spark.createDataFrame(
+                [(bid, f"row{bid}")], "k long, v string"
+            ).write.parquet(f"{base}/batch_id={bid}")
+
+        real = DataFrameReader.parquet
+        calls = []
+
+        def counting(self, *paths, **kw):
+            calls.append(paths)
+            return real(self, *paths, **kw)
+
+        with mock.patch.object(DataFrameReader, "parquet", counting):
+            df = read_incremental_zone(spark, base)
+            rows = sorted((r.k, r.v) for r in df.collect())
+        assert rows == [(b, f"row{b}") for b in range(5)]
+        # exactly ONE reader call, carrying all 5 flat tail dirs
+        assert len(calls) == 1 and len(calls[0]) == 5
+
+    def test_partitioned_tail_reads_per_dir(self, spark, tmp_path):
+        from unittest import mock
+
+        from pyspark.sql.readwriter import DataFrameReader
+
+        from ctcityscraper_spark.streaming.events import (
+            read_incremental_zone,
+        )
+
+        base = str(tmp_path / "zone")
+        for bid in range(3):
+            spark.createDataFrame(
+                [(bid, bid % 2, "x")], "k long, part long, v string"
+            ).write.partitionBy("part").parquet(f"{base}/batch_id={bid}")
+
+        real = DataFrameReader.parquet
+        calls = []
+
+        def counting(self, *paths, **kw):
+            calls.append(paths)
+            return real(self, *paths, **kw)
+
+        with mock.patch.object(DataFrameReader, "parquet", counting):
+            df = read_incremental_zone(spark, base)
+            assert df.count() == 3 and "part" in df.columns
+        # partition-laid-out deltas: one reader call per dir
+        assert len(calls) == 3 and all(len(c) == 1 for c in calls)
+
+
+class TestSegTailMinValidation:
+    def test_seg_tail_min_above_min_docs_rejected(self, spark, tmp_path):
+        """seg_tail_min > min_docs would let compaction silently drop
+        already-HOT segments (count in [min_docs, seg_tail_min)) and
+        flap the hot list across epochs — rejected up front."""
+        import pytest as _pytest
+
+        from ctcityscraper_spark.streaming.events import (
+            streaming_corpus_prep,
+        )
+
+        stream = spark.readStream.format("rate").load()
+        with _pytest.raises(ValueError, match="seg_tail_min"):
+            streaming_corpus_prep(
+                stream,
+                base_dir=str(tmp_path / "prep"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                min_docs=2,
+                seg_tail_min=3,
+            )
