@@ -1260,6 +1260,63 @@ def q_dedup_groups_connected(spark, sf_dir):
 
 
 @query(
+    "dedup_groups_incremental",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_cascade_oracle()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, component) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.component FROM edges e JOIN walk w ON e.b = w.node
+        WHERE w.component < e.a
+    )
+    SELECT node, MIN(component) AS component
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q_dedup_groups_incremental(spark, sf_dir):
+    """Incremental dedup GROUPS (operators/graph.incremental_components):
+    a stored (node, component) assignment — built here from the 80%
+    'corpus' slice's cascade pairs, per the gate's self-contained
+    convention — maintained under tonight's delta pairs (every pair
+    touching a hash-held-out 20% 'new' doc). The delta contracts onto
+    component roots, the iterative fixpoint runs over the contracted
+    graph only (O(delta), never O(corpus)), and relabeling is one
+    broadcast merge-map join. The oracle is a FRESH recursive-CTE CC
+    over all pairs: incremental == fresh, hash-checked cross-engine."""
+    from ctcityscraper_spark.operators.dedup import cascade_confirmed_pairs
+    from ctcityscraper_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    ids0 = persistent_rdd_ids(spark)
+    confirmed = (
+        cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    confirmed_ids = persistent_rdd_ids(spark) - ids0
+    new_a = hash64(F.col("doc_a"), "ccinc") % 5 == 0
+    new_b = hash64(F.col("doc_b"), "ccinc") % 5 == 0
+    assignments = connected_components(confirmed.filter(~new_a & ~new_b))
+    out = (
+        incremental_components(assignments, confirmed.filter(new_a | new_b))
+        .repartition(1)
+        .sortWithinPartitions("node")
+    )
+    unpersist_rdd_ids(spark, confirmed_ids)
+    return out
+
+
+@query(
     "dedup_drop_list",
     oracle=f"""
     WITH pairs AS ({_cascade_oracle()})

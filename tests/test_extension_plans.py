@@ -74,6 +74,9 @@ BUCKETED_QUERIES = [
     # round-12: the incremental embedding probe is a plain bucket
     # equi-join + fold verify — must never plan cartesian
     "dedup_incremental_embedding",
+    # round-15: incremental CC — contraction joins, broadcast merge-map
+    # relabel, anti-join singles: equi/anti joins only
+    "dedup_groups_incremental",
 ]
 # round-12: ann_ivf_imbalance is excluded by design — its only joins are
 # the n_lists-row grid equi-join and the 1-row total-attach crossJoin
