@@ -337,3 +337,13 @@ def incremental_components(
     if changed_only:
         full = full.filter(F.col("_changed"))
     return full.select("node", "component")
+
+
+def latest_components(rows: DataFrame) -> DataFrame:
+    """Merge rule for a stored (node, component, epoch) assignment zone:
+    newest epoch wins per node. Idempotent over already-merged rows (the
+    compaction-transform contract) — one mergeable aggregate, no window."""
+    return rows.groupBy("node").agg(
+        F.max_by("component", "epoch").alias("component"),
+        F.max("epoch").alias("epoch"),
+    )

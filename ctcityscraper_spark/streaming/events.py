@@ -2384,6 +2384,125 @@ def streaming_kmeans_state(
     )
 
 
+def _cc_zone_meta() -> dict:
+    return {"kind": "cc_assignments", "format_version": 1}
+
+
+_CC_REBUILD_HINT = (
+    "Rebuild the assignment zone (graph.connected_components over every "
+    "pair ever ingested) or restart the stream with a fresh state_dir."
+)
+
+
+def read_cc_assignments(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int = 2**62,
+) -> tuple[DataFrame | None, dict | None]:
+    """The merged (node, component, epoch) assignment for batches
+    strictly before ``before_batch`` — newest epoch wins per node
+    (``graph.latest_components``, the zone's merge rule), so the result
+    IS ``connected_components`` over every pair ingested in those
+    batches, exactly (pinned in tests). ``(None, None)`` when nothing
+    exists yet; marker validation as in the other stored zones."""
+    meta = read_zone_meta(spark, state_dir)
+    if meta is None:
+        if _zone_has_data(spark, state_dir):
+            raise ValueError(
+                f"stored zone {state_dir} has data but no {ZONE_META_FILE} "
+                f"— unversioned stored state. {_CC_REBUILD_HINT}"
+            )
+        return None, None
+    if meta.get("kind") != "cc_assignments" or meta.get("format_version") != 1:
+        raise ValueError(
+            f"stored zone {state_dir} was written under "
+            f"{meta.get('kind')!r} format_version="
+            f"{meta.get('format_version')!r}; this reader expects "
+            f"cc_assignments v1. {_CC_REBUILD_HINT}"
+        )
+    from ctcityscraper_spark.operators.graph import latest_components
+
+    rows = read_incremental_zone(spark, state_dir, before_batch)
+    if rows is None:
+        return None, meta
+    return latest_components(rows), meta
+
+
+def streaming_components(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained connected-components assignment over a
+    near-duplicate PAIR stream — the GRAPH instance of the delta-zone
+    recipe, closing the dedup cascade's last full-recompute: clusters
+    are maintained as edges arrive instead of re-chased nightly.
+
+    Every micro-batch reads the merged assignment for batches strictly
+    BEFORE itself (exactly-once: a replayed batch never sees its own
+    partial output), contracts its edges onto component roots
+    (``graph.incremental_components`` — the iterative fixpoint runs on
+    the contracted delta only, never the stored corpus), and appends
+    JUST the new/relabeled rows stamped ``epoch = batch_id`` to
+    ``state_dir/batch_id=N``. The zone's merge rule is newest-epoch-
+    wins per node (``graph.latest_components`` — idempotent, the
+    compaction-transform contract), so the merged zone equals a fresh
+    ``connected_components`` over every pair ever ingested, exactly
+    (batch-vs-stream equivalence pinned in tests).
+
+    With ``compact_every=N`` the zone periodically collapses to one row
+    per node, so stored size tracks live nodes, not relabel history.
+    Checkpoint RDDs created by the per-batch fixpoint are freed after
+    the delta lands — a long-lived driver accumulates no cached blocks
+    (asserted in tests). Returns the StreamingQuery handle; caller
+    stops it."""
+    from ctcityscraper_spark.operators.graph import (
+        incremental_components,
+        latest_components,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    meta = _cc_zone_meta()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(spark, state_dir, meta, _CC_REBUILD_HINT)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, state_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, state_dir, batch_id,
+                    transform=latest_components,
+                )
+        ids0 = persistent_rdd_ids(spark)
+        assignments, _ = read_cc_assignments(
+            spark, state_dir, before_batch=batch_id
+        )
+        delta = incremental_components(
+            assignments, batch_df, src, dst, changed_only=True
+        ).withColumn("epoch", F.lit(batch_id).cast("long"))
+        delta.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+        # the write materialized the delta; every checkpoint the fixpoint
+        # created this batch is now dead weight
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - ids0)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _dsir_zone_meta(config: dict) -> dict:
     return {"kind": "dsir_model", "format_version": 1, "config": config}
 

@@ -2829,3 +2829,122 @@ class TestSegTailMinValidation:
                 min_docs=2,
                 seg_tail_min=3,
             )
+
+
+class TestStreamingComponents:
+    """streaming_components: the GRAPH instance of the delta-zone recipe
+    — per-batch changed-rows assignment deltas under newest-epoch-wins
+    merge; merged zone == fresh connected_components over every pair
+    ever ingested."""
+
+    SCHEMA = "doc_a long, doc_b long"
+    # batch 2 BRIDGES the two components born in batches 0/1 through a
+    # new node, and batch 2's smallest id (0) relabels everything — the
+    # adversarial path for incremental maintenance
+    BATCHES = [
+        [(10, 11), (11, 12)],
+        [(20, 21), (5, 6)],
+        [(12, 20), (0, 5), (30, 30)],
+    ]
+
+    def _write_batches(self, spark, src):
+        import time as _time
+
+        for rows in self.BATCHES:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+    def test_streamed_assignment_equals_fresh_cc(self, spark, tmp_path):
+        from ctcityscraper_spark.operators.graph import (
+            connected_components,
+            persistent_rdd_ids,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_cc_assignments,
+            stream_from_directory,
+            streaming_components,
+        )
+
+        src = tmp_path / "incoming"
+        self._write_batches(spark, src)
+        allp = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], self.SCHEMA
+        )
+
+        def run():
+            q = streaming_components(
+                stream_from_directory(
+                    spark, str(src), self.SCHEMA, max_files_per_trigger=1
+                ),
+                state_dir=str(tmp_path / "cc"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                compact_every=2,
+            )
+            if not q.awaitTermination(180):
+                q.stop()
+                raise TimeoutError("stream did not drain")
+
+        ids0 = persistent_rdd_ids(spark)
+        run()
+        # no cached blocks leak from the per-batch fixpoints
+        assert persistent_rdd_ids(spark) - ids0 == set()
+        merged, meta = read_cc_assignments(spark, str(tmp_path / "cc"))
+        assert meta["kind"] == "cc_assignments"
+        got = sorted((r.node, r.component) for r in merged.collect())
+        fresh = sorted(map(tuple, connected_components(allp).collect()))
+        assert got == fresh
+        # the bridge batch merged the two batch-0/1 chains under root 10,
+        # node 0 relabeled {5,6} under root 0, and the self-loop doc
+        # registered as a singleton
+        assert {c for _, c in got} == {0, 10, 30}
+
+        # windowed read before the bridge batch: two separate components
+        early, _ = read_cc_assignments(spark, str(tmp_path / "cc"), 2)
+        early_got = sorted((r.node, r.component) for r in early.collect())
+        assert early_got == sorted(
+            map(
+                tuple,
+                connected_components(
+                    spark.createDataFrame(
+                        self.BATCHES[0] + self.BATCHES[1], self.SCHEMA
+                    )
+                ).collect(),
+            )
+        )
+
+        # restart with the same checkpoint: nothing reprocesses
+        run()
+        merged2, _ = read_cc_assignments(spark, str(tmp_path / "cc"))
+        assert (
+            sorted((r.node, r.component) for r in merged2.collect()) == got
+        )
+
+        # a LATER batch keeps maintaining the compacted zone
+        import time as _time
+
+        _time.sleep(1.1)
+        spark.createDataFrame([(40, 12)], self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run()
+        merged3, _ = read_cc_assignments(spark, str(tmp_path / "cc"))
+        got3 = sorted((r.node, r.component) for r in merged3.collect())
+        assert got3 == sorted(
+            map(
+                tuple,
+                connected_components(
+                    allp.unionByName(
+                        spark.createDataFrame([(40, 12)], self.SCHEMA)
+                    )
+                ).collect(),
+            )
+        )
+        assert (40, 10) in got3
+
+        # absent zone reads as (None, None)
+        assert read_cc_assignments(spark, str(tmp_path / "nope")) == (
+            None,
+            None,
+        )
