@@ -45,7 +45,7 @@ DRIVER_PRIORITY = [
     # it), plus any queries added THIS round (inserted here as they
     # land) ...
     "corpus_prototype_prune_threshold", "text_bm25_incremental",
-    "dedup_groups_incremental",
+    "dedup_groups_incremental", "text_bpe_train", "text_bpe_apply",
     # ... the 3-row last-green-r11 cohort that did not fit in the r14
     # window (promised there to lead r15) ...
     "top_revenue_orders", "union_by_name", "window_running_total",
@@ -74,8 +74,7 @@ DRIVER_PRIORITY = [
     # (alphabetical) to fill the window: 2 + 3 + 41 + 4 = 50. Queries
     # ADDED this round are inserted at the head as they land, displacing
     # these fills first (they cycle back soonest anyway).
-    "ann_cosine_topk_vectorized", "ann_int8_gram_matrix",
-    "ann_ivf_imbalance",
+    "ann_cosine_topk_vectorized",
 ]
 # Verification record (recomputed from CORRECTNESS_r01–r14 at r15 start):
 # every one of the 144 r14-close catalog queries except the 2 late-r14

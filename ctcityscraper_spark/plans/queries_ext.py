@@ -1130,6 +1130,123 @@ def q_text_bpe_token_count(spark, sf_dir):
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
+def _bpe_merge_ctes(n_merges: int, source: str = "documents") -> str:
+    """The BPE training chain as DuckDB CTEs — an INDEPENDENT replay of
+    every merge iteration (the k-means Lloyd-replay recipe): pair counts
+    from the wrapped vocabulary, (cnt DESC, pair_a, pair_b) argmax,
+    greedy left-to-right fold via leftmost-non-overlapping replace().
+    Defines w, d0..d{n}, p1..p{n}, m1..m{n}."""
+    ctes = [
+        "w AS (SELECT word, COUNT(*)::BIGINT AS freq FROM ("
+        "SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word "
+        f"FROM {source}) GROUP BY word)",
+        r"d0 AS (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS wrapped,"
+        " freq FROM w)",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"p{k} AS (SELECT t[i] AS pair_a, t[i+1] AS pair_b, "
+            "SUM(freq)::BIGINT AS cnt FROM ("
+            r"SELECT regexp_extract_all(wrapped, '\(([^)]*)\)', 1) AS t, freq "
+            f"FROM d{k - 1}), "
+            "LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT pair_a, pair_b, cnt FROM p{k} "
+            "ORDER BY cnt DESC, pair_a, pair_b LIMIT 1)"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT replace(wrapped, "
+            f"'(' || (SELECT pair_a FROM m{k}) || ')(' || (SELECT pair_b FROM m{k}) || ')', "
+            f"'(' || (SELECT pair_a FROM m{k}) || (SELECT pair_b FROM m{k}) || ')') "
+            f"AS wrapped, freq FROM d{k - 1})"
+        )
+    return ",\n".join(ctes)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS rank, pair_a, pair_b, "
+        f"pair_a || pair_b AS merged, cnt FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {_bpe_merge_ctes(n_merges)}\n"
+        f"SELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+BPE_MERGES = 4
+
+
+@query("text_bpe_train", oracle=_bpe_train_oracle(BPE_MERGES))
+def q_text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.bpe_train —
+    Sennrich-style over the word-frequency table): ONE corpus scan
+    collapses to (word, freq), then every merge iteration is a
+    vocabulary-sized pair count + a 1-row argmax + a scan-stage replace
+    fold — train cost after the first scan is ∝ |vocab|, never ∝
+    corpus. The oracle independently replays all four merge iterations
+    in DuckDB (pair counts, tie-broken argmax, greedy replace fold) —
+    the merge TABLE itself is hash-compared cross-engine."""
+    from ctcityscraper_spark.operators.bpe import bpe_train
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return bpe_train(docs, BPE_MERGES).repartition(1).sortWithinPartitions(
+        "rank"
+    )
+
+
+def _bpe_apply_oracle(n_merges: int, doc_limit: int) -> str:
+    reps = "wrapped"
+    for k in range(1, n_merges + 1):
+        reps = (
+            f"replace({reps}, "
+            f"'(' || (SELECT pair_a FROM m{k}) || ')(' || (SELECT pair_b FROM m{k}) || ')', "
+            f"'(' || (SELECT pair_a FROM m{k}) || (SELECT pair_b FROM m{k}) || ')')"
+        )
+    return f"""
+    WITH {_bpe_merge_ctes(n_merges)},
+    words AS (
+        SELECT doc_id,
+               lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word
+        FROM documents WHERE doc_id < {doc_limit}
+    ),
+    wr AS (
+        SELECT doc_id, regexp_replace(word, '(.)', '(\\1)', 'g') AS wrapped,
+               len(word) AS n_char
+        FROM words
+    ),
+    enc AS (SELECT doc_id, {reps} AS wrapped, n_char FROM wr)
+    SELECT doc_id,
+           SUM(len(regexp_extract_all(wrapped, '\\(([^)]*)\\)', 1)))::BIGINT
+             AS bpe_tokens,
+           SUM(n_char)::BIGINT AS char_tokens
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_oracle(BPE_MERGES, 300))
+def q_text_bpe_apply(spark, sf_dir):
+    """Encode documents under the corpus-trained BPE merges
+    (operators/bpe.bpe_apply): the merge list rides the plan as
+    literals (the codebook-broadcast pattern — bounded by n_merges),
+    encoding is a pure scan-stage replace chain, and the per-doc
+    BPE-vs-char token counts aggregate with one SUM. Training here is
+    derived in-plan per the gate's self-contained convention; the
+    oracle replays training AND encoding."""
+    from ctcityscraper_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    merges = [tuple(r) for r in bpe_train(docs, BPE_MERGES).collect()]
+    return (
+        bpe_apply(docs.filter(F.col("doc_id") < 300), merges)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 @query(
     "dedup_embedding_blocked",
     oracle=f"""

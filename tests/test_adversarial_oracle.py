@@ -331,6 +331,10 @@ def test_empty_corpus_operators(spark):
     ]
     for df in outs:
         assert df.count() == 0
+    from ctcityscraper_spark.operators.bpe import bpe_apply, bpe_train
+
+    assert bpe_train(empty, 3).count() == 0
+    assert bpe_apply(empty, [(1, "a", "b", "ab", 1)]).count() == 0
 
 
 def test_empty_embeddings_and_empty_queries(spark):

@@ -3917,3 +3917,67 @@ class TestPrototypePruneThreshold:
         assert prototype_prune_threshold(
             emb, ctr, drop_pct=30, sketch_k=64
         ).count() > 0
+
+
+class TestBpeTrainer:
+    """operators/bpe: Sennrich-style BPE over the word-frequency table —
+    greedy left-to-right merge via wrapped-string replace, exact counts,
+    total tie-break."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_greedy_overlap_and_merge_order(self, spark):
+        from ctcityscraper_spark.operators.bpe import bpe_train
+
+        # 'aaa' contributes TWO (a,a) positions per occurrence; after the
+        # merge the wrapped form is (aa)(a) — greedy left-to-right
+        m = [tuple(r) for r in bpe_train(self._docs(spark, ["aaa aaa"]), 2).collect()]
+        assert m[0] == (1, "a", "a", "aa", 4)
+        assert m[1] == (2, "aa", "a", "aaa", 2)
+
+    def test_tiebreak_is_lexicographic(self, spark):
+        from ctcityscraper_spark.operators.bpe import bpe_train
+
+        m = [tuple(r) for r in bpe_train(self._docs(spark, ["ab ab cd cd"]), 1).collect()]
+        assert m == [(1, "a", "b", "ab", 2)]
+
+    def test_case_folds_after_ascii_extraction(self, spark):
+        from ctcityscraper_spark.operators.bpe import bpe_train
+
+        m = [tuple(r) for r in bpe_train(self._docs(spark, ["THE the The"]), 1).collect()]
+        # (h,e) and (t,h) tie at 3; lexicographic tie-break picks (h,e)
+        assert m == [(1, "h", "e", "he", 3)]
+
+    def test_empty_and_tiny_corpus_stop_early(self, spark):
+        from ctcityscraper_spark.operators.bpe import bpe_train
+
+        assert bpe_train(self._docs(spark, []), 3).collect() == []
+        # single-char words: no adjacent pairs anywhere
+        assert bpe_train(self._docs(spark, ["a b c"]), 3).collect() == []
+        # one mergeable pair, then dry
+        m = [tuple(r) for r in bpe_train(self._docs(spark, ["ab"]), 5).collect()]
+        assert m == [(1, "a", "b", "ab", 1)]
+
+    def test_apply_counts_and_compression(self, spark):
+        from ctcityscraper_spark.operators.bpe import bpe_apply, bpe_train
+
+        docs = self._docs(spark, ["aaa aaa bb", "c"])
+        merges = [tuple(r) for r in bpe_train(docs, 2).collect()]
+        got = {
+            r.doc_id: (r.bpe_tokens, r.char_tokens)
+            for r in bpe_apply(docs, merges).collect()
+        }
+        # merges: (a,a)->aa then (aa,a)->aaa; doc0: aaa->1 tok each,
+        # bb->2 toks => 4 bpe / 8 chars; doc1: 1/1
+        assert got == {0: (4, 8), 1: (1, 1)}
+
+    def test_no_leaked_checkpoints(self, spark):
+        from ctcityscraper_spark.operators.bpe import bpe_train
+        from ctcityscraper_spark.operators.graph import persistent_rdd_ids
+
+        ids0 = persistent_rdd_ids(spark)
+        bpe_train(self._docs(spark, ["abc abc xyz"]), 3, checkpoint_every=1).collect()
+        assert persistent_rdd_ids(spark) - ids0 == set()
