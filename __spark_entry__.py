@@ -42,10 +42,10 @@ DRIVER_PRIORITY = [
     #
     # IN — the 2 late-r14 additions, never driver-verified (each was
     # in-repo + adversarially oracle-gated in the commit that built
-    # it), plus any queries added THIS round (inserted here as they
-    # land) ...
+    # it), plus the 4 r15 additions (inserted as they landed) ...
     "corpus_prototype_prune_threshold", "text_bm25_incremental",
     "dedup_groups_incremental", "text_bpe_train", "text_bpe_apply",
+    "text_bpe_incremental",
     # ... the 3-row last-green-r11 cohort that did not fit in the r14
     # window (promised there to lead r15) ...
     "top_revenue_orders", "union_by_name", "window_running_total",
@@ -70,11 +70,6 @@ DRIVER_PRIORITY = [
     "scd2_latest_state", "text_profile", "text_quantile_by_source",
     "text_quantile_drift", "text_quantile_sketch", "text_quantile_update",
     "text_top_bigrams", "text_vocab_coverage",
-    # ... and the first 4 of the 48-row last-green-r13 cohort
-    # (alphabetical) to fill the window: 2 + 3 + 41 + 4 = 50. Queries
-    # ADDED this round are inserted at the head as they land, displacing
-    # these fills first (they cycle back soonest anyway).
-    "ann_cosine_topk_vectorized",
 ]
 # Verification record (recomputed from CORRECTNESS_r01–r14 at r15 start):
 # every one of the 144 r14-close catalog queries except the 2 late-r14

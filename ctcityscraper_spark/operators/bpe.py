@@ -107,6 +107,22 @@ def bpe_train(
     Stops early (fewer rows than ``n_merges``) when no pair remains —
     tiny or empty corpora; the DuckDB twin goes empty identically.
     """
+    return bpe_train_from_freqs(
+        bpe_word_freqs(docs, text), n_merges, checkpoint_every
+    )
+
+
+def bpe_train_from_freqs(
+    freqs: DataFrame,
+    n_merges: int,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Train from a (word, freq) table directly — the stored-state entry
+    point: word frequencies are plain SUM-mergeable counts, so a
+    maintained freq zone (``streaming.events.streaming_word_freqs``)
+    feeds retraining WITHOUT re-reading the corpus, and merged deltas
+    train identically to a fresh one-shot run (``sum_word_freqs`` is
+    exact — hash-gated by ``text_bpe_incremental``)."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -119,11 +135,10 @@ def bpe_train(
         unpersist_rdd_ids,
     )
 
-    spark = docs.sparkSession
+    spark = freqs.sparkSession
     ids0 = persistent_rdd_ids(spark)
     vocab = (
-        bpe_word_freqs(docs, text)
-        .select(bpe_wrap_col("word").alias("wrapped"), "freq")
+        freqs.select(bpe_wrap_col("word").alias("wrapped"), "freq")
         .localCheckpoint(eager=True)
     )
     merges: list[tuple] = []
@@ -204,3 +219,10 @@ def bpe_apply(
         F.sum("n_bpe").alias("bpe_tokens"),
         F.sum("n_char").alias("char_tokens"),
     )
+
+
+def sum_word_freqs(freqs: DataFrame) -> DataFrame:
+    """SUM-collapse delta (word, freq) rows — exact under the one-batch-
+    per-document contract, idempotent over already-merged rows (the
+    compaction-transform contract)."""
+    return freqs.groupBy("word").agg(F.sum("freq").alias("freq"))

@@ -1198,6 +1198,34 @@ def q_text_bpe_train(spark, sf_dir):
     )
 
 
+@query("text_bpe_incremental", oracle=_bpe_train_oracle(BPE_MERGES))
+def q_text_bpe_incremental(spark, sf_dir):
+    """BPE retraining off stored word-frequency state: per-batch (word,
+    freq) deltas — an 80% 'corpus' zone plus a 20% hash-held-out 'new
+    batch' delta, per the gate's self-contained convention — SUM-merge
+    (bpe.sum_word_freqs) and train via bpe_train_from_freqs WITHOUT
+    re-reading any document. The oracle trains FRESH over the whole
+    corpus: incremental == fresh, the merge table hash-compared
+    cross-engine (streaming_word_freqs maintains the same zone
+    continuously)."""
+    from ctcityscraper_spark.operators.bpe import (
+        bpe_train_from_freqs,
+        bpe_word_freqs,
+        sum_word_freqs,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "bpeinc") % 5 == 0
+    deltas = bpe_word_freqs(docs.filter(~is_new)).unionByName(
+        bpe_word_freqs(docs.filter(is_new))
+    )
+    return (
+        bpe_train_from_freqs(sum_word_freqs(deltas), BPE_MERGES)
+        .repartition(1)
+        .sortWithinPartitions("rank")
+    )
+
+
 def _bpe_apply_oracle(n_merges: int, doc_limit: int) -> str:
     reps = "wrapped"
     for k in range(1, n_merges + 1):

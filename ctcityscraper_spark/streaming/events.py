@@ -2384,6 +2384,80 @@ def streaming_kmeans_state(
     )
 
 
+def _word_freqs_zone_meta(text: str) -> dict:
+    return {"kind": "word_freqs", "format_version": 1, "config": {"text": text}}
+
+
+_WORD_FREQS_REBUILD_HINT = (
+    "Rebuild the frequency zone (bpe.bpe_word_freqs over every document "
+    "ingested) or restart the stream with a fresh freqs_dir."
+)
+
+
+def read_word_freqs(
+    spark: SparkSession,
+    freqs_dir: str,
+    before_batch: int = 2**62,
+) -> tuple[DataFrame | None, dict | None]:
+    """The word-frequency delta rows for batches strictly before
+    ``before_batch`` plus the zone's frozen config. SUM-collapse with
+    ``bpe.sum_word_freqs`` before consuming (idempotent); the collapsed
+    table IS ``bpe_word_freqs`` over everything ingested, exactly — so
+    ``bpe.bpe_train_from_freqs`` retrains the tokenizer WITHOUT
+    re-reading the corpus."""
+    return _read_validated_zone(
+        spark, freqs_dir, "word_freqs", "config", _WORD_FREQS_REBUILD_HINT,
+        before_batch,
+    )
+
+
+def streaming_word_freqs(
+    stream: DataFrame,
+    freqs_dir: str,
+    checkpoint_dir: str,
+    text: str = "text",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained word-frequency table over a document
+    stream — the TOKENIZER-TRAINING instance of the delta-zone recipe:
+    the (word, freq) table is vocabulary-bounded and SUM-mergeable, so
+    every micro-batch appends its own counts (``bpe.bpe_word_freqs``
+    over just the batch) to ``freqs_dir/batch_id=N`` and the merged
+    zone equals the one-shot table over everything ingested, exactly.
+    Retrain the BPE vocab any time with :func:`read_word_freqs` +
+    ``bpe.sum_word_freqs`` + ``bpe.bpe_train_from_freqs`` — training
+    never re-reads the corpus (the whole point at 100 TB: the corpus
+    scan happened once, amortized across the stream). Append-only
+    contract: each document must arrive in exactly one micro-batch.
+    Returns the StreamingQuery handle; caller stops it."""
+    from ctcityscraper_spark.operators.bpe import bpe_word_freqs, sum_word_freqs
+
+    meta = _word_freqs_zone_meta(text)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(spark, freqs_dir, meta, _WORD_FREQS_REBUILD_HINT)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            epochs = _compacted_epochs(spark, freqs_dir)
+            # <=: finish pending cleanup on replay (see bloom sink)
+            if not epochs or epochs[-1][0] <= batch_id:
+                compact_incremental_zone(
+                    spark, freqs_dir, batch_id, transform=sum_word_freqs,
+                )
+        bpe_word_freqs(batch_df, text).write.mode("overwrite").parquet(
+            f"{freqs_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _cc_zone_meta() -> dict:
     return {"kind": "cc_assignments", "format_version": 1}
 

@@ -2948,3 +2948,94 @@ class TestStreamingComponents:
             None,
             None,
         )
+
+
+class TestStreamingWordFreqs:
+    """streaming_word_freqs: the tokenizer-training instance of the
+    delta-zone recipe — SUM-mergeable (word, freq) deltas; retraining
+    off the merged zone equals a fresh corpus-scan train, exactly."""
+
+    SCHEMA = "doc_id long, text string"
+    BATCHES = [
+        [(1, "the cat sat"), (2, "the hat")],
+        [(3, "that cat"), (4, "the the the")],
+        [(5, "sat sat hat")],
+    ]
+
+    def test_streamed_freqs_train_equals_fresh(self, spark, tmp_path):
+        import time as _time
+
+        import pytest as _pytest
+
+        from ctcityscraper_spark.operators.bpe import (
+            bpe_train,
+            bpe_train_from_freqs,
+            bpe_word_freqs,
+            sum_word_freqs,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_word_freqs,
+            stream_from_directory,
+            streaming_word_freqs,
+        )
+
+        src = tmp_path / "incoming"
+        for rows in self.BATCHES:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+        allv = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], self.SCHEMA
+        )
+
+        def run(text="text"):
+            q = streaming_word_freqs(
+                stream_from_directory(
+                    spark, str(src), self.SCHEMA, max_files_per_trigger=1
+                ),
+                freqs_dir=str(tmp_path / "wf"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                text=text,
+                compact_every=2,
+            )
+            if not q.awaitTermination(180):
+                q.stop()
+                raise TimeoutError("stream did not drain")
+
+        run()
+        rows, cfg = read_word_freqs(spark, str(tmp_path / "wf"))
+        assert cfg == {"text": "text"}
+        merged = sorted(
+            (r.word, r.freq) for r in sum_word_freqs(rows).collect()
+        )
+        fresh = sorted(
+            (r.word, r.freq) for r in bpe_word_freqs(allv).collect()
+        )
+        assert merged == fresh
+        # retraining off the zone == fresh corpus-scan training
+        got = [
+            tuple(r)
+            for r in bpe_train_from_freqs(sum_word_freqs(rows), 3).collect()
+        ]
+        want = [tuple(r) for r in bpe_train(allv, 3).collect()]
+        assert got == want and len(want) == 3
+
+        # restart with the same checkpoint: nothing reprocesses
+        run()
+        rows2, _ = read_word_freqs(spark, str(tmp_path / "wf"))
+        assert (
+            sorted((r.word, r.freq) for r in sum_word_freqs(rows2).collect())
+            == merged
+        )
+
+        # resume under a DIFFERENT text column: dies on first new batch
+        _time.sleep(1.1)
+        spark.createDataFrame([(9, "tail doc")], self.SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        with _pytest.raises(Exception, match="zone|word_freqs"):
+            run(text="other")
+
+        # absent zone reads as (None, None)
+        assert read_word_freqs(spark, str(tmp_path / "nope")) == (None, None)
