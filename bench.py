@@ -137,7 +137,7 @@ def calibrate_probe(spark, sf_dir: str, trials: int = 3) -> float:
 # so BENCH_rN vs BENCH_rN-1 is one field-to-field read instead of hand
 # adjudication of which queries both rounds share and how calibration
 # moved between boots.
-PRIOR_ROUND = "r13"
+PRIOR_ROUND = "r14"
 PRIOR_ROUND_QUERY_SET = [
     "ann_cosine_topk_vectorized", "ann_kmeans_centroids",
     "ann_pq_retrain_cycle", "corpus_e2e_prep", "corpus_segment_dedup",
@@ -149,18 +149,16 @@ PRIOR_ROUND_QUERY_SET = [
     "subq_outer_join_order_counts", "top_revenue_orders",
 ]
 
-# Headline queries promoted THIS round (r14): not in the prior set, so
+# Headline queries promoted THIS round (r15): not in the prior set, so
 # they never pollute comparable_subtotal; recorded explicitly so the set
 # growth is visible in the JSON rather than inferred by diffing rounds.
-NEW_HEADLINE_QUERIES: list[str] = []
+NEW_HEADLINE_QUERIES: list[str] = ["text_bpe_train"]
 
-# In the headline set and in r13's record, but EXCLUDED from the r14
-# comparable subtotal because its SEMANTICS changed this round (the
-# DSIR domain-selection stage landed between the quality gate and
-# packing — r13 VERDICT item 6): a like-for-like r13 comparison would
-# read the new stage as a regression. Its r14-vs-r13 trend is
-# adjudicated in SCALE.md instead.
-SEMANTICS_CHANGED_EXCLUDED = ["corpus_e2e_prep"]
+# In the headline set and in the prior round's record, but EXCLUDED from
+# this round's comparable subtotal because the query's SEMANTICS changed
+# between the rounds (the r14 case: corpus_e2e_prep gained the DSIR
+# selection stage). r15: empty — no headline query's semantics changed.
+SEMANTICS_CHANGED_EXCLUDED: list[str] = []
 
 # Expected normalized cost per query (multiples of the fixed CPU
 # calibration job) — the anomaly-detection reference, NOT a metric input.
@@ -209,6 +207,10 @@ EXPECTED_NORMALIZED = {
     # argmin + k-row mergeable groupBy) + full-grid population audit,
     # measured 2.83/3.06 s raw on two runs at calibration ~0.27
     "ann_kmeans_centroids": 10.9,
+    # r15 promotion: BPE training — one corpus word-freq scan + 4
+    # vocab-sized merge iterations, measured 2.32 s raw at calibration
+    # 0.476 (fresh process, sf0.1)
+    "text_bpe_train": 4.9,
 }
 
 

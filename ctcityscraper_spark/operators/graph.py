@@ -230,6 +230,7 @@ def incremental_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     changed_only: bool = False,
+    broadcast_max_delta: int = 2_000_000,
     **cc_kwargs,
 ) -> DataFrame:
     """Maintain a stored (node, component) assignment under a batch of
@@ -247,16 +248,18 @@ def incremental_components(
 
     Algorithm (the standard contracted-graph update):
 
-    1. Map each delta endpoint through the stored assignment
-       (``coalesce(component, node)``) — edges collapse onto component
-       ROOTS; edges landing inside one existing component become
-       self-loops and drop.
+    1. Semi-join-reduce the stored assignment to the delta's TOUCHED
+       rows (one broadcast map-side pass over assignments — the corpus
+       side is never shuffled), then map each delta endpoint through the
+       broadcast touched map (``coalesce(component, node)``) — edges
+       collapse onto component ROOTS; edges landing inside one existing
+       component become self-loops and drop.
     2. Run :func:`connected_components` on the contracted edges — a
        graph over (touched roots + new nodes) only, so the iterative
        fixpoint costs O(delta), never O(corpus).
     3. Relabel: old rows join the root->new-root merge map (broadcast —
-       bounded by delta endpoints); new nodes take their contracted
-       label directly.
+       bounded by delta endpoints) in a second map-side pass; new nodes
+       take their contracted label directly.
 
     Correctness: contracting a component to its root preserves
     connectivity, and every old root is the min id of its old members,
@@ -264,20 +267,24 @@ def incremental_components(
     union graph — ``incremental == fresh`` exactly (hash-gated in the
     catalog and pinned on adversarial graphs in tests).
 
-    100 TB shape: step 1 is one equi-join of the (small) delta against
-    the assignment zone; step 3's merge map is delta-bounded and
-    broadcast, so relabeling is a map-side pass over assignments with
-    NO shuffle of the corpus-sized side; with ``changed_only=True``
-    nothing corpus-sized is even written back. The fixpoint (the only
-    iterative part) never sees the corpus.
+    100 TB shape: the corpus-sized assignment is read in exactly TWO
+    broadcast-driven map-side passes (the touched semi-join and the
+    relabel) and shuffled in NONE; every other frame — touched rows,
+    contracted edges, merge map, new nodes, singletons — is bounded by
+    the delta. With ``changed_only=True`` nothing corpus-sized is even
+    written back (the stored-zone delta append,
+    ``streaming.events.streaming_components``). The fixpoint (the only
+    iterative part) never sees the corpus. Measured at 5M nodes / 4M
+    edges / 50k-edge delta: see SCALE.md "Incremental CC".
     """
     if assignments is None:
         out = connected_components(delta_edges, src, dst, **cc_kwargs)
         return out
-    # materialize the delta ONCE: it is read by the contraction joins
-    # AND the self-loop singleton pass, and is often the output of an
-    # expensive candidate pipeline. Tracked via operators.artifacts so
-    # long-lived sessions can free it after materializing results.
+    # materialize the delta ONCE: it is read by the contraction joins,
+    # the touched semi-join, and the self-loop singleton pass, and is
+    # often the output of an expensive candidate pipeline. Tracked via
+    # operators.artifacts so long-lived sessions can free it after
+    # materializing results.
     spark = delta_edges.sparkSession
     ids0 = persistent_rdd_ids(spark)
     edges = (
@@ -285,18 +292,45 @@ def incremental_components(
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .localCheckpoint(eager=True)
     )
+    # broadcast delta-sized frames only while they actually fit in one
+    # executor (count is free — edges is materialized); above the
+    # threshold every join below degrades gracefully to a shuffle join
+    bcast = (
+        F.broadcast
+        if edges.count() <= broadcast_max_delta
+        else (lambda df: df)
+    )
+    delta_nodes = edges.select(F.col("_s").alias("node")).unionByName(
+        edges.select(F.col("_d").alias("node"))
+    ).distinct()
+    # the ONLY stored rows the update needs: assignments of delta
+    # endpoints that already exist. Broadcast semi-join = one map-side
+    # scan of the corpus side, output bounded by 2|delta|.
+    touched = assignments.join(
+        bcast(delta_nodes), "node", "left_semi"
+    ).localCheckpoint(eager=True)
     from ctcityscraper_spark.operators.artifacts import _track_checkpoint
 
     _track_checkpoint(spark, persistent_rdd_ids(spark) - ids0)
-    amap_s = assignments.select(
-        F.col("node").alias("_s"), F.col("component").alias("_cs")
-    )
-    amap_d = assignments.select(
-        F.col("node").alias("_d"), F.col("component").alias("_cd")
-    )
     contracted = (
-        edges.join(amap_s, "_s", "left")
-        .join(amap_d, "_d", "left")
+        edges.join(
+            bcast(
+                touched.select(
+                    F.col("node").alias("_s"), F.col("component").alias("_cs")
+                )
+            ),
+            "_s",
+            "left",
+        )
+        .join(
+            bcast(
+                touched.select(
+                    F.col("node").alias("_d"), F.col("component").alias("_cd")
+                )
+            ),
+            "_d",
+            "left",
+        )
         .select(
             F.coalesce("_cs", "_s").alias("doc_a"),
             F.coalesce("_cd", "_d").alias("doc_b"),
@@ -312,23 +346,26 @@ def incremental_components(
         F.col("node").alias("component"), F.col("component").alias("_new")
     ).filter(F.col("component") != F.col("_new"))
     relabeled = assignments.join(
-        F.broadcast(root_map), "component", "left"
+        bcast(root_map), "component", "left"
     ).select(
         "node", F.coalesce("_new", "component").alias("component"),
         F.col("_new").isNotNull().alias("_changed"),
     )
-    new_nodes = reduced.join(
-        assignments.select("node"), "node", "left_anti"
-    ).withColumn("_changed", F.lit(True))
-    # delta endpoints that survive in NEITHER assignments nor the
-    # contracted run are new nodes whose only delta edges were
-    # self-loops — fresh connected_components registers those as
-    # singleton components, so incremental == fresh must too
+    # new nodes = reduced minus the old roots that could have entered it;
+    # those roots are exactly the distinct components of touched (an old
+    # endpoint contracts to its root, a new endpoint to itself, and a new
+    # id can never equal an old root id — root ids are stored nodes)
+    old_roots = touched.select(F.col("component").alias("node")).distinct()
+    new_nodes = reduced.join(old_roots, "node", "left_anti").withColumn(
+        "_changed", F.lit(True)
+    )
+    # delta endpoints that survive in NEITHER touched nor the contracted
+    # run are new nodes whose only delta edges were self-loops — fresh
+    # connected_components registers those as singleton components, so
+    # incremental == fresh must too
     singles = (
-        edges.select(F.col("_s").alias("node"))
-        .unionByName(edges.select(F.col("_d").alias("node")))
-        .distinct()
-        .join(assignments.select("node"), "node", "left_anti")
+        delta_nodes
+        .join(touched.select("node"), "node", "left_anti")
         .join(reduced.select("node"), "node", "left_anti")
         .select("node", F.col("node").alias("component"))
         .withColumn("_changed", F.lit(True))

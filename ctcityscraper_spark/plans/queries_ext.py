@@ -1180,7 +1180,12 @@ def _bpe_train_oracle(n_merges: int) -> str:
 BPE_MERGES = 4
 
 
-@query("text_bpe_train", oracle=_bpe_train_oracle(BPE_MERGES))
+@query(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(BPE_MERGES),
+    headline=True,  # r15 promotion: the tokenizer-training family's
+    # bench representative — one corpus scan + vocab-sized iterations
+)
 def q_text_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.bpe_train —
     Sennrich-style over the word-frequency table): ONE corpus scan
