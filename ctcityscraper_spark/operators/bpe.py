@@ -218,6 +218,7 @@ def bpe_apply(
     return enc.groupBy(id_col).agg(
         F.sum("n_bpe").alias("bpe_tokens"),
         F.sum("n_char").alias("char_tokens"),
+        F.count("*").alias("words"),
     )
 
 
@@ -226,3 +227,26 @@ def sum_word_freqs(freqs: DataFrame) -> DataFrame:
     per-document contract, idempotent over already-merged rows (the
     compaction-transform contract)."""
     return freqs.groupBy("word").agg(F.sum("freq").alias("freq"))
+
+
+def bpe_fertility_from_freqs(freqs: DataFrame, merges: list) -> DataFrame:
+    """Tokenizer-health monitor off a (word, freq) table: exact totals
+    (bpe_tokens, char_tokens, words) of encoding the table's words under
+    a trained merge list — fertility (tokens/word) and compression
+    (chars/token) are ratios of these integers; keeping the INTEGER
+    numerator/denominator is the module's standing determinism rule.
+    Vocab-sized work: the monitor runs off the stored frequency zone
+    (``streaming_word_freqs``), never re-reading the corpus. A rising
+    fertility epoch-over-epoch means the corpus distribution drifted
+    away from the vocab — the retrain trigger (``bpe_train_from_freqs``
+    off the same zone closes the loop)."""
+    enc = bpe_encode_col("word", merges)
+    return freqs.select(
+        (F.col("freq") * F.size(F.regexp_extract_all(enc, F.lit(TOKEN_RE), 1))).alias("t"),
+        (F.col("freq") * F.length("word")).alias("c"),
+        F.col("freq").alias("w"),
+    ).agg(
+        F.sum("t").alias("bpe_tokens"),
+        F.sum("c").alias("char_tokens"),
+        F.sum("w").alias("words"),
+    )

@@ -1130,37 +1130,43 @@ def q_text_bpe_token_count(spark, sf_dir):
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
-def _bpe_merge_ctes(n_merges: int, source: str = "documents") -> str:
+def _bpe_merge_ctes(
+    n_merges: int, source: str = "documents", prefix: str = ""
+) -> str:
     """The BPE training chain as DuckDB CTEs — an INDEPENDENT replay of
     every merge iteration (the k-means Lloyd-replay recipe): pair counts
     from the wrapped vocabulary, (cnt DESC, pair_a, pair_b) argmax,
     greedy left-to-right fold via leftmost-non-overlapping replace().
-    Defines w, d0..d{n}, p1..p{n}, m1..m{n}."""
+    Defines {p}w, {p}d0..{p}d{n}, {p}p1..{p}p{n}, {p}m1..{p}m{n};
+    ``source`` may carry a WHERE clause (hash-split training sets)."""
+    p = prefix
     ctes = [
-        "w AS (SELECT word, COUNT(*)::BIGINT AS freq FROM ("
+        f"{p}w AS (SELECT word, COUNT(*)::BIGINT AS freq FROM ("
         "SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word "
-        f"FROM {source}) GROUP BY word)",
-        r"d0 AS (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS wrapped,"
-        " freq FROM w)",
+        f"FROM {source}) GROUP BY word)"
     ]
+    ctes.append(
+        f"{p}d0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS wrapped,"
+        f" freq FROM {p}w)"
+    )
     for k in range(1, n_merges + 1):
         ctes.append(
-            f"p{k} AS (SELECT t[i] AS pair_a, t[i+1] AS pair_b, "
+            f"{p}p{k} AS (SELECT t[i] AS pair_a, t[i+1] AS pair_b, "
             "SUM(freq)::BIGINT AS cnt FROM ("
             r"SELECT regexp_extract_all(wrapped, '\(([^)]*)\)', 1) AS t, freq "
-            f"FROM d{k - 1}), "
+            f"FROM {p}d{k - 1}), "
             "LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) "
             "GROUP BY 1, 2)"
         )
         ctes.append(
-            f"m{k} AS (SELECT pair_a, pair_b, cnt FROM p{k} "
+            f"{p}m{k} AS (SELECT pair_a, pair_b, cnt FROM {p}p{k} "
             "ORDER BY cnt DESC, pair_a, pair_b LIMIT 1)"
         )
         ctes.append(
-            f"d{k} AS (SELECT replace(wrapped, "
-            f"'(' || (SELECT pair_a FROM m{k}) || ')(' || (SELECT pair_b FROM m{k}) || ')', "
-            f"'(' || (SELECT pair_a FROM m{k}) || (SELECT pair_b FROM m{k}) || ')') "
-            f"AS wrapped, freq FROM d{k - 1})"
+            f"{p}d{k} AS (SELECT replace(wrapped, "
+            f"'(' || (SELECT pair_a FROM {p}m{k}) || ')(' || (SELECT pair_b FROM {p}m{k}) || ')', "
+            f"'(' || (SELECT pair_a FROM {p}m{k}) || (SELECT pair_b FROM {p}m{k}) || ')') "
+            f"AS wrapped, freq FROM {p}d{k - 1})"
         )
     return ",\n".join(ctes)
 
@@ -1231,14 +1237,21 @@ def q_text_bpe_incremental(spark, sf_dir):
     )
 
 
-def _bpe_apply_oracle(n_merges: int, doc_limit: int) -> str:
+def _bpe_replace_chain(n_merges: int, prefix: str = "") -> str:
+    """Nested replace() encoding a ``wrapped`` column under the chain's
+    trained merges (rank order)."""
     reps = "wrapped"
     for k in range(1, n_merges + 1):
         reps = (
             f"replace({reps}, "
-            f"'(' || (SELECT pair_a FROM m{k}) || ')(' || (SELECT pair_b FROM m{k}) || ')', "
-            f"'(' || (SELECT pair_a FROM m{k}) || (SELECT pair_b FROM m{k}) || ')')"
+            f"'(' || (SELECT pair_a FROM {prefix}m{k}) || ')(' || (SELECT pair_b FROM {prefix}m{k}) || ')', "
+            f"'(' || (SELECT pair_a FROM {prefix}m{k}) || (SELECT pair_b FROM {prefix}m{k}) || ')')"
         )
+    return reps
+
+
+def _bpe_apply_oracle(n_merges: int, doc_limit: int) -> str:
+    reps = _bpe_replace_chain(n_merges)
     return f"""
     WITH {_bpe_merge_ctes(n_merges)},
     words AS (
@@ -1255,9 +1268,144 @@ def _bpe_apply_oracle(n_merges: int, doc_limit: int) -> str:
     SELECT doc_id,
            SUM(len(regexp_extract_all(wrapped, '\\(([^)]*)\\)', 1)))::BIGINT
              AS bpe_tokens,
-           SUM(n_char)::BIGINT AS char_tokens
+           SUM(n_char)::BIGINT AS char_tokens,
+           COUNT(*)::BIGINT AS words
     FROM enc GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    reps = _bpe_replace_chain(n_merges)
+    return f"""
+    WITH {_bpe_merge_ctes(n_merges)},
+    words AS (
+        SELECT source,
+               lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word
+        FROM documents WHERE source IS NOT NULL
+    ),
+    wr AS (
+        SELECT source, regexp_replace(word, '(.)', '(\\1)', 'g') AS wrapped,
+               len(word) AS n_char
+        FROM words
+    ),
+    enc AS (SELECT source, {reps} AS wrapped, n_char FROM wr)
+    SELECT source,
+           SUM(len(regexp_extract_all(wrapped, '\\(([^)]*)\\)', 1)))::BIGINT
+             AS bpe_tokens,
+           SUM(n_char)::BIGINT AS char_tokens,
+           COUNT(*)::BIGINT AS words
+    FROM enc GROUP BY source ORDER BY source
+    """
+
+
+@query("text_bpe_fertility", oracle=_bpe_fertility_oracle(BPE_MERGES))
+def q_text_bpe_fertility(spark, sf_dir):
+    """Tokenizer-health monitor: per-source (bpe_tokens, char_tokens,
+    words) under the corpus-trained merges — fertility (tokens/word) and
+    compression (chars/token) per slice are ratios of these exact
+    integers (the standing keep-the-numerator-and-denominator rule). A
+    source whose fertility runs hot is one the vocab underserves — the
+    per-slice drift signal feeding the retrain trigger
+    (``text_bpe_retrain_cycle``)."""
+    from ctcityscraper_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    merges = [tuple(r) for r in bpe_train(docs, BPE_MERGES).collect()]
+    return (
+        bpe_apply(docs.filter(F.col("source").isNotNull()), merges, id_col="source")
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )
+
+
+def _bpe_retrain_oracle(n_merges: int, mod: int = 5) -> str:
+    is_new = f"{hash64_sql('doc_id', 'bpecyc')} % {mod} = 0"
+    old_chain = _bpe_merge_ctes(
+        n_merges, f"documents WHERE NOT ({is_new})", prefix="o"
+    )
+    new_chain = _bpe_merge_ctes(n_merges, "documents", prefix="n")
+    fert = """
+    f{p} AS (
+        SELECT SUM(freq * len(regexp_extract_all({reps}, '\\(([^)]*)\\)', 1)))::BIGINT
+                 AS bpe_tokens,
+               SUM(freq * len(word))::BIGINT AS char_tokens,
+               SUM(freq)::BIGINT AS words
+        FROM (SELECT word, freq,
+                     regexp_replace(word, '(.)', '(\\1)', 'g') AS wrapped
+              FROM fnew)
+    )"""
+    return f"""
+    WITH {old_chain},
+    {new_chain},
+    fnew AS (
+        SELECT word, COUNT(*)::BIGINT AS freq FROM (
+            SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word
+            FROM documents WHERE {is_new}
+        ) GROUP BY word
+    ),
+    {fert.format(p="o", reps=_bpe_replace_chain(n_merges, "o"))},
+    {fert.format(p="n", reps=_bpe_replace_chain(n_merges, "n"))}
+    SELECT fo.bpe_tokens AS stale_bpe_tokens,
+           fn.bpe_tokens AS retrained_bpe_tokens,
+           fo.char_tokens AS char_tokens,
+           fo.words AS words
+    FROM fo, fn
+    """
+
+
+@query("text_bpe_retrain_cycle", oracle=_bpe_retrain_oracle(BPE_MERGES))
+def q_text_bpe_retrain_cycle(spark, sf_dir):
+    """The BPE family's closed detect -> retrain -> verify loop (the
+    PQ/IVF/k-means recipe): a vocab trained on the 80% 'corpus' freq
+    table is monitored against tonight's 20% hash-held-out batch
+    (``bpe_fertility_from_freqs`` — drift = the batch's token bill
+    under the STALE vocab), retraining merges the batch's freq delta
+    into the stored zone (``sum_word_freqs`` + ``bpe_train_from_freqs``
+    — the corpus is never re-read for training), and the verify leg
+    re-bills the same batch under the fresh vocab. All three legs are
+    vocab-sized; the corpus is scanned exactly once (the freq tables).
+    Output: exact integer token bills before/after plus the batch's
+    char/word denominators."""
+    from ctcityscraper_spark.operators.bpe import (
+        bpe_fertility_from_freqs,
+        bpe_train_from_freqs,
+        bpe_word_freqs,
+        sum_word_freqs,
+    )
+    from ctcityscraper_spark.operators.graph import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_new = hash64(F.col("doc_id"), "bpecyc") % 5 == 0
+    ids0 = persistent_rdd_ids(spark)
+    freqs_old = bpe_word_freqs(docs.filter(~is_new)).localCheckpoint(eager=True)
+    old_ids = persistent_rdd_ids(spark) - ids0
+    freqs_new = bpe_word_freqs(docs.filter(is_new)).localCheckpoint(eager=True)
+    from ctcityscraper_spark.operators.artifacts import _track_checkpoint
+
+    _track_checkpoint(spark, persistent_rdd_ids(spark) - ids0 - old_ids)
+    stale = [tuple(r) for r in bpe_train_from_freqs(freqs_old, BPE_MERGES).collect()]
+    retrained = [
+        tuple(r)
+        for r in bpe_train_from_freqs(
+            sum_word_freqs(freqs_old.unionByName(freqs_new)), BPE_MERGES
+        ).collect()
+    ]
+    unpersist_rdd_ids(spark, old_ids)  # dead once both vocabs are trained
+    before = bpe_fertility_from_freqs(freqs_new, stale).select(
+        F.col("bpe_tokens").alias("stale_bpe_tokens"),
+        "char_tokens",
+        "words",
+    )
+    after = bpe_fertility_from_freqs(freqs_new, retrained).select(
+        F.col("bpe_tokens").alias("retrained_bpe_tokens")
+    )
+    # 1-row x 1-row audit attach (the recall-audit crossJoin shape)
+    return before.crossJoin(after).select(
+        "stale_bpe_tokens", "retrained_bpe_tokens", "char_tokens", "words"
+    )
 
 
 @query("text_bpe_apply", oracle=_bpe_apply_oracle(BPE_MERGES, 300))

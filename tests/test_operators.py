@@ -3967,12 +3967,12 @@ class TestBpeTrainer:
         docs = self._docs(spark, ["aaa aaa bb", "c"])
         merges = [tuple(r) for r in bpe_train(docs, 2).collect()]
         got = {
-            r.doc_id: (r.bpe_tokens, r.char_tokens)
+            r.doc_id: (r.bpe_tokens, r.char_tokens, r.words)
             for r in bpe_apply(docs, merges).collect()
         }
         # merges: (a,a)->aa then (aa,a)->aaa; doc0: aaa->1 tok each,
-        # bb->2 toks => 4 bpe / 8 chars; doc1: 1/1
-        assert got == {0: (4, 8), 1: (1, 1)}
+        # bb->2 toks => 4 bpe / 8 chars / 3 words; doc1: 1/1/1
+        assert got == {0: (4, 8, 3), 1: (1, 1, 1)}
 
     def test_no_leaked_checkpoints(self, spark):
         from ctcityscraper_spark.operators.bpe import bpe_train
