@@ -1633,6 +1633,96 @@ def q_dedup_drop_list(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_incremental_drop_list",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_cascade_oracle()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, component) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.component FROM edges e JOIN walk w ON e.b = w.node
+        WHERE w.component < e.a
+    ),
+    comp AS (SELECT node, MIN(component) AS component FROM walk GROUP BY node),
+    affected AS (
+        SELECT DISTINCT c.component FROM comp c
+        WHERE {hash64_sql('c.node', 'dropinc')} % 5 = 0
+    ),
+    ranked AS (
+        SELECT c.node, c.component,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY {quality_score_sql('d.text')} DESC,
+                                           c.node) AS rk
+        FROM comp c
+        JOIN affected a USING (component)
+        JOIN documents d ON d.doc_id = c.node),
+    keepers AS (SELECT component, node AS keep_id FROM ranked WHERE rk = 1)
+    SELECT r.node AS drop_id, k.keep_id
+    FROM ranked r JOIN keepers k USING (component)
+    WHERE r.rk > 1 ORDER BY drop_id
+    """,
+)
+def q_dedup_incremental_drop_list(spark, sf_dir):
+    """The nightly incremental dedup ARTIFACT end-to-end: tonight's
+    delta pairs (every cascade pair touching a hash-held-out 20% 'new'
+    doc) maintain the stored component assignment
+    (graph.incremental_components), and representatives are re-elected
+    ONLY inside the components tonight's batch touched
+    (dedup.keep_best_representative over the affected members) — the
+    bounded (drop_id, keep_id) delta a stored drop-list zone appends.
+    Unchanged components keep their previous night's rows by
+    construction (their membership and ranking inputs are untouched —
+    the incremental == fresh CC gate covers the membership half). The
+    oracle computes the same affected-component drop rows from a FRESH
+    full-graph run: a component is affected iff it contains a new doc,
+    which is exactly the components holding changed assignment rows
+    (every merge routes through a delta edge, and every delta edge
+    touches a new doc)."""
+    from ctcityscraper_spark.operators.dedup import (
+        cascade_confirmed_pairs,
+        keep_best_representative,
+    )
+    from ctcityscraper_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+    from ctcityscraper_spark.operators.text import quality_score_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    ids0 = persistent_rdd_ids(spark)
+    confirmed = (
+        cascade_confirmed_pairs(docs, k=16, bands=8, n=5, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    confirmed_ids = persistent_rdd_ids(spark) - ids0
+    new_a = hash64(F.col("doc_a"), "dropinc") % 5 == 0
+    new_b = hash64(F.col("doc_b"), "dropinc") % 5 == 0
+    assignments = connected_components(confirmed.filter(~new_a & ~new_b))
+    full = incremental_components(
+        assignments, confirmed.filter(new_a | new_b)
+    )
+    unpersist_rdd_ids(spark, confirmed_ids)
+    affected = (
+        full.filter(hash64(F.col("node"), "dropinc") % 5 == 0)
+        .select("component")
+        .distinct()
+    )
+    members = full.join(affected, "component", "left_semi")
+    return (
+        keep_best_representative(docs, members, quality_score_col("text"))
+        .repartition(1)
+        .sortWithinPartitions("drop_id")
+    )
+
+
 # ================================================================== similarity
 
 

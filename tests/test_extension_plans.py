@@ -75,8 +75,11 @@ BUCKETED_QUERIES = [
     # equi-join + fold verify — must never plan cartesian
     "dedup_incremental_embedding",
     # round-15: incremental CC — contraction joins, broadcast merge-map
-    # relabel, anti-join singles: equi/anti joins only
+    # relabel, anti-join singles: equi/anti joins only; the composed
+    # incremental drop list adds the affected-members semi-join + the
+    # keep-best ranking window, still equi/semi joins throughout
     "dedup_groups_incremental",
+    "dedup_incremental_drop_list",
 ]
 # round-12: ann_ivf_imbalance is excluded by design — its only joins are
 # the n_lists-row grid equi-join and the 1-row total-attach crossJoin
