@@ -1171,6 +1171,77 @@ def global_quality_rank(
     return ranked
 
 
+def curriculum_order(
+    df: DataFrame,
+    quality,
+    stages: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "curr",
+) -> DataFrame:
+    """Deterministic training ORDER for curriculum learning: documents
+    feed easy -> hard (stage 1 = the highest-quality decile-equivalent,
+    from :func:`global_quality_rank`'s histogram path — no global sort),
+    with a deterministic hash SHUFFLE inside each stage so the trainer
+    never sees quality-sorted (and therefore near-duplicate-adjacent)
+    batches. Output: (id, stage, curriculum_rank) where curriculum_rank
+    is the exact 1-based global feed position.
+
+    100 TB shape: stage assignment rides global_quality_rank (one
+    histogram aggregate + per-bin parallel windows); the within-stage
+    shuffle is a window partitioned BY STAGE ordered by
+    ``hash64(id, seed)`` (parallel across stages; skew bounded at
+    ~N/stages rows per window partition); stage offsets are a
+    ``stages``-row driver fold embedded as a broadcast join — never a
+    single-partition global window. NULL/NaN quality ranks last, so
+    those docs land in the final stage (the same contract as
+    global_quality_rank, whose oracle pins it)."""
+    from pyspark.sql import Window
+
+    ranked = global_quality_rank(df, quality, id_col=id_col, deciles=stages)
+    spark = df.sparkSession
+    staged = ranked.select(id_col, F.col("decile").alias("stage")).persist()
+    from ctcityscraper_spark.operators.artifacts import _track_persist
+
+    _track_persist(staged)
+    counts = staged.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    offs: list[tuple[int, int]] = []
+    total = 0
+    for r in sorted(counts, key=lambda r: r["stage"]):
+        offs.append((r["stage"], total))
+        total += r["n"]
+    if not offs:
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        staged.unpersist()
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, df.schema[id_col].dataType, True),
+                    StructField("stage", IntegerType(), True),
+                    StructField("curriculum_rank", LongType(), True),
+                ]
+            ),
+        )
+    off_df = spark.createDataFrame(offs, "stage int, _off long")
+    w = Window.partitionBy("stage").orderBy(
+        hash64(F.col(id_col), seed), id_col
+    )
+    return (
+        staged.join(F.broadcast(off_df), "stage")
+        .withColumn(
+            "curriculum_rank",
+            (F.col("_off") + F.row_number().over(w)).cast("long"),
+        )
+        .select(id_col, "stage", "curriculum_rank")
+    )
+
+
 DSIR_BUCKETS = 2048  # hashed-feature space (DSIR's "hashed n-grams")
 
 

@@ -1198,6 +1198,51 @@ def q_corpus_quality_deciles(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, {quality_score_sql('text')} AS q FROM documents),
+    r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY q DESC NULLS LAST, doc_id) AS rank
+          FROM q),
+    s AS (SELECT doc_id,
+                 (((rank - 1) * 10) // (SELECT count(*) FROM documents) + 1)::INT
+                   AS stage
+          FROM r),
+    j AS (SELECT doc_id, stage,
+                 ROW_NUMBER() OVER (PARTITION BY stage
+                                    ORDER BY {hash64_sql('doc_id', 'curr')},
+                                             doc_id) AS jr
+          FROM s),
+    o AS (SELECT stage, COUNT(*) AS n FROM s GROUP BY stage),
+    off AS (SELECT stage,
+                   COALESCE(SUM(n) OVER (ORDER BY stage
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS o
+            FROM o)
+    SELECT j.doc_id, j.stage, (off.o + j.jr)::BIGINT AS curriculum_rank
+    FROM j JOIN off USING (stage) ORDER BY doc_id
+    """,
+)
+def q_corpus_curriculum_order(spark, sf_dir):
+    """Curriculum training order (operators/corpus.curriculum_order):
+    easy -> hard staging off the exact histogram quality rank (no global
+    sort), a deterministic hash shuffle INSIDE each stage (so the
+    trainer never sees quality-sorted batches), and the exact 1-based
+    global feed position from stages-row driver offsets. The oracle is
+    the naive global-window replay — row-for-row equality proves the
+    distributed staging + jitter + offset arithmetic exact."""
+    from ctcityscraper_spark.operators.corpus import curriculum_order
+    from ctcityscraper_spark.operators.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curriculum_order(docs, quality_score_col("text"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 # =========================================================================
 # KMV distinct-count sketches (operators/text.kmv_*) — the cardinality
 # member of the mergeable-sketch triad (Bloom = membership, Count-Min =
