@@ -335,6 +335,12 @@ def test_empty_corpus_operators(spark):
 
     assert bpe_train(empty, 3).count() == 0
     assert bpe_apply(empty, [(1, "a", "b", "ab", 1)]).count() == 0
+    from ctcityscraper_spark.operators.corpus import curriculum_order
+
+    cur = curriculum_order(empty, F.length("text") / 1000.0)
+    assert cur.count() == 0 and cur.columns == [
+        "doc_id", "stage", "curriculum_rank",
+    ]
 
 
 def test_empty_embeddings_and_empty_queries(spark):

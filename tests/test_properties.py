@@ -973,3 +973,92 @@ class TestDsirCrossEngineProperties:
         }
         con.close()
         assert got == want
+
+
+class TestBpeProperties:
+    """BPE training invariants on ARBITRARY corpora: the Spark trainer
+    must agree merge-for-merge with a transparent pure-Python reference
+    (word extraction, overlapping pair counts, (cnt DESC, a, b)
+    tie-break, greedy left-to-right fold), and encoding must round-trip
+    token counts."""
+
+    @staticmethod
+    def _py_bpe(texts, n_merges):
+        import re
+        from collections import Counter
+
+        freqs = Counter()
+        for t in texts:
+            for w in re.findall("[A-Za-z0-9]+", t or ""):
+                freqs[w.lower()] += 1
+        vocab = {tuple(w): f for w, f in freqs.items()}  # tokens per word
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for toks, f in vocab.items():
+                for i in range(len(toks) - 1):
+                    pairs[(toks[i], toks[i + 1])] += f
+            if not pairs:
+                break
+            (a, b), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, a, b, a + b, cnt))
+            new_vocab = {}
+            for toks, f in vocab.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+            vocab = new_vocab
+        return merges
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        texts=st.lists(printable, min_size=1, max_size=8),
+        n_merges=st.sampled_from([1, 3]),
+    )
+    def test_train_matches_python_model(self, spark, texts, n_merges):
+        from ctcityscraper_spark.operators.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_train(docs, n_merges).collect()]
+        want = self._py_bpe(texts, n_merges)
+        assert got == want
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(texts=st.lists(printable, min_size=1, max_size=6))
+    def test_apply_conserves_chars_and_bounds_tokens(self, spark, texts):
+        """Encoding never changes the underlying characters (char_tokens
+        == total word length) and every merge can only SHRINK the token
+        count: words <= bpe_tokens <= char_tokens."""
+        import re
+
+        from ctcityscraper_spark.operators.bpe import bpe_apply, bpe_train
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = [tuple(r) for r in bpe_train(docs, 2).collect()]
+        rows = bpe_apply(docs, merges).collect()
+        by_id = {r.doc_id: r for r in rows}
+        for i, t in enumerate(texts):
+            words = [w.lower() for w in re.findall("[A-Za-z0-9]+", t or "")]
+            if not words:
+                assert i not in by_id
+                continue
+            r = by_id[i]
+            assert r.char_tokens == sum(len(w) for w in words)
+            assert r.words == len(words)
+            assert r.words <= r.bpe_tokens <= r.char_tokens
