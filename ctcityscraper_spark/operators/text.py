@@ -595,6 +595,54 @@ def sum_bm25_totals(totals: DataFrame) -> DataFrame:
     ).select(_nonempty("n_docs"), _nonempty("total_tokens"))
 
 
+def bm25_index_health(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    totals: DataFrame,
+    n_buckets: int = BM25_TERM_BUCKETS,
+) -> DataFrame:
+    """Stored-BM25-index health monitor — the retrieval member of the
+    per-family monitor pattern (Bloom saturation, CMS saturation, IVF
+    imbalance, PQ recon drift, k-means ledger): one row of EXACT
+    integers off the stored zones, the corpus never re-read.
+
+    - ``total_postings`` / ``buckets_used`` / ``max_bucket_postings``:
+      the term_bucket layout's occupancy — a hot bucket (max far above
+      total/n_buckets) means probe pruning degrades toward a full scan
+      for queries hitting it; the re-bucket (raise ``n_term_buckets``,
+      rebuild under a new ``_zone_meta``) trigger.
+    - ``n_terms`` / ``max_df`` / ``n_docs``: vocabulary size and the
+      hottest term's document frequency — ``max_df`` approaching
+      ``n_docs`` is stopword drag (postings paid for terms whose idf
+      contributes ~0), the add-a-df-cap trigger.
+
+    Ratios (imbalance = max_bucket_postings * n_buckets /
+    total_postings; drag = max_df / n_docs) are left to the caller —
+    keeping integer numerators/denominators is the standing
+    determinism rule. Cost: one ≤ n_buckets-row groupBy over postings,
+    a vocabulary-row MAX over collapsed term_stats, the 1-row totals —
+    then 1-row crossJoin attaches (the audit-summary shape)."""
+    bucket = (
+        F.col("term_bucket")
+        if "term_bucket" in postings.columns
+        else (hash64(F.col("term"), "bm25bkt") % n_buckets)
+    )
+    per_bucket = (
+        postings.groupBy(bucket.alias("b"))
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("total_postings"),
+            F.count("*").alias("buckets_used"),
+            F.max("n").alias("max_bucket_postings"),
+        )
+    )
+    terms = sum_bm25_term_stats(term_stats).agg(
+        F.count("*").alias("n_terms"), F.max("df_t").alias("max_df")
+    )
+    docs = sum_bm25_totals(totals).select("n_docs")
+    return per_bucket.crossJoin(terms).crossJoin(docs)
+
+
 def bm25_topk_from_index(
     postings: DataFrame,
     term_stats: DataFrame,

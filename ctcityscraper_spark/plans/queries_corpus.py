@@ -911,6 +911,55 @@ def q_text_bm25_incremental(spark, sf_dir):
     )
 
 
+_BM25_HEALTH_BUCKETS = 64
+
+
+@query(
+    "text_bm25_index_health",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term != ''),
+    p AS (SELECT term, doc_id, {hash64_sql('term', 'bm25bkt')} % {_BM25_HEALTH_BUCKETS} AS b
+          FROM t GROUP BY term, doc_id),
+    per_bucket AS (SELECT b, count(*)::BIGINT AS n FROM p GROUP BY b),
+    occ AS (SELECT SUM(n)::BIGINT AS total_postings,
+                   COUNT(*)::BIGINT AS buckets_used,
+                   MAX(n)::BIGINT AS max_bucket_postings
+            FROM per_bucket),
+    dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+            FROM t GROUP BY term),
+    terms AS (SELECT COUNT(*)::BIGINT AS n_terms, MAX(df_t)::BIGINT AS max_df
+              FROM dfq),
+    docs AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM t)
+    SELECT total_postings, buckets_used, max_bucket_postings,
+           n_terms, max_df, n_docs
+    FROM occ, terms, docs
+    """,
+)
+def q_text_bm25_index_health(spark, sf_dir):
+    """Stored-BM25-index health monitor (operators/text.bm25_index_health)
+    — the retrieval member of the per-family monitor pattern: bucket
+    occupancy (hot bucket => probe pruning degrades; the re-bucket
+    trigger) + vocabulary size and the hottest term's df (max_df ~
+    n_docs => stopword drag; the df-cap trigger), all exact integers
+    off the stored zones with the corpus never re-read at monitor time
+    (derived in-plan here per the gate's self-contained convention)."""
+    from ctcityscraper_spark.operators.text import (
+        bm25_bucket_postings,
+        bm25_index_delta,
+        bm25_index_health,
+    )
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    postings, term_stats, totals = bm25_index_delta(docs)
+    return bm25_index_health(
+        bm25_bucket_postings(postings, _BM25_HEALTH_BUCKETS),
+        term_stats,
+        totals,
+        n_buckets=_BM25_HEALTH_BUCKETS,
+    )
+
+
 _RRF_K0 = 60  # the standard reciprocal-rank-fusion damping constant
 _HYBRID_SHORTLIST = 20
 _HYBRID_QUERY_VEC = 7  # queries-from-corpus, the ann_* convention

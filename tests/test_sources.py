@@ -2696,6 +2696,24 @@ class TestStreamingBm25Index:
             None, None, None, None,
         )
 
+        # the health monitor runs off the STORED zones (corpus never
+        # re-read) and its occupancy/vocab integers match a fresh
+        # one-shot index build over everything ingested
+        from ctcityscraper_spark.operators.text import (
+            bm25_bucket_postings,
+            bm25_index_delta,
+            bm25_index_health,
+        )
+
+        fp, ft, fs = bm25_index_delta(allv)
+        want_health = bm25_index_health(
+            bm25_bucket_postings(fp, 16), ft, fs, n_buckets=16
+        ).collect()
+        got_health = bm25_index_health(p2, t2, s2, n_buckets=16).collect()
+        assert [tuple(r) for r in got_health] == [
+            tuple(r) for r in want_health
+        ]
+
     def test_stamped_marker_without_deltas_reads_all_none(
         self, spark, tmp_path
     ):
