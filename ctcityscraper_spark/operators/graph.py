@@ -230,6 +230,7 @@ def incremental_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     changed_only: bool = False,
+    flag_col: str | None = None,
     broadcast_max_delta: int = 2_000_000,
     **cc_kwargs,
 ) -> DataFrame:
@@ -279,6 +280,8 @@ def incremental_components(
     """
     if assignments is None:
         out = connected_components(delta_edges, src, dst, **cc_kwargs)
+        if flag_col:
+            out = out.withColumn(flag_col, F.lit(True))
         return out
     # materialize the delta ONCE: it is read by the contraction joins,
     # the touched semi-join, and the self-loop singleton pass, and is
@@ -373,6 +376,14 @@ def incremental_components(
     full = relabeled.unionByName(new_nodes).unionByName(singles)
     if changed_only:
         full = full.filter(F.col("_changed"))
+    if flag_col:
+        # full assignment WITH the new/relabeled marker — callers that
+        # need both the updated state and the changed subset (e.g. the
+        # streaming drop-list sink's affected-component re-election)
+        # avoid running the update twice
+        return full.select(
+            "node", "component", F.col("_changed").alias(flag_col)
+        )
     return full.select("node", "component")
 
 

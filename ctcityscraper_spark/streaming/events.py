@@ -2577,6 +2577,161 @@ def streaming_components(
     )
 
 
+def _drop_list_zone_meta(quality_sql: str) -> dict:
+    return {
+        "kind": "dedup_drop_list", "format_version": 1,
+        "config": {"quality_sql": quality_sql},
+    }
+
+
+_DROP_LIST_REBUILD_HINT = (
+    "Rebuild both zones (graph.connected_components + "
+    "dedup.keep_best_representative over every pair ever ingested) or "
+    "restart the stream with a fresh base_dir."
+)
+
+
+def latest_drops(rows: DataFrame) -> DataFrame:
+    """Merge rule for the stored (drop_id, keep_id, epoch) zone: newest
+    epoch wins per drop_id. Idempotent (compaction-transform contract).
+    Drop rows are MONOTONE under edge additions — components only ever
+    merge, and the best member of a superset beats the best of any
+    subset, so a dropped doc never becomes a keeper; only its keep_id
+    can change (superseded by a newer epoch's row)."""
+    return rows.groupBy("drop_id").agg(
+        F.max_by("keep_id", "epoch").alias("keep_id"),
+        F.max("epoch").alias("epoch"),
+    )
+
+
+def read_drop_list(
+    spark: SparkSession,
+    base_dir: str,
+    before_batch: int = 2**62,
+) -> tuple[DataFrame | None, dict | None]:
+    """The merged (drop_id, keep_id, epoch) drop list for batches
+    strictly before ``before_batch`` — the actionable dedup artifact
+    over everything ingested, equal to a fresh cascade->CC->keep-best
+    run (pinned in tests). ``(None, None)`` when nothing exists yet."""
+    meta = read_zone_meta(spark, base_dir)
+    drops_dir = f"{base_dir}/drops"
+    if meta is None:
+        if _zone_has_data(spark, drops_dir) or _zone_has_data(
+            spark, f"{base_dir}/assignments"
+        ):
+            raise ValueError(
+                f"stored zone {base_dir} has data but no {ZONE_META_FILE} "
+                f"— unversioned stored state. {_DROP_LIST_REBUILD_HINT}"
+            )
+        return None, None
+    if meta.get("kind") != "dedup_drop_list" or meta.get("format_version") != 1:
+        raise ValueError(
+            f"stored zone {base_dir} was written under "
+            f"{meta.get('kind')!r} format_version="
+            f"{meta.get('format_version')!r}; this reader expects "
+            f"dedup_drop_list v1. {_DROP_LIST_REBUILD_HINT}"
+        )
+    rows = read_incremental_zone(spark, drops_dir, before_batch)
+    if rows is None:
+        return None, meta
+    return latest_drops(rows), meta
+
+
+def streaming_drop_list(
+    stream: DataFrame,
+    docs: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    quality_sql: str = "length(text) / 1000.0",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    compact_every: int | None = None,
+):
+    """Continuously-maintained dedup DROP LIST over a confirmed-pair
+    stream — the whole nightly dedup artifact (pairs -> clusters ->
+    keep-best drop rows) as one delta-zone pipeline, composing
+    :func:`streaming_components`' assignment maintenance with
+    affected-component re-election:
+
+    - ``assignments/batch_id=N``: the changed (node, component, epoch)
+      rows (graph.incremental_components — delta-sized fixpoint, the
+      corpus-sized state never shuffled);
+    - ``drops/batch_id=N``: (drop_id, keep_id, epoch) re-elected ONLY
+      inside the components this batch touched
+      (dedup.keep_best_representative over affected members).
+
+    Unchanged components keep their older epochs' rows — valid forever
+    because drop rows are monotone under edge additions (see
+    :func:`latest_drops`). The merged drops zone equals a fresh
+    full-graph cascade->CC->keep-best run at every point (batch-vs-
+    stream equivalence pinned in tests). ``docs`` is the static corpus
+    frame quality is read from; the quality expression rides
+    ``_zone_meta`` as a SQL string, so a resumed stream under a
+    different ranking refuses (drop rows elected under different
+    quality must never merge). Returns the StreamingQuery handle."""
+    from ctcityscraper_spark.operators.dedup import keep_best_representative
+    from ctcityscraper_spark.operators.graph import (
+        incremental_components,
+        latest_components,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    meta = _drop_list_zone_meta(quality_sql)
+    z = {n: f"{base_dir}/{n}" for n in ("assignments", "drops")}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ensure_zone_meta(
+            spark, base_dir, meta, _DROP_LIST_REBUILD_HINT,
+            data_dirs=list(z.values()),
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            plans = [
+                ("assignments", latest_components),
+                ("drops", latest_drops),
+            ]
+            for zone, transform in plans:
+                epochs = _compacted_epochs(spark, z[zone])
+                # <=: finish pending cleanup on replay (see bloom sink)
+                if not epochs or epochs[-1][0] <= batch_id:
+                    compact_incremental_zone(
+                        spark, z[zone], batch_id, transform=transform,
+                    )
+        ids0 = persistent_rdd_ids(spark)
+        rows = read_incremental_zone(spark, z["assignments"], batch_id)
+        assignments = latest_components(rows) if rows is not None else None
+        full = incremental_components(
+            assignments, batch_df, src, dst, flag_col="_chg"
+        ).localCheckpoint(eager=True)
+        changed = full.filter(F.col("_chg")).select("node", "component")
+        changed.withColumn(
+            "epoch", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            f"{z['assignments']}/batch_id={batch_id}"
+        )
+        affected = changed.select("component").distinct()
+        members = full.select("node", "component").join(
+            affected, "component", "left_semi"
+        )
+        keep_best_representative(
+            docs, members, F.expr(quality_sql)
+        ).withColumn("epoch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(f"{z['drops']}/batch_id={batch_id}")
+        # both writes materialized everything derived this batch
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - ids0)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _dsir_zone_meta(config: dict) -> dict:
     return {"kind": "dsir_model", "format_version": 1, "config": config}
 

@@ -3057,3 +3057,105 @@ class TestStreamingWordFreqs:
 
         # absent zone reads as (None, None)
         assert read_word_freqs(spark, str(tmp_path / "nope")) == (None, None)
+
+
+class TestStreamingDropList:
+    """streaming_drop_list: the whole nightly dedup artifact (pairs ->
+    clusters -> keep-best drops) continuously maintained — affected-
+    component re-election per batch; merged zone == fresh full-graph
+    cascade->CC->keep-best at every point."""
+
+    SCHEMA = "doc_a long, doc_b long"
+    # batch 2 merges the two clusters; doc 3 (the longest text) becomes
+    # the global keeper, so doc 2 — a KEEPER after batch 0 — must flip
+    # to dropped, and doc 1's keep_id must update
+    BATCHES = [[(1, 2)], [(3, 4)], [(2, 3)]]
+    DOCS = [
+        (1, "aa"), (2, "aaaa"), (3, "aaaaaaaa"), (4, "a"),
+        (10, "never-in-any-pair"),
+    ]
+
+    def test_streamed_drops_equal_fresh(self, spark, tmp_path):
+        import time as _time
+
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.dedup import (
+            keep_best_representative,
+        )
+        from ctcityscraper_spark.operators.graph import (
+            connected_components,
+            persistent_rdd_ids,
+        )
+        from ctcityscraper_spark.streaming.events import (
+            read_drop_list,
+            stream_from_directory,
+            streaming_drop_list,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        src = tmp_path / "incoming"
+        for rows in self.BATCHES:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            _time.sleep(1.1)
+
+        def run(quality="length(text) / 1000.0"):
+            q = streaming_drop_list(
+                stream_from_directory(
+                    spark, str(src), self.SCHEMA, max_files_per_trigger=1
+                ),
+                docs,
+                base_dir=str(tmp_path / "dl"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                quality_sql=quality,
+                compact_every=2,
+            )
+            if not q.awaitTermination(240):
+                q.stop()
+                raise TimeoutError("stream did not drain")
+
+        ids0 = persistent_rdd_ids(spark)
+        run()
+        assert persistent_rdd_ids(spark) - ids0 == set()
+        merged, meta = read_drop_list(spark, str(tmp_path / "dl"))
+        assert meta["config"]["quality_sql"] == "length(text) / 1000.0"
+        got = sorted((r.drop_id, r.keep_id) for r in merged.collect())
+        allp = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], self.SCHEMA
+        )
+        fresh = sorted(
+            (r.drop_id, r.keep_id)
+            for r in keep_best_representative(
+                docs, connected_components(allp), F.length("text") / 1000.0
+            ).collect()
+        )
+        assert got == fresh == [(1, 3), (2, 3), (4, 3)]
+
+        # the point-in-time read BEFORE the merge batch: doc 2 was a
+        # keeper then (1 dropped for 2; 4 dropped for 3)
+        early, _ = read_drop_list(spark, str(tmp_path / "dl"), 2)
+        assert sorted((r.drop_id, r.keep_id) for r in early.collect()) == [
+            (1, 2), (4, 3),
+        ]
+
+        # restart with the same checkpoint: nothing reprocesses
+        run()
+        merged2, _ = read_drop_list(spark, str(tmp_path / "dl"))
+        assert sorted(
+            (r.drop_id, r.keep_id) for r in merged2.collect()
+        ) == got
+
+        # resume under a DIFFERENT quality ranking: refuses loudly
+        _time.sleep(1.1)
+        spark.createDataFrame([(4, 10)], self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        with _pytest.raises(Exception, match="zone|drop_list"):
+            run(quality="doc_id * 1.0")
+
+        # absent zone reads as (None, None)
+        assert read_drop_list(spark, str(tmp_path / "nope")) == (None, None)
