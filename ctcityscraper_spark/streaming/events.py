@@ -363,21 +363,48 @@ def read_incremental_zone(
     / ``compacted/upto=`` layouts conflict in partition discovery) — read
     through this helper instead.
     """
-    frames: list[DataFrame] = []
+    epoch_df, tail_df = read_incremental_zone_layered(
+        spark, base, before_batch, table_prefix
+    )
+    frames = [f for f in (epoch_df, tail_df) if f is not None]
+    if not frames:
+        return None
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    return df
+
+
+def read_incremental_zone_layered(
+    spark: SparkSession,
+    base: str,
+    before_batch: int = 2**62,
+    table_prefix: str | None = None,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """:func:`read_incremental_zone` with the layers kept separate:
+    ``(epoch_df, tail_df)`` — the newest committed compaction epoch
+    M <= before_batch (already transform-merged at compaction) and the
+    per-batch tail in [M, before_batch). Keyed-state readers use the
+    split for LAYERED merging: the epoch holds one merged row per key,
+    so newest-wins collapses to a (broadcast, tail-sized) anti-join
+    instead of re-shuffling the whole zone (see
+    :func:`read_cc_assignments` / :func:`read_drop_list`)."""
+    epoch_df = None
     low = 0
     epochs = [(m, p) for m, p in _compacted_epochs(spark, base) if m <= before_batch]
     if epochs:
         low, path = epochs[-1]
         tbl = _epoch_table(table_prefix, low) if table_prefix else None
         if tbl and spark.catalog.tableExists(tbl):
-            frames.append(spark.table(tbl))
+            epoch_df = spark.table(tbl)
         else:
-            frames.append(spark.read.parquet(path))
+            epoch_df = spark.read.parquet(path)
     tail = [
         (p, flat)
         for bid, p, flat in _list_batch_dirs_flat(spark, base, before_batch)
         if bid >= low
     ]
+    frames: list[DataFrame] = []
     if tail:
         # flat deltas (files directly under batch_id=N) group into ONE
         # multi-path read — with compaction disabled the tail is every
@@ -393,12 +420,12 @@ def read_incremental_zone(
         frames.extend(
             spark.read.parquet(p) for p, flat in tail if not flat
         )
-    if not frames:
-        return None
-    df = frames[0]
-    for f in frames[1:]:
-        df = df.unionByName(f)
-    return df
+    tail_df = None
+    if frames:
+        tail_df = frames[0]
+        for f in frames[1:]:
+            tail_df = tail_df.unionByName(f)
+    return epoch_df, tail_df
 
 
 def compact_incremental_zone(
@@ -2384,6 +2411,36 @@ def streaming_kmeans_state(
     )
 
 
+def _layered_keyed_read(
+    spark: SparkSession,
+    zone_dir: str,
+    key: str,
+    merge,
+    before_batch: int = 2**62,
+) -> DataFrame | None:
+    """Newest-wins read of a keyed-state zone WITHOUT re-shuffling the
+    whole zone: the compaction epoch already holds one merged row per
+    key (its compaction ran ``merge`` as the transform — the caller's
+    contract), so only the TAIL (bounded by compact_every batches)
+    needs the merge aggregate; epoch rows superseded by a tail row drop
+    via a broadcast anti-join on ``key``. Per-batch read cost is
+    epoch-scan + tail-sized shuffle instead of a zone-sized shuffle —
+    the difference between O(corpus) and O(delta) state upkeep at
+    stream length."""
+    epoch_df, tail_df = read_incremental_zone_layered(
+        spark, zone_dir, before_batch
+    )
+    if tail_df is None:
+        return epoch_df
+    tail_latest = merge(tail_df)
+    if epoch_df is None:
+        return tail_latest
+    kept = epoch_df.join(
+        F.broadcast(tail_latest.select(key)), key, "left_anti"
+    )
+    return kept.unionByName(tail_latest)
+
+
 def _word_freqs_zone_meta(text: str) -> dict:
     return {"kind": "word_freqs", "format_version": 1, "config": {"text": text}}
 
@@ -2496,10 +2553,12 @@ def read_cc_assignments(
         )
     from ctcityscraper_spark.operators.graph import latest_components
 
-    rows = read_incremental_zone(spark, state_dir, before_batch)
-    if rows is None:
+    merged = _layered_keyed_read(
+        spark, state_dir, "node", latest_components, before_batch
+    )
+    if merged is None:
         return None, meta
-    return latest_components(rows), meta
+    return merged, meta
 
 
 def streaming_components(
@@ -2631,10 +2690,12 @@ def read_drop_list(
             f"{meta.get('format_version')!r}; this reader expects "
             f"dedup_drop_list v1. {_DROP_LIST_REBUILD_HINT}"
         )
-    rows = read_incremental_zone(spark, drops_dir, before_batch)
-    if rows is None:
+    merged = _layered_keyed_read(
+        spark, drops_dir, "drop_id", latest_drops, before_batch
+    )
+    if merged is None:
         return None, meta
-    return latest_drops(rows), meta
+    return merged, meta
 
 
 def streaming_drop_list(
@@ -2701,8 +2762,9 @@ def streaming_drop_list(
                         spark, z[zone], batch_id, transform=transform,
                     )
         ids0 = persistent_rdd_ids(spark)
-        rows = read_incremental_zone(spark, z["assignments"], batch_id)
-        assignments = latest_components(rows) if rows is not None else None
+        assignments = _layered_keyed_read(
+            spark, z["assignments"], "node", latest_components, batch_id
+        )
         full = incremental_components(
             assignments, batch_df, src, dst, flag_col="_chg"
         ).localCheckpoint(eager=True)

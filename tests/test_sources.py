@@ -3159,3 +3159,59 @@ class TestStreamingDropList:
 
         # absent zone reads as (None, None)
         assert read_drop_list(spark, str(tmp_path / "nope")) == (None, None)
+
+
+class TestLayeredKeyedRead:
+    def test_post_compaction_read_shuffles_only_the_tail(
+        self, spark, tmp_path
+    ):
+        """After compaction the newest-wins merge must NOT re-shuffle
+        the whole zone: the epoch (already one merged row per key)
+        joins via broadcast anti-join; the only hash exchange in the
+        plan is the TAIL's merge aggregate — O(delta) state upkeep at
+        any stream length."""
+        from pyspark.sql import functions as F
+
+        from ctcityscraper_spark.operators.graph import latest_components
+        from ctcityscraper_spark.streaming.events import (
+            _layered_keyed_read,
+            compact_incremental_zone,
+        )
+
+        base = str(tmp_path / "zone")
+        for bid in range(4):
+            spark.createDataFrame(
+                [(bid * 10 + i, bid * 10 + i, bid) for i in range(3)],
+                "node long, component long, epoch long",
+            ).write.parquet(f"{base}/batch_id={bid}")
+        assert compact_incremental_zone(
+            spark, base, 3, transform=latest_components
+        )
+        merged = _layered_keyed_read(
+            spark, base, "node", latest_components
+        )
+        rows = sorted((r.node, r.component, r.epoch) for r in merged.collect())
+        assert rows == sorted(
+            (b * 10 + i, b * 10 + i, b) for b in range(4) for i in range(3)
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        import re
+
+        # both hash exchanges sit on TAIL subtrees (the batch_id=3 scan:
+        # its distinct-node build side + its merge aggregate); the epoch
+        # scan feeds the anti-join directly via broadcast
+        assert len(re.findall(r"Exchange hashpartitioning", final)) == 2
+        # ... and the epoch side streams into the anti-join unexchanged
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", final)
+        assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+        # newest-wins across the layers: overwrite one epoch key from
+        # the tail and confirm the tail row supersedes the epoch row
+        spark.createDataFrame(
+            [(0, 999, 5)], "node long, component long, epoch long"
+        ).write.parquet(f"{base}/batch_id=5")
+        merged2 = _layered_keyed_read(
+            spark, base, "node", latest_components
+        )
+        got = {r.node: r.component for r in merged2.collect()}
+        assert got[0] == 999 and got[11] == 11
