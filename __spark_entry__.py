@@ -42,20 +42,20 @@ DRIVER_PRIORITY = [
     #
     # IN — the 2 late-r14 additions, never driver-verified (each was
     # in-repo + adversarially oracle-gated in the commit that built
-    # it), plus the 9 r15 additions (inserted as they landed) ...
+    # it), plus the 10 r15 additions (inserted as they landed) ...
     "corpus_prototype_prune_threshold", "text_bm25_incremental",
     "dedup_groups_incremental", "text_bpe_train", "text_bpe_apply",
     "text_bpe_incremental", "text_bpe_fertility", "text_bpe_retrain_cycle",
     "dedup_incremental_drop_list", "corpus_curriculum_order",
-    "text_bm25_index_health",
+    "text_bm25_index_health", "corpus_curriculum_pack",
     # ... the 3-row last-green-r11 cohort that did not fit in the r14
     # window (promised there to lead r15) ...
     "top_revenue_orders", "union_by_name", "window_running_total",
-    # ... and 36 of the 41-row last-green-r12 cohort (recomputed from
+    # ... and 35 of the 41-row last-green-r12 cohort (recomputed from
     # CORRECTNESS_r01–r14: every query whose newest driver row is r12),
-    # alphabetical; the five that no longer fit (text_quantile_drift,
-    # text_quantile_sketch, text_quantile_update, text_top_bigrams,
-    # text_vocab_coverage) lead the r16 rotation ...
+    # alphabetical; the six that no longer fit (text_quantile_by_source,
+    # text_quantile_drift, text_quantile_sketch, text_quantile_update,
+    # text_top_bigrams, text_vocab_coverage) lead the r16 rotation ...
     "ann_int8_topk", "ann_pq_recall", "ann_pq_update",
     "ann_srp_lsh_topk", "ann_srp_multiprobe_topk",
     "approx_aggregates_check", "conditional_pivot_agg",
@@ -71,15 +71,16 @@ DRIVER_PRIORITY = [
     "events_sliding_1h_30m", "events_tumbling_6h",
     "groupby_salted_skew", "join_salted_skew", "json_extract_props",
     "multimodal_frame_sample", "pricing_summary", "scd2_changed_since",
-    "scd2_latest_state", "text_profile", "text_quantile_by_source",
+    "scd2_latest_state", "text_profile",
 ]
 # Verification record (recomputed from CORRECTNESS_r01–r14 at r15 start):
 # every one of the 144 r14-close catalog queries except the 2 late-r14
 # additions above holds >= 1 driver-verified green row — last-green
-# cohorts: 3 at r11, 41 at r12, 48 at r13, 50 at r14. The five r12
-# rows that no longer fit (text_quantile_drift, text_quantile_sketch,
-# text_quantile_update, text_top_bigrams, text_vocab_coverage) plus
-# the 48-row r13 cohort lead the r16 rotation.
+# cohorts: 3 at r11, 41 at r12, 48 at r13, 50 at r14. The six r12
+# rows that no longer fit (text_quantile_by_source,
+# text_quantile_drift, text_quantile_sketch, text_quantile_update,
+# text_top_bigrams, text_vocab_coverage) plus the 48-row r13 cohort
+# lead the r16 rotation.
 # Names added to DRIVER_PRIORITY must exist in the catalog at commit
 # time — _ordered raises on unknown names so a typo (or a
 # planned-but-unbuilt query) cannot silently fall out of the window.

@@ -367,6 +367,8 @@ def pack_sequences(
     num_shards: int = PACK_SHARDS,
     seed: str = "pack",
     base_offsets: DataFrame | None = None,
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: the map from documents to
     fixed-length training sequences.
@@ -397,10 +399,24 @@ def pack_sequences(
     full rerun over old+new would place it when new ids sort after old).
     The batch pays only its own window; shards absent from the cursor
     start at 0. The frame is ≤ num_shards rows, so it broadcasts.
+
+    ``shard_col`` / ``order_col`` override the hash shard and the
+    in-shard doc_id order with caller columns — the CURRICULUM packing
+    path (``corpus_curriculum_pack``): shard by curriculum stage and
+    pack in curriculum_rank order, so the emitted sequences feed the
+    trainer in the schedule `curriculum_order` chose. Same plan shape
+    (one window per shard partition); the caller owns shard balance.
     """
+    shard = (
+        F.col(shard_col).cast("int")
+        if shard_col
+        else (hash64(F.col(id_col), seed) % num_shards).cast("int")
+    )
+    order_cols = [F.col(order_col).alias("_ord")] if order_col else []
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        (hash64(F.col(id_col), seed) % num_shards).cast("int").alias("shard_id"),
+        shard.alias("shard_id"),
+        *order_cols,
         F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
         .cast("long")
         .alias("n_tok"),
@@ -410,7 +426,7 @@ def pack_sequences(
 
     w = (
         Window.partitionBy("shard_id")
-        .orderBy("doc_id")
+        .orderBy("_ord" if order_col else "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     spans = toks.withColumn("end_off", F.sum("n_tok").over(w)).withColumn(

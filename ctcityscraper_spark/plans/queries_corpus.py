@@ -1247,10 +1247,7 @@ def q_corpus_quality_deciles(spark, sf_dir):
     )
 
 
-@query(
-    "corpus_curriculum_order",
-    oracle=f"""
-    WITH q AS (SELECT doc_id, {quality_score_sql('text')} AS q FROM documents),
+_CURRICULUM_CTES = f"""q AS (SELECT doc_id, {quality_score_sql('text')} AS q FROM documents),
     r AS (SELECT doc_id,
                  ROW_NUMBER() OVER (ORDER BY q DESC NULLS LAST, doc_id) AS rank
           FROM q),
@@ -1268,9 +1265,16 @@ def q_corpus_quality_deciles(spark, sf_dir):
                    COALESCE(SUM(n) OVER (ORDER BY stage
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING), 0) AS o
-            FROM o)
-    SELECT j.doc_id, j.stage, (off.o + j.jr)::BIGINT AS curriculum_rank
-    FROM j JOIN off USING (stage) ORDER BY doc_id
+            FROM o),
+    cur AS (SELECT j.doc_id, j.stage, (off.o + j.jr)::BIGINT AS curriculum_rank
+            FROM j JOIN off USING (stage))"""
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH {_CURRICULUM_CTES}
+    SELECT doc_id, stage, curriculum_rank FROM cur ORDER BY doc_id
     """,
 )
 def q_corpus_curriculum_order(spark, sf_dir):
@@ -1289,6 +1293,57 @@ def q_corpus_curriculum_order(spark, sf_dir):
         curriculum_order(docs, quality_score_col("text"))
         .repartition(1)
         .sortWithinPartitions("doc_id")
+    )
+
+
+@query(
+    "corpus_curriculum_pack",
+    oracle=f"""
+    WITH {_CURRICULUM_CTES},
+    toks AS (
+        SELECT d.doc_id, c.stage AS shard_id, c.curriculum_rank,
+               len(regexp_extract_all(d.text, ' ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9 \t\n\v\f\r]+'))::BIGINT AS n_tok
+        FROM documents d JOIN cur c USING (doc_id)),
+    spans AS (
+        SELECT doc_id, shard_id, n_tok,
+               (SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY curriculum_rank
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS end_off
+        FROM toks WHERE n_tok > 0),
+    sp AS (SELECT *, end_off - n_tok AS start_off FROM spans),
+    exploded AS (
+        SELECT shard_id, doc_id, start_off, end_off,
+               unnest(range(start_off // 512, (end_off - 1) // 512 + 1)) AS pack_id
+        FROM sp)
+    SELECT shard_id, pack_id, doc_id,
+           GREATEST(start_off, pack_id * 512) - pack_id * 512 AS offset_in_pack,
+           LEAST(end_off, (pack_id + 1) * 512) - GREATEST(start_off, pack_id * 512) AS n_tokens
+    FROM exploded
+    ORDER BY shard_id, pack_id, doc_id
+    """,
+)
+def q_corpus_curriculum_pack(spark, sf_dir):
+    """Curriculum-ordered sequence packing: the feed SCHEDULE
+    (corpus.curriculum_order — easy -> hard stages, hash-shuffled
+    within) composed with concat-then-chunk packing
+    (corpus.pack_sequences with shard_col='stage',
+    order_col='curriculum_rank') — sequences come out shard-by-stage in
+    exactly the order the curriculum chose, so a loader streaming
+    shard 1..k replays the schedule. Same plan shape as hash packing
+    (one cumulative window per stage partition); the oracle replays
+    staging, jitter, offsets AND the packing arithmetic."""
+    from ctcityscraper_spark.operators.corpus import (
+        curriculum_order,
+        pack_sequences,
+    )
+    from ctcityscraper_spark.operators.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = curriculum_order(docs, quality_score_col("text"))
+    joined = docs.select("doc_id", "text").join(cur, "doc_id")
+    return (
+        pack_sequences(joined, shard_col="stage", order_col="curriculum_rank")
+        .repartition(1)
+        .sortWithinPartitions("shard_id", "pack_id", "doc_id")
     )
 
 
