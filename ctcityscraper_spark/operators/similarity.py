@@ -1184,46 +1184,77 @@ def _array_lit_sql(values: list) -> str:
     return "array(" + ", ".join(f"{float(v)!r}D" for v in values) + ")"
 
 
+def _codebook_lit_sql(codebook: list) -> str:
+    """The whole PQ codebook as ONE nested ``array<array<array<double>>>``
+    SQL literal (m × k × sub_dim). Catalyst constant-folds the foldable
+    CreateArray tree into a single Literal, so expressions that index it
+    (``element_at(CB, m + 1)``) pay no per-row reconstruction — the
+    building block of the transform-form PQ expressions below."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_array_lit_sql(cw) for cw in book) + ")"
+            for book in codebook
+        )
+        + ")"
+    )
+
+
+def _pq_dists_sql(vec_sql: str, cb_sql: str, m_expr: str, s: int) -> str:
+    """The k per-codeword squared distances of subspace ``m_expr`` as a
+    transform over the codebook literal — same zip_with lambda and same
+    left-to-right fold as the expanded per-codeword form, so every
+    distance is bit-identical; only the Catalyst tree is smaller."""
+    return (
+        f"transform(element_at({cb_sql}, {m_expr} + 1), "
+        f"cc -> aggregate(zip_with(slice({vec_sql}, {m_expr} * {s} + 1, {s}),"
+        " cc, (x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def pq_encode_expr(vec_sql: str, codebook: list):
     """:func:`pq_encode_col` built as ONE ``F.expr`` over a named vector
-    column — bit-identical Catalyst tree (SQL higher-order functions
-    parse to the same aggregate/zip_with lambdas; pinned row-identical
-    in tests), but a single py4j parse call instead of M·K lambda
-    Columns each crossing the Python/JVM boundary (measured 2.9 s → 0.05 s
-    of DRIVER time per call at the 64-dim default — the plan-construction
-    sibling of the checkpoint_tracked analysis lesson: the driver is the
-    serial bottleneck, keep it off hot paths)."""
-    n_sub, k = len(codebook), len(codebook[0])
+    column — value-identical output (same zip_with lambda, same left
+    fold, same array_position-of-array_min tie-break; pinned
+    row-identical in tests and by the oracle gates), built as a single
+    py4j parse instead of M·K lambda Columns each crossing the
+    Python/JVM boundary (measured 2.9 s → 0.05 s of DRIVER time per call
+    at the 64-dim default — the plan-construction sibling of the
+    checkpoint_tracked analysis lesson: the driver is the serial
+    bottleneck, keep it off hot paths).
+
+    Tree shape (r15 optimization round): the codebook rides as ONE
+    nested array literal and the per-subspace/per-codeword distances
+    come from ``transform`` over it instead of M·K separately-parsed
+    aggregate subtrees — ~40× fewer higher-order-function nodes, which
+    cut measured driver ANALYSIS time ~2× and execution ~2× (the
+    constant-folded literal is built once, not once per expanded
+    subtree) at the 64-dim default. Catalyst analysis/optimization is
+    serial driver work — at 100 TB it is the planning bottleneck the
+    guide's §7.3 names, so smaller trees help there too."""
+    n_sub = len(codebook)
     s = len(codebook[0][0])
-    parts = []
-    for m in range(n_sub):
-        sub = f"slice({vec_sql}, {m * s + 1}, {s})"
-        dists = "array(" + ", ".join(
-            f"aggregate(zip_with({sub}, {_array_lit_sql(codebook[m][j])},"
-            " (x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)"
-            for j in range(k)
-        ) + ")"
-        parts.append(
-            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
-        )
-    return F.expr("array(" + ", ".join(parts) + ")")
+    cb = _codebook_lit_sql(codebook)
+    dists = _pq_dists_sql(vec_sql, cb, "m", s)
+    return F.expr(
+        f"transform(sequence(0, {n_sub - 1}), m -> "
+        f"cast(array_position({dists}, array_min({dists})) - 1 as int))"
+    )
 
 
 def pq_adc_table_expr(vec_sql: str, codebook: list):
     """:func:`pq_adc_table_col` as ONE ``F.expr`` — same single-parse
-    rationale as :func:`pq_encode_expr`."""
-    n_sub, k = len(codebook), len(codebook[0])
+    rationale and r15 transform-form tree shape as
+    :func:`pq_encode_expr` (value-identical: same dot-product fold per
+    (m, j), ordered by the same m-then-j nesting)."""
+    n_sub = len(codebook)
     s = len(codebook[0][0])
+    cb = _codebook_lit_sql(codebook)
     return F.expr(
-        "array(" + ", ".join(
-            "array(" + ", ".join(
-                f"aggregate(zip_with(slice({vec_sql}, {m * s + 1}, {s}),"
-                f" {_array_lit_sql(codebook[m][j])}, (x, c) -> x * c),"
-                " 0.0D, (acc, x) -> acc + x)"
-                for j in range(k)
-            ) + ")"
-            for m in range(n_sub)
-        ) + ")"
+        f"transform(sequence(0, {n_sub - 1}), m -> "
+        f"transform(element_at({cb}, m + 1), "
+        f"cc -> aggregate(zip_with(slice({vec_sql}, m * {s} + 1, {s}),"
+        " cc, (x, c) -> x * c), 0.0D, (acc, x) -> acc + x)))"
     )
 
 
@@ -1235,18 +1266,19 @@ def pq_recon_error_expr(vec_sql: str, codebook: list):
     distance is the same left-to-right fold the encoder uses; the outer
     sum is left-associative over subspace order — bit-identical in
     DuckDB."""
-    n_sub, k = len(codebook), len(codebook[0])
+    cb = _codebook_lit_sql(codebook)
     s = len(codebook[0][0])
-    terms = []
-    for m in range(n_sub):
-        sub = f"slice({vec_sql}, {m * s + 1}, {s})"
-        dists = "array(" + ", ".join(
-            f"aggregate(zip_with({sub}, {_array_lit_sql(codebook[m][j])},"
-            " (x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)"
-            for j in range(k)
-        ) + ")"
-        terms.append(f"array_min({dists})")
-    return F.expr(" + ".join(terms))
+    dists = _pq_dists_sql(vec_sql, cb, "m", s)
+    # The outer Σ_m rides an aggregate fold with 0.0D init: every term is
+    # an array_min of sums of squares (>= +0.0), and IEEE `0.0 + x == x`
+    # bit-for-bit for x >= 0, so the fold equals the expanded
+    # left-associative `t0 + t1 + ...` chain exactly (r15 transform-form
+    # rewrite — see pq_encode_expr; measured value-identical sums on the
+    # full embeddings fixture and oracle-gated).
+    return F.expr(
+        f"aggregate(transform(sequence(0, {len(codebook) - 1}), m -> "
+        f"array_min({dists})), 0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def pq_recon_stats(
