@@ -104,13 +104,22 @@ def l2int_best_expr(vm_sql: str, centroids: list) -> F.Column:
     magnitudes therefore produce an overflow error, never a silent
     wrong centroid or a confusing Spark-vs-oracle divergence.
     """
-    structs = ", ".join(
+    # r15 optimization-round tree shape: the centroid table rides as ONE
+    # constant-folded nested array literal and the k distance structs
+    # come from transform(sequence(...)) instead of k separately-parsed
+    # aggregate subtrees. Same zip_with lambda, same left fold, same
+    # struct-sort tie-break — value-identical (oracle-gated; sum-of-
+    # distances and sum-of-labels re-checked equal on the embeddings
+    # fixture) with k× fewer lambda subtrees for the driver to analyze;
+    # per-iteration Lloyd re-planning (fresh literals each iteration) is
+    # serial driver work, the §7.3 planning bottleneck.
+    cb = "array(" + ", ".join(_int_array_lit_sql(c) for c in centroids) + ")"
+    return F.expr(
+        f"array_sort(transform(sequence(0, {len(centroids) - 1}), i -> "
         "named_struct('d', aggregate(zip_with("
-        f"{vm_sql}, {_int_array_lit_sql(ctr)}, (x, c) -> (x - c) * (x - c)),"
-        f" 0L, (acc, x) -> acc + x), 'list_id', {i})"
-        for i, ctr in enumerate(centroids)
-    )
-    return F.expr(f"array_sort(array({structs}))")[0]
+        f"{vm_sql}, element_at({cb}, i + 1), (x, c) -> (x - c) * (x - c)),"
+        " 0L, (acc, x) -> acc + x), 'list_id', i)))"
+    )[0]
 
 
 def l2int_argmin_expr(vm_sql: str, centroids: list) -> F.Column:
