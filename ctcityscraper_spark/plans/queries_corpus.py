@@ -2145,25 +2145,33 @@ def q_corpus_e2e_prep(spark, sf_dir):
     )
     kept = corpus.unionByName(batch.join(dup_ids, "doc_id", "left_anti"))
     kept = persist_tracked(kept)
+    # materialize the cache once BEFORE the concurrent consumers below —
+    # three threads racing an unbuilt cache serialize on the per-partition
+    # cache locks anyway, so one cheap count here makes the overlap real
+    kept.count()
 
-    # stage 3: contamination gate + KMV residual audit
-    is_test = hash64(F.col("doc_id"), "split") % 10 == 0
-    # contam feeds the anti-join AND the attrition counts — eager
-    # lineage cut on the tiny id list so the inverted-index join runs
-    # once AND its (very deep) plan stops being re-analyzed by every
-    # downstream consumer
-    contam = checkpoint_tracked(
-        contamination_pairs(kept, text="clean_text")
-        .select(F.col("train_doc").alias("doc_id"))
-        .distinct()
+    # stages 3/4/4.5 front half — four mutually-independent bounded jobs
+    # over the persisted `kept` frame, overlapped in a driver thread pool
+    # (r15 optimization round; guide §2.6 — actions are only sequential
+    # because driver code calls them sequentially, and each of these is a
+    # deterministic function of its input, so concurrency cannot change
+    # any value):
+    #   A. contamination gate (the long pole: inverted 8-gram index join,
+    #      eager lineage cut on the tiny id list),
+    #   B. quality-classifier fit (bounded TakeOrdered sample collect)
+    #      then the ≤ B-row DSIR bucket-model materialization,
+    #   C. the corpus fingerprint aggregate for the sidecar guard.
+    # Serial cost was the SUM of these round-trips; now it is the slowest
+    # one. Only thread A creates a tracked checkpoint, so the artifacts
+    # registry's id-diff can at worst absorb a concurrently-built cache
+    # RDD id (persist-backed = recomputable; see artifacts.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ctcityscraper_spark.operators.corpus import (
+        dsir_bucket_model,
+        dsir_score_with_model,
+        sum_dsir_models,
     )
-    train_f = kept.filter(~is_test).join(contam, "doc_id", "left_anti")
-    train_f = persist_tracked(train_f)
-    test_d = kept.filter(is_test)
-
-    # stage 4: trained quality gate — fit on the kept docs' clean text
-    # (bounded sample_n collect), persist to the fingerprint-guarded
-    # sidecar, apply as the literal-folded logit in the scan stage
     from ctcityscraper_spark.operators.similarity import save_vectors_json
     from ctcityscraper_spark.operators.text import (
         quality_classifier_logit_col,
@@ -2171,12 +2179,59 @@ def q_corpus_e2e_prep(spark, sf_dir):
         train_quality_classifier,
     )
 
-    weights = train_quality_classifier(
-        kept,
-        text="clean_text",
-        labels=quality_score_col("clean_text") >= 0.45,
-    )
-    fpr = kept.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).collect()[0]
+    is_test = hash64(F.col("doc_id"), "split") % 10 == 0
+
+    def _contam():
+        # contam feeds the anti-join AND the attrition counts — eager
+        # lineage cut on the tiny id list so the inverted-index join
+        # runs once AND its (very deep) plan stops being re-analyzed by
+        # every downstream consumer
+        return checkpoint_tracked(
+            contamination_pairs(kept, text="clean_text")
+            .select(F.col("train_doc").alias("doc_id"))
+            .distinct()
+        )
+
+    def _fit_and_model():
+        w = train_quality_classifier(
+            kept,
+            text="clean_text",
+            labels=quality_score_col("clean_text") >= 0.45,
+        )
+        # pre-materialize the ≤ B-row DSIR bucket model here (persist +
+        # count) so the scoring job downstream starts from the cached
+        # model instead of rebuilding it on its critical path
+        m = persist_tracked(
+            sum_dsir_models(
+                dsir_bucket_model(
+                    kept.join(docs.select("doc_id", "lang"), "doc_id"),
+                    F.col("lang") == "en",
+                    n_buckets=_E2E_DSIR_B,
+                    text="clean_text",
+                )
+            )
+        )
+        m.count()
+        return w, m
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_contam = pool.submit(_contam)
+        f_fit = pool.submit(_fit_and_model)
+        f_fpr = pool.submit(
+            lambda: kept.agg(
+                F.count("*").alias("n"), F.sum("doc_id").alias("s")
+            ).collect()[0]
+        )
+        contam = f_contam.result()
+        weights, dsir_model = f_fit.result()
+        fpr = f_fpr.result()
+
+    train_f = kept.filter(~is_test).join(contam, "doc_id", "left_anti")
+    train_f = persist_tracked(train_f)
+    test_d = kept.filter(is_test)
+
+    # stage 4 back half: persist the weights to the fingerprint-guarded
+    # sidecar, apply as the literal-folded logit in the scan stage
     Path(_E2E_QCLF_SIDECAR).parent.mkdir(parents=True, exist_ok=True)
     save_vectors_json(
         [weights],
@@ -2189,30 +2244,15 @@ def q_corpus_e2e_prep(spark, sf_dir):
     # codegen filters over the cached frame — no extra materialization
     train_q = train_f.filter(logit > 0)
 
-    # stage 4.5: DSIR domain-selection gate (r13 VERDICT item 6) — the
-    # stored-model-probe form: the ≤ B-row bucket model is built once
-    # over the KEPT corpus (target labels = documents.lang, joined in
-    # only on this one model-building pass), the quality-kept train
-    # stream is scored against it (dsir_score_with_model — one token
-    # pass + broadcast model join), and docs whose mean per-token bit
-    # gap falls below _E2E_DSIR_NUM/_E2E_DSIR_DEN are dropped before
-    # packing. Pure integer cross-multiplication — DuckDB replays the
-    # model, the scores, and the threshold bit-for-bit. Docs with zero
-    # tokens score no row and pass through (packing drops them anyway).
-    from ctcityscraper_spark.operators.corpus import (
-        dsir_bucket_model,
-        dsir_score_with_model,
-        sum_dsir_models,
-    )
-
-    dsir_model = sum_dsir_models(
-        dsir_bucket_model(
-            kept.join(docs.select("doc_id", "lang"), "doc_id"),
-            F.col("lang") == "en",
-            n_buckets=_E2E_DSIR_B,
-            text="clean_text",
-        )
-    )
+    # stage 4.5 back half: DSIR domain-selection gate (r13 VERDICT item
+    # 6) — the stored-model-probe form: the quality-kept train stream is
+    # scored against the pre-materialized ≤ B-row bucket model
+    # (dsir_score_with_model — one token pass + broadcast model join),
+    # and docs whose mean per-token bit gap falls below
+    # _E2E_DSIR_NUM/_E2E_DSIR_DEN are dropped before packing. Pure
+    # integer cross-multiplication — DuckDB replays the model, the
+    # scores, and the threshold bit-for-bit. Docs with zero tokens score
+    # no row and pass through (packing drops them anyway).
     dscored = dsir_score_with_model(
         train_q, dsir_model, n_buckets=_E2E_DSIR_B, text="clean_text"
     )
