@@ -16,6 +16,7 @@ from typing import Any, Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ctcityscraper_spark.functions.localdf import local_rows_df
 from ctcityscraper_spark.sources.contracts import SourceDefinition
 from ctcityscraper_spark.sources.ratelimit import partition_bucket
 
@@ -105,8 +106,14 @@ def fetch_entries_distributed(
                 out["error"].append(err)
             yield pd.DataFrame(out)
 
-    ids_df = spark.createDataFrame(
-        [(i, str(eid)) for i, eid in enumerate(entry_ids)], "seq long, entry_id string"
+    # Arrow-path local frame (functions/localdf.py): the plain-list form
+    # fans pickled rows across defaultParallelism Python workers before
+    # the repartition (profiled 0.35 s per load on the ingest bench)
+    ids_df = local_rows_df(
+        spark,
+        [(i, str(eid)) for i, eid in enumerate(entry_ids)],
+        ["seq", "entry_id"],
+        "seq long, entry_id string",
     ).repartition(n_parts)
     return ids_df.mapInPandas(fetch_partition, FETCH_RESULT_SCHEMA)
 
@@ -178,7 +185,11 @@ def fetch_and_flatten_distributed(
                 recs, columns=["seq", "entry_id", "table", "row_json", "invalid", "error"]
             )
 
-    ids_df = spark.createDataFrame(
-        [(i, str(eid)) for i, eid in enumerate(entry_ids)], "seq long, entry_id string"
+    # Arrow-path local frame — same rationale as fetch_entries_distributed
+    ids_df = local_rows_df(
+        spark,
+        [(i, str(eid)) for i, eid in enumerate(entry_ids)],
+        ["seq", "entry_id"],
+        "seq long, entry_id string",
     ).repartition(n_parts)
     return ids_df.mapInPandas(run_partition, FETCH_FLAT_SCHEMA)
