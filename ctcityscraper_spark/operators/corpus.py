@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ctcityscraper_spark.functions.hashing import hash64
+from ctcityscraper_spark.functions.localdf import local_rows_df
 from ctcityscraper_spark.operators.dedup import doc_shingles
 from ctcityscraper_spark.operators.text import tokens_col
 
@@ -1172,7 +1173,7 @@ def global_quality_rank(
             ),
         )
         return out.withColumn("decile", F.lit(None).cast("int")) if deciles else out
-    off_df = spark.createDataFrame(offs, "_bin int, _off long")
+    off_df = local_rows_df(spark, offs, ["_bin", "_off"], "_bin int, _off long")
     w = Window.partitionBy("_bin").orderBy(F.col("_q").desc_nulls_last(), id_col)
     ranked = (
         binned.join(F.broadcast(off_df), "_bin")
@@ -1244,7 +1245,7 @@ def curriculum_order(
                 ]
             ),
         )
-    off_df = spark.createDataFrame(offs, "stage int, _off long")
+    off_df = local_rows_df(spark, offs, ["stage", "_off"], "stage int, _off long")
     w = Window.partitionBy("stage").orderBy(
         hash64(F.col(id_col), seed), id_col
     )

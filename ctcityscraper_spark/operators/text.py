@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ctcityscraper_spark.functions.hashing import hash64
+from ctcityscraper_spark.functions.localdf import local_rows_df
 
 # Deliberately small, documented marker lists — language ID at pipeline scale
 # is a heuristic scorer, not a model. Ordered: index is the deterministic
@@ -1619,7 +1620,7 @@ def quantile_estimate_by(
         .withColumn("n_kept", F.count("*").over(Window.partitionBy(*keys)))
     )
     spark = sketches.sparkSession
-    ps = spark.createDataFrame([(int(p),) for p in percentiles], "pct int")
+    ps = local_rows_df(spark, [(int(p),) for p in percentiles], ["pct"], "pct int")
     target = F.expr("(pct * n_kept + 99) div 100")
     return (
         s.join(F.broadcast(ps), F.col("rn") == target)

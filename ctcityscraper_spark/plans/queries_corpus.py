@@ -34,6 +34,7 @@ from ctcityscraper_spark.operators.corpus import (
     token_budget_selection,
 )
 from ctcityscraper_spark.functions.hashing import hash64
+from ctcityscraper_spark.functions.localdf import local_rows_df
 from ctcityscraper_spark.operators.text import (
     quality_score_sql,
     tfidf_top_terms,
@@ -1635,7 +1636,7 @@ def q_text_quantile_sketch(spark, sf_dir):
         hv.withColumn("rn", F.row_number().over(Window.orderBy("val", "h")))
         .withColumn("n", F.count("*").over(Window.partitionBy()))
     )
-    ps = spark.createDataFrame([(p,) for p in (25, 50, 75, 90, 99)], "pct int")
+    ps = local_rows_df(spark, [(p,) for p in (25, 50, 75, 90, 99)], ["pct"], "pct int")
     tru = t.join(
         F.broadcast(ps), F.col("rn") == F.expr("(pct * n + 99) div 100")
     ).select("pct", F.col("val").alias("true_est"))

@@ -18,6 +18,7 @@ from typing import Any, Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from ctcityscraper_spark.functions.localdf import local_rows_df
 
 from ctcityscraper_spark.sources.http import with_retries
 
@@ -75,7 +76,7 @@ def fetch_dataset_distributed(
                     rows_out.append(json.dumps(out))
             yield pd.DataFrame({"row_json": rows_out})
 
-    pages_df = spark.createDataFrame([(o,) for o in offsets], "offset long").repartition(
+    pages_df = local_rows_df(spark, [(o,) for o in offsets], ["offset"], "offset long").repartition(
         min(len(offsets), spark.sparkContext.defaultParallelism)
     )
     json_rows = pages_df.mapInPandas(fetch_pages, "row_json string")
