@@ -351,6 +351,49 @@ def contamination_pairs(
     )
 
 
+def contaminated_train_ids(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    seed: str = "split",
+    test_mod: int = 10,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """Distinct contaminated train-doc ids: exactly
+    ``contamination_pairs(...).select(train_doc).distinct()`` without ever
+    materializing the test×train pair explosion.
+
+    A train doc is contaminated iff it shares at least one sub-cap shingle
+    with at least one test doc, so the per-pair counts are irrelevant to
+    the id set. One aggregate per shingle — ``(df_count, any_test)``, both
+    partial-aggregation friendly, so the shuffle carries per-map-task
+    partials, never the raw index — yields the qualifying-shingle list
+    (``df_count <= df_cap`` folds the hot-cap guard into the same pass);
+    a left-semi join of the train-side index against it, then distinct,
+    gives the ids. Versus the pair form: one fewer explode pass over the
+    text, no Σ test_bucket × train_bucket intermediate, and the worst-case
+    aggregation state per shingle is two longs (the pair form's df-cap
+    pre-pass stays implicit here for the same reason: no collect buffers).
+    """
+    sh = doc_shingles(df, text, id_col, n).withColumn(
+        "is_test", hash64(F.col("doc_id"), seed) % test_mod == 0
+    )
+    agg = sh.groupBy("shingle").agg(
+        F.count("*").alias("df_count"), F.max("is_test").alias("any_test")
+    )
+    cond = F.col("any_test")
+    if df_cap is not None:
+        cond = cond & (F.col("df_count") <= df_cap)
+    idx = agg.filter(cond).select("shingle")
+    return (
+        sh.filter(~F.col("is_test"))
+        .join(idx, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 # GPT-2-style pre-tokenizer split (lookaheads removed so the identical
 # pattern runs under Java regex and DuckDB's RE2); shared with the
 # text_bpe_token_count catalog query.

@@ -19,6 +19,7 @@ from ctcityscraper_spark.operators.corpus import (
     SAMPLE_MOD,
     SEGMENT_WIDTH,
     boilerplate_segments,
+    contaminated_train_ids,
     contamination_pairs,
     cut_duplicate_spans,
     duplicate_substring_spans,
@@ -2184,13 +2185,15 @@ def q_corpus_e2e_prep(spark, sf_dir):
 
     def _contam():
         # contam feeds the anti-join AND the attrition counts — eager
-        # lineage cut on the tiny id list so the inverted-index join
-        # runs once AND its (very deep) plan stops being re-analyzed by
-        # every downstream consumer
+        # lineage cut on the tiny id list so the shingle-index join runs
+        # once AND its (very deep) plan stops being re-analyzed by every
+        # downstream consumer. Only the DISTINCT contaminated train ids
+        # are needed here, so this rides contaminated_train_ids — the
+        # semi-join form, row-identical to contamination_pairs(...)
+        # .select(train_doc).distinct() (pinned by test) but with no
+        # test×train pair explosion and one fewer text explode pass.
         return checkpoint_tracked(
-            contamination_pairs(kept, text="clean_text")
-            .select(F.col("train_doc").alias("doc_id"))
-            .distinct()
+            contaminated_train_ids(kept, text="clean_text")
         )
 
     def _fit_and_model():

@@ -261,6 +261,33 @@ class TestContamination:
         capped = contamination_pairs(df, n=8, test_mod=2, seed="t", df_cap=2)
         assert capped.count() == 0
 
+    def test_contaminated_train_ids_matches_pair_form(self, spark):
+        # the semi-join form used by corpus_e2e_prep must return exactly
+        # contamination_pairs(...).select(train_doc).distinct(), for both
+        # the capped and uncapped guard
+        from ctcityscraper_spark.operators.corpus import contaminated_train_ids
+
+        base = "q w e r t y u i o p"
+        texts = [f"{base} tail{i}" for i in range(9)] + ["z " * 9, base * 2]
+        df = _docs(spark, texts)
+        for cap in (None, 2, 1000):
+            want = {
+                r.train_doc
+                for r in contamination_pairs(
+                    df, n=8, test_mod=2, seed="t", df_cap=cap
+                )
+                .select("train_doc")
+                .distinct()
+                .collect()
+            }
+            got = {
+                r.doc_id
+                for r in contaminated_train_ids(
+                    df, n=8, test_mod=2, seed="t", df_cap=cap
+                ).collect()
+            }
+            assert got == want
+
 
 class TestPackSequences:
     """pack_sequences (operators/corpus.py): concat-then-chunk packing
