@@ -607,7 +607,11 @@ def _prefix_rows(sh, dfreq, threshold_pct: int):
 
 
 def _prefix_candidates(
-    probe: DataFrame, index: DataFrame, threshold_pct: int, self_join: bool
+    probe: DataFrame,
+    index: DataFrame,
+    threshold_pct: int,
+    self_join: bool,
+    keep_sizes: bool = False,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from two :func:`_prefix_rows`
     frames: equi-join on the shared prefix token, then two PPJoin-family
@@ -633,7 +637,14 @@ def _prefix_candidates(
 
     ``self_join`` adds doc_a < doc_b so each unordered pair emits once.
     One definition of the exactness-critical size/position arithmetic
-    for the self-join and incremental variants."""
+    for the self-join and incremental variants.
+
+    ``keep_sizes`` carries each side's ``set_size`` (already exact per-doc
+    counts over the capped index, computed by :func:`_prefix_rows`) onto
+    the candidate rows as ``size_a``/``size_b`` — sizes are functions of
+    the doc ids, so the distinct yields the identical pair set — letting
+    :func:`_jaccard_verify_cross` skip re-aggregating sizes from the
+    shingle frames (two groupBy passes + two joins)."""
     a, b = probe.alias("a"), index.alias("b")
     sa, sb = F.col("a.set_size"), F.col("b.set_size")
     big, small = F.greatest(sa, sb), F.least(sa, sb)
@@ -651,13 +662,12 @@ def _prefix_candidates(
     )
     if self_join:
         cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cols = [
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ]
+    if keep_sizes:
+        cols += [sa.alias("size_a"), sb.alias("size_b")]
+    return a.join(b, cond).select(*cols).distinct()
 
 
 def _jaccard_verify_cross(
@@ -669,10 +679,22 @@ def _jaccard_verify_cross(
     BOTH frames (a batch re-ingesting an id the corpus already holds)
     cannot merge two documents' shingle sets the way a naive
     union-then-verify would — that silently double-counts sizes and
-    intersections and breaks the exact-recall contract."""
-    sa = sh_a.groupBy("doc_id").agg(F.count("*").alias("size_a")).withColumnRenamed("doc_id", "doc_a")
-    sb = sh_b.groupBy("doc_id").agg(F.count("*").alias("size_b")).withColumnRenamed("doc_id", "doc_b")
-    pairs = candidates.select("doc_a", "doc_b")
+    intersections and breaks the exact-recall contract.
+
+    When ``candidates`` already carries ``size_a``/``size_b`` (the
+    ``keep_sizes`` form of :func:`_prefix_candidates` — per-side exact
+    counts over the same capped universes, from :func:`_prefix_rows`),
+    the sizes ride the intersect aggregation as extra group keys
+    (functionally dependent on the doc ids, so the groups are unchanged)
+    instead of being re-aggregated from the shingle frames — two groupBy
+    passes and two joins fewer, row-identical output."""
+    have_sizes = {"size_a", "size_b"} <= set(candidates.columns)
+    group = (
+        ["doc_a", "doc_b", "size_a", "size_b"]
+        if have_sizes
+        else ["doc_a", "doc_b"]
+    )
+    pairs = candidates.select(*group)
     inter = (
         pairs.join(
             sh_a.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
@@ -681,13 +703,15 @@ def _jaccard_verify_cross(
             sh_b.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy(*group)
         .agg(F.count("*").alias("inter"))
     )
+    if not have_sizes:
+        sa = sh_a.groupBy("doc_id").agg(F.count("*").alias("size_a")).withColumnRenamed("doc_id", "doc_a")
+        sb = sh_b.groupBy("doc_id").agg(F.count("*").alias("size_b")).withColumnRenamed("doc_id", "doc_b")
+        inter = inter.join(sa, "doc_a").join(sb, "doc_b")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter")
             / (F.col("size_a") + F.col("size_b") - F.col("inter")),
@@ -771,7 +795,9 @@ def prefix_filter_jaccard_pairs(
         sh = persist_tracked(_drop_hot(sh0, "shingle", df_cap, df_cap_sketched))
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
     prefix = _prefix_rows(sh, dfreq, threshold_pct)
-    candidates = _prefix_candidates(prefix, prefix, threshold_pct, self_join=True)
+    candidates = _prefix_candidates(
+        prefix, prefix, threshold_pct, self_join=True, keep_sizes=True
+    )
     # verify over the ALREADY-capped index (cap=None: `sh` has the hot
     # shingles dropped above, so re-deriving the hot list would redo the
     # distinct-shingle aggregation for an identical universe)
@@ -1073,7 +1099,9 @@ def incremental_prefix_pairs(
         )
     idx = _prefix_rows(sh_c, dfreq, threshold_pct)  # the stored artifact
     probe = _prefix_rows(sh_b, dfreq, threshold_pct)
-    cand = _prefix_candidates(probe, idx, threshold_pct, self_join=False)
+    cand = _prefix_candidates(
+        probe, idx, threshold_pct, self_join=False, keep_sizes=True
+    )
     # side-separated verify: a doc_id present in BOTH frames (a batch
     # re-ingesting an id the corpus holds) must not merge two documents'
     # shingle sets — see _jaccard_verify_cross

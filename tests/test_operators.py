@@ -2264,6 +2264,30 @@ class TestPrefixFilterJoin:
         assert got == ref
         assert (1, 2, 0.6) in got  # the exactly-at-threshold pair survived
 
+    def test_carried_sizes_verify_matches_reaggregated(self, spark):
+        """r15 optimization: _prefix_candidates(keep_sizes=True) lets the
+        verify skip re-aggregating per-doc sizes — both verify forms must
+        return identical rows over the same candidates and universe."""
+        from ctcityscraper_spark.operators.dedup import (
+            _jaccard_verify_from_shingles,
+            _prefix_candidates,
+            _prefix_rows,
+            doc_shingles,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        sh = doc_shingles(docs, "text", "doc_id", 5)
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
+        prefix = _prefix_rows(sh, dfreq, 50)
+        with_sizes = _prefix_candidates(
+            prefix, prefix, 50, self_join=True, keep_sizes=True
+        )
+        bare = _prefix_candidates(prefix, prefix, 50, self_join=True)
+        assert {"size_a", "size_b"} <= set(with_sizes.columns)
+        got = self._rows(_jaccard_verify_from_shingles(sh, with_sizes, 0.5, None))
+        ref = self._rows(_jaccard_verify_from_shingles(sh, bare, 0.5, None))
+        assert got == ref and ref
+
     def test_single_shingle_docs(self, spark):
         """s=1 edge: prefix length = 1 - ceil(t) + 1 = 1 — the doc's one
         shingle IS its prefix, so identical one-shingle docs still pair."""
