@@ -2230,8 +2230,6 @@ def q_corpus_e2e_prep(spark, sf_dir):
         weights, dsir_model = f_fit.result()
         fpr = f_fpr.result()
 
-    train_f = kept.filter(~is_test).join(contam, "doc_id", "left_anti")
-    train_f = persist_tracked(train_f)
     test_d = kept.filter(is_test)
 
     # stage 4 back half: persist the weights to the fingerprint-guarded
@@ -2244,9 +2242,19 @@ def q_corpus_e2e_prep(spark, sf_dir):
         extra={"fingerprint_n": int(fpr.n), "fingerprint_s": int(fpr.s)},
     )
     logit = quality_classifier_logit_col("clean_text", weights)
-    # train_f is persisted, so both branches of the gate are cheap
-    # codegen filters over the cached frame — no extra materialization
-    train_q = train_f.filter(logit > 0)
+    # The logit is a large literal-folded expression over clean_text and
+    # train_f feeds FOUR downstream consumers (DSIR scoring chain, the
+    # quality-dropped attrition count, the KMV residual leg, packing) —
+    # materialize the gate ONCE into the cache as a boolean instead of
+    # re-evaluating the expression per consumer (r15 optimization round;
+    # guide §2.4 duplicate work). Both filter branches below are then
+    # cheap boolean reads of the cached column.
+    train_f = persist_tracked(
+        kept.filter(~is_test)
+        .join(contam, "doc_id", "left_anti")
+        .withColumn("_q_pass", logit > 0)
+    )
+    train_q = train_f.filter(F.col("_q_pass")).drop("_q_pass")
 
     # stage 4.5 back half: DSIR domain-selection gate (r13 VERDICT item
     # 6) — the stored-model-probe form: the quality-kept train stream is
@@ -2287,7 +2295,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
         .crossJoin(test_d.agg(F.count("*").alias("n_test_held_out")))
         .crossJoin(contam.agg(F.count("*").alias("n_contam_dropped")))
         .crossJoin(
-            train_f.filter(~(logit > 0)).agg(
+            train_f.filter(~F.col("_q_pass")).agg(
                 F.count("*").alias("n_quality_dropped")
             )
         )
