@@ -2560,7 +2560,7 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
-    strainf = persist_tracked(stored.filter(~is_test).join(scontam, "doc_id", "left_anti"))
+    strainf_base = stored.filter(~is_test).join(scontam, "doc_id", "left_anti")
 
     # the quality gate's weights are LAST NIGHT's artifact too: trained
     # on the stored corpus's clean text (bounded sample_n fit), persisted
@@ -2591,7 +2591,12 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         extra={"fingerprint_n": int(fpr.n), "fingerprint_s": int(fpr.s)},
     )
     logit = quality_classifier_logit_col("clean_text", weights)
-    strainq = strainf.filter(logit > 0)
+    # same r15 optimization as the full-rerun twin: the logit is a large
+    # literal-folded expression and each persisted train frame feeds
+    # several consumers — materialize the boolean gate once into the
+    # cache instead of re-evaluating the expression per consumer
+    strainf = persist_tracked(strainf_base.withColumn("_q_pass", logit > 0))
+    strainq = strainf.filter(F.col("_q_pass")).drop("_q_pass")
 
     # the DSIR selection model is LAST NIGHT's artifact too: the
     # ≤ B-row bucket model over the stored corpus's clean text (target
@@ -2656,14 +2661,20 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     bkept = persist_tracked(batch.join(dup_ids, "doc_id", "left_anti"))
     bcontam = checkpoint_tracked(
         doc_shingles(bkept.filter(~is_test), "clean_text", "doc_id", 8)
-        .join(tidx, "shingle")
+        # left-semi, not inner+distinct: the id set is identical but no
+        # duplicate (doc, shingle-match) rows are materialized first
+        .join(tidx, "shingle", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    btrainf = persist_tracked(bkept.filter(~is_test).join(bcontam, "doc_id", "left_anti"))
+    btrainf = persist_tracked(
+        bkept.filter(~is_test)
+        .join(bcontam, "doc_id", "left_anti")
+        .withColumn("_q_pass", logit > 0)
+    )
     # tonight's batch passes through the FROZEN quality gate (weights
     # above) — batch-scoped attrition, like the other counts
-    btrainq = btrainf.filter(logit > 0)
+    btrainq = btrainf.filter(F.col("_q_pass")).drop("_q_pass")
     # ... and through the FROZEN DSIR model: batch buckets the stored
     # model never saw take dsir_score_with_model's smoothing floor
     # (out-of-model features read maximally surprising under BOTH
@@ -2687,7 +2698,7 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         )
         .crossJoin(bcontam.agg(F.count("*").alias("n_contam_dropped")))
         .crossJoin(
-            btrainf.filter(~(logit > 0)).agg(
+            btrainf.filter(~F.col("_q_pass")).agg(
                 F.count("*").alias("n_quality_dropped")
             )
         )
