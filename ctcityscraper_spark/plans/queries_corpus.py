@@ -2548,15 +2548,20 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .filter(F.col("dfc") > 1000)
         .select("shingle")
     )
+    # is_test is a pure hash of doc_id and every ssh row's doc_id comes
+    # from stored, so the test/train splits are direct filters on the
+    # shingle index — no id join needed (r15: two joins removed); the
+    # contamination probe is a left-semi (identical id set, no duplicate
+    # match rows materialized before the distinct)
     tidx = checkpoint_tracked(
-        ssh.join(stored.filter(is_test).select("doc_id"), "doc_id")
+        ssh.filter(is_test)
         .select("shingle")
         .distinct()
         .join(cap, "shingle", "left_anti")
     )
     scontam = (
-        ssh.join(stored.filter(~is_test).select("doc_id"), "doc_id")
-        .join(tidx, "shingle")
+        ssh.filter(~is_test)
+        .join(tidx, "shingle", "left_semi")
         .select("doc_id")
         .distinct()
     )
