@@ -154,16 +154,27 @@ def _run(
         # exactly, per table. Above coalesce_max_rows the coalesce is
         # skipped and compaction handles the file count afterwards.
         if distributed_flatten:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
             flat = fetch_and_flatten_distributed(
                 spark, source, params.base_url, chunk, **fetch_kw
             ).persist()
             # entry-order sort happens driver-side: a Spark orderBy before
             # collect costs a range-partition sampling job per micro-batch
-            # for a <= batch_size-row frame
+            # for a <= batch_size-row frame. The total-row count for the
+            # coalesce gate rides the SAME action as an Observation (the
+            # status collect materializes the whole cache anyway), so the
+            # old separate flat.count() job disappears (r15; guide §2.4).
+            obs_rows = Observation()
             results = sorted(
-                flat.select("seq", "invalid", "error").distinct().collect(),
+                flat.observe(obs_rows, F.count(F.lit(1)).alias("n"))
+                .select("seq", "invalid", "error")
+                .distinct()
+                .collect(),
                 key=lambda r: r.seq,
             )
+            flat_rows = int(obs_rows.get["n"])
         else:
             flat = None
             results = sorted(
@@ -197,10 +208,14 @@ def _run(
         if distributed_flatten and batch_error is None:
             # rows never touch the driver: parse row_json with the declared
             # schema and append per table (the bulk-backfill path)
+            from concurrent.futures import ThreadPoolExecutor
+
             from pyspark.sql import functions as F
 
-            write_files = 1 if flat.count() <= coalesce_max_rows else None
-            for table, ddl in source.table_schemas.items():
+            write_files = 1 if flat_rows <= coalesce_max_rows else None
+
+            def _write_table(item):
+                table, ddl = item
                 tdf = (
                     flat.filter(F.col("table") == table)
                     .select(F.from_json("row_json", ddl).alias("r"))
@@ -208,13 +223,23 @@ def _run(
                 )
                 if write_files:
                     tdf = tdf.coalesce(write_files)
-                written, skipped = store.write_batch(
+                return table, store.write_batch(
                     table,
                     tdf,
                     dedup_against_existing=dedup,
                     extra_exclude=source.hash_exclude.get(table),
                     scraped_at=batch_ts,
                 )
+
+            # per-table writes are independent jobs over the already-built
+            # cache into DISTINCT table directories — overlap them in a
+            # small driver pool (guide §2.6) instead of paying one
+            # job+commit round-trip per table serially; stats/bookkeeping
+            # mutate only on this thread, in a deterministic order
+            items = list(source.table_schemas.items())
+            with ThreadPoolExecutor(max_workers=min(4, len(items))) as tp:
+                table_results = list(tp.map(_write_table, items))
+            for table, (written, skipped) in table_results:
                 stats.rows_written += written
                 stats.rows_skipped += skipped
                 if written:
