@@ -130,9 +130,14 @@ def remove_boilerplate(
     flagged = seg.join(F.broadcast(hot), "segment", "left").select(
         "doc_id", "pos", "segment", F.coalesce("is_boiler", F.lit(False)).alias("is_boiler")
     )
-    kept = F.filter(
-        F.array_sort(F.collect_list(F.struct("pos", "segment", "is_boiler"))),
-        lambda x: ~x["is_boiler"],
+    # collect ONLY the surviving segments: collect_list skips the nulls
+    # the when() emits for boilerplate rows, so dropped segments never
+    # enter the aggregation buffers or ride the partial-aggregate shuffle
+    # payload (r15; guide §2.3 — the old form collected every segment and
+    # filtered after the sort). pos is unique per doc, so the (pos,
+    # segment) sort order is identical to the old 3-field sort.
+    kept = F.array_sort(
+        F.collect_list(F.when(~F.col("is_boiler"), F.struct("pos", "segment")))
     )
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_segments"),
