@@ -2152,21 +2152,26 @@ def q_corpus_e2e_prep(spark, sf_dir):
     # cache locks anyway, so one cheap count here makes the overlap real
     kept.count()
 
-    # stages 3/4/4.5 front half — four mutually-independent bounded jobs
+    # stages 3/4/4.5 front half — five mutually-independent bounded jobs
     # over the persisted `kept` frame, overlapped in a driver thread pool
     # (r15 optimization round; guide §2.6 — actions are only sequential
     # because driver code calls them sequentially, and each of these is a
     # deterministic function of its input, so concurrency cannot change
     # any value):
-    #   A. contamination gate (the long pole: inverted 8-gram index join,
-    #      eager lineage cut on the tiny id list),
-    #   B. quality-classifier fit (bounded TakeOrdered sample collect)
-    #      then the ≤ B-row DSIR bucket-model materialization,
-    #   C. the corpus fingerprint aggregate for the sidecar guard.
+    #   A. contamination gate (the long pole: semi-join of the shingle
+    #      index, eager lineage cut on the tiny id list),
+    #   B. quality-classifier fit (bounded TakeOrdered sample collect),
+    #   C. the ≤ B-row DSIR bucket-model materialization (independent of
+    #      the fit — split from it so the two token passes overlap),
+    #   D. the corpus fingerprint aggregate for the sidecar guard,
+    #   E. the test-side KMV residual sketch (a real trigram pass over
+    #      the test split that previously sat in the FINAL action waiting
+    #      on the dsir_drop checkpoint it does not depend on).
     # Serial cost was the SUM of these round-trips; now it is the slowest
     # one. Only thread A creates a tracked checkpoint, so the artifacts
     # registry's id-diff can at worst absorb a concurrently-built cache
-    # RDD id (persist-backed = recomputable; see artifacts.py).
+    # RDD id (persist-backed = recomputable; see artifacts.py); the other
+    # legs register persist-backed artifacts only.
     from concurrent.futures import ThreadPoolExecutor
 
     from ctcityscraper_spark.operators.corpus import (
@@ -2182,6 +2187,10 @@ def q_corpus_e2e_prep(spark, sf_dir):
     )
 
     is_test = hash64(F.col("doc_id"), "split") % 10 == 0
+    test_d = kept.filter(is_test)
+    sh3 = lambda d: d.select(
+        F.explode(shingles_col("clean_text", 3)).alias("term")
+    )
 
     def _contam():
         # contam feeds the anti-join AND the attrition counts — eager
@@ -2196,15 +2205,17 @@ def q_corpus_e2e_prep(spark, sf_dir):
             contaminated_train_ids(kept, text="clean_text")
         )
 
-    def _fit_and_model():
-        w = train_quality_classifier(
+    def _fit():
+        return train_quality_classifier(
             kept,
             text="clean_text",
             labels=quality_score_col("clean_text") >= 0.45,
         )
-        # pre-materialize the ≤ B-row DSIR bucket model here (persist +
-        # count) so the scoring job downstream starts from the cached
-        # model instead of rebuilding it on its critical path
+
+    def _model():
+        # pre-materialize the ≤ B-row DSIR bucket model (persist + count)
+        # so the scoring job downstream starts from the cached model
+        # instead of rebuilding it on its critical path
         m = persist_tracked(
             sum_dsir_models(
                 dsir_bucket_model(
@@ -2216,21 +2227,29 @@ def q_corpus_e2e_prep(spark, sf_dir):
             )
         )
         m.count()
-        return w, m
+        return m
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    def _test_kmv():
+        # ≤ k rows once built; persist-backed (cheap to hold, recomputable)
+        s = persist_tracked(kmv_sketch_terms(sh3(test_d), "term", k=_KMV_K))
+        s.count()
+        return s
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_contam = pool.submit(_contam)
-        f_fit = pool.submit(_fit_and_model)
+        f_fit = pool.submit(_fit)
+        f_model = pool.submit(_model)
         f_fpr = pool.submit(
             lambda: kept.agg(
                 F.count("*").alias("n"), F.sum("doc_id").alias("s")
             ).collect()[0]
         )
+        f_tkmv = pool.submit(_test_kmv)
         contam = f_contam.result()
-        weights, dsir_model = f_fit.result()
+        weights = f_fit.result()
+        dsir_model = f_model.result()
         fpr = f_fpr.result()
-
-    test_d = kept.filter(is_test)
+        test_kmv = f_tkmv.result()
 
     # stage 4 back half: persist the weights to the fingerprint-guarded
     # sidecar, apply as the literal-folded logit in the scan stage
@@ -2278,12 +2297,11 @@ def q_corpus_e2e_prep(spark, sf_dir):
     )
     train_s = train_q.join(dsir_drop, "doc_id", "left_anti")
 
-    sh3 = lambda d: d.select(
-        F.explode(shingles_col("clean_text", 3)).alias("term")
-    )
+    # test sketch pre-materialized in the pool (leg E above) — row-
+    # identical to computing it here, minus the wait on dsir_drop
     resid = kmv_overlap(
         kmv_sketch_terms(sh3(train_s), "term", k=_KMV_K),
-        kmv_sketch_terms(sh3(test_d), "term", k=_KMV_K),
+        test_kmv,
         _KMV_K,
     ).select(
         F.col("inter_est").alias("resid_inter_est"),
