@@ -392,15 +392,29 @@ def bloom_chased_duplicates(
     ``is_dup`` implies ``might_contain`` by construction. NULL-text
     rows flag false/false.
     """
-    flagged = bloom_might_contain(
-        batch, bloom, m_bits, k, text=text, id_col=id_col
-    ).select(F.col(id_col).alias("doc_id"), F.col(text).alias("_t"),
-             "might_contain")
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
+
+    # Project the fingerprint ONCE (md5 per batch row, not once per
+    # downstream reference) and persist the narrow (doc_id, _fp,
+    # might_contain) frame: it feeds BOTH the chase's semi-join probe and
+    # the final verdict join, and without the persist the whole probe
+    # chain (word-position explode + bloom-word join + bool_and groupBy)
+    # plans — and executes — once per consumer (guide §2.4; the committed
+    # r15 dedup_bloom_chase plan shows the duplicated chains).
+    flagged = persist_tracked(
+        bloom_might_contain(
+            batch, bloom, m_bits, k, text=text, id_col=id_col
+        ).select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.col(text)).alias("_fp"),
+            "might_contain",
+        )
+    )
     hits = (
         corpus_fingerprints.select("fingerprint")
         .join(
             flagged.filter(F.col("might_contain"))
-            .select(F.md5(F.col("_t")).alias("fingerprint"))
+            .select(F.col("_fp").alias("fingerprint"))
             .distinct(),
             "fingerprint",
             "left_semi",
@@ -411,7 +425,7 @@ def bloom_chased_duplicates(
     return (
         flagged.join(
             hits,
-            F.md5(flagged["_t"]) == hits["fingerprint"],
+            flagged["_fp"] == hits["fingerprint"],
             "left",
         )
         .select(
@@ -707,8 +721,28 @@ def _jaccard_verify_cross(
         .agg(F.count("*").alias("inter"))
     )
     if not have_sizes:
-        sa = sh_a.groupBy("doc_id").agg(F.count("*").alias("size_a")).withColumnRenamed("doc_id", "doc_a")
-        sb = sh_b.groupBy("doc_id").agg(F.count("*").alias("size_b")).withColumnRenamed("doc_id", "doc_b")
+        if sh_a is sh_b:
+            # self-verify (the cascade / ngram_jaccard paths): both sides'
+            # sizes are the SAME per-doc counts over the same frame —
+            # aggregate once into a tiny (doc_id, sz) frame, persist it,
+            # and serve both joins from the cache instead of running the
+            # full index scan + aggregation once per side (guide §2.4;
+            # exchange reuse does NOT collapse the two subtrees — the
+            # committed r15 before-plans show both passes executing).
+            from ctcityscraper_spark.operators.artifacts import persist_tracked
+
+            sizes = persist_tracked(
+                sh_a.groupBy("doc_id").agg(F.count("*").alias("_sz"))
+            )
+            sa = sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("_sz").alias("size_a")
+            )
+            sb = sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("_sz").alias("size_b")
+            )
+        else:
+            sa = sh_a.groupBy("doc_id").agg(F.count("*").alias("size_a")).withColumnRenamed("doc_id", "doc_a")
+            sb = sh_b.groupBy("doc_id").agg(F.count("*").alias("size_b")).withColumnRenamed("doc_id", "doc_b")
         inter = inter.join(sa, "doc_a").join(sb, "doc_b")
     return (
         inter.withColumn(

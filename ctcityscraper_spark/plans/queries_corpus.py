@@ -2115,7 +2115,7 @@ def q_corpus_e2e_prep(spark, sf_dir):
     )
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
-        build_bloom_index,
+        rebuild_bloom_from_fingerprints,
         shingles_col,
     )
     from ctcityscraper_spark.operators.text import kmv_overlap, kmv_sketch_terms
@@ -2129,10 +2129,15 @@ def q_corpus_e2e_prep(spark, sf_dir):
     # the 80% corpus
     is_new = hash64(F.col("doc_id"), "e2esplit") % 5 == 0
     corpus, batch = rb.filter(~is_new), rb.filter(is_new)
-    bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K, text="clean_text")
-    corpus_fp = corpus.select(
-        F.md5("clean_text").alias("fingerprint")
-    ).distinct()
+    # one md5 pass over the corpus clean_text: persist the distinct
+    # fingerprint index and rebuild the Bloom words from it (bit-for-bit
+    # the fresh build — OR over duplicate fingerprints sets the same
+    # bits), instead of a second md5+explode pass over the full corpus
+    # (guide §2.4)
+    corpus_fp = persist_tracked(
+        corpus.select(F.md5("clean_text").alias("fingerprint")).distinct()
+    )
+    bloom = rebuild_bloom_from_fingerprints(corpus_fp, _BLOOM_M, _BLOOM_K)
     verdicts = bloom_chased_duplicates(
         batch, corpus_fp, bloom, _BLOOM_M, _BLOOM_K, text="clean_text"
     )
@@ -2528,8 +2533,8 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
     )
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
-        build_bloom_index,
         doc_shingles,
+        rebuild_bloom_from_fingerprints,
         shingles_col,
     )
     from ctcityscraper_spark.operators.text import (
@@ -2555,10 +2560,16 @@ def q_corpus_e2e_prep_incremental(spark, sf_dir):
         .select("doc_id", "clean_text")
         )
     is_test = hash64(F.col("doc_id"), "split") % 10 == 0
-    bloom = build_bloom_index(stored, _BLOOM_M, _BLOOM_K, text="clean_text")
-    stored_fp = stored.select(
-        F.md5("clean_text").alias("fingerprint")
-    ).distinct()
+    # one md5 pass over the stored corpus: the persisted fingerprint index
+    # is built first and the Bloom words REBUILT from it (bit-for-bit the
+    # fresh build — OR over duplicate fingerprints sets the same bits), so
+    # the old second md5+explode pass over clean_text disappears
+    # (guide §2.4); production does exactly this, rebuilding from the
+    # stored fingerprint zone rather than re-reading the corpus
+    stored_fp = persist_tracked(
+        stored.select(F.md5("clean_text").alias("fingerprint")).distinct()
+    )
+    bloom = rebuild_bloom_from_fingerprints(stored_fp, _BLOOM_M, _BLOOM_K)
     ssh = doc_shingles(stored, "clean_text", "doc_id", 8)
     cap = (
         ssh.groupBy("shingle")

@@ -410,7 +410,7 @@ def q_dedup_bloom_membership(spark, sf_dir):
     from ctcityscraper_spark.operators.artifacts import persist_tracked
     from ctcityscraper_spark.operators.dedup import (
         bloom_might_contain,
-        build_bloom_index,
+        rebuild_bloom_from_fingerprints,
     )
 
     # one scan, four consumers (bloom build, probe, fingerprint index,
@@ -424,13 +424,19 @@ def q_dedup_bloom_membership(spark, sf_dir):
     )
     is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
-    bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K)
-    flagged = bloom_might_contain(batch, bloom, _BLOOM_M, _BLOOM_K)
-    corpus_fp = (
+    # one md5 pass over the corpus text: persist the distinct fingerprint
+    # index and rebuild the Bloom words from it (bit-for-bit the fresh
+    # build — OR over duplicate fingerprints sets the same bits), instead
+    # of a second md5+explode pass over the full corpus text (guide §2.4)
+    corpus_fp = persist_tracked(
         corpus.filter(F.col("text").isNotNull())
         .select(F.md5("text").alias("_cfp"))
         .distinct()
     )
+    bloom = rebuild_bloom_from_fingerprints(
+        corpus_fp, _BLOOM_M, _BLOOM_K, fingerprint="_cfp"
+    )
+    flagged = bloom_might_contain(batch, bloom, _BLOOM_M, _BLOOM_K)
     return (
         flagged.join(corpus_fp, F.md5(flagged["text"]) == F.col("_cfp"), "left")
         .select(
@@ -567,7 +573,7 @@ def q_dedup_bloom_chase(spark, sf_dir):
     from ctcityscraper_spark.operators.artifacts import persist_tracked
     from ctcityscraper_spark.operators.dedup import (
         bloom_chased_duplicates,
-        build_bloom_index,
+        rebuild_bloom_from_fingerprints,
     )
 
     # same single-scan persist as dedup_bloom_membership (guide §2.4):
@@ -579,12 +585,18 @@ def q_dedup_bloom_chase(spark, sf_dir):
     )
     is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
-    bloom = build_bloom_index(corpus, _BLOOM_M, _BLOOM_K)
-    corpus_fp = (
+    # one md5 pass over the corpus text: the distinct fingerprint index is
+    # persisted and the Bloom words are REBUILT from it
+    # (rebuild_bloom_from_fingerprints is bit-for-bit build_bloom_index —
+    # OR over duplicate fingerprints sets the same bits), so the old
+    # second md5+explode pass over the full corpus text disappears
+    # (guide §2.4).
+    corpus_fp = persist_tracked(
         corpus.filter(F.col("text").isNotNull())
         .select(F.md5("text").alias("fingerprint"))
         .distinct()
     )
+    bloom = rebuild_bloom_from_fingerprints(corpus_fp, _BLOOM_M, _BLOOM_K)
     return (
         bloom_chased_duplicates(batch, corpus_fp, bloom, _BLOOM_M, _BLOOM_K)
         .repartition(1)

@@ -2288,6 +2288,27 @@ class TestPrefixFilterJoin:
         ref = self._rows(_jaccard_verify_from_shingles(sh, bare, 0.5, None))
         assert got == ref and ref
 
+    def test_self_verify_shared_sizes_matches_cross_form(self, spark):
+        """r15 optimization: when both verify sides are the SAME frame
+        (the cascade / ngram paths), per-doc sizes are aggregated once
+        into a persisted frame instead of once per side — the result must
+        be row-identical to the general cross-frame path over two equal
+        but distinct frames (which keeps the two-aggregation form)."""
+        from ctcityscraper_spark.operators.dedup import (
+            _jaccard_verify_cross,
+            _lsh_band_pairs,
+            _minhash_sigs_from_shingles,
+            doc_shingles,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        sh = doc_shingles(docs, "text", "doc_id", 5)
+        sh_twin = doc_shingles(docs, "text", "doc_id", 5)  # equal, distinct object
+        cand = _lsh_band_pairs(_minhash_sigs_from_shingles(sh, 16), 16, 8)
+        got = self._rows(_jaccard_verify_cross(sh, sh, cand, 0.5))
+        ref = self._rows(_jaccard_verify_cross(sh, sh_twin, cand, 0.5))
+        assert got == ref and ref
+
     def test_single_shingle_docs(self, spark):
         """s=1 edge: prefix length = 1 - ceil(t) + 1 = 1 — the doc's one
         shingle IS its prefix, so identical one-shingle docs still pair."""
