@@ -488,7 +488,13 @@ def ngram_jaccard_pairs(
     identical output, the scale path when the shingle universe is huge.
     """
     sh = doc_shingles(df, text, id_col, n)
-    sh = _drop_hot(sh, "shingle", df_cap, df_cap_sketched)
+    # the capped index feeds three subplans (sizes, intersect side a,
+    # intersect side b) — persist so the explode + hot-list aggregation +
+    # anti-join run once, not once per consumer (guide §2.4; same pattern
+    # as prefix_filter_jaccard_pairs)
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
+
+    sh = persist_tracked(_drop_hot(sh, "shingle", df_cap, df_cap_sketched))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -589,6 +595,18 @@ def _jaccard_verify_from_shingles(
     :func:`_jaccard_verify_cross` after the df_cap drop — one definition
     of the exactness-critical jaccard arithmetic."""
     sh = _drop_hot(sh0, "shingle", df_cap, df_cap_sketched)
+    if sh is not sh0:
+        # the freshly capped index feeds three subplans (intersect side A,
+        # side B, the size aggregation) and each would re-run the hot-list
+        # aggregation + anti-join — persist it once, exactly as
+        # prefix_filter_jaccard_pairs persists its own capped index
+        # (guide §2.4; runtime exchange reuse does not recover the
+        # duplicates — see _jaccard_verify_cross). cap=None passes the
+        # caller's frame through untouched (the prefix path arrives here
+        # already capped AND persisted).
+        from ctcityscraper_spark.operators.artifacts import persist_tracked
+
+        sh = persist_tracked(sh)
     return _jaccard_verify_cross(sh, sh, candidates, threshold)
 
 
