@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ctcityscraper_spark.functions.exprs import bind_once
 from ctcityscraper_spark.functions.hashing import hash64
 from ctcityscraper_spark.functions.localdf import local_rows_df
 from ctcityscraper_spark.operators.dedup import doc_shingles
@@ -61,15 +62,22 @@ def segments(
     identical. Pure expressions inside the scan stage; the explode output is
     ~1 row per ``width`` words, so the blow-up factor is bounded by design.
     """
-    toks = tokens_col(text)
-    n_seg = F.floor((F.size(toks) + (width - 1)) / F.lit(width)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
-    )
+    # let-bind the token array: the per-segment lambda must slice a bound
+    # variable, not re-run the whitespace split per segment (bind_once —
+    # the shingles_col lesson, same O(tokens²) shape otherwise)
+    def make_segs(toks):
+        n_seg = F.floor(
+            (F.size(toks) + (width - 1)) / F.lit(width)
+        ).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+        )
+        return F.when(n_seg >= 1, segs).otherwise(F.array())
+
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.when(n_seg >= 1, segs).otherwise(F.array())).alias(
+        F.posexplode(bind_once(tokens_col(text), make_segs)).alias(
             "pos", "segment"
         ),
     )
@@ -162,19 +170,27 @@ def repetition_signals(
     O(n²) expression; the 2-gram fraction is a linear pure-column pass.
     """
     toks = tokens_col(text)
-    grams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
-    )
+
+    # let-bind the token array (bind_once — the shingles_col lesson): the
+    # bigram lambda reads a bound variable instead of re-splitting per
+    # element
+    def dup_frac(tk):
+        grams = F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)),
+        )
+        return (
+            F.when(
+                F.size(tk) >= 2,
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)) / F.size(grams),
+            )
+            .otherwise(F.lit(0.0))
+        )
+
     gram_stats = df.select(
         F.col(id_col).alias("doc_id"),
-        F.when(
-            F.size(toks) >= 2,
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)) / F.size(grams),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_2gram_frac"),
+        bind_once(toks, dup_frac).alias("dup_2gram_frac"),
     )
     words = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
     word_stats = (

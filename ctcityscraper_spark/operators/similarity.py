@@ -151,12 +151,25 @@ def int8_quantize_col(vec):
     all-zero codes. Quantization is a scan-stage projection computed once
     per row (it sits below any join in the plan).
     """
-    v = _as_double(vec)
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    return F.when(
-        maxabs > 0,
-        F.transform(v, lambda x: F.round(x * 127.0 / maxabs).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    from ctcityscraper_spark.functions.exprs import bind_once
+
+    # let-bind the doubled vector and its max-abs scalar: referencing
+    # `maxabs` inside the quantize lambda re-evaluates the array_max scan
+    # per ELEMENT (O(dims²) per vector — the shingles_col lesson)
+    def quantize(v):
+        def with_scale(m):
+            return F.when(
+                m > 0,
+                F.transform(
+                    v, lambda x: F.round(x * 127.0 / m).cast("int")
+                ),
+            ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+        return bind_once(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), with_scale
+        )
+
+    return bind_once(_as_double(vec), quantize)
 
 
 def int8_topk(

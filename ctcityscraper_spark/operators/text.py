@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ctcityscraper_spark.functions.exprs import bind_once
 from ctcityscraper_spark.functions.hashing import hash64
 from ctcityscraper_spark.functions.localdf import local_rows_df
 
@@ -161,16 +162,25 @@ def winnow_fingerprints(
     rebuilds the identical set.
     """
     c = normalized_text_col(text)
-    n_grams = F.length(c) - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: hash64(F.substring(c, i, k), seed),
-    )
+
+    # let-bind the normalized text (bind_once — the shingles_col lesson):
+    # the per-position lambda substrings a bound variable instead of
+    # re-running the regexp normalization once per character position
+    def make_grams(cc):
+        n_g = F.length(cc) - (k - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: hash64(F.substring(cc, i, k), seed),
+        )
+        # guard: sequence(1, n) runs DESCENDING for n <= 0
+        return F.when(n_g >= 1, grams).otherwise(
+            F.array().cast("array<long>")
+        )
+
     lower = df.select(
         F.col(id_col),
         c.alias("_c"),
-        # guard: sequence(1, n) runs DESCENDING for n <= 0
-        F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<long>")).alias("_grams"),
+        bind_once(c, make_grams).alias("_grams"),
     )
     n_wins = F.size("_grams") - (window - 1)
     minima = F.transform(

@@ -336,18 +336,26 @@ def q_text_top_bigrams(spark, sf_dir):
     drift monitoring; deterministic tie-break on the bigram string."""
     from ctcityscraper_spark.operators.text import tokens_col
 
+    from ctcityscraper_spark.functions.exprs import bind_once
+
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens_col("text")
-    grams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
-    )
+
+    # let-bind the token array (bind_once — the shingles_col lesson): the
+    # bigram lambda reads a bound variable instead of re-splitting per
+    # element
+    def make_bigrams(tk):
+        grams = F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)),
+        )
+        return F.when(F.size(tk) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
     bigrams = docs.select(
-        F.explode(
-            F.when(F.size(toks) >= 2, grams).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("bigram")
+        F.explode(bind_once(tokens_col("text"), make_bigrams)).alias(
+            "bigram"
+        )
     )
     return (
         bigrams.groupBy("bigram")

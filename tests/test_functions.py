@@ -297,3 +297,44 @@ def test_known_lower_casing_divergence(spark):
     for j, t in enumerate(diverge, start=len(agree)):
         assert got[j] != con.execute("SELECT lower(?)", [t]).fetchone()[0], t
     con.close()
+
+
+def test_bind_once_matches_inline_evaluation(spark):
+    """bind_once(e, fn) must be value-identical to fn(e) — including the
+    null-input path, where the bound lambda variable sees NULL exactly as
+    the inlined expression would. (The wrapper exists for performance:
+    HOF lambdas re-evaluate captured outer expressions per element, so
+    shingles_col/segments/winnow let-bind their token/normalized-text
+    arrays — the r15 optimization round.)"""
+    from ctcityscraper_spark.functions.exprs import bind_once
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, None), (4, "x"), (5, "  pad  ")],
+        "id long, t string",
+    )
+    toks = F.split(F.trim("t"), r"\s+")
+
+    def tri(tk):
+        n = F.size(tk) - 2
+        mk = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 3)),
+        )
+        return F.array_distinct(F.when(n >= 1, mk).otherwise(F.array()))
+
+    inline = df.select("id", tri(toks).alias("v")).collect()
+    bound = df.select("id", bind_once(toks, tri).alias("v")).collect()
+    assert inline == bound
+
+    # scalar (non-array) binding: the winnow normalized-text shape
+    norm = F.trim(F.lower("t"))
+    inline2 = df.select(
+        "id", F.when(F.length(norm) >= 1, norm).alias("v")
+    ).collect()
+    bound2 = df.select(
+        "id",
+        bind_once(
+            norm, lambda c: F.when(F.length(c) >= 1, c)
+        ).alias("v"),
+    ).collect()
+    assert inline2 == bound2
