@@ -216,9 +216,12 @@ def bpe_apply(
     ).select(id_col, F.lower("w0").alias("word"))
     enc = words.select(
         id_col,
-        F.size(
-            F.regexp_extract_all(bpe_encode_col("word", merges), F.lit(TOKEN_RE), 1)
-        ).alias("n_bpe"),
+        # regexp_count == size(regexp_extract_all(.., 1)): extract_all
+        # emits exactly one group-1 entry per match, so counting matches
+        # is the same number without materializing the token array
+        F.regexp_count(bpe_encode_col("word", merges), F.lit(TOKEN_RE)).alias(
+            "n_bpe"
+        ),
         F.length("word").alias("n_char"),
     )
     return enc.groupBy(id_col).agg(
@@ -248,7 +251,8 @@ def bpe_fertility_from_freqs(freqs: DataFrame, merges: list) -> DataFrame:
     off the same zone closes the loop)."""
     enc = bpe_encode_col("word", merges)
     return freqs.select(
-        (F.col("freq") * F.size(F.regexp_extract_all(enc, F.lit(TOKEN_RE), 1))).alias("t"),
+        # regexp_count: one group-1 entry per match, so same count
+        (F.col("freq") * F.regexp_count(enc, F.lit(TOKEN_RE))).alias("t"),
         (F.col("freq") * F.length("word")).alias("c"),
         F.col("freq").alias("w"),
     ).agg(

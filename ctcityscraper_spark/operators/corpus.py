@@ -217,7 +217,9 @@ def pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
     c = F.col(text)
     out = df
     for kind, pat, _ in PII_PATTERNS:
-        out = out.withColumn(f"n_{kind}", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+        # regexp_count == size(regexp_extract_all(.., 0)) by definition
+        # (same Matcher.find loop) without materializing the match array
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
     red = c
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
@@ -482,7 +484,9 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         shard.alias("shard_id"),
         *order_cols,
-        F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+        # regexp_count: same match count as size(regexp_extract_all)
+        # without materializing the token array (pure count use)
+        F.regexp_count(text, F.lit(BPE_SPLIT_RE))
         .cast("long")
         .alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
@@ -1055,7 +1059,8 @@ def token_budget_selection(
     # localCheckpoint): evicted blocks recompute instead of failing.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+        # regexp_count: same match count, no materialized token array
+        F.regexp_count(text, F.lit(BPE_SPLIT_RE))
         .cast("long")
         .alias("n_tokens"),
         F.floor(quality_score_col(text) * bins).cast("int").alias("q_bin"),

@@ -1154,7 +1154,7 @@ def q_text_bpe_token_count(spark, sf_dir):
     pat = r" ?[0-9]+| ?[A-Za-z]+| ?[^A-Za-z0-9\s]+"
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("bpe_tokens"),
+        F.regexp_count("text", F.lit(pat)).alias("bpe_tokens"),
         token_count_col("text").alias("ws_tokens"),
     ).repartition(1).sortWithinPartitions("doc_id")
 
