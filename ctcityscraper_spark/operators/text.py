@@ -42,7 +42,15 @@ def tokens_col(text: Column | str) -> Column:
 
 
 def token_count_col(text: Column | str) -> Column:
-    return F.size(tokens_col(text))
+    """Whitespace token count == ``size(tokens_col(text))``, computed as
+    separator-matches + 1 so the token array is never materialized
+    (count-only use; ``split`` keeps every piece just to be counted).
+    Exact equivalence incl. the empty-string quirk: ``split(trim(x),
+    '\\s+')`` yields one piece more than its separator matches — trim
+    removes the edge whitespace that could produce leading empties, and
+    ``split("", ...)`` is ``[""]`` (size 1) exactly as 0 matches + 1."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.trim(c), F.lit(r"\s+")) + F.lit(1)
 
 
 def char_count_col(text: Column | str) -> Column:
