@@ -338,3 +338,62 @@ def test_bind_once_matches_inline_evaluation(spark):
         ).alias("v"),
     ).collect()
     assert inline2 == bound2
+
+
+def test_regexp_count_forms_match_materializing_counts(spark):
+    """The r15 count-only rewrites must stay value-identical to the
+    array-materializing forms they replaced: regexp_count == size(
+    regexp_extract_all) for both group-0 and group-1 patterns (extract_all
+    emits exactly one group entry per match), and token_count_col ==
+    size(split(trim, '\\s+')) including the empty-string quirk (split("")
+    is [""] -> 1 == 0 separator matches + 1) and null propagation."""
+    from ctcityscraper_spark.operators.corpus import BPE_SPLIT_RE
+    from ctcityscraper_spark.operators.text import token_count_col, tokens_col
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, "a b  c\td"),
+            (6, "\x0b\tx y\x0b"),
+            (7, "num 42, punct!! (w)(x)(y) end."),
+            (8, " lead trail "),
+            (9, "tab\there\nnew\rline\fform"),
+        ],
+        "id long, t string",
+    )
+    null9 = F.lit(-9)
+
+    # group-0 count (the pack_sequences / pii / bpe_token_count shape)
+    old0 = F.size(F.regexp_extract_all("t", F.lit(BPE_SPLIT_RE), 0))
+    new0 = F.regexp_count("t", F.lit(BPE_SPLIT_RE))
+    assert (
+        df.select(F.coalesce(old0, null9).alias("a"), F.coalesce(new0, null9).alias("b"))
+        .filter("a <> b")
+        .count()
+        == 0
+    )
+
+    # group-1 count (the bpe encode/fertility TOKEN_RE shape)
+    pat1 = r"\(([^)]*)\)"
+    old1 = F.size(F.regexp_extract_all("t", F.lit(pat1), 1))
+    new1 = F.regexp_count("t", F.lit(pat1))
+    assert (
+        df.select(F.coalesce(old1, null9).alias("a"), F.coalesce(new1, null9).alias("b"))
+        .filter("a <> b")
+        .count()
+        == 0
+    )
+
+    # whitespace token count (the token_count_col shape) — value AND type
+    old_t = F.size(tokens_col("t"))
+    new_t = token_count_col("t")
+    out = df.select(
+        F.coalesce(old_t, null9).alias("a"), F.coalesce(new_t, null9).alias("b")
+    )
+    assert [f.dataType for f in out.schema.fields][0] == [
+        f.dataType for f in out.schema.fields
+    ][1]
+    assert out.filter("a <> b").count() == 0
