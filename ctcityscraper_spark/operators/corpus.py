@@ -717,6 +717,8 @@ def duplicate_substring_spans(
     island merge shuffles once on (doc_a, doc_b, alignment), keys that are
     high-cardinality and skew-free by construction.
     """
+    from ctcityscraper_spark.operators.artifacts import persist_tracked
+
     if bucket_by_hash is None:
         n_windows = (
             df.select(
@@ -729,14 +731,21 @@ def duplicate_substring_spans(
         bucket_by_hash = n_windows > SPAN_HASH_GATE_WINDOWS
     key = "win_h" if bucket_by_hash else "win"
     bucketed = substring_windows(df, text, id_col, width, hashed=bucket_by_hash)
+    # One aggregate over the bucket key yields BOTH guards: nd > doc_cap
+    # (boilerplate) and nd >= 2 (pair candidates) — a window whose key
+    # lives in a single document can never satisfy doc_a < doc_b, so the
+    # qualifying-key list is true-duplication-sized. A semi-join against
+    # it replaces the hot anti-join AND shrinks the self-join's input from
+    # the full window index to the duplicated windows only; those
+    # survivors are persisted (bounded by actual cross-document
+    # duplication, never the corpus) so the explode feeding the pair join
+    # runs once, not once per join side.
+    nd_agg = bucketed.groupBy(key).agg(F.countDistinct("doc_id").alias("nd"))
+    cond = F.col("nd") >= 2
     if doc_cap is not None:
-        hot = (
-            bucketed.groupBy(key)
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .filter(F.col("nd") > doc_cap)
-            .select(key)
-        )
-        bucketed = bucketed.join(hot, key, "left_anti")
+        cond = cond & (F.col("nd") <= doc_cap)
+    dup_keys = nd_agg.filter(cond).select(key)
+    bucketed = persist_tracked(bucketed.join(dup_keys, key, "left_semi"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     matched = a.join(
         b,
