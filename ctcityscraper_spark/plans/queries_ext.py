@@ -413,14 +413,17 @@ def q_dedup_bloom_membership(spark, sf_dir):
         rebuild_bloom_from_fingerprints,
     )
 
-    # one scan, four consumers (bloom build, probe, fingerprint index,
-    # final join): the single-row-group testdata file re-scans as a
-    # serial 1-task job per consumer without this persist (guide §2.4 —
-    # profiled 4 x ~0.4 s duplicate scan jobs); project to the two used
-    # columns so the cache holds no dead weight
-    docs = persist_tracked(
-        parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-        .select("doc_id", "text")
+    # The r15 full-docs persist was dropped here (r16, VERDICT item 3):
+    # a 3-way interleaved A/B (persist / r14 fresh-build / rebuild-only)
+    # at 32 AND 8 cores measured all forms within window noise at sf0.1,
+    # and caching the entire corpus text to save one columnar re-scan is
+    # the wrong trade at 100 TB (the cache write costs more than the
+    # scan it saves). What stays is the real work removal: ONE md5 pass
+    # over the corpus via the persisted (small) fingerprint index, with
+    # the Bloom words rebuilt from it. Projection kept — cheap insurance
+    # for the scan (guide §2.3).
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
     )
     is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
@@ -576,12 +579,13 @@ def q_dedup_bloom_chase(spark, sf_dir):
         rebuild_bloom_from_fingerprints,
     )
 
-    # same single-scan persist as dedup_bloom_membership (guide §2.4):
-    # corpus feeds both the bloom build and the fingerprint index, batch
-    # feeds the probe and the final join
-    docs = persist_tracked(
-        parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-        .select("doc_id", "text")
+    # full-docs persist dropped as in dedup_bloom_membership (r16 — the
+    # corpus text feeds exactly one consumer here, the fingerprint index,
+    # and the batch text exactly one, the persisted flagged frame inside
+    # bloom_chased_duplicates; caching corpus text to save one columnar
+    # re-scan is the wrong trade at 100 TB)
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
     )
     is_new = hash64(F.col("doc_id"), "bloomsplit") % 5 == 0
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
