@@ -149,10 +149,23 @@ PRIOR_ROUND_QUERY_SET = [
     "subq_outer_join_order_counts", "top_revenue_orders",
 ]
 
-# Headline queries promoted THIS round (r15): not in the prior set, so
-# they never pollute comparable_subtotal; recorded explicitly so the set
+# Headline queries promoted THIS round: not in the prior set, so they
+# never pollute comparable_subtotal; recorded explicitly so the set
 # growth is visible in the JSON rather than inferred by diffing rounds.
-NEW_HEADLINE_QUERIES: list[str] = ["text_bpe_train"]
+# r15: text_bpe_train. r16: the two streaming-twin entries (VERDICT r15
+# item 7 — the streaming surface was never benched), timed like
+# ingest_load_2000 as bench-local pipelines rather than catalog queries:
+# streaming_corpus_prep_3b drives the full prep DAG over 3 availableNow
+# micro-batches (one mid-run compaction) on a deterministic quarter of
+# the documents table; streaming_bloom_membership_3b drives the two-tier
+# dedup state twin over 3 micro-batches + compaction and finishes with a
+# layered zone read (compacted epoch + tail deltas) serving a full-table
+# probe.
+NEW_HEADLINE_QUERIES: list[str] = [
+    "text_bpe_train",
+    "streaming_corpus_prep_3b",
+    "streaming_bloom_membership_3b",
+]
 
 # In the headline set and in the prior round's record, but EXCLUDED from
 # this round's comparable subtotal because the query's SEMANTICS changed
@@ -212,6 +225,126 @@ EXPECTED_NORMALIZED = {
     # 0.476 (fresh process, sf0.1)
     "text_bpe_train": 4.9,
 }
+
+
+def _split_stream_source(spark, sf_dir: str, src: str, n: int = 3,
+                         modulus: int | None = None) -> None:
+    """Deterministic n-way doc_id-range split of the documents table into
+    one parquet file-batch per directory — the micro-batch fixture for the
+    streaming bench entries. Distinct mtimes are stamped explicitly (the
+    file source orders by modification time) so the batch composition is
+    reproducible without sleeping."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if modulus:
+        docs = docs.filter(F.col("doc_id") % modulus == 0)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (hi - lo + n) // n
+    for i in range(n):
+        part = docs.filter(
+            (F.col("doc_id") >= lo + i * step)
+            & (F.col("doc_id") < lo + (i + 1) * step)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        for p in glob.glob(f"{src}/b{i}/*.parquet"):
+            os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
+_STREAM_SRC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _streaming_prep_trial(spark, sf_dir: str) -> float:
+    """One cold streaming_corpus_prep run: full DAG (boilerplate ->
+    bloom-chased dedup -> contamination -> quality gate -> DSIR gate ->
+    pack continuation), 3 availableNow micro-batches over a deterministic
+    quarter of the documents table, compaction at batch 2, fresh zone +
+    checkpoint dirs each trial (no state survives — every trial computes
+    from the parquet input)."""
+    import shutil
+    import tempfile
+
+    from ctcityscraper_spark.streaming.events import (
+        stream_from_directory,
+        streaming_corpus_prep,
+    )
+
+    td = tempfile.mkdtemp(prefix="bench_sprep_")
+    try:
+        _split_stream_source(spark, sf_dir, f"{td}/incoming", modulus=4)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        stream = stream_from_directory(
+            spark, f"{td}/incoming/b*", _STREAM_SRC_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        q = streaming_corpus_prep(
+            stream, f"{td}/prep", f"{td}/ckpt",
+            compact_every=2, quality_gate=True,
+            dsir_gate=True, dsir_target="lang = 'en'",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming_corpus_prep did not drain in 600s")
+        # materialize the run's ledger: stats row count pins 3 batches ran
+        n_stats = spark.read.parquet(f"{td}/prep/stats").count()
+        if n_stats != 3:
+            raise AssertionError(f"expected 3 stats rows, got {n_stats}")
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+def _streaming_bloom_trial(spark, sf_dir: str) -> float:
+    """One cold streaming_bloom_membership run over the full documents
+    table in 3 micro-batches (compaction at batch 2, saturation stats),
+    finished by the layered keyed-state read: the merged word zone
+    (compacted epoch + post-epoch delta) probed by the whole table."""
+    import shutil
+    import tempfile
+
+    from ctcityscraper_spark.operators.dedup import bloom_might_contain
+    from ctcityscraper_spark.streaming.events import (
+        read_bloom_words,
+        stream_from_directory,
+        streaming_bloom_membership,
+    )
+
+    m_bits, k = 1 << 16, 5
+    td = tempfile.mkdtemp(prefix="bench_sbloom_")
+    try:
+        _split_stream_source(spark, sf_dir, f"{td}/incoming")
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        stream = stream_from_directory(
+            spark, f"{td}/incoming/b*", _STREAM_SRC_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        q = streaming_bloom_membership(
+            stream, f"{td}/words", f"{td}/flags", f"{td}/ckpt",
+            m_bits, k, compact_every=2, stats_dir=f"{td}/stats",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming_bloom did not drain in 600s")
+        bloom = read_bloom_words(spark, f"{td}/words")
+        flagged = (
+            bloom_might_contain(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                bloom, m_bits, k,
+            )
+            .filter("might_contain")
+            .count()
+        )
+        if flagged <= 0:
+            raise AssertionError("probe found no ingested docs")
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 def time_query(spark, fn, sf_dir: str, max_trials: int = 3) -> tuple[float | None, str | None]:
@@ -555,6 +688,46 @@ def main() -> None:
             ):
                 anomalous.append("ingest_load_2000")
         timings["ingest_load_2000"] = best
+
+    # streaming-twin entries (r16, VERDICT r15 item 7): bench-local
+    # pipelines like ingest_load_2000 — fresh zone/checkpoint dirs per
+    # trial, best of 2, same anomaly repricing policy
+    for s_name, s_fn in (
+        ("streaming_corpus_prep_3b", _streaming_prep_trial),
+        ("streaming_bloom_membership_3b", _streaming_bloom_trial),
+    ):
+        s_runs: list[float] = []
+        try:
+            for _ in range(2):
+                s_runs.append(s_fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors[s_name] = f"{type(exc).__name__}: {exc}"[:300]
+        if not s_runs:
+            continue
+        best = round(min(s_runs), 4)
+        cal_now = calibrate(spark, trials=1)
+        calibration_track[s_name] = cal_now
+        exp = EXPECTED_NORMALIZED.get(s_name)
+        if (
+            exp is not None
+            and calibration_sec
+            and best / calibration_sec > ANOMALY_FACTOR * exp
+            and best / cal_now > ANOMALY_FACTOR * exp
+        ):
+            _drain(spark)
+            try:
+                best = min(best, round(s_fn(spark, sf_dir), 4))
+            except Exception as exc:  # noqa: BLE001
+                errors.setdefault(
+                    s_name, f"{type(exc).__name__}: {exc}"[:300]
+                )
+            cal_now = calibrate(spark, trials=1)
+            calibration_track[s_name] = cal_now
+            if best / calibration_sec > ANOMALY_FACTOR * exp and (
+                best / cal_now > ANOMALY_FACTOR * exp
+            ):
+                anomalous.append(s_name)
+        timings[s_name] = best
 
     primary, diagnostics = build_output(
         timings,

@@ -45,10 +45,16 @@ def token_count_col(text: Column | str) -> Column:
     """Whitespace token count == ``size(tokens_col(text))``, computed as
     separator-matches + 1 so the token array is never materialized
     (count-only use; ``split`` keeps every piece just to be counted).
-    Exact equivalence incl. the empty-string quirk: ``split(trim(x),
-    '\\s+')`` yields one piece more than its separator matches — trim
-    removes the edge whitespace that could produce leading empties, and
-    ``split("", ...)`` is ``[""]`` (size 1) exactly as 0 matches + 1."""
+    Exact equivalence incl. the empty-string quirk: ``split`` with its
+    default ``limit=-1`` KEEPS leading/trailing empty pieces, so it
+    yields exactly one piece more than its separator matches at any
+    edge — edge separators just contribute empty pieces that ``size``
+    still counts. That identity, not trim, is the correctness mechanism:
+    Spark's ``trim`` strips only ASCII spaces (not ``\\t``/``\\n``/
+    ``\\x0b``), so non-space edge whitespace survives it on both forms
+    identically. Trim is retained for symmetry with :func:`tokens_col`,
+    whose token VALUES it does affect. ``split("", ...)`` is ``[""]``
+    (size 1) exactly as 0 matches + 1."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(F.trim(c), F.lit(r"\s+")) + F.lit(1)
 

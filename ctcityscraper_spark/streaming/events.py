@@ -1707,8 +1707,19 @@ def streaming_corpus_prep(
                 .filter(SF.col("_rn") > 1)
                 .select("doc_id")
             )
-            dup_ids = _p(dup_hist.unionByName(dup_within).distinct())
-            kept = _p(batch.join(dup_ids, "doc_id", "left_anti"))
+            # dup_ids is a small id list joined back against the stream
+            # it came from, and kept is the stage frame EVERY later stage
+            # (contamination, quality, DSIR, packing, five zone deltas,
+            # the stats row) builds on. Persist alone left the full
+            # bloom-chase lineage in the analyzed plan of every one of
+            # those ~12 downstream actions — profiled at 149 s of
+            # driver-only gaps vs 68 s of execution over a 3-batch
+            # availableNow run (r16; guide §7.3 planning bottleneck).
+            # The eager cut bounds every downstream plan at this stage
+            # boundary; blocks are freed in the finally, and a batch
+            # retry recomputes from the checkpoint's own batch input.
+            dup_ids = _cut(dup_hist.unionByName(dup_within).distinct())
+            kept = _cut(batch.join(dup_ids, "doc_id", "left_anti"))
 
             # -- stage 3: contamination gate. The index side is the
             # strictly-before zone UNIONED with the batch's OWN test
@@ -1733,7 +1744,10 @@ def streaming_corpus_prep(
                 else tidx.select("shingle").unionByName(batch_test_sh)
             )
             train = kept.filter(~is_test)
-            contam = _p(
+            # same move as dup_ids: a small id list anti-joined into the
+            # stream it was derived from — cut, or every consumer of
+            # trainf re-analyzes the whole shingle-index join
+            contam = _cut(
                 doc_shingles(train, "clean_text", "doc_id", shingle_n)
                 .join(tidx_now, "shingle", "left_semi")
                 .select("doc_id")
@@ -1857,36 +1871,22 @@ def streaming_corpus_prep(
                 )
             )
 
-            # -- outputs + this batch's own zone deltas --
-            _put(packs, "packs", batch_id)
-            _put(
-                segments(batch_df, width=w)
-                .select("segment", "doc_id")
-                .distinct()
-                .groupBy("segment")
-                .agg(SF.count("*").alias("n_docs")),
-                "seg_counts",
-                batch_id,
-            )
+            # -- outputs + this batch's own zone deltas: mutually
+            # independent overwrite jobs over already-cut/persisted stage
+            # frames, overlapped in a small driver pool (guide §2.6 — the
+            # engine.run_load pattern; serial cost was the SUM of the
+            # write round-trips, now the slowest few). Exactly-once is
+            # unchanged: each write is still its own batch_id=N
+            # overwrite, and a crash mid-pool leaves the same
+            # some-zones-written state a crash mid-serial-sequence did —
+            # the replayed batch rewrites every zone either way. The
+            # cursor delta stays ordered behind packs in ITS OWN task
+            # (it reads the packs cache); stats stays after the pool (it
+            # reads the delta caches the pool materializes). --
             surv = kept  # survivors extend dedup state (test docs too:
             # a future re-ingest of a held-out doc is still a duplicate)
             bloom_delta = _p(
                 build_bloom_index(surv, m_bits, k, text="clean_text")
-            )
-            _put(bloom_delta, "bloom_words", batch_id)
-            _put(
-                surv.select(SF.md5("clean_text").alias("fingerprint"))
-                .distinct(),
-                "fingerprints",
-                batch_id,
-            )
-            _put(batch_test_sh, "test_shingles", batch_id)
-            _put(
-                packs.groupBy("shard_id").agg(
-                    SF.sum("n_tokens").alias("n_tokens")
-                ),
-                "cursors",
-                batch_id,
             )
             sh3 = lambda d: d.select(
                 SF.explode(shingles_col("clean_text", 3)).alias("term")
@@ -1899,8 +1899,46 @@ def streaming_corpus_prep(
             test_kmv_delta = _p(
                 kmv_sketch_terms(sh3(kept.filter(is_test)), "term", k=kmv_k)
             )
-            _put(train_kmv_delta, "train_kmv", batch_id)
-            _put(test_kmv_delta, "test_kmv", batch_id)
+            seg_delta = (
+                segments(batch_df, width=w)
+                .select("segment", "doc_id")
+                .distinct()
+                .groupBy("segment")
+                .agg(SF.count("*").alias("n_docs"))
+            )
+            fp_delta = (
+                surv.select(SF.md5("clean_text").alias("fingerprint"))
+                .distinct()
+            )
+
+            def _packs_then_cursor() -> None:
+                _put(packs, "packs", batch_id)
+                _put(
+                    packs.groupBy("shard_id").agg(
+                        SF.sum("n_tokens").alias("n_tokens")
+                    ),
+                    "cursors",
+                    batch_id,
+                )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = [
+                    pool.submit(_packs_then_cursor),
+                    pool.submit(_put, seg_delta, "seg_counts", batch_id),
+                    pool.submit(_put, bloom_delta, "bloom_words", batch_id),
+                    pool.submit(_put, fp_delta, "fingerprints", batch_id),
+                    pool.submit(
+                        _put, batch_test_sh, "test_shingles", batch_id
+                    ),
+                    pool.submit(
+                        _put, train_kmv_delta, "train_kmv", batch_id
+                    ),
+                    pool.submit(_put, test_kmv_delta, "test_kmv", batch_id),
+                ]
+                for fut in futs:
+                    fut.result()
 
             # -- the stats ledger: attrition + health monitors over the
             # state AS OF THE END of this batch (strictly-before zones +
